@@ -1,0 +1,309 @@
+"""User-op compiler: Scanner kernel attributes -> Spark physical plans.
+
+Scanner's single computational operator is an element-wise map kernel with
+declared attributes — batch, stencil (temporal window), bounded/unbounded
+state, per-stream args (reference: /root/reference/scanner/api/kernel.h,
+python/scannerpy/op.py:317-615, registration client.py:805-908).  This
+module compiles the same attribute surface onto Spark:
+
+==================  =======================================================
+attribute           physical strategy
+==================  =======================================================
+(plain)             Arrow ``pandas_udf`` — JVM->Arrow->pandas batches; stays
+                    inside whole-stage codegen on the JVM side
+batch               the same (Arrow batching is free in Spark); batch=False
+                    merely wraps a scalar fn element-wise inside the batch
+stencil             ``Window.partitionBy(stream).orderBy(idx).rowsBetween``
+                    + ``collect_list``; boundary REPEAT_EDGE / NULL / ERROR
+                    padded in the UDF (reference: rpc.proto:254-259,
+                    dag_analysis.cpp:1634-1657)
+bounded state       warmup-row expansion before an ordered
+                    ``applyInPandas`` group, warmup outputs discarded
+                    (reference: dag_analysis.cpp:1607-1620)
+unbounded state     ordered ``applyInPandas`` over the whole
+                    (stream, slice) group — slice first to parallelize,
+                    exactly the reference's answer
+                    (dag_analysis.cpp:1621-1626)
+==================  =======================================================
+
+Scale notes: elementwise ops are narrow (no shuffle).  Stencil and stateful
+ops shuffle once on (stream_id[, slice_id]); state parallelism is bounded by
+slicing, same contract as the reference.  NULL payload rows (NullElements
+from repeat_null spacing) pass through kernels untouched — kernels see only
+non-null rows, mirroring evaluate_worker's null-element skip.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable, Sequence
+from enum import Enum
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import DataType, StructField, StructType, _parse_datatype_string
+
+from scanner_spark.streams import IDX_COL, SLICE_COL, STREAM_COL
+
+
+class BoundaryMode(str, Enum):
+    """Stencil out-of-bounds handling (reference: rpc.proto:254-259)."""
+
+    REPEAT_EDGE = "repeat_edge"
+    NULL = "null"
+    ERROR = "error"
+
+
+def _parse_type(t: str | DataType) -> DataType:
+    return t if isinstance(t, DataType) else _parse_datatype_string(t)
+
+
+class Op:
+    """A registered kernel; calling it rewrites a stream DataFrame."""
+
+    def __init__(
+        self,
+        fn: Callable,
+        *,
+        batch: bool = False,
+        stencil: Sequence[int] | None = None,
+        bounded_state: int = 0,
+        unbounded_state: bool = False,
+        boundary: BoundaryMode = BoundaryMode.REPEAT_EDGE,
+        name: str | None = None,
+    ):
+        if bounded_state and unbounded_state:
+            raise ValueError("an op is bounded- or unbounded-state, not both")
+        if stencil is not None and (bounded_state or unbounded_state):
+            raise ValueError("stencil and state are mutually exclusive attributes")
+        self.fn = fn
+        self.batch = batch
+        self.stencil = sorted(stencil) if stencil else None
+        self.bounded_state = bounded_state
+        self.unbounded_state = unbounded_state
+        self.boundary = BoundaryMode(boundary)
+        self.name = name or fn.__name__
+        functools.update_wrapper(self, fn)
+
+    # -- public application --------------------------------------------------
+    def __call__(
+        self,
+        df: DataFrame,
+        inputs: Sequence[str],
+        output: str,
+        output_type: str | DataType = "double",
+    ) -> DataFrame:
+        out_dt = _parse_type(output_type)
+        if self.stencil is not None:
+            return self._apply_stencil(df, list(inputs), output, out_dt)
+        if self.unbounded_state or self.bounded_state:
+            return self._apply_stateful(df, list(inputs), output, out_dt)
+        return self._apply_elementwise(df, list(inputs), output, out_dt)
+
+    # -- elementwise ----------------------------------------------------------
+    def _apply_elementwise(self, df, inputs, output, out_dt) -> DataFrame:
+        fn, batch = self.fn, self.batch
+        struct_out = isinstance(out_dt, StructType)
+
+        def _run(series):
+            if batch:
+                res = fn(*series)
+                return res if struct_out else pd.Series(res)
+            # scalar kernel applied per element inside the Arrow batch —
+            # Scanner's non-batched kernel path (kernel.h:135-144).
+            # NULL payloads (NullElements from spacing) skip the kernel,
+            # mirroring evaluate_worker's null-element passthrough.
+            def is_null(v):
+                return v is None or (not hasattr(v, "__len__") and pd.isna(v))
+
+            out = [
+                None if any(is_null(v) for v in vals) else fn(*vals)
+                for vals in zip(*series)
+            ]
+            if struct_out:
+                # struct-returning scalar pandas UDFs exchange a DataFrame
+                return pd.DataFrame([o if o is not None else {} for o in out])
+            return pd.Series(out)
+
+        # Spark 4 infers the UDF eval type from type hints
+        if struct_out:
+
+            def call(*series: pd.Series) -> pd.DataFrame:
+                return _run(series)
+
+        else:
+
+            def call(*series: pd.Series) -> pd.Series:
+                return _run(series)
+
+        udf = F.pandas_udf(call, returnType=out_dt)
+        return df.withColumn(output, udf(*[F.col(c) for c in inputs]))
+
+    # -- stencil ---------------------------------------------------------------
+    def _apply_stencil(self, df, inputs, output, out_dt) -> DataFrame:
+        lo, hi = self.stencil[0], self.stencil[-1]
+        offsets = [o - lo for o in self.stencil]  # positions inside the frame
+        width = hi - lo + 1
+        part = [STREAM_COL] + ([SLICE_COL] if SLICE_COL in df.columns else [])
+        w = Window.partitionBy(*part).orderBy(IDX_COL).rowsBetween(lo, hi)
+        win_cols = [f"__w_{c}" for c in inputs]
+        out = df
+        for c, wc in zip(inputs, win_cols):
+            out = out.withColumn(wc, F.collect_list(c).over(w))
+
+        fn, batch, boundary, name = self.fn, self.batch, self.boundary, self.name
+        struct_out = isinstance(out_dt, StructType)
+
+        def _run_stencil(idx_s, wins):
+            res = []
+            for i in range(len(idx_s)):
+                idx = int(idx_s.iloc[i])
+                padded = []
+                for winser in wins:
+                    win = list(winser.iloc[i])
+                    # rows clipped at the head of the stream: idx+lo < 0
+                    miss_head = max(0, -(idx + lo))
+                    miss_tail = width - len(win) - miss_head
+                    if (miss_head or miss_tail) and boundary is BoundaryMode.ERROR:
+                        raise ValueError(
+                            f"op {name}: stencil out of bounds at idx={idx}"
+                        )
+                    if boundary is BoundaryMode.REPEAT_EDGE and win:
+                        full = [win[0]] * miss_head + win + [win[-1]] * miss_tail
+                    else:
+                        full = [None] * miss_head + win + [None] * miss_tail
+                    padded.append([full[o] for o in offsets])
+                res.append(fn(*padded))
+            if struct_out:
+                return pd.DataFrame([o if o is not None else {} for o in res])
+            return pd.Series(res)
+
+        if struct_out:
+
+            def call(idx_s: pd.Series, *wins: pd.Series) -> pd.DataFrame:
+                return _run_stencil(idx_s, wins)
+
+        else:
+
+            def call(idx_s: pd.Series, *wins: pd.Series) -> pd.Series:
+                return _run_stencil(idx_s, wins)
+
+        udf = F.pandas_udf(call, returnType=out_dt)
+        out = out.withColumn(output, udf(F.col(IDX_COL), *[F.col(c) for c in win_cols]))
+        return out.drop(*win_cols)
+
+    # -- stateful ---------------------------------------------------------------
+    def _apply_stateful(self, df, inputs, output, out_dt) -> DataFrame:
+        part = [STREAM_COL] + ([SLICE_COL] if SLICE_COL in df.columns else [])
+        out_schema = StructType(list(df.schema.fields) + [StructField(output, out_dt, True)])
+        fn = self.fn
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(IDX_COL).reset_index(drop=True)
+            kernel = fn() if isinstance(fn, type) else fn
+            if hasattr(kernel, "reset"):
+                kernel.reset()  # fresh state per (stream, slice) group
+            exec_fn = kernel.execute if hasattr(kernel, "execute") else kernel
+            result = exec_fn(pdf[inputs] if len(inputs) > 1 else pdf[inputs[0]])
+            pdf[output] = list(result)
+            return pdf
+
+        return df.groupBy(*part).applyInPandas(run_group, schema=out_schema)
+
+    # -- bounded-state warmup over a gathered subset ------------------------------
+    def apply_gather_with_warmup(
+        self,
+        df: DataFrame,
+        rows: Sequence[int],
+        inputs: Sequence[str],
+        output: str,
+        output_type: str | DataType = "double",
+    ) -> DataFrame:
+        """Run a bounded-state kernel for a gathered row subset with warmup.
+
+        Scanner's scheduler prepends ``warmup`` rows before each requested
+        row run and discards their outputs (dag_analysis.cpp:1607-1620;
+        expected behavior tests/py_test.py:407-424: gather [0,10,25,26,27]
+        with warmup w -> [0, w, w, w+1, w+2]).  Driver-side: expand each
+        requested idx r to [max(0, r-w), r], merge overlapping expansions
+        into runs (state carries *within* a run, resets *between* runs —
+        each run starts from a reset kernel, exactly the reference).
+        """
+        if not self.bounded_state:
+            raise ValueError("warmup gather only applies to bounded-state ops")
+        w = self.bounded_state
+        # merge [r-w, r] intervals into maximal runs (literal spec, driver-side)
+        wanted = sorted(set(int(r) for r in rows))
+        runs: list[list[int]] = []
+        for r in wanted:
+            lo = max(0, r - w)
+            if runs and lo <= runs[-1][1] + 1:
+                runs[-1][1] = max(runs[-1][1], r)
+            else:
+                runs.append([lo, r])
+        spark = df.sparkSession
+        run_spec = spark.createDataFrame(
+            [(rid, lo, hi) for rid, (lo, hi) in enumerate(runs)],
+            schema="__run long, __lo long, __hi long",
+        )
+        expanded = df.join(
+            F.broadcast(run_spec),
+            (F.col(IDX_COL) >= F.col("__lo")) & (F.col(IDX_COL) <= F.col("__hi")),
+            "inner",
+        )
+        out_dt = _parse_type(output_type)
+        base_fields = [f for f in expanded.schema.fields]
+        out_schema = StructType(base_fields + [StructField(output, out_dt, True)])
+        fn, inputs = self.fn, list(inputs)
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(IDX_COL).reset_index(drop=True)
+            kernel = fn() if isinstance(fn, type) else fn
+            if hasattr(kernel, "reset"):
+                kernel.reset()
+            exec_fn = kernel.execute if hasattr(kernel, "execute") else kernel
+            result = exec_fn(pdf[inputs] if len(inputs) > 1 else pdf[inputs[0]])
+            pdf[output] = list(result)
+            return pdf
+
+        part = [STREAM_COL, "__run"]
+        ran = expanded.groupBy(*part).applyInPandas(run_group, schema=out_schema)
+        # keep only requested rows, re-identify by position in the request
+        # list (gather preserves requested order/duplicates, sampler.cpp:283-299)
+        pos = spark.createDataFrame(
+            [(i, int(r)) for i, r in enumerate(rows)], schema="__pos long, __want long"
+        )
+        out = (
+            ran.join(F.broadcast(pos), F.col(IDX_COL) == F.col("__want"), "inner")
+            .drop(IDX_COL, "__want", "__run", "__lo", "__hi")
+            .withColumnRenamed("__pos", IDX_COL)
+        )
+        rest = [c for c in out.columns if c not in (STREAM_COL, IDX_COL)]
+        return out.select(STREAM_COL, IDX_COL, *rest)
+
+
+def register_op(
+    fn: Callable | None = None,
+    *,
+    batch: bool = False,
+    stencil: Sequence[int] | None = None,
+    bounded_state: int = 0,
+    unbounded_state: bool = False,
+    boundary: BoundaryMode = BoundaryMode.REPEAT_EDGE,
+    name: str | None = None,
+):
+    """Decorator mirroring ``@scannerpy.register_python_op`` (reference:
+    python/scannerpy/op.py:317-615) with the same attribute surface."""
+
+    def wrap(f):
+        return Op(
+            f,
+            batch=batch,
+            stencil=stencil,
+            bounded_state=bounded_state,
+            unbounded_state=unbounded_state,
+            boundary=boundary,
+            name=name,
+        )
+
+    return wrap(fn) if fn is not None else wrap

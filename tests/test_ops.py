@@ -1,0 +1,132 @@
+"""Op-compiler behavior: elementwise, batch, stencil boundaries, state,
+warmup — mirroring /root/reference/tests/py_test.py:407-556."""
+
+import pandas as pd
+import pytest
+
+from scanner_spark import streams as S
+from scanner_spark.ops import BoundaryMode, register_op
+from scanner_spark.kernels import increment_bounded_op, increment_unbounded_op
+
+
+def vals(df, col, stream="0"):
+    rows = df.filter(f"stream_id = '{stream}'").orderBy("idx").collect()
+    return [r[col] for r in rows]
+
+
+def test_elementwise_scalar(two_streams):
+    @register_op
+    def double_it(v):
+        return v * 2
+
+    out = double_it(two_streams, ["value"], "out", "double")
+    assert vals(out, "out")[:4] == [0.0, 2.0, 4.0, 6.0]
+
+
+def test_elementwise_batch(two_streams):
+    @register_op(batch=True)
+    def add_ten(v: pd.Series) -> pd.Series:
+        return v + 10
+
+    out = add_ten(two_streams, ["value"], "out", "double")
+    assert vals(out, "out")[:3] == [10.0, 11.0, 12.0]
+
+
+def test_elementwise_variadic(two_streams):
+    @register_op(batch=True)
+    def combine(a, b):
+        return a + b
+
+    df = two_streams.withColumn("value2", two_streams.value * 10)
+    out = combine(df, ["value", "value2"], "out", "double")
+    assert vals(out, "out")[:3] == [0.0, 11.0, 22.0]
+
+
+def test_elementwise_skips_null_elements(two_streams):
+    # NullElements (from repeat_null spacing) pass through kernels as NULL
+    @register_op
+    def inc(v):
+        return v + 1
+
+    spaced = S.repeat_null(S.srange(two_streams, 0, 3), 2)
+    out = inc(spaced, ["value"], "out", "double")
+    assert vals(out, "out") == [1.0, None, 2.0, None, 3.0, None]
+
+
+def test_stencil_repeat_edge(two_streams):
+    # [-1, 0, 1] sum with REPEAT_EDGE: head=v0*2+v1, tail=v28+v29*2
+    @register_op(stencil=[-1, 0, 1], boundary=BoundaryMode.REPEAT_EDGE)
+    def wsum(win):
+        return float(sum(win))
+
+    out = wsum(S.srange(two_streams, 0, 5), ["value"], "out", "double")
+    assert vals(out, "out") == [1.0, 3.0, 6.0, 9.0, 11.0]
+
+
+def test_stencil_null_boundary(two_streams):
+    @register_op(stencil=[-1, 0, 1], boundary=BoundaryMode.NULL)
+    def wlist(win):
+        return [None if v is None else float(v) for v in win]
+
+    out = wlist(S.srange(two_streams, 0, 3), ["value"], "out", "array<double>")
+    assert vals(out, "out") == [
+        [None, 0.0, 1.0],
+        [0.0, 1.0, 2.0],
+        [1.0, 2.0, None],
+    ]
+
+
+def test_stencil_sparse_offsets(two_streams):
+    # non-contiguous stencil [-2, 0] like OpticalFlow's [-1, 0] but wider
+    @register_op(stencil=[-2, 0])
+    def diff(win):
+        return float(win[1] - win[0])
+
+    out = diff(S.srange(two_streams, 0, 5), ["value"], "out", "double")
+    assert vals(out, "out") == [0.0, 1.0, 2.0, 2.0, 2.0]
+
+
+def test_stencil_respects_slices(two_streams):
+    # stencil windows must not cross slice boundaries
+    @register_op(stencil=[-1, 0], boundary=BoundaryMode.REPEAT_EDGE)
+    def prev_sum(win):
+        return float(win[0] + win[1])
+
+    sliced = S.slice_strided(S.srange(two_streams, 0, 6), 3)
+    out = prev_sum(sliced, ["value"], "out", "double")
+    got = (
+        out.filter("stream_id = '0'").orderBy("slice_id", "idx").select("out").collect()
+    )
+    # slice 0: [0,1,2] -> [0,1,3]; slice 1: [3,4,5] -> [6,7,9] (edge repeats at 3)
+    assert [r.out for r in got] == [0.0, 1.0, 3.0, 6.0, 7.0, 9.0]
+
+
+def test_unbounded_state_counter(two_streams):
+    out = increment_unbounded_op(two_streams, ["value"], "out", "long")
+    assert vals(out, "out") == list(range(30))
+    assert vals(out, "out", stream="1") == list(range(30))
+
+
+def test_unbounded_state_resets_per_slice(two_streams):
+    sliced = S.slice_strided(two_streams, 10)
+    out = S.unslice(increment_unbounded_op(sliced, ["value"], "out", "long"), 10)
+    assert vals(out, "out") == list(range(10)) * 3
+
+
+def test_bounded_state_gather_warmup(two_streams):
+    # py_test.py:407-424: warmup w, gather [0,10,25,26,27] -> [0,w,w,w+1,w+2]
+    w = increment_bounded_op.bounded_state
+    out = increment_bounded_op.apply_gather_with_warmup(
+        two_streams, [0, 10, 25, 26, 27], ["value"], "out", "long"
+    )
+    assert vals(out, "out") == [0, w, w, w + 1, w + 2]
+
+
+def test_stencil_error_boundary(two_streams):
+    @register_op(stencil=[-1, 0], boundary=BoundaryMode.ERROR)
+    def bad(win):
+        return float(win[0])
+
+    out = bad(S.srange(two_streams, 0, 3), ["value"], "out", "double")
+    with pytest.raises(Exception):
+        out.collect()
