@@ -1,0 +1,308 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine.
+
+Scale design (the point of each strategy at 100 TB):
+
+- **exact**: one hash-shuffle on md5(text); map-side partial aggregation
+  makes the shuffle carry only (hash, min_id) pairs.
+- **ngram_jaccard**: exact pairwise Jaccard is quadratic — usable as the
+  *verifier* behind a candidate generator, or alone on small slices.  The
+  candidate join explodes distinct shingles and self-joins on shingle;
+  frequent-shingle skew is capped with a document-frequency cutoff
+  (``max_shingle_df``), the standard trick to stop a stop-shingle from
+  producing O(n^2) candidates.
+- **minhash_lsh**: linear sketch (k hash mins per doc), banded so only
+  same-band-signature docs join — the 100 TB path.  k*|shingles| work per
+  doc, then a shuffle keyed by (band, signature) whose fan-in is the
+  collision rate, not n^2.
+- **simhash**: one 60-bit signature per doc; near-dups = small Hamming
+  distance.  Banded by signature prefix for the join.
+- **embedding cosine**: exact within blocking key (label / LSH bucket).
+
+Every hash is the shared 60-bit md5 hash (functions/hashing.py) so the
+DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from scanner_spark.functions.hashing import MINHASH_P, h60, minhash_coeffs
+from scanner_spark.functions.text import tokens
+
+DEFAULT_SHINGLE_N = 3
+DEFAULT_MINHASH_K = 16
+DEFAULT_BANDS = 4
+
+
+def shingles(col, n: int = DEFAULT_SHINGLE_N):
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: content hash -> canonical (min) id + count.
+    Returns only groups with >1 member."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct content hash."""
+    w = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    keep = w.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above ``threshold``.
+
+    candidate generation: self-join on shared shingle (skew-capped by
+    ``max_shingle_df``); verification: |A∩B| / (|A|+|B|-|A∩B|) with set
+    sizes computed once per doc.  Output: (doc_a, doc_b, jaccard).
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        good = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(good, "shingle", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_MINHASH_K,
+    n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of k universal-hash permutations
+    h_i(x) = (a_i*(H(x) mod P) + b_i) mod P, the min over the doc's
+    shingle hashes.  Output: (doc, i, minh) — long format so banding is a
+    groupBy, not an array shuffle."""
+    coeffs = minhash_coeffs(k)
+    sh = _shingled(df, text_col, id_col, n).withColumn(
+        "hm", h60(F.col("shingle")) % F.lit(MINHASH_P)
+    )
+    params = F.array(
+        *[F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")) for i, (a, b) in enumerate(coeffs)]
+    )
+    perm = sh.select(
+        "doc", "hm", F.explode(params).alias("p")
+    ).select(
+        "doc",
+        F.col("p.i").alias("i"),
+        ((F.col("p.a") * F.col("hm") + F.col("p.b")) % F.lit(MINHASH_P)).alias("h"),
+    )
+    return perm.groupBy("doc", "i").agg(F.min("h").alias("minh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    Banding: k/bands rows per band; same-band-signature docs become
+    candidates; candidates are scored by full-signature agreement
+    (est_jaccard = matching mins / k) and filtered at ``threshold``.
+    Output: (doc_a, doc_b, est_jaccard).
+    """
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n)
+    banded = (
+        sig.withColumn("band", (F.col("i") / r).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "minh"))),
+                        lambda s: s["minh"].cast("string"),
+                    ),
+                )
+            ).alias("bandsig")
+        )
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bandsig") == F.col("y.bandsig"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"), "i", F.col("minh").alias("ma"))
+    sb = sig.select(F.col("doc").alias("doc_b"), "i", F.col("minh").alias("mb"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)) / F.lit(k), 6
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48) -> DataFrame:
+    """Per-doc SimHash signature over distinct tokens.
+
+    bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(H(token)) else -1)
+    is positive; signature = sum of set bits << j.  One narrow explode +
+    one groupBy per doc — linear.  Output: (doc, simhash)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", h60(F.col("tok")))
+    bit = tok.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.col("h"),
+    ).withColumn(
+        # SQL shiftright accepts a column shift amount; the Python wrapper doesn't
+        "w",
+        F.when(F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    return (
+        bit.groupBy("doc", "j")
+        .agg(F.sum("w").alias("wsum"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(F.col("wsum") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    max_hamming: int = 3,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Candidate blocking on the signature's top ``prefix_bits`` (docs whose
+    prefix matches join) keeps the self-join linear-ish; exact pairs within
+    Hamming radius that differ in the prefix are a recall tradeoff, the
+    standard SimHash rotation scheme being the fix (future work).
+    Output: (doc_a, doc_b, hamming)."""
+    sig = simhash(df, text_col, id_col, bits)
+    blocked = sig.withColumn("blk", F.shiftright(F.col("simhash"), bits - prefix_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc") < F.col("b.doc")))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "hamming"
+        )
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold within a
+    blocking key (a semantic label, an LSH bucket, ...).  Exact all-pairs
+    within block; blocks bound the quadratic term.  Output:
+    (id_a, id_b, cosine)."""
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a, b = norm.alias("a"), norm.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract:
+
+- ``knn_brute``: exact top-k by cosine — a single narrow projection
+  (JVM-side zip_with/aggregate dot product) + a top-k sort.  At 100 TB the
+  projection is embarrassingly parallel and the sort is a k-row
+  TakeOrdered, not a full shuffle.  This is the baseline/verifier.
+- ``knn_lsh``: random-hyperplane LSH — each vector gets a ``bits``-bit
+  bucket from deterministic hyperplanes; the query probes its own bucket
+  (and optionally neighbors at Hamming distance 1).  Bucketing is a narrow
+  projection; the candidate scan reads only matching buckets — with the
+  bucket as a partition key, partition pruning makes this sub-linear.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _lit_vec(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_to(vec_col, query: list[float]):
+    """Cosine similarity of an array column to a literal query vector."""
+    q = _lit_vec(query)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    nrm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    return _dot(vec_col, q) / (nrm * F.lit(qn))
+
+
+def knn_brute(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of a literal query vector.
+    Deterministic: ties broken by id.  Output: (id, score)."""
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine_to(F.col(vec_col), query), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (engine-free LCG -> uniform
+    in [-1, 1]); literal constants so both Spark and the SQL oracle can
+    inline them."""
+    planes, x = [], seed
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append(round(x / float(1 << 30) - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Bucket id = sign-bit pattern of the vector against each hyperplane."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        bit = F.when(_dot(vec_col, _lit_vec(p)) > 0, 1).otherwise(0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
+def knn_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (plus Hamming-1 neighbor buckets when ``multiprobe``).  Output:
+    (id, score)."""
+    dim = len(query)
+    planes = hyperplanes(dim, bits)
+    qb = 0
+    for j, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query, p)) > 0:
+            qb |= 1 << j
+    probe = [qb] + ([qb ^ (1 << j) for j in range(bits)] if multiprobe else [])
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("__bucket").isin(probe))
+    return knn_brute(cand, query, k, vec_col, id_col)
+
+
+def partition_by_bucket(
+    df: DataFrame, bits: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Materialization helper for the scale path: add the LSH bucket and
+    repartition on it, so writing parquet partitioned by ``bucket`` gives
+    probes partition pruning (the scan touches only probed buckets)."""
+    dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = hyperplanes(dim, bits)
+    return df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes)).repartition(
+        "bucket"
+    )

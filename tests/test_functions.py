@@ -1,0 +1,169 @@
+"""Text / dedup / simsearch / multimodal behavior on constructed inputs
+with known answers, plus the real documents/embeddings tables."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from scanner_spark.functions import dedup, multimodal, simsearch, text
+from scanner_spark.io import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup of 0
+        (3, "der hund ist nicht der gleiche und das ist gut"),  # german
+        (4, "completely different content about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def real_docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def real_embs(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+# ---- text ------------------------------------------------------------------
+
+def test_token_count(docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+    assert got[0] == 9
+    assert got[4] == 6
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+
+
+def test_quality_and_fingerprint(docs):
+    out = text.analyze(docs.filter("doc_id < 5")).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 0.0 <= by_id[0].quality <= 1.0
+    # exact dups share fingerprints; word-order permutation also does
+    assert by_id[0].fingerprint == by_id[1].fingerprint
+    assert by_id[0].fingerprint != by_id[4].fingerprint
+
+
+def test_rolling_fingerprint(docs, spark):
+    roll = text.rolling_fingerprint_udf()
+    out = {r.doc_id: r.h for r in docs.select("doc_id", roll(F.col("text")).alias("h")).collect()}
+    assert out[0] == out[1] != out[2]
+    # matches the reference implementation of the polynomial hash
+    MOD, BASE = (1 << 61) - 1, 257
+    h = 0
+    for ch in "the quick brown fox jumps over the lazy dog":
+        h = (h * BASE + ord(ch)) % MOD
+    assert out[0] == h
+
+
+# ---- dedup -------------------------------------------------------------------
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].keep_id == 0 and groups[0].n_dups == 2
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter("doc_id = 1").count() == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs.filter("doc_id < 5"), threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs.filter("doc_id < 5"), threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_near_dup(docs):
+    sigs = {r.doc: r.simhash for r in dedup.simhash(docs.filter("doc_id < 5")).collect()}
+    assert sigs[0] == sigs[1]
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    ham04 = bin(sigs[0] ^ sigs[4]).count("1")
+    assert ham02 < ham04  # near-dup closer than unrelated
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs.filter("doc_id < 5"), max_hamming=ham02).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0], 1),  # same vec as 0 but different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = {(r.id_a, r.id_b) for r in dedup.cosine_dup_pairs(df, threshold=0.99).collect()}
+    assert pairs == {(0, 1)}  # blocking excludes (0,3); (0,2) orthogonal
+
+
+# ---- simsearch -----------------------------------------------------------------
+
+def test_knn_brute_real_embeddings(real_embs):
+    q = real_embs.filter("vec_id = 0").select("embedding").first()["embedding"]
+    top = simsearch.knn_brute(real_embs, list(q), k=5).collect()
+    assert top[0].id == 0 and abs(top[0].score - 1.0) < 1e-6
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_lsh_recall(real_embs):
+    q = list(real_embs.filter("vec_id = 0").select("embedding").first()["embedding"])
+    exact = [r.id for r in simsearch.knn_brute(real_embs, q, k=10).collect()]
+    approx = [r.id for r in simsearch.knn_lsh(real_embs, q, k=10, bits=6).collect()]
+    # multiprobe LSH with 6 bits on 500 vecs should catch most of top-10
+    overlap = len(set(exact) & set(approx))
+    assert approx[0] == 0
+    assert overlap >= 5
+
+
+# ---- multimodal ------------------------------------------------------------------
+
+def test_decode_image_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 6)
+    out = multimodal.decode_image(media.filter("media_type = 'image'"), 8, 8).collect()
+    assert len(out) == 2
+    r = out[0]
+    assert (r.height, r.width, r.channels, r.dtype) == (8, 8, 3, "u8")
+    assert len(bytes(r.frame)) == 8 * 8 * 3
+    # deterministic: same payload -> same pixels
+    again = multimodal.decode_image(media.filter("media_type = 'image'"), 8, 8).collect()
+    assert bytes(again[0].frame) == bytes(r.frame)
+
+
+def test_extract_features_shape(spark):
+    media = multimodal.synthetic_media(spark, 5)
+    out = multimodal.extract_features(media, dim=16).collect()
+    assert len(out) == 5
+    assert all(len(r.features) == 16 for r in out)
+
+
+def test_sample_video_frames_cardinality(spark):
+    media = multimodal.synthetic_media(spark, 3)
+    out = multimodal.sample_video_frames(media, every_ms=1000)
+    counts = {r.asset_id: r.n for r in out.groupBy("asset_id").agg(F.count("*").alias("n")).collect()}
+    # duration 3500/4000/4500 ms -> 3/4/4 frames
+    assert counts == {0: 3, 1: 4, 2: 4}
