@@ -1,38 +1,335 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the LLM-pipeline extensions) as (spark, sf_dir) -> DataFrame callables;
+``oracle_sql()`` gives the DuckDB-runnable ANSI SQL twin for each —
+value-hash parity is locally enforced by tests/test_entry_parity.py, which
+replicates the driver's sorted-column/sorted-row compare.
+
+Cross-engine determinism notes live in scanner_spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scanner_spark.functions.hashing import MINHASH_P, h60_sql, minhash_coeffs  # noqa: E402
+from scanner_spark.functions.text import LANG_STOPWORDS  # noqa: E402
+from scanner_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 pricing summary on /root/testdata/sf0.001."""
+    return Q.q_tpch_q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(Q.QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# events as a Scanner-model stream (same definition as queries.events_stream)
+_ST = """
+st AS (
+  SELECT event_type AS stream_id,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS BIGINT) AS idx,
+         event_id, value
+  FROM events
+)
+"""
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# money aggregation mirrors queries._dec: DECIMAL(12,2) facts, DECIMAL(4,2)
+# rate factors, exact decimal sums cast to DOUBLE at the end
+_DP = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _minhash_sql() -> str:
+    coeffs = minhash_coeffs(16)
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) AS ord
+  FROM documents
+),
+sh0 AS (
+  SELECT doc, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc ORDER BY ord)
+),
+sh AS (SELECT DISTINCT doc, shingle FROM sh0 WHERE shingle IS NOT NULL),
+hashed AS (SELECT doc, {h60_sql('shingle')} % {MINHASH_P} AS hm FROM sh),
+params(i, a, b) AS (SELECT * FROM (VALUES {params}) t(i, a, b)),
+perm AS (SELECT doc, i, (a * hm + b) % {MINHASH_P} AS h FROM hashed CROSS JOIN params),
+sig AS (SELECT doc, i, MIN(h) AS minh FROM perm GROUP BY doc, i),
+banded AS (
+  SELECT doc, i // 4 AS band,
+         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS bandsig
+  FROM sig GROUP BY doc, i // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bandsig = y.bandsig AND x.doc < y.doc
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc = c.doc_a
+  JOIN sig sb ON sb.doc = c.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {Q.MINHASH_THRESHOLD}
+"""
+
+
+def _text_analyze_sql() -> str:
+    def sw_count(words: list[str]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+    s_en = sw_count(LANG_STOPWORDS["en"])
+    s_de = sw_count(LANG_STOPWORDS["de"])
+    s_fr = sw_count(LANG_STOPWORDS["fr"])
+    s_es = sw_count(LANG_STOPWORDS["es"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(length(toks) AS BIGINT) AS n_tokens,
+    CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4) +
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_tokens_bpe,
+    round(coalesce({s_en} / nullif(length(toks), 0), 0.0), 6) AS stopword_ratio,
+    round(coalesce(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) /
+                   nullif(length(text), 0), 0.0), 6) AS punct_ratio,
+    {s_en} AS c_en, {s_de} AS c_de, {s_fr} AS c_fr, {s_es} AS c_es,
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  FROM t
+)
+SELECT doc_id, n_tokens, n_tokens_bpe, stopword_ratio, punct_ratio,
+  CASE
+    WHEN c_en = greatest(c_en, c_de, c_fr, c_es) AND greatest(c_en, c_de, c_fr, c_es) > 0 THEN 'en'
+    WHEN c_de = greatest(c_en, c_de, c_fr, c_es) AND greatest(c_en, c_de, c_fr, c_es) > 0 THEN 'de'
+    WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) AND greatest(c_en, c_de, c_fr, c_es) > 0 THEN 'fr'
+    WHEN c_es = greatest(c_en, c_de, c_fr, c_es) AND greatest(c_en, c_de, c_fr, c_es) > 0 THEN 'es'
+    ELSE 'und'
+  END AS lang_pred,
+  fingerprint
+FROM m
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g = ",".join(f"({i},{r})" for i, r in enumerate(Q.GATHER_ROWS))
+    w = ",".join(f"({i},{r})" for i, r in enumerate(Q.WARMUP_ROWS))
+    cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return {
+        # --- Scanner index-domain operators ---------------------------------
+        "scanner_stride": f"WITH {_ST} "
+        "SELECT stream_id, idx // 8 AS idx, event_id, value FROM st WHERE idx % 8 = 0",
+        "scanner_range": f"WITH {_ST} "
+        "SELECT stream_id, idx - 100 AS idx, event_id, value FROM st "
+        "WHERE idx >= 100 AND idx < 200",
+        "scanner_strided_ranges": f"WITH {_ST} "
+        "SELECT stream_id, idx // 4 AS idx, event_id, value FROM st "
+        "WHERE idx >= 0 AND idx < 40 AND idx % 4 = 0 "
+        "UNION ALL "
+        "SELECT stream_id, 10 + (idx - 100) // 4 AS idx, event_id, value FROM st "
+        "WHERE idx >= 100 AND idx < 140 AND (idx - 100) % 4 = 0",
+        "scanner_gather": f"WITH {_ST}, wanted(pos, want) AS (SELECT * FROM (VALUES {g}) t(pos, want)) "
+        "SELECT st.stream_id, CAST(w.pos AS BIGINT) AS idx, st.event_id, st.value "
+        "FROM st JOIN wanted w ON st.idx = w.want",
+        "scanner_repeat": f"WITH {_ST} "
+        "SELECT stream_id, CAST(idx * 3 + o AS BIGINT) AS idx, event_id, value "
+        "FROM st CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS o) WHERE idx < 50",
+        "scanner_repeat_null": f"WITH {_ST} "
+        "SELECT stream_id, CAST(idx * 3 + o AS BIGINT) AS idx, "
+        "CASE WHEN o = 0 THEN event_id END AS event_id, "
+        "CASE WHEN o = 0 THEN value END AS value "
+        "FROM st CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS o) WHERE idx < 50",
+        "scanner_slice_state_unslice": f"WITH {_ST} "
+        "SELECT stream_id, idx, event_id, "
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER "
+        f"(PARTITION BY stream_id, idx // {Q.SLICE_GROUP} ORDER BY idx "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM st",
+        "scanner_stencil_smooth": f"WITH {_ST}, r AS (SELECT * FROM st WHERE idx < 200) "
+        "SELECT stream_id, idx, event_id, "
+        "(coalesce(lag(value) OVER w, value) + value + coalesce(lead(value) OVER w, value)) / 3.0 AS smoothed "
+        "FROM r WINDOW w AS (PARTITION BY stream_id ORDER BY idx)",
+        "scanner_warmup_gather": f"""
+WITH wanted(pos, want) AS (SELECT * FROM (VALUES {w}) t(pos, want)),
+brk AS (SELECT pos, want,
+        CASE WHEN want - lag(want) OVER (ORDER BY pos) <= {Q.WARMUP + 1} THEN 0 ELSE 1 END AS b
+        FROM wanted),
+isl AS (SELECT pos, want, SUM(b) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM brk),
+runs AS (SELECT grp, GREATEST(MIN(want) - {Q.WARMUP}, 0) AS lo FROM isl GROUP BY grp),
+ctrs AS (SELECT i.pos, i.want - r.lo AS ctr FROM isl i JOIN runs r USING (grp)),
+streams AS (SELECT DISTINCT event_type AS stream_id FROM events)
+SELECT s.stream_id, CAST(c.pos AS BIGINT) AS idx, CAST(c.ctr AS BIGINT) AS ctr
+FROM streams s CROSS JOIN ctrs c
+""",
+        # --- relational -------------------------------------------------------
+        "tpch_q1": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_DP}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_DP} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": f"""
+SELECT l_orderkey, CAST(SUM({_DP}) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+        "tpch_q5": f"""
+SELECT n_name, CAST(SUM({_DP}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+        "tpch_q6": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+        "tpch_q4_priority": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+        "top_customers_per_nation": """
+WITH spent AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_name, c_custkey, revenue, rnk FROM (
+  SELECT n_name, c_custkey, revenue,
+         rank() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rnk
+  FROM customer JOIN spent ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+) WHERE rnk <= 3
+""",
+        "events_sessionize": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+""",
+        "events_hourly": """
+SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "part_brand_stats": """
+SELECT p_brand, COUNT(*) AS n_parts, MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       CAST(SUM(p_size) AS DOUBLE) / COUNT(*) AS avg_size
+FROM part GROUP BY p_brand
+""",
+        "segment_intersect": """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+""",
+        # --- LLM pipeline ------------------------------------------------------
+        "text_analyze": _text_analyze_sql(),
+        "dedup_exact_groups": """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "dedup_jaccard_pairs": f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) AS ord
+  FROM documents
+),
+sh0 AS (
+  SELECT doc, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc ORDER BY ord)
+),
+sh AS (SELECT DISTINCT doc, shingle FROM sh0 WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS cmn
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(cmn / (sa.sz + sb.sz - cmn), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+WHERE round(cmn / (sa.sz + sb.sz - cmn), 6) >= {Q.JACCARD_THRESHOLD}
+""",
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash_sigs": f"""
+WITH toks AS (SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc, {h60_sql('tok')} AS h FROM toks),
+bits AS (SELECT unnest(generate_series(0, 47)) AS j),
+bitsum AS (
+  SELECT doc, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS wsum
+  FROM h CROSS JOIN bits GROUP BY doc, j
+)
+SELECT doc, CAST(SUM(CASE WHEN wsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc
+""",
+        "emb_knn_brute": f"""
+WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE id = 0)
+SELECT id, round(list_dot_product(v, qv) /
+       (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+FROM e, q ORDER BY score DESC, id LIMIT {Q.KNN_K}
+""",
+        "emb_cosine_pairs": f"""
+WITH e AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
+WHERE {cos} >= {Q.COSINE_THRESHOLD}
+""",
+        # emb_knn_lsh / doc_rolling_fingerprint / multimodal_decode:
+        # intentionally no oracle (LSH probing, modular-exponentiation rolling
+        # hash, and binary decode aren't ANSI-SQL-expressible) -> the driver
+        # records its rows-only check for these.
+    }

@@ -1,0 +1,461 @@
+"""The engine's headline query suite.
+
+One callable per operator/capability claimed in SURVEY.md §2 + the
+LLM-pipeline extensions; each has a matching ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` that DuckDB runs on the same parquet for the
+hash-match correctness gate.
+
+Cross-engine determinism rules used throughout (so value hashes match):
+
+- money/measure aggregation is done in DECIMAL (exact, order-free), cast to
+  DOUBLE only at the end; averages are double(sum)/count;
+- running sums use integer cents (exact) — never raw double accumulation,
+  whose result depends on addition order;
+- float embeddings are cast element-wise to double before dot products so
+  both engines do the same double arithmetic in the same order;
+- every computed column is aliased identically in Spark and SQL;
+- timestamps leave query outputs as epoch integers or formatted strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from scanner_spark import streams as S
+from scanner_spark.deploy import ship
+from scanner_spark.io import read_table
+from scanner_spark.functions import dedup, simsearch, text
+from scanner_spark.functions.simsearch import cosine_to
+from scanner_spark.ops import BoundaryMode, register_op
+from scanner_spark.kernels.stateful import IncrementBounded
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+GATHER_ROWS = [5, 3, 11, 3]
+WARMUP_ROWS = [0, 10, 25, 26, 27]
+WARMUP = 2
+SLICE_GROUP = 100
+KNN_K = 5
+COSINE_THRESHOLD = 0.3
+JACCARD_THRESHOLD = 0.5
+MINHASH_THRESHOLD = 0.5
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a Scanner-model stream: one stream per event_type, idx
+    dense in event_id order."""
+    ev = read_table(spark, sf_dir, "events")
+    st = S.make_stream(ev, stream_col="event_type", order_col="event_id")
+    return st.select("stream_id", "idx", "event_id", "value")
+
+
+def _dec(c: str, p: int = 12, s: int = 2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def _dbl(col):
+    return col.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A. Scanner index-domain operators (SURVEY §2.2-2.4)
+# ---------------------------------------------------------------------------
+
+def q_scanner_stride(spark, sf_dir):
+    ship(spark)
+    return S.stride(events_stream(spark, sf_dir), 8)
+
+
+def q_scanner_range(spark, sf_dir):
+    ship(spark)
+    return S.srange(events_stream(spark, sf_dir), 100, 200)
+
+
+def q_scanner_strided_ranges(spark, sf_dir):
+    ship(spark)
+    return S.strided_ranges(events_stream(spark, sf_dir), [(0, 40), (100, 140)], 4)
+
+
+def q_scanner_gather(spark, sf_dir):
+    ship(spark)
+    return S.gather(events_stream(spark, sf_dir), GATHER_ROWS)
+
+
+def q_scanner_repeat(spark, sf_dir):
+    ship(spark)
+    return S.repeat(S.srange(events_stream(spark, sf_dir), 0, 50), 3)
+
+
+def q_scanner_repeat_null(spark, sf_dir):
+    ship(spark)
+    return S.repeat_null(S.srange(events_stream(spark, sf_dir), 0, 50), 3)
+
+
+class CumCentsKernel:
+    """Unbounded-state kernel: running sum of integer cents (exact)."""
+
+    def reset(self):
+        pass
+
+    def execute(self, values: pd.Series) -> pd.Series:
+        cents = np.rint(values.to_numpy(dtype="float64") * 100).astype("int64")
+        return pd.Series(cents.cumsum())
+
+
+cum_cents_op = register_op(CumCentsKernel, unbounded_state=True, name="CumCents")
+
+
+def q_scanner_slice_state_unslice(spark, sf_dir):
+    """Slice(100) -> unbounded-state running cents sum -> Unslice: state
+    resets at slice boundaries (the Scanner parallelization contract)."""
+    ship(spark)
+    st = events_stream(spark, sf_dir)
+    sliced = S.slice_strided(st, SLICE_GROUP)
+    counted = cum_cents_op(sliced, ["value"], "cum_cents", "long")
+    return S.unslice(counted, SLICE_GROUP).select(
+        "stream_id", "idx", "event_id", "cum_cents"
+    )
+
+
+def q_scanner_stencil_smooth(spark, sf_dir):
+    """[-1,0,1] REPEAT_EDGE mean over the value column."""
+    ship(spark)
+
+    @register_op(stencil=[-1, 0, 1], boundary=BoundaryMode.REPEAT_EDGE)
+    def smooth(win):
+        return (win[0] + win[1] + win[2]) / 3.0
+
+    st = S.srange(events_stream(spark, sf_dir), 0, 200)
+    return smooth(st, ["value"], "smoothed", "double").select(
+        "stream_id", "idx", "event_id", "smoothed"
+    )
+
+
+def q_scanner_warmup_gather(spark, sf_dir):
+    """Bounded-state counter over Gather with warmup (py_test.py:407-424)."""
+    ship(spark)
+    op = register_op(IncrementBounded, bounded_state=WARMUP, name="Inc")
+    out = op.apply_gather_with_warmup(
+        events_stream(spark, sf_dir), WARMUP_ROWS, ["value"], "ctr", "long"
+    )
+    return out.select("stream_id", "idx", "ctr")
+
+
+# ---------------------------------------------------------------------------
+# B. Relational layer (SURVEY §2.7 — Spark builtins the reference lacks)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (decimal-exact sums)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    charge = disc_price * (one + _dec("l_tax", 4, 2))
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        _dbl(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+        _dbl(F.sum(disc_price)).alias("sum_disc_price"),
+        _dbl(F.sum(charge)).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Q3 shipping priority: top-10 unshipped-revenue orders (broadcast the
+    filtered customer dim)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-06-30").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    out = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+def q_tpch_q5(spark, sf_dir):
+    """Q5 local-supplier revenue by nation (ASIA)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """Q6 forecast revenue change (single-pass filtered aggregate; filters
+    and the 2-column projection push down to the parquet scan)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * _dec("l_discount", 4, 2)
+    out = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(_dbl(F.sum(rev)).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    return out
+
+
+def q_tpch_q4_priority(spark, sf_dir):
+    """Q4-style: orders counted by priority where some lineitem shipped
+    after the order date (left-semi join = SQL EXISTS)."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    late = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    """Window-function showcase: top-3 customers by revenue per nation."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    spent = (
+        o.groupBy("o_custkey")
+        .agg(_dbl(F.sum(_dec("o_totalprice"))).alias("revenue"))
+    )
+    joined = (
+        c.join(spent, c.c_custkey == spent.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        joined.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "revenue", "rnk")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min): per-user session and event counts."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
+    marked = ev.withColumn("new_sess", F.coalesce(new_sess, F.lit(0)))
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("new_sess") + 1).cast("long").alias("n_sessions"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour aggregation per event type (cents-exact sums)."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.unix_seconds(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents) / 100.0).alias("sum_value"),
+        )
+    )
+
+
+def q_part_brand_stats(spark, sf_dir):
+    p = read_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        (F.sum("p_size") / F.count(F.lit(1))).alias("avg_size"),
+    )
+
+
+def q_segment_intersect(spark, sf_dir):
+    """Set-op showcase: BUILDING-segment customers ∩ customers holding an
+    order over 400k."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# C. LLM-pipeline: text / dedup / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def q_text_analyze(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return text.analyze(d).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_tokens_bpe",
+        "stopword_ratio",
+        "punct_ratio",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text")).alias("content_hash"), F.col("doc_id"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=MINHASH_THRESHOLD)
+
+
+def q_dedup_simhash_sigs(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash(d)
+
+
+def q_emb_knn_brute(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return simsearch.knn_brute(e, list(q), k=KNN_K)
+
+
+def q_emb_cosine_pairs(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return dedup.cosine_dup_pairs(e, threshold=COSINE_THRESHOLD)
+
+
+# --- rows-only checks (genuinely non-SQL-expressible paths) -----------------
+
+def q_emb_knn_lsh(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return simsearch.knn_lsh(e, list(q), k=KNN_K, bits=6)
+
+
+def q_doc_rolling_fingerprint(spark, sf_dir):
+    ship(spark)
+    d = read_table(spark, sf_dir, "documents")
+    roll = text.rolling_fingerprint_udf()
+    return d.select("doc_id", roll(F.col("text")).alias("rolling_hash"))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary-payload pipeline: documents text -> binary payload -> fake
+    decode -> per-frame mean intensity.  Exercises the mapInPandas media
+    plumbing on driver-provided data (rows-only check: fake codec)."""
+    ship(spark)
+    from scanner_spark.functions import multimodal
+
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(32).alias("width"),
+            F.lit(32).alias("height"),
+            F.lit(0).alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    frames = multimodal.decode_image(d, 16, 16)
+    return frames.select("asset_id", "height", "width", "channels")
+
+
+QUERIES = {
+    "scanner_stride": q_scanner_stride,
+    "scanner_range": q_scanner_range,
+    "scanner_strided_ranges": q_scanner_strided_ranges,
+    "scanner_gather": q_scanner_gather,
+    "scanner_repeat": q_scanner_repeat,
+    "scanner_repeat_null": q_scanner_repeat_null,
+    "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
+    "scanner_stencil_smooth": q_scanner_stencil_smooth,
+    "scanner_warmup_gather": q_scanner_warmup_gather,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q4_priority": q_tpch_q4_priority,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "events_sessionize": q_events_sessionize,
+    "events_hourly": q_events_hourly,
+    "part_brand_stats": q_part_brand_stats,
+    "segment_intersect": q_segment_intersect,
+    "text_analyze": q_text_analyze,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash_sigs": q_dedup_simhash_sigs,
+    "emb_knn_brute": q_emb_knn_brute,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "emb_knn_lsh": q_emb_knn_lsh,
+    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+}

@@ -1,0 +1,90 @@
+"""Replicates the driver's correctness gate locally: run every
+``queries()`` entry in Spark AND its ``oracle_sql()`` twin in DuckDB on the
+same parquet, then compare row count, column names, and (order-insensitive)
+exact values — the same bar as CORRECTNESS_r{N}.json's value hash.
+
+Float caveat: the driver hashes values, so parity asserts EXACT equality,
+not almost-equal; every query is engineered for cross-engine bit equality
+(see scanner_spark/queries.py docstring).  A failure here = a failure at
+the driver's gate.
+"""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon(v):
+    """Canonical value for hashing-equivalent comparison."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)  # full precision — exact-equality bar
+    return str(v)
+
+
+def rows_canon(pdf):
+    cols = sorted(pdf.columns)
+    recs = [tuple(canon(r[c]) for c in cols) for _, r in pdf.iterrows()]
+    return sorted(recs)
+
+
+def test_every_query_has_entry_or_rows_only():
+    missing = [k for k in ORACLES if k not in QUERIES]
+    assert not missing, f"oracles without queries: {missing}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spdf = sdf.toPandas()
+    if name not in ORACLES:
+        # rows-only contract: must run and return a stable schema
+        assert len(spdf.columns) > 0
+        assert len(spdf) >= 0
+        return
+    opdf = ddb.execute(ORACLES[name]).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), (
+        f"{name}: column mismatch {sorted(spdf.columns)} vs {sorted(opdf.columns)}"
+    )
+    assert len(spdf) == len(opdf), f"{name}: rowcount {len(spdf)} vs {len(opdf)}"
+    s_rows, o_rows = rows_canon(spdf), rows_canon(opdf)
+    mism = [i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b][:5]
+    assert s_rows == o_rows, (
+        f"{name}: value mismatch at sorted rows {mism}; "
+        f"spark={[s_rows[i] for i in mism]} oracle={[o_rows[i] for i in mism]}"
+    )
