@@ -28,6 +28,14 @@ def main() -> None:
     spark = get_spark("scanner-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: JVM/codegen/Python-worker spin-up and parquet footer reads are
+    # session costs, not query costs — pay them once before the clock starts
+    from scanner_spark.io import TABLES, read_table
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        read_table(spark, sf_dir, t).limit(1).collect()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in Q.QUERIES.items():

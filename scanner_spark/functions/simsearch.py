@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -67,12 +69,23 @@ def hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Bucket id = sign-bit pattern of the vector against each hyperplane."""
-    bucket = F.lit(0).cast("long")
-    for j, p in enumerate(planes):
-        bit = F.when(_dot(vec_col, _lit_vec(p)) > 0, 1).otherwise(0).cast("long")
-        bucket = bucket + F.shiftleft(bit, j)
-    return bucket
+    """Bucket id = sign-bit pattern of the vector against each hyperplane.
+
+    One Arrow-batched pandas UDF doing a (batch x dim) @ (dim x bits)
+    numpy matmul — a single vectorized pass.  (The per-plane JVM
+    fold-expression alternative bloats Catalyst analysis/codegen with
+    ``bits`` giant literal aggregates and runs slower even at small scale.)
+    """
+    pl = np.asarray(planes, dtype="float64").T  # (dim, bits)
+    weights = (1 << np.arange(pl.shape[1], dtype="int64"))
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (m.astype("float64") @ pl) > 0  # (batch, bits)
+        return pd.Series(signs @ weights)
+
+    return bucket(vec_col)
 
 
 def knn_lsh(
