@@ -1,0 +1,184 @@
+"""Video columns: ingest-as-indexing + frame-exact decode pruning.
+
+The one genuinely novel physical operator this engine adds over stock
+Spark (SURVEY.md §4.3): reading sparse frame sets from GOP-structured
+video without decoding everything.
+
+Reference pipeline being reproduced:
+- ingest builds a keyframe/sample index, never transcoding ("inplace",
+  metadata.proto:107, ingest.cpp:310-365)  ->  ``ingest_videos`` here
+  parses container headers via mapInPandas and writes a ``video_index``
+  parquet table;
+- at read time the scheduler groups requested frames into decode intervals
+  split at non-adjacent keyframes (column_source.cpp:120-180, the
+  ``load_sparsity_threshold`` heuristic rpc.proto:252)  ->  ``load_frames``
+  computes the same plan as a DataFrame job: wanted-frames ⋈ video_index,
+  assign each wanted frame its GOP's keyframe offset, group per
+  (video, keyframe) into one decode task, then decode forward inside an
+  Arrow-batched mapInPandas;
+- the FrameColumn sink re-encodes (column_sink.cpp, compress_video
+  op.py:57-102)  ->  ``write_video`` encodes per-stream SVF segments.
+
+Scale notes: the index join broadcasts the wanted-frame spec (literal user
+input); decode tasks are keyed by (video, gop) so a 1000-executor cluster
+decodes GOPs embarrassingly parallel while each task reads only its GOP's
+byte range — at 100 TB the scan cost is proportional to *wanted GOPs*, not
+library size.  Container byte-ranges are fetched per task (file seek here;
+an object-store range GET on a cluster).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from scanner_spark.catalog import Database
+from scanner_spark.sources import svf
+
+VIDEO_INDEX_TABLE = "video_index"
+
+INDEX_SCHEMA = (
+    "video_path string, frame_no long, is_key boolean, offset long, size long, "
+    "keyframe_no long, keyframe_offset long, "
+    "height int, width int, channels int, gop int"
+)
+
+
+def ingest_videos(
+    spark: SparkSession, db: Database, paths: Sequence[str]
+) -> DataFrame:
+    """Index containers (inplace — bits stay in the original files) and
+    record the keyframe index in the catalog's ``video_index`` table."""
+    files = spark.createDataFrame([(p,) for p in paths], "video_path string")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path in pdf["video_path"]:
+                with open(path, "rb") as f:
+                    buf = f.read()
+                meta, entries = svf.parse_index(buf)
+                key_no, key_off = 0, None
+                for e in entries:
+                    if e.is_key:
+                        key_no, key_off = e.frame_no, e.offset
+                    rows.append(
+                        {
+                            "video_path": path,
+                            "frame_no": e.frame_no,
+                            "is_key": e.is_key,
+                            "offset": e.offset,
+                            "size": e.size,
+                            "keyframe_no": key_no,
+                            "keyframe_offset": key_off,
+                            **{k: meta[k] for k in ("height", "width", "channels", "gop")},
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    idx = files.repartition(max(len(paths) // 4, 1)).mapInPandas(build, schema=INDEX_SCHEMA)
+    if db.has_table(VIDEO_INDEX_TABLE):
+        old = db.table(VIDEO_INDEX_TABLE).filter(~F.col("video_path").isin(list(paths)))
+        idx = old.unionByName(idx)
+    return db.write_table(VIDEO_INDEX_TABLE, idx, overwrite=True)
+
+
+def load_frames(
+    spark: SparkSession,
+    db: Database,
+    wanted: DataFrame | dict[str, Sequence[int]],
+) -> DataFrame:
+    """Frame-exact pruned decode.
+
+    ``wanted``: {video_path: [frame_no, ...]} (literal) or a DataFrame
+    (video_path, frame_no).  Returns (video_path, frame_no, frame, height,
+    width, channels, dtype) — only the requested frames, decoding only the
+    GOP byte ranges that contain them.
+    """
+    if isinstance(wanted, dict):
+        rows = [(p, int(f)) for p, fs in wanted.items() for f in fs]
+        wanted = spark.createDataFrame(rows, "video_path string, frame_no long")
+        wanted = F.broadcast(wanted)
+    index = db.table(VIDEO_INDEX_TABLE)
+
+    # plan: each wanted frame -> its GOP keyframe; one decode task per
+    # (video, keyframe_offset); the task's scan window ends at the last
+    # wanted frame of the GOP (decode_end), mirroring the reference's
+    # interval planning (column_source.cpp:120-180)
+    plan = (
+        index.join(wanted, ["video_path", "frame_no"], "inner")
+        .groupBy("video_path", "keyframe_offset")
+        .agg(
+            F.collect_list("frame_no").alias("want_frames"),
+            F.first("height").alias("height"),
+            F.first("width").alias("width"),
+            F.first("channels").alias("channels"),
+        )
+    )
+
+    out_schema = (
+        "video_path string, frame_no long, frame binary, "
+        "height int, width int, channels int, dtype string"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, bytes] = {}
+        for pdf in batches:
+            rows = {k: [] for k in ("video_path", "frame_no", "frame", "height", "width", "channels", "dtype")}
+            for _, r in pdf.iterrows():
+                path = r["video_path"]
+                if path not in handles:
+                    with open(path, "rb") as f:  # object-store range GET at scale
+                        handles[path] = f.read()
+                buf = handles[path]
+                meta = {"height": r["height"], "width": r["width"], "channels": r["channels"]}
+                decoded = svf.decode_range(
+                    buf, int(r["keyframe_offset"]), meta, set(int(x) for x in r["want_frames"])
+                )
+                for fno, arr in sorted(decoded.items()):
+                    rows["video_path"].append(path)
+                    rows["frame_no"].append(fno)
+                    rows["frame"].append(arr.tobytes())
+                    rows["height"].append(meta["height"])
+                    rows["width"].append(meta["width"])
+                    rows["channels"].append(meta["channels"])
+                    rows["dtype"].append("u8")
+            yield pd.DataFrame(rows)
+
+    # one decode task per GOP — repartition spreads GOPs across executors
+    return plan.repartition("video_path", "keyframe_offset").mapInPandas(
+        decode, schema=out_schema
+    )
+
+
+def write_video(
+    df: DataFrame,
+    out_dir: str,
+    gop: int = 8,
+    stream_col: str = "video_path",
+    frame_no_col: str = "frame_no",
+) -> DataFrame:
+    """FrameColumn sink: re-encode frame rows into SVF segments, one file
+    per stream (compress_video analog; column_sink.cpp).  Returns a
+    manifest DataFrame (stream, path, n_frames)."""
+    os.makedirs(out_dir, exist_ok=True)
+    out_schema = "stream string, path string, n_frames long"
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(frame_no_col)
+        frames = [
+            np.frombuffer(b, dtype=np.uint8).reshape(h, w, c)
+            for b, h, w, c in zip(pdf["frame"], pdf["height"], pdf["width"], pdf["channels"])
+        ]
+        stream = str(key[0])
+        safe = stream.replace(os.sep, "_").replace(":", "_")
+        path = os.path.join(out_dir, f"{safe}.svf")
+        with open(path, "wb") as f:
+            f.write(svf.encode_svf(frames, gop=gop))
+        return pd.DataFrame({"stream": [stream], "path": [path], "n_frames": [len(frames)]})
+
+    return df.groupBy(stream_col).applyInPandas(encode, schema=out_schema)

@@ -1,0 +1,92 @@
+"""Graph builder job semantics (reference: py_test.py job tests —
+multi-stream jobs, CacheMode, per-stream/per-slice args)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scanner_spark.catalog import Database
+from scanner_spark.ops import register_op
+from scanner_spark.plans import CacheMode, Graph
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    d = Database(spark, str(tmp_path / "db"))
+    for j in range(2):
+        rows = [{"idx": i, "value": float(100 * j + i)} for i in range(20)]
+        d.new_table(f"in{j}", rows, schema="idx long, value double")
+    return d
+
+
+def test_multi_stream_job_with_sampler(db):
+    g = Graph(db)
+    inp = g.input(["in0", "in1"], order_col="idx")
+    sampled = g.stride(inp, 5)
+    g.output(sampled, ["out0", "out1"])
+    res = g.run()
+    v0 = [r.value for r in res["out0"].orderBy("idx").collect()]
+    v1 = [r.value for r in res["out1"].orderBy("idx").collect()]
+    assert v0 == [0.0, 5.0, 10.0, 15.0]
+    assert v1 == [100.0, 105.0, 110.0, 115.0]
+
+
+def test_cache_mode_semantics(db):
+    g = Graph(db)
+    g.output(g.stride(g.input(["in0"], order_col="idx"), 2), ["out"])
+    g.run()
+    # ERROR refuses to clobber
+    g2 = Graph(db)
+    g2.output(g2.stride(g2.input(["in0"], order_col="idx"), 2), ["out"])
+    with pytest.raises(ValueError, match="CacheMode.ERROR"):
+        g2.run()
+    # IGNORE reuses without recompute
+    res = g2.run(cache_mode=CacheMode.IGNORE)
+    assert res["out"].count() == 10
+    # OVERWRITE replaces
+    g3 = Graph(db)
+    g3.output(g3.stride(g3.input(["in0"], order_col="idx"), 4), ["out"])
+    res = g3.run(cache_mode=CacheMode.OVERWRITE)
+    assert res["out"].count() == 5
+
+
+def test_per_stream_args(db):
+    # reference: per-job args via new_stream (py_test.py:379-405)
+    @register_op(batch=True)
+    def tag(values, args):
+        return args
+
+    g = Graph(db)
+    inp = g.input(["in0", "in1"], order_col="idx")
+    tagged = g.apply(tag, inp, inputs=["value", "args"], output="tag",
+                     output_type="string", stream_args=["alpha", "beta"])
+    g.output(tagged, ["t0", "t1"])
+    res = g.run(cache_mode=CacheMode.OVERWRITE)
+    assert {r.tag for r in res["t0"].collect()} == {"alpha"}
+    assert {r.tag for r in res["t1"].collect()} == {"beta"}
+
+
+def test_per_slice_args(db):
+    # reference: SliceList args (py_test.py test_slice_args)
+    @register_op(batch=True)
+    def tag(values, args):
+        return args
+
+    g = Graph(db)
+    inp = g.input(["in0"], order_col="idx")
+    sliced = g.slice(inp, 10)
+    tagged = g.apply(tag, sliced, inputs=["value", "args"], output="tag",
+                     output_type="string", slice_args=[["s0", "s1"]])
+    out = g.unslice(tagged, 10)
+    g.output(out, ["sliced_out"])
+    res = g.run(cache_mode=CacheMode.OVERWRITE)
+    rows = res["sliced_out"].orderBy("idx").collect()
+    assert [r.tag for r in rows] == ["s0"] * 10 + ["s1"] * 10
+
+
+def test_multiple_sinks_single_upstream(db):
+    g = Graph(db)
+    inp = g.input(["in0", "in1"], order_col="idx")
+    r = g.range(inp, 0, 3)
+    g.output(r, ["a0", "a1"])
+    res = g.run(cache_mode=CacheMode.OVERWRITE)
+    assert res["a0"].count() == 3 and res["a1"].count() == 3
