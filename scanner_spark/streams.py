@@ -162,7 +162,7 @@ def strided_ranges(
     return _reorder(out)
 
 
-def gather(df: DataFrame, rows: Sequence[int]) -> DataFrame:
+def gather(df: DataFrame, rows: Sequence[int], validate: bool = False) -> DataFrame:
     """Arbitrary row selection preserving the *requested* order:
     downstream i <- rows[i].
 
@@ -171,11 +171,28 @@ def gather(df: DataFrame, rows: Sequence[int]) -> DataFrame:
     small: build a (pos, want) DataFrame and broadcast-join it, so the big
     side never shuffles.  Duplicate requests duplicate rows, as in the
     reference.
+
+    ``validate=True`` reproduces the reference's out-of-bounds error
+    (sampler.cpp:183-199) with one eager aggregate over the stream lengths
+    (#streams rows); the default stays lazy and silently drops OOB indices.
     """
     spark = df.sparkSession
     want = spark.createDataFrame(
         [(i, int(r)) for i, r in enumerate(rows)], schema="__pos long, __want long"
     )
+    if validate:
+        mx = max(int(r) for r in rows)
+        short = (
+            df.groupBy(STREAM_COL)
+            .agg(F.max(IDX_COL).alias("__n"))
+            .filter(F.col("__n") < mx)
+            .collect()
+        )
+        if short:
+            raise IndexError(
+                f"gather index {mx} out of bounds for stream(s) "
+                f"{[r[STREAM_COL] for r in short]} (len {[r['__n'] + 1 for r in short]})"
+            )
     out = (
         df.join(F.broadcast(want), F.col(IDX_COL) == F.col("__want"), "inner")
         .drop(IDX_COL, "__want")

@@ -1,0 +1,78 @@
+"""Physical-plan quality gates: these assert the properties that matter at
+100 TB — filter/projection pushdown into the parquet scan, broadcast joins
+for dims, no shuffle in narrow samplers, whole-stage codegen coverage.
+A regression here is a scale bug even when results stay correct."""
+
+import pytest
+
+from scanner_spark import queries as Q
+from scanner_spark import streams as S
+
+
+def plan_of(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(Q.q_tpch_q6(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # shipdate/discount/quantity predicates reach the scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # projection pruned to the 4 needed columns (no l_orderkey etc.)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(Q.q_tpch_q3(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    plan = plan_of(Q.q_tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_narrow_samplers_have_no_shuffle(spark, sf_dir):
+    st = Q.events_stream(spark, sf_dir)
+    base_exchanges = plan_of(st).count("Exchange")
+    # single-branch samplers: exactly the base plan's exchanges, no more
+    for op in (
+        lambda d: S.stride(d, 8),
+        lambda d: S.srange(d, 10, 50),
+        lambda d: S.repeat(d, 3),
+        lambda d: S.repeat_null(d, 3),
+        lambda d: S.slice_strided(d, 100),
+    ):
+        plan = plan_of(op(st))
+        assert plan.count("Exchange") == base_exchanges, (
+            f"sampler added a shuffle:\n{plan}"
+        )
+    # union samplers replicate the base plan per interval in the *static*
+    # plan (runtime ReuseExchange dedups it); still no NEW shuffle per branch
+    plan = plan_of(S.strided_ranges(st, [(0, 10), (20, 40)], 2))
+    assert plan.count("Exchange") == 2 * base_exchanges
+
+
+def test_gather_broadcasts_request_list(spark, sf_dir):
+    plan = plan_of(S.gather(Q.events_stream(spark, sf_dir), [1, 5, 9]))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_brute_is_takeordered_not_sort(spark, sf_dir):
+    plan = plan_of(Q.q_emb_knn_brute(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort for top-k
+
+
+def test_scan_queries_use_wholestage_codegen(spark, sf_dir):
+    # AQE defers physical planning, so codegen subtrees are invisible in
+    # any static explain; disable AQE just to inspect the compiled plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(Q.q_tpch_q1(spark, sf_dir), mode="codegen")
+        n = int(plan.split("Found ")[1].split(" WholeStageCodegen")[0])
+        assert n >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
