@@ -58,9 +58,22 @@ _DP = (
 )
 
 
-def _minhash_sql() -> str:
-    coeffs = minhash_coeffs(16)
-    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    coeffs = minhash_coeffs(k)
+    r = k // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * hm + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_exprs = ",\n         ".join(
+        "md5(" + " || ',' || ".join(f"CAST(m{i} AS VARCHAR)" for i in range(b * r, (b + 1) * r)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    cand_union = "\n    UNION ALL\n    ".join(
+        f"SELECT x.doc AS doc_a, y.doc AS doc_b FROM banded x JOIN banded y "
+        f"ON x.band{b} = y.band{b} AND x.doc < y.doc"
+        for b in range(bands)
+    )
+    matches = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(k))
     return f"""
 WITH toks AS (
   SELECT doc_id AS doc, unnest({_TOKS}) AS tok,
@@ -73,26 +86,12 @@ sh0 AS (
 ),
 sh AS (SELECT DISTINCT doc, shingle FROM sh0 WHERE shingle IS NOT NULL),
 hashed AS (SELECT doc, {h60_sql('shingle')} % {MINHASH_P} AS hm FROM sh),
-params(i, a, b) AS (SELECT * FROM (VALUES {params}) t(i, a, b)),
-perm AS (SELECT doc, i, (a * hm + b) % {MINHASH_P} AS h FROM hashed CROSS JOIN params),
-sig AS (SELECT doc, i, MIN(h) AS minh FROM perm GROUP BY doc, i),
-banded AS (
-  SELECT doc, i // 4 AS band,
-         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i)) AS bandsig
-  FROM sig GROUP BY doc, i // 4
-),
-cand AS (
-  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
-  FROM banded x JOIN banded y
-    ON x.band = y.band AND x.bandsig = y.bandsig AND x.doc < y.doc
-),
+sig AS (SELECT doc, {mins} FROM hashed GROUP BY doc),
+banded AS (SELECT doc, {band_exprs} FROM sig),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM ({cand_union})),
 est AS (
-  SELECT c.doc_a, c.doc_b,
-         round(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
-  FROM cand c
-  JOIN sig sa ON sa.doc = c.doc_a
-  JOIN sig sb ON sb.doc = c.doc_b AND sb.i = sa.i
-  GROUP BY 1, 2
+  SELECT c.doc_a, c.doc_b, round(({matches}) / {k}.0, 6) AS est_jaccard
+  FROM cand c JOIN sig a ON a.doc = c.doc_a JOIN sig b ON b.doc = c.doc_b
 )
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {Q.MINHASH_THRESHOLD}
 """
@@ -274,6 +273,46 @@ SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 INTERSECT
 SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 """,
+        "events_user_counts": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "events_asof_signup": """
+WITH m AS (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_signup_us
+  FROM events
+)
+SELECT event_id, user_id, last_signup_us FROM m WHERE event_type = 'purchase'
+""",
+        "orders_percentiles": """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+        "orders_rollup": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+        "events_pivot": """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
         # --- LLM pipeline ------------------------------------------------------
         "text_analyze": _text_analyze_sql(),
         "dedup_exact_groups": """
@@ -290,7 +329,8 @@ sh0 AS (
   SELECT doc, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
   FROM toks WINDOW w AS (PARTITION BY doc ORDER BY ord)
 ),
-sh AS (SELECT DISTINCT doc, shingle FROM sh0 WHERE shingle IS NOT NULL),
+shs AS (SELECT DISTINCT doc, shingle FROM sh0 WHERE shingle IS NOT NULL),
+sh AS (SELECT doc, {h60_sql('shingle')} AS shingle FROM shs),
 sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
 common AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS cmn

@@ -35,6 +35,17 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     for t in TABLES:
         read_table(spark, sf_dir, t).limit(1).collect()
+    # spin up the Python UDF workers (pandas/numpy imports) once
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s: "pd.Series") -> "pd.Series":
+        return s
+
+    spark.range(10000).repartition(64).select(_noop("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

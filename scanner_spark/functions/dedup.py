@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from scanner_spark.functions.hashing import MINHASH_P, h60, minhash_coeffs
+from scanner_spark.functions.hashing import MINHASH_P, h60, minhash_coeffs  # noqa: F401
 from scanner_spark.functions.text import tokens
 
 DEFAULT_SHINGLE_N = 3
@@ -114,6 +114,10 @@ def ngram_jaccard_pairs(
     sizes computed once per doc.  Output: (doc_a, doc_b, jaccard).
     """
     sh = _shingled(df, text_col, id_col, n)
+    # join/aggregate on the 60-bit shingle hash, not the ~25-byte string:
+    # smaller shuffle keys, same results (the DuckDB oracle hashes with the
+    # same md5-prefix function, so even collisions reproduce identically)
+    sh = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
     if max_shingle_df is not None:
         good = (
             sh.groupBy("shingle")
@@ -159,23 +163,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for each of k universal-hash permutations
     h_i(x) = (a_i*(H(x) mod P) + b_i) mod P, the min over the doc's
-    shingle hashes.  Output: (doc, i, minh) — long format so banding is a
-    groupBy, not an array shuffle."""
+    shingle hashes.
+
+    WIDE layout — one row per doc with columns m0..m{k-1}, computed as k
+    MIN aggregates in a single groupBy: ONE shuffle of the shingle table
+    (map-side partial mins), no k-fold explode.  At 100 TB the shuffle
+    volume is |docs| x k longs instead of |shingles| x k rows."""
     coeffs = minhash_coeffs(k)
     sh = _shingled(df, text_col, id_col, n).withColumn(
         "hm", h60(F.col("shingle")) % F.lit(MINHASH_P)
     )
-    params = F.array(
-        *[F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")) for i, (a, b) in enumerate(coeffs)]
-    )
-    perm = sh.select(
-        "doc", "hm", F.explode(params).alias("p")
-    ).select(
-        "doc",
-        F.col("p.i").alias("i"),
-        ((F.col("p.a") * F.col("hm") + F.col("p.b")) % F.lit(MINHASH_P)).alias("h"),
-    )
-    return perm.groupBy("doc", "i").agg(F.min("h").alias("minh"))
+    mins = [
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy("doc").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -189,49 +191,44 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
-    Banding: k/bands rows per band; same-band-signature docs become
-    candidates; candidates are scored by full-signature agreement
-    (est_jaccard = matching mins / k) and filtered at ``threshold``.
-    Output: (doc_a, doc_b, est_jaccard).
+    Banding: k/bands mins per band hashed to a band signature (scalar md5
+    over the wide row — no second aggregation); same-band-signature docs
+    become candidates via a union of b self-joins keyed by (band, sig);
+    candidates are scored by full-signature agreement (est_jaccard =
+    matching mins / k).  Output: (doc_a, doc_b, est_jaccard).
     """
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n)
-    banded = (
-        sig.withColumn("band", (F.col("i") / r).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "minh"))),
-                        lambda s: s["minh"].cast("string"),
-                    ),
-                )
-            ).alias("bandsig")
-        )
+    sig = minhash_signatures(df, text_col, id_col, k, n).persist()
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"m{i}").cast("string") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(F.md5(F.concat_ws(",", *cols)).alias(f"band{b}"))
+    # melt to (doc, band, bandsig) — |docs| x bands tiny rows — so candidate
+    # generation is ONE equi-join on (band, bandsig) instead of b self-joins
+    banded = sig.select(
+        "doc", F.posexplode(F.array(*band_cols)).alias("band", "bs")
     )
     cand = (
         banded.alias("x")
         .join(
             banded.alias("y"),
             (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bandsig") == F.col("y.bandsig"))
+            & (F.col("x.bs") == F.col("y.bs"))
             & (F.col("x.doc") < F.col("y.doc")),
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc").alias("doc_a"), "i", F.col("minh").alias("ma"))
-    sb = sig.select(F.col("doc").alias("doc_b"), "i", F.col("minh").alias("mb"))
+    matches = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0) for i in range(k)
+    )
     est = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "i"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)) / F.lit(k), 6
-            ).alias("est_jaccard")
+        cand.join(sig.alias("a"), F.col("doc_a") == F.col("a.doc"))
+        .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(k), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
     )

@@ -333,6 +333,80 @@ def q_segment_intersect(spark, sf_dir):
     return a.intersect(b)
 
 
+def q_events_user_counts(spark, sf_dir):
+    """Exact distinct-count rollup per event type."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_events_asof_signup(spark, sf_dir):
+    """As-of (temporal) join: each purchase event matched to the user's most
+    recent signup at-or-before it — the classic point-in-time-correct
+    feature join, expressed as last_value(... ignore nulls) over an
+    event-time window (no native asof join in Spark; this shape is the
+    scalable one: single shuffle on user_id)."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_us = F.when(F.col("event_type") == "signup", us)
+    out = ev.withColumn("last_signup_us", F.last(signup_us, ignorenulls=True).over(w))
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "last_signup_us"
+    )
+
+
+def q_orders_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per order status."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_orders_rollup(spark, sf_dir):
+    """ROLLUP(status, priority) with cents-exact totals (subtotal + grand
+    total rows carry NULL keys)."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents) / 100.0).alias("total"),
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS): customers with no order above 300k.  The
+    price filter is applied to the build side before the anti join, so it
+    pushes into the orders scan."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot event counts per user (explicit value list -> stable schema)."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    # pivot yields NULL for empty cells; normalize to 0 like FILTER counts
+    return p.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
 # ---------------------------------------------------------------------------
 # C. LLM-pipeline: text / dedup / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -448,6 +522,12 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "part_brand_stats": q_part_brand_stats,
     "segment_intersect": q_segment_intersect,
+    "events_user_counts": q_events_user_counts,
+    "events_asof_signup": q_events_asof_signup,
+    "orders_percentiles": q_orders_percentiles,
+    "orders_rollup": q_orders_rollup,
+    "customers_without_orders": q_customers_without_orders,
+    "events_pivot": q_events_pivot,
     "text_analyze": q_text_analyze,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
