@@ -9,12 +9,12 @@ driver collect).  Session startup is excluded; per-query times are wall
 clock including Spark job scheduling — the number that matters at scale.
 """
 
-from __future__ import annotations
-
 import json
 import os
 import sys
 import time
+
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -36,11 +36,10 @@ def main() -> None:
     for t in TABLES:
         read_table(spark, sf_dir, t).limit(1).collect()
     # spin up the Python UDF workers (pandas/numpy imports) once
-    import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
-    def _noop(s: "pd.Series") -> "pd.Series":
+    def _noop(s: pd.Series) -> pd.Series:
         return s
 
     spark.range(10000).repartition(64).select(_noop("id")).write.format(
