@@ -133,6 +133,32 @@ FROM m
 """
 
 
+def _doc_quality_sql() -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    sw = f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    least(CAST(length(toks) AS DOUBLE) / 50.0, 1.0) AS len_score,
+    least(coalesce({sw} / nullif(length(toks), 0), 0.0) * 4.0, 1.0) AS sw_score,
+    coalesce(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+             / nullif(length(toks), 0), 0.0) AS wl,
+    coalesce(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             / nullif(length(text), 0), 0.0) AS pr
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+    round((0.4 * len_score + 0.3 * sw_score +
+           0.3 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END)) *
+          (CASE WHEN pr > 0.1 THEN 0.5 ELSE 1.0 END), 6) AS quality
+  FROM m
+)
+SELECT doc_id, quality, CAST(quality >= 0.5 AS INTEGER) AS kept FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     g = ",".join(f"({i},{r})" for i, r in enumerate(Q.GATHER_ROWS))
     w = ",".join(f"({i},{r})" for i, r in enumerate(Q.WARMUP_ROWS))
@@ -173,6 +199,30 @@ def oracle_sql() -> dict[str, str]:
         "SELECT stream_id, idx, event_id, "
         "(coalesce(lag(value) OVER w, value) + value + coalesce(lead(value) OVER w, value)) / 3.0 AS smoothed "
         "FROM r WINDOW w AS (PARTITION BY stream_id ORDER BY idx)",
+        "scanner_ranges": f"WITH {_ST} "
+        "SELECT stream_id, idx, event_id, value FROM st WHERE idx >= 0 AND idx < 30 "
+        "UNION ALL "
+        "SELECT stream_id, 30 + (idx - 20) AS idx, event_id, value FROM st "
+        "WHERE idx >= 20 AND idx < 50",
+        # slices (0,15),(5,25),(15,35) sampled per-slice with (0,10),(5,15),(5,15)
+        "scanner_overlap_slices": f"WITH {_ST} "
+        "SELECT stream_id, CAST(0 AS BIGINT) AS slice_id, idx, event_id, value "
+        "FROM st WHERE idx >= 0 AND idx < 10 "
+        "UNION ALL "
+        "SELECT stream_id, CAST(1 AS BIGINT) AS slice_id, idx - 10 AS idx, event_id, value "
+        "FROM st WHERE idx >= 10 AND idx < 20 "
+        "UNION ALL "
+        "SELECT stream_id, CAST(2 AS BIGINT) AS slice_id, idx - 20 AS idx, event_id, value "
+        "FROM st WHERE idx >= 20 AND idx < 30",
+        "scanner_variadic": f"WITH {_ST} "
+        "SELECT stream_id, idx, event_id, value * 2.0 + idx AS mixed FROM st "
+        "WHERE idx < 500",
+        "scanner_stream_args": f"WITH {_ST} "
+        "SELECT stream_id, idx, event_id, value * CASE stream_id "
+        + " ".join(
+            f"WHEN '{k}' THEN {v}" for k, v in Q.STREAM_FACTORS.items()
+        )
+        + " END AS scaled FROM st",
         "scanner_warmup_gather": f"""
 WITH wanted(pos, want) AS (SELECT * FROM (VALUES {w}) t(pos, want)),
 brk AS (SELECT pos, want,
@@ -353,6 +403,41 @@ bitsum AS (
 SELECT doc, CAST(SUM(CASE WHEN wsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
 FROM bitsum GROUP BY doc
 """,
+        "dedup_simhash_pairs": f"""
+WITH toks AS (SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc, {h60_sql('tok')} AS h FROM toks),
+bits AS (SELECT unnest(generate_series(0, 47)) AS j),
+bitsum AS (
+  SELECT doc, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS wsum
+  FROM h CROSS JOIN bits GROUP BY doc, j
+),
+sig AS (
+  SELECT doc, CAST(SUM(CASE WHEN wsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc
+),
+blocked AS (SELECT doc, simhash, simhash >> {48 - Q.SIMHASH_PREFIX_BITS} AS blk FROM sig)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {Q.SIMHASH_MAX_HAMMING}
+""",
+        "vocab_topk": f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents)
+SELECT tok, COUNT(*) AS df_count FROM tok GROUP BY tok
+ORDER BY df_count DESC, tok LIMIT {Q.VOCAB_TOPK}
+""",
+        "emb_label_centroids": f"""
+WITH q AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {Q.EMB_Q}) AS BIGINT) AS xq
+  FROM embeddings
+)
+SELECT label, dim, COUNT(*) AS n,
+       CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * {float(Q.EMB_Q)}) AS centroid
+FROM q GROUP BY label, dim
+""",
+        "doc_quality": _doc_quality_sql(),
         "emb_knn_brute": f"""
 WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),

@@ -135,6 +135,73 @@ def q_scanner_stencil_smooth(spark, sf_dir):
     )
 
 
+def q_scanner_ranges(spark, sf_dir):
+    """Overlapping Ranges sampler — rows in the overlap are duplicated with
+    distinct downstream indices (reference streams.py:163-203)."""
+    ship(spark)
+    return S.ranges(events_stream(spark, sf_dir), [(0, 30), (20, 50)])
+
+
+OVERLAP_SLICES = [(0, 15), (5, 25), (15, 35)]
+OVERLAP_SLICE_RANGES = [(0, 10), (5, 15), (5, 15)]
+
+
+def q_scanner_overlap_slices(spark, sf_dir):
+    """Overlapping Slice + per-slice Range (SliceList args), the reference's
+    tests/py_test.py:361-377 shape: slices (0,15),(5,25),(15,35) sampled
+    with [(0,10),(5,15),(5,15)] -> 30 rows per stream."""
+    ship(spark)
+    st = events_stream(spark, sf_dir)
+    sliced = S.slice_ranges(st, OVERLAP_SLICES)
+    return S.srange_per_slice(sliced, OVERLAP_SLICE_RANGES).select(
+        "stream_id", "slice_id", "idx", "event_id", "value"
+    )
+
+
+def q_scanner_variadic(spark, sf_dir):
+    """Variadic op: kernel over two positional input columns
+    (client.py:809,834-838) — out = value*2 + idx."""
+    ship(spark)
+
+    @register_op(batch=True)
+    def vmix(a: pd.Series, b: pd.Series) -> pd.Series:
+        return a * 2.0 + b
+
+    st = S.srange(events_stream(spark, sf_dir), 0, 500)
+    return vmix(st, ["value", "idx"], "mixed", "double").select(
+        "stream_id", "idx", "event_id", "mixed"
+    )
+
+
+STREAM_FACTORS = {
+    "click": 2.0,
+    "error": -1.0,
+    "purchase": 10.0,
+    "signup": 0.5,
+    "view": 1.5,
+}
+
+
+def q_scanner_stream_args(spark, sf_dir):
+    """Per-stream op args (new_stream, kernel.h:174-180): each stream binds
+    a scale factor; args ride as a broadcast-joined column into the kernel."""
+    ship(spark)
+
+    @register_op(batch=True)
+    def scale(v: pd.Series, f: pd.Series) -> pd.Series:
+        return v * f
+
+    st = events_stream(spark, sf_dir)
+    spec = st.sparkSession.createDataFrame(
+        [(k, v) for k, v in STREAM_FACTORS.items()],
+        schema="stream_id string, factor double",
+    )
+    bound = st.join(F.broadcast(spec), "stream_id", "left")
+    return scale(bound, ["value", "factor"], "scaled", "double").select(
+        "stream_id", "idx", "event_id", "scaled"
+    )
+
+
 def q_scanner_warmup_gather(spark, sf_dir):
     """Bounded-state counter over Gather with warmup (py_test.py:407-424)."""
     ship(spark)
@@ -448,6 +515,74 @@ def q_dedup_simhash_sigs(spark, sf_dir):
     return dedup.simhash(d)
 
 
+SIMHASH_MAX_HAMMING = 8
+SIMHASH_PREFIX_BITS = 8
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: prefix-blocked self-join, Hamming filter."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        d, max_hamming=SIMHASH_MAX_HAMMING, prefix_bits=SIMHASH_PREFIX_BITS
+    )
+
+
+VOCAB_TOPK = 100
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-k tokens by document frequency.  Total order
+    (df DESC, tok) makes the LIMIT deterministic; Spark plans it as
+    TakeOrderedAndProject (no global sort materialization)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.array_distinct(text.tokens(F.col("text")))).alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
+    return counts.orderBy(F.desc("df_count"), "tok").limit(VOCAB_TOPK)
+
+
+EMB_Q = 1 << 20  # centroid quantization: floor(x * 2^20) — exact int sums
+
+
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label centroid over quantized embeddings, long format
+    (label, dim, n, centroid).  Quantizing each float32 coordinate to
+    floor(x * 2^20) makes the per-dim sums exact integers — associative,
+    so the groupBy is order-free and bit-identical across engines (raw
+    double sums are not).  One shuffle of (label, dim) pairs."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).withColumn(
+        "xq", F.floor(F.col("x").cast("double") * EMB_Q).cast("long")
+    )
+    return (
+        q.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("xq").alias("sum_q"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            (F.col("sum_q").cast("double") / (F.col("n") * F.lit(float(EMB_Q)))).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    """C4-style heuristic quality score + keep flag per document."""
+    d = read_table(spark, sf_dir, "documents")
+    qual = text.quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        qual.alias("quality"),
+        (qual >= 0.5).cast("int").alias("kept"),
+    )
+
+
 def q_emb_knn_brute(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -512,6 +647,10 @@ QUERIES = {
     "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
     "scanner_stencil_smooth": q_scanner_stencil_smooth,
     "scanner_warmup_gather": q_scanner_warmup_gather,
+    "scanner_ranges": q_scanner_ranges,
+    "scanner_overlap_slices": q_scanner_overlap_slices,
+    "scanner_variadic": q_scanner_variadic,
+    "scanner_stream_args": q_scanner_stream_args,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -533,6 +672,10 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_sigs": q_dedup_simhash_sigs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "vocab_topk": q_vocab_topk,
+    "emb_label_centroids": q_emb_label_centroids,
+    "doc_quality": q_doc_quality,
     "emb_knn_brute": q_emb_knn_brute,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "emb_knn_lsh": q_emb_knn_lsh,
