@@ -92,20 +92,26 @@ def quality_score(col: Column) -> Column:
 def lang_id(col: Column) -> Column:
     """Stopword-profile language ID: argmax over per-language stopword hit
     counts, 'und' (undetermined) when all zero.  Ties broken by fixed
-    language order (en, de, fr, es) — the oracle mirrors this exactly."""
+    language order (en, de, fr, es) — the oracle mirrors this exactly.
+
+    Implemented as array_max over (score, -lang_index, lang) structs so
+    each per-language score expression appears exactly ONCE in the plan —
+    a when-chain against greatest(...) duplicates every score ~3x and blows
+    up Catalyst analysis + codegen time (~7 s at first action)."""
     toks = tokens(col)
-    scores = []
-    for lang, words in LANG_STOPWORDS.items():
+    entries = []
+    for i, (lang, words) in enumerate(LANG_STOPWORDS.items()):
         sw = F.array(*[F.lit(s) for s in words])
-        scores.append(
-            (lang, F.size(F.filter(toks, lambda t: F.array_contains(sw, t))))
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        # struct comparison is lexicographic: max score wins, then the
+        # SMALLEST language index (earlier language) via the negated key
+        entries.append(
+            F.struct(
+                score.alias("s"), F.lit(-i).alias("ni"), F.lit(lang).alias("lang")
+            )
         )
-    best_score = F.greatest(*[s for _, s in scores])
-    expr = F.lit("und")
-    # reversed: earlier languages win ties via later .when precedence
-    for lang, s in reversed(scores):
-        expr = F.when((s == best_score) & (best_score > 0), lang).otherwise(expr)
-    return expr
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def fingerprint(col: Column) -> Column:
