@@ -637,6 +637,69 @@ def q_multimodal_decode(spark, sf_dir):
     return frames.select("asset_id", "height", "width", "channels")
 
 
+def _doc_frames(spark, sf_dir, h=16, w=16):
+    """documents -> deterministic fake-decoded frames (shared by the frame
+    kernel queries)."""
+    from scanner_spark.functions import multimodal
+
+    d = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(w).alias("width"),
+            F.lit(h).alias("height"),
+            F.lit(0).alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    return multimodal.decode_image(d, h, w)
+
+
+def q_frame_histogram(spark, sf_dir):
+    """Reference Histogram kernel (tests/test_ops.cpp:13-56) over decoded
+    frames: per-channel 16-bin histograms via the op compiler's
+    elementwise path (rows-only check: fake codec upstream)."""
+    ship(spark)
+    from scanner_spark.kernels.image import histogram_op
+
+    frames = _doc_frames(spark, sf_dir)
+    out = histogram_op(
+        frames,
+        ["frame", "height", "width", "channels", "dtype"],
+        "hist",
+        "array<array<bigint>>",
+    )
+    return out.select(
+        "asset_id",
+        F.col("hist")[0].alias("hist_r"),
+        F.col("hist")[1].alias("hist_g"),
+        F.col("hist")[2].alias("hist_b"),
+    )
+
+
+def q_frame_resize(spark, sf_dir):
+    """Reference Resize kernel (tests/test_ops.cpp:114-170): 16x16 -> 8x4
+    nearest-neighbor, returning the packed frame struct (rows-only)."""
+    ship(spark)
+    from scanner_spark.kernels.image import make_resize_op
+
+    frames = _doc_frames(spark, sf_dir)
+    resize = make_resize_op(8, 4)
+    out = resize(
+        frames,
+        ["frame", "height", "width", "channels", "dtype"],
+        "resized",
+        "struct<frame:binary,height:int,width:int,channels:int,dtype:string>",
+    )
+    return out.select(
+        "asset_id",
+        F.col("resized.height").alias("height"),
+        F.col("resized.width").alias("width"),
+        F.length(F.col("resized.frame")).alias("nbytes"),
+    )
+
+
 QUERIES = {
     "scanner_stride": q_scanner_stride,
     "scanner_range": q_scanner_range,
@@ -681,4 +744,6 @@ QUERIES = {
     "emb_knn_lsh": q_emb_knn_lsh,
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "frame_histogram": q_frame_histogram,
+    "frame_resize": q_frame_resize,
 }
