@@ -112,6 +112,83 @@ def knn_lsh(
     return knn_brute(cand, query, k, vec_col, id_col)
 
 
+def assign_cells(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid id (L2) per vector: one Arrow batch does a
+    (batch x dim) @ (dim x nlist) matmul against the broadcast centroid
+    matrix.  ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is constant
+    per row, so argmin over (||c||^2 - 2 v.c) suffices."""
+    C = np.asarray(centroids, dtype="float64")  # (nlist, dim)
+    c_sq = (C * C).sum(axis=1)  # (nlist,)
+
+    @F.pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        scores = c_sq[None, :] - 2.0 * (m @ C.T)  # (batch, nlist)
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return cell(vec_col)
+
+
+def ivf_index(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means-lite centroids + per-vector cell
+    assignment — the inverted-file ANN scale path (write parquet
+    partitioned by ``cell`` and probes prune partitions).
+
+    Deterministic: seeds are the ``nlist`` lowest-id vectors; each Lloyd
+    iteration reassigns (vectorized matmul UDF) and recomputes means via
+    one groupBy on (cell, dim) — only nlist x dim floats ever reach the
+    driver.  Returns (df + ``cell`` column, centroids)."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(nlist)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(iters):
+        assigned = df.withColumn("cell", assign_cells(F.col(vec_col), centroids))
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
+            .collect()
+        )
+        new_c = list(centroids)
+        for r in means:
+            new_c[r["cell"]] = [float(s["m"]) for s in r["ms"]]
+        centroids = new_c
+    return df.withColumn("cell", assign_cells(F.col(vec_col), centroids)), centroids
+
+
+def knn_ivf(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` cells whose
+    centroids are nearest the query, brute-force only inside them.
+    Output: (id, score)."""
+    indexed, centroids = ivf_index(df, nlist, vec_col=vec_col, id_col=id_col)
+    q = np.asarray(query, dtype="float64")
+    C = np.asarray(centroids, dtype="float64")
+    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    cand = indexed.filter(F.col("cell").isin(probes))
+    return knn_brute(cand, query, k, vec_col, id_col)
+
+
 def partition_by_bucket(
     df: DataFrame, bits: int = 8, vec_col: str = "embedding"
 ) -> DataFrame:

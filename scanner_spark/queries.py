@@ -608,6 +608,18 @@ def q_emb_knn_lsh(spark, sf_dir):
     return simsearch.knn_lsh(e, list(q), k=KNN_K, bits=6)
 
 
+def q_emb_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: probe the nearest coarse-quantizer cells only (the
+    inverted-file scale path; rows-only check — k-means training isn't
+    ANSI-SQL).  Recall vs knn_brute is pinned by tests."""
+    ship(spark)
+    e = read_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return simsearch.knn_ivf(e, list(q), k=KNN_K, nlist=8, nprobe=3)
+
+
 def q_doc_rolling_fingerprint(spark, sf_dir):
     ship(spark)
     d = read_table(spark, sf_dir, "documents")
@@ -742,6 +754,7 @@ QUERIES = {
     "emb_knn_brute": q_emb_knn_brute,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "emb_knn_lsh": q_emb_knn_lsh,
+    "emb_knn_ivf": q_emb_knn_ivf,
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "frame_histogram": q_frame_histogram,

@@ -140,6 +140,20 @@ def test_knn_lsh_recall(real_embs):
     assert overlap >= 5
 
 
+def test_knn_ivf_recall_and_partitioning(real_embs):
+    q = list(real_embs.filter("vec_id = 0").select("embedding").first()["embedding"])
+    indexed, centroids = simsearch.ivf_index(real_embs, nlist=8)
+    # every vector lands in exactly one cell; all cells within range
+    n = real_embs.count()
+    assert indexed.count() == n
+    cells = {r.cell for r in indexed.select("cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(centroids) == 8
+    exact = [r.id for r in simsearch.knn_brute(real_embs, q, k=10).collect()]
+    approx = [r.id for r in simsearch.knn_ivf(real_embs, q, k=10, nlist=8, nprobe=3).collect()]
+    assert approx[0] == 0  # the query vector itself is always found
+    assert len(set(exact) & set(approx)) >= 5
+
+
 # ---- multimodal ------------------------------------------------------------------
 
 def test_decode_image_plumbing(spark):
