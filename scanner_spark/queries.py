@@ -608,6 +608,34 @@ def q_emb_knn_lsh(spark, sf_dir):
     return simsearch.knn_lsh(e, list(q), k=KNN_K, bits=6)
 
 
+def q_frame_optical_flow(spark, sf_dir):
+    """Reference OpticalFlow kernel (tests/test_ops.cpp:63-109): stencil
+    [-1,0] over a frame stream — Scanner's flagship temporal-window shape.
+    Documents become 5 parallel frame streams (dense idx); flow(0) is zero
+    by REPEAT_EDGE.  Rows-only (surrogate flow numerics)."""
+    ship(spark)
+    from scanner_spark.frames import FRAME_SCHEMA
+    from scanner_spark.kernels.image import optical_flow_op
+
+    frames = _doc_frames(spark, sf_dir)
+    st = frames.select(
+        (F.col("asset_id") % 5).cast("string").alias("stream_id"),
+        (F.col("asset_id") / 5).cast("long").alias("idx"),
+        F.struct("frame", "height", "width", "channels", "dtype").alias(
+            "frame_struct"
+        ),
+    )
+    out = optical_flow_op(st, ["frame_struct"], "flow", f"struct<{FRAME_SCHEMA}>")
+    return out.select(
+        "stream_id",
+        "idx",
+        F.col("flow.height").alias("height"),
+        F.col("flow.width").alias("width"),
+        F.col("flow.channels").alias("channels"),
+        F.length(F.col("flow.frame")).alias("nbytes"),
+    )
+
+
 def q_emb_knn_ivf(spark, sf_dir):
     """IVF-style ANN: probe the nearest coarse-quantizer cells only (the
     inverted-file scale path; rows-only check — k-means training isn't
@@ -759,4 +787,5 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_histogram": q_frame_histogram,
     "frame_resize": q_frame_resize,
+    "frame_optical_flow": q_frame_optical_flow,
 }
