@@ -312,6 +312,13 @@ SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """,
+        # streaming twin: identical semantics, identical oracle
+        "stream_events_hourly": """
+SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+""",
         "part_brand_stats": """
 SELECT p_brand, COUNT(*) AS n_parts, MIN(p_retailprice) AS min_price,
        MAX(p_retailprice) AS max_price,

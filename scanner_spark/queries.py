@@ -461,6 +461,54 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def q_stream_events_hourly(spark, sf_dir):
+    """Structured Streaming twin of events_hourly: readStream over the
+    events parquet, tumbling 1h event-time windows, complete-mode memory
+    sink drained with one availableNow trigger.  The materialized result
+    must hash-match the same DuckDB oracle as the batch query — streaming
+    and batch semantics agree exactly."""
+    import os as _os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = _os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema  # ts arrives as long nanos
+    # the file stream source wants a directory: stream the sf_dir with a
+    # glob pinned to the events table
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        sdf.groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+    )
+    sink = "stream_events_hourly_sink"
+    spark.catalog.dropTempView(sink) if sink in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "event_type",
+        F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+        "n",
+        "sum_value",
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -770,6 +818,7 @@ QUERIES = {
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
     "events_pivot": q_events_pivot,
+    "stream_events_hourly": q_stream_events_hourly,
     "text_analyze": q_text_analyze,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
