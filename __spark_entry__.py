@@ -361,6 +361,17 @@ SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """,
+        "events_sliding_daily": """
+WITH daily AS (
+  SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_epoch, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_epoch
+                         RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3d
+FROM daily
+""",
         "events_pivot": """
 SELECT user_id,
        COUNT(*) FILTER (event_type = 'click') AS click,
@@ -375,6 +386,14 @@ FROM events GROUP BY user_id
         "dedup_exact_groups": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1
+""",
+        "dedup_materialize": """
+WITH k AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM documents
+)
+SELECT doc_id, content_hash FROM k WHERE doc_id = keep_id
 """,
         "dedup_jaccard_pairs": f"""
 WITH toks AS (

@@ -104,10 +104,50 @@ class Database:
         self._save_catalog()
         return self.table(name)
 
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        overwrite: bool = False,
+    ) -> DataFrame:
+        """Materialize a table hash-bucketed (and sorted) on join keys.
+
+        The 100 TB co-location path: two tables bucketed identically on
+        their join key sort-merge-join with NO Exchange and NO per-task
+        sort — the shuffle is paid once at write time instead of per
+        query.  Uses the session catalog (``bucketBy`` requires
+        ``saveAsTable``); read it back with ``bucketed_table``."""
+        writer = (
+            df.write.format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+        )
+        if overwrite:
+            writer = writer.mode("overwrite")
+        writer.saveAsTable(name)
+        self._tables[name] = TableInfo(
+            name=name,
+            path=f"spark_catalog:{name}",
+            columns=df.columns,
+            num_rows=None,
+            committed=True,
+            created_at=time.time(),
+        )
+        self._save_catalog()
+        return self.bucketed_table(name)
+
+    def bucketed_table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
     def table(self, name: str) -> DataFrame:
         if not self.has_table(name):
             raise KeyError(f"no such table: {name}")
-        return self.spark.read.parquet(self._tables[name].path)
+        path = self._tables[name].path
+        if path.startswith("spark_catalog:"):
+            return self.spark.table(path.split(":", 1)[1])
+        return self.spark.read.parquet(path)
 
     def stream(self, name: str, stream_col: str | None = None, order_col: str | None = None) -> DataFrame:
         """Open a table as a stream (materializes dense ``idx`` if absent)."""
@@ -123,6 +163,9 @@ class Database:
             raise KeyError(f"no such table: {name}")
         info = self._tables.pop(name)
         self._save_catalog()
+        if info.path.startswith("spark_catalog:"):
+            self.spark.sql(f"DROP TABLE IF EXISTS {info.path.split(':', 1)[1]}")
+            return
         # data files removed lazily / by vacuum; catalog removal is the commit
         import shutil
 

@@ -512,6 +512,26 @@ def q_stream_events_hourly(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_events_sliding_daily(spark, sf_dir):
+    """Sliding-window batch analytics: per event type, each day's count
+    plus the trailing-3-day moving count — a RANGE window frame over
+    event-time days (one shuffle on event_type)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_epoch")
+        .rangeBetween(-2 * 86400, 0)
+    )
+    return daily.withColumn("n_3d", F.sum("n").over(w))
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot event counts per user (explicit value list -> stable schema)."""
     ev = read_table(spark, sf_dir, "events")
@@ -545,6 +565,18 @@ def q_dedup_exact_groups(spark, sf_dir):
         d.select(F.md5(F.col("text")).alias("content_hash"), F.col("doc_id"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def q_dedup_materialize(spark, sf_dir):
+    """The cleaned-corpus materialization step: keep exactly one doc per
+    exact-content group (lowest doc_id), emitting the surviving rows.
+    Window min over the content hash — one shuffle, no self-join."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    kept = d.withColumn("keep_id", F.min("doc_id").over(w))
+    return kept.filter(F.col("doc_id") == F.col("keep_id")).select(
+        "doc_id", F.md5(F.col("text")).alias("content_hash")
     )
 
 
@@ -818,9 +850,11 @@ QUERIES = {
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
     "events_pivot": q_events_pivot,
+    "events_sliding_daily": q_events_sliding_daily,
     "stream_events_hourly": q_stream_events_hourly,
     "text_analyze": q_text_analyze,
     "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_materialize": q_dedup_materialize,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_sigs": q_dedup_simhash_sigs,

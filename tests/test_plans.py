@@ -5,6 +5,8 @@ A regression here is a scale bug even when results stay correct."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from scanner_spark import queries as Q
 from scanner_spark import streams as S
 
@@ -76,3 +78,38 @@ def test_scan_queries_use_wholestage_codegen(spark, sf_dir):
         assert n >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed tables sort-merge-join with neither an Exchange nor a
+    per-task Sort: the shuffle was paid once at write time (the 100 TB
+    co-location strategy)."""
+    from scanner_spark.catalog import Database
+    from scanner_spark.io import read_table
+
+    db = Database(spark, str(tmp_path / "db"))
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    db.write_bucketed("b_orders", orders, ["o_orderkey"], 8, overwrite=True)
+    db.write_bucketed("b_lineitem", lineitem, ["l_orderkey"], 8, overwrite=True)
+    a, b = db.table("b_orders"), db.table("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # sanity: result matches the unbucketed join
+        n_unbucketed = (
+            read_table(spark, sf_dir, "orders")
+            .join(
+                read_table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == n_unbucketed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        db.delete_table("b_orders")
+        db.delete_table("b_lineitem")
