@@ -63,6 +63,9 @@ def main() -> None:
                 timings[name] = min(timings.get(name, dt), dt)
             except Exception as e:  # a failed query must not hide the others
                 failures[name] = f"{type(e).__name__}: {e}"[:200]
+            # drop caches persisted inside queries (minhash/jaccard) so
+            # leaked blocks don't GC-throttle later queries
+            spark.catalog.clearCache()
     out = {
         "metric": "scanner_spark_query_suite_total",
         "value": round(sum(timings.values()), 3),
