@@ -71,7 +71,10 @@ class Op:
         unbounded_state: bool = False,
         boundary: BoundaryMode = BoundaryMode.REPEAT_EDGE,
         name: str | None = None,
+        on_error: str = "raise",
     ):
+        if on_error not in ("raise", "null"):
+            raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
         if bounded_state and unbounded_state:
             raise ValueError("an op is bounded- or unbounded-state, not both")
         if stencil is not None and (bounded_state or unbounded_state):
@@ -82,6 +85,7 @@ class Op:
         self.bounded_state = bounded_state
         self.unbounded_state = unbounded_state
         self.boundary = BoundaryMode(boundary)
+        self.on_error = on_error
         self.name = name or fn.__name__
         functools.update_wrapper(self, fn)
 
@@ -103,11 +107,40 @@ class Op:
     # -- elementwise ----------------------------------------------------------
     def _apply_elementwise(self, df, inputs, output, out_dt) -> DataFrame:
         fn, batch = self.fn, self.batch
+        null_on_error = self.on_error == "null"
         struct_out = isinstance(out_dt, StructType)
+
+        # on_error='null' is the engine's fault-isolation analog of the
+        # reference's job blacklisting (master.cpp:986-1018,1088-1096): a
+        # poisoned element yields a NULL output row instead of failing the
+        # whole bulk job; downstream ops skip NULLs like NullElements.
+        def _safe(vals):
+            try:
+                return fn(*vals)
+            except Exception:
+                if null_on_error:
+                    return None
+                raise
+
+        def _safe_batch_elem(vals):
+            # batch kernels take Series; re-invoke on a singleton batch
+            try:
+                r = fn(*[pd.Series([v]) for v in vals])
+                return r.iloc[0] if hasattr(r, "iloc") else list(r)[0]
+            except Exception:
+                if null_on_error:
+                    return None
+                raise
 
         def _run(series):
             if batch:
-                res = fn(*series)
+                try:
+                    res = fn(*series)
+                except Exception:
+                    if not null_on_error:
+                        raise
+                    # batch poisoned: isolate per element
+                    res = [_safe_batch_elem(vals) for vals in zip(*series)]
                 return res if struct_out else pd.Series(res)
             # scalar kernel applied per element inside the Arrow batch —
             # Scanner's non-batched kernel path (kernel.h:135-144).
@@ -117,7 +150,7 @@ class Op:
                 return v is None or (not hasattr(v, "__len__") and pd.isna(v))
 
             out = [
-                None if any(is_null(v) for v in vals) else fn(*vals)
+                None if any(is_null(v) for v in vals) else _safe(vals)
                 for vals in zip(*series)
             ]
             if struct_out:
@@ -197,6 +230,7 @@ class Op:
         part = [STREAM_COL] + ([SLICE_COL] if SLICE_COL in df.columns else [])
         out_schema = StructType(list(df.schema.fields) + [StructField(output, out_dt, True)])
         fn = self.fn
+        null_on_error = self.on_error == "null"
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(IDX_COL).reset_index(drop=True)
@@ -204,7 +238,14 @@ class Op:
             if hasattr(kernel, "reset"):
                 kernel.reset()  # fresh state per (stream, slice) group
             exec_fn = kernel.execute if hasattr(kernel, "execute") else kernel
-            result = exec_fn(pdf[inputs] if len(inputs) > 1 else pdf[inputs[0]])
+            try:
+                result = exec_fn(pdf[inputs] if len(inputs) > 1 else pdf[inputs[0]])
+            except Exception:
+                if not null_on_error:
+                    raise
+                # stream/slice "blacklisted" (reference master.cpp:986-1018):
+                # its whole group emits NULL outputs; other groups proceed
+                result = [None] * len(pdf)
             pdf[output] = list(result)
             return pdf
 
@@ -291,6 +332,7 @@ def register_op(
     unbounded_state: bool = False,
     boundary: BoundaryMode = BoundaryMode.REPEAT_EDGE,
     name: str | None = None,
+    on_error: str = "raise",
 ):
     """Decorator mirroring ``@scannerpy.register_python_op`` (reference:
     python/scannerpy/op.py:317-615) with the same attribute surface."""
@@ -304,6 +346,7 @@ def register_op(
             unbounded_state=unbounded_state,
             boundary=boundary,
             name=name,
+            on_error=on_error,
         )
 
     return wrap(fn) if fn is not None else wrap

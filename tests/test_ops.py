@@ -130,3 +130,64 @@ def test_stencil_error_boundary(two_streams):
     out = bad(S.srange(two_streams, 0, 3), ["value"], "out", "double")
     with pytest.raises(Exception):
         out.collect()
+
+
+def test_on_error_null_isolates_poison_rows(two_streams):
+    """on_error='null': a raising element yields NULL, the job survives
+    (the reference's blacklisting analog, master.cpp:986-1018)."""
+
+    @register_op(on_error="null")
+    def picky(v):
+        if v == 2.0:
+            raise ValueError("poison")
+        return v * 2
+
+    out = picky(two_streams, ["value"], "out", "double")
+    got = vals(out, "out")[:4]
+    assert got[0] == 0.0 and got[1] == 2.0 and got[3] == 6.0
+    assert got[2] is None
+
+
+def test_on_error_null_batch_falls_back_per_element(two_streams):
+    @register_op(batch=True, on_error="null")
+    def picky_batch(v: pd.Series) -> pd.Series:
+        if (v == 2.0).any():
+            raise ValueError("poison batch")
+        return v * 2
+
+    out = picky_batch(two_streams, ["value"], "out", "double")
+    got = vals(out, "out")
+    assert got.count(None) == 1  # value==2.0 exists once (stream 0, idx 2)
+    assert got[3] == 6.0  # neighbors in the poisoned batch recovered
+    assert vals(out, "out", stream="1")[0] == 200.0  # other stream untouched
+
+
+def test_on_error_null_blacklists_stateful_group(two_streams):
+    """A raising stateful kernel nulls its whole (stream, slice) group;
+    the other stream's outputs are intact."""
+
+    class Poisoned:
+        def reset(self):
+            pass
+
+        def execute(self, values: pd.Series) -> pd.Series:
+            if (values >= 100.0).any():  # stream '1' has values 100..129
+                raise ValueError("bad stream")
+            return values.cumsum()
+
+    op = register_op(Poisoned, unbounded_state=True, on_error="null", name="P")
+    out = op(two_streams, ["value"], "out", "double").collect()
+    by_stream = {}
+    for r in out:
+        by_stream.setdefault(r.stream_id, []).append(r.out)
+    assert all(v is None for v in by_stream["1"])
+    assert all(v is not None for v in by_stream["0"])
+
+
+def test_on_error_raise_is_default(two_streams):
+    @register_op
+    def bad(v):
+        raise RuntimeError("boom")
+
+    with pytest.raises(Exception):
+        bad(two_streams, ["value"], "out", "double").collect()
