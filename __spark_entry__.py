@@ -283,6 +283,39 @@ WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
 """,
+        "tpch_q10": f"""
+SELECT c_custkey, c_name, n_name, CAST(SUM({_DP}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+        "tpch_q14": f"""
+WITH j AS (
+  SELECT CASE WHEN p_type = 'PROMO' THEN {_DP} ELSE CAST(0 AS DECIMAL(12,2)) END AS pr,
+         {_DP} AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+),
+a AS (SELECT CAST(SUM(pr) AS DOUBLE) AS promo_rev, CAST(SUM(r) AS DOUBLE) AS total_rev FROM j)
+SELECT round(100.0 * promo_rev / total_rev, 6) AS promo_pct, promo_rev, total_rev FROM a
+""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+       o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
         "top_customers_per_nation": """
 WITH spent AS (
   SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

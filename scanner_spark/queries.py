@@ -326,6 +326,84 @@ def q_tpch_q4_priority(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """Q10 returned-item reporting: top-20 customers by lost revenue on
+    returned lines.  Fact-side filters push to the scan; nation broadcasts;
+    top-20 is TakeOrdered with a total (revenue, custkey) order."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    g = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
+    )
+    return g.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14 promo revenue share: conditional decimal aggregate over the
+    part join (part broadcasts at these dims)."""
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    agg = j.agg(
+        _dbl(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)")))
+        ).alias("promo_rev"),
+        _dbl(F.sum(rev)).alias("total_rev"),
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_pct"
+        ),
+        "promo_rev",
+        "total_rev",
+    )
+
+
+TPCH_Q18_MIN_QTY = 250
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Q18 large-volume customers: HAVING over an order-level quantity
+    rollup, then joins back to orders/customer (one shuffle per agg; the
+    filtered order list is small and broadcasts into the final join)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > TPCH_Q18_MIN_QTY)
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp(F.col("o_orderdate")).alias("orderdate_epoch"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
 def q_top_customers_per_nation(spark, sf_dir):
     """Window-function showcase: top-3 customers by revenue per nation."""
     c = read_table(spark, sf_dir, "customer")
@@ -839,6 +917,9 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q4_priority": q_tpch_q4_priority,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
     "top_customers_per_nation": q_top_customers_per_nation,
     "events_sessionize": q_events_sessionize,
     "events_hourly": q_events_hourly,
