@@ -54,6 +54,75 @@ def make_stream(
     return df.withColumn(IDX_COL, F.row_number().over(w) - F.lit(1))
 
 
+def make_stream_distributed(
+    df: DataFrame,
+    stream_col: str | None = None,
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale path for ``make_stream``: dense row identity WITHOUT a
+    per-stream window.
+
+    ``make_stream``'s ``row_number() OVER (PARTITION BY stream)`` funnels
+    each stream through ONE task — fine for many small streams, a
+    straggler for a 100 TB table with a handful of giant streams.  This
+    variant computes the same index in two passes, both fully parallel:
+
+    1. range-partition by (stream, order) and stamp the physical partition
+       id (persisted, so the layout is computed once);
+    2. aggregate per-(partition, stream) row counts — #partitions x
+       #streams rows, tiny — cumulate them into per-partition base
+       offsets on the driver, broadcast-join them back, and window only
+       WITHIN (partition, stream): window state is bounded by partition
+       size, never by stream size.
+
+    Same contract as ``make_stream`` (order ties must not straddle
+    partitions — range partitioning keeps equal keys together)."""
+    if stream_col is None:
+        df = df.withColumn(STREAM_COL, F.lit("0"))
+    elif stream_col != STREAM_COL:
+        df = df.withColumn(STREAM_COL, F.col(stream_col))
+    if order_col is None:
+        order_col = IDX_COL if IDX_COL in df.columns else df.columns[0]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, F.col(STREAM_COL), F.col(order_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = (
+        parted.groupBy("__pid", STREAM_COL)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    by_stream: dict = {}
+    for r in sorted(counts, key=lambda r: (str(r[STREAM_COL]), r["__pid"])):
+        sid = r[STREAM_COL]
+        base = by_stream.setdefault(sid, [])
+        prev = base[-1][1] + base[-1][2] if base else 0
+        base.append((r["__pid"], prev, r["__n"]))
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    stream_field = parted.schema[STREAM_COL]
+    spec = parted.sparkSession.createDataFrame(
+        [(pid, sid, off) for sid, rows in by_stream.items() for pid, off, _ in rows],
+        schema=StructType(
+            [
+                StructField("__pid", IntegerType()),
+                StructField(STREAM_COL, stream_field.dataType),
+                StructField("__base", LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy("__pid", STREAM_COL).orderBy(F.col(order_col).asc())
+    out = (
+        parted.join(F.broadcast(spec), ["__pid", STREAM_COL], "inner")
+        .withColumn(IDX_COL, F.col("__base") + F.row_number().over(w) - F.lit(1))
+        .drop("__pid", "__base")
+    )
+    return out
+
+
 def _reorder(df: DataFrame) -> DataFrame:
     """Put (stream_id, idx) first for readability; value columns follow."""
     rest = [c for c in df.columns if c not in (STREAM_COL, IDX_COL)]

@@ -93,3 +93,19 @@ def test_sampler_validation(two_streams):
         S.stride(two_streams, 0)
     with pytest.raises(ValueError):
         S.repeat(two_streams, -1)
+
+
+def test_make_stream_distributed_matches_window_impl(spark, sf_dir):
+    """The two-phase scale path produces the identical dense index as the
+    per-stream window implementation."""
+    from scanner_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    a = S.make_stream(ev, stream_col="event_type", order_col="event_id").select(
+        "stream_id", "idx", "event_id"
+    )
+    b = S.make_stream_distributed(
+        ev, stream_col="event_type", order_col="event_id", num_partitions=7
+    ).select("stream_id", "idx", "event_id")
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
