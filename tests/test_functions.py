@@ -181,3 +181,47 @@ def test_sample_video_frames_cardinality(spark):
     counts = {r.asset_id: r.n for r in out.groupBy("asset_id").agg(F.count("*").alias("n")).collect()}
     # duration 3500/4000/4500 ms -> 3/4/4 frames
     assert counts == {0: 3, 1: 4, 2: 4}
+
+
+# ---- skew -----------------------------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from scanner_spark.functions.skew import salted_join
+    from scanner_spark.io import read_table
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_mktsegment")
+    salted = salted_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        c,
+        on=["c_custkey"],
+        salt_from="o_orderkey",
+        buckets=8,
+    ).select("o_orderkey", "c_mktsegment")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_two_phase_agg_matches_direct(spark, sf_dir):
+    from scanner_spark.functions.skew import two_phase_agg
+    from scanner_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    direct = (
+        ev.withColumn("cents", cents)
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("total"), F.count("event_id").alias("n"),
+             F.min("cents").alias("lo"))
+        .collect()
+    )
+    salted = two_phase_agg(
+        ev.withColumn("cents", cents),
+        keys=["event_type"],
+        aggs={"total": ("cents", "sum"), "n": ("event_id", "count"), "lo": ("cents", "min")},
+        salt_from="user_id",
+        buckets=8,
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, salted))
