@@ -898,6 +898,49 @@ def q_frame_resize(spark, sf_dir):
     )
 
 
+VIDEO_WANTED = [0, 13, 14, 39]
+
+
+def q_video_decode_pruned(spark, sf_dir):
+    """The engine's one novel physical operator end-to-end: ingest two
+    deterministic SVF videos (keyframe index, no transcode), then decode a
+    sparse frame set — the GOP-pruning join ensures only the two GOPs
+    containing wanted frames are decoded.  Driver testdata has no video
+    table, so the videos are synthesized deterministically per call
+    (rows-only check; pixel exactness is pinned by tests/test_video.py)."""
+    import hashlib
+    import tempfile
+
+    from scanner_spark.catalog import Database
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import ingest_videos, load_frames
+    from scanner_spark.sources import svf as svfmod
+
+    ship(spark)
+    tmp = tempfile.mkdtemp(prefix="ssq_video_")
+    db = Database(spark, f"{tmp}/db")
+    paths = []
+    for s in range(2):
+        p = f"{tmp}/vid{s}.svf"
+        frames = [synthetic_frame(s, i, 12, 16, 3) for i in range(40)]
+        with open(p, "wb") as f:
+            f.write(svfmod.encode_svf(frames, gop=8))
+        paths.append(p)
+    ingest_videos(spark, db, paths)
+    wanted = {paths[0]: VIDEO_WANTED, paths[1]: [25]}
+    out = load_frames(spark, db, wanted)
+
+    @F.pandas_udf("string")
+    def frame_md5(frames: pd.Series) -> pd.Series:
+        return pd.Series([hashlib.md5(bytes(b)).hexdigest() for b in frames])
+
+    return out.select(
+        F.element_at(F.split("video_path", "/"), -1).alias("video"),
+        "frame_no",
+        frame_md5(F.col("frame")).alias("frame_md5"),
+    )
+
+
 QUERIES = {
     "scanner_stride": q_scanner_stride,
     "scanner_range": q_scanner_range,
@@ -952,4 +995,5 @@ QUERIES = {
     "frame_histogram": q_frame_histogram,
     "frame_resize": q_frame_resize,
     "frame_optical_flow": q_frame_optical_flow,
+    "video_decode_pruned": q_video_decode_pruned,
 }
