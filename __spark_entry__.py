@@ -159,6 +159,49 @@ SELECT doc_id, quality, CAST(quality >= 0.5 AS INTEGER) AS kept FROM s
 """
 
 
+def _pipeline_sql() -> str:
+    def sw_count(words: list[str]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+    sw = sw_count(LANG_STOPWORDS["en"])
+    s_en, s_de, s_fr, s_es = (sw_count(LANG_STOPWORDS[x]) for x in ("en", "de", "fr", "es"))
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, text, toks,
+    least(CAST(length(toks) AS DOUBLE) / 50.0, 1.0) AS len_score,
+    least(coalesce({sw} / nullif(length(toks), 0), 0.0) * 4.0, 1.0) AS sw_score,
+    coalesce(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+             / nullif(length(toks), 0), 0.0) AS wl,
+    coalesce(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             / nullif(length(text), 0), 0.0) AS pr
+  FROM t
+),
+scored AS (
+  SELECT doc_id, text, toks,
+    round((0.4 * len_score + 0.3 * sw_score +
+           0.3 * (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END)) *
+          (CASE WHEN pr > 0.1 THEN 0.5 ELSE 1.0 END), 6) AS quality
+  FROM m
+),
+kept AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM scored WHERE quality >= 0.5
+),
+surv AS (SELECT doc_id, toks, quality FROM kept WHERE doc_id = keep_id)
+SELECT doc_id, quality, CAST(length(toks) AS BIGINT) AS n_tokens,
+  CASE
+    WHEN {s_en} = greatest({s_en}, {s_de}, {s_fr}, {s_es}) AND greatest({s_en}, {s_de}, {s_fr}, {s_es}) > 0 THEN 'en'
+    WHEN {s_de} = greatest({s_en}, {s_de}, {s_fr}, {s_es}) AND greatest({s_en}, {s_de}, {s_fr}, {s_es}) > 0 THEN 'de'
+    WHEN {s_fr} = greatest({s_en}, {s_de}, {s_fr}, {s_es}) AND greatest({s_en}, {s_de}, {s_fr}, {s_es}) > 0 THEN 'fr'
+    WHEN {s_es} = greatest({s_en}, {s_de}, {s_fr}, {s_es}) AND greatest({s_en}, {s_de}, {s_fr}, {s_es}) > 0 THEN 'es'
+    ELSE 'und'
+  END AS lang_pred
+FROM surv
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     g = ",".join(f"({i},{r})" for i, r in enumerate(Q.GATHER_ROWS))
     w = ",".join(f"({i},{r})" for i, r in enumerate(Q.WARMUP_ROWS))
@@ -497,6 +540,7 @@ SELECT label, dim, COUNT(*) AS n,
 FROM q GROUP BY label, dim
 """,
         "doc_quality": _doc_quality_sql(),
+        "pipeline_clean_corpus": _pipeline_sql(),
         "emb_knn_brute": f"""
 WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),

@@ -898,6 +898,30 @@ def q_frame_resize(spark, sf_dir):
     )
 
 
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """The composed LLM-data pipeline in one plan: quality-filter ->
+    exact-dedup (keep lowest doc_id) -> per-doc text features.  One narrow
+    projection for scoring, one shuffle for the dedup window, features
+    computed only on survivors (filter-before-feature ordering matters at
+    100 TB).  Fully oracle-checked."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.withColumn("quality", text.quality_score(F.col("text"))).filter(
+        F.col("quality") >= 0.5
+    )
+    w = Window.partitionBy(F.md5(F.col("text")))
+    deduped = (
+        scored.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    return deduped.select(
+        "doc_id",
+        "quality",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        text.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
 VIDEO_WANTED = [0, 13, 14, 39]
 
 
@@ -996,4 +1020,5 @@ QUERIES = {
     "frame_resize": q_frame_resize,
     "frame_optical_flow": q_frame_optical_flow,
     "video_decode_pruned": q_video_decode_pruned,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
 }
