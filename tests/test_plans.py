@@ -113,3 +113,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         db.delete_table("b_orders")
         db.delete_table("b_lineitem")
+
+
+def test_q10_broadcasts_nation_and_pushes_filters(spark, sf_dir):
+    plan = plan_of(Q.q_tpch_q10(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the returnflag filter reaches the lineitem scan
+    assert "PushedFilters:" in plan and "l_returnflag" in plan
+
+
+def test_pipeline_clean_corpus_is_pure_jvm(spark, sf_dir):
+    """The text pipeline must stay inside codegen: no Python/Arrow eval
+    nodes anywhere in the plan (UDFs would cap throughput at 100 TB)."""
+    plan = plan_of(Q.q_pipeline_clean_corpus(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_text_analyze_is_pure_jvm(spark, sf_dir):
+    plan = plan_of(Q.q_text_analyze(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_minhash_signature_is_single_aggregate(spark, sf_dir):
+    """Wide MinHash signatures: one groupBy over the shingle table — the
+    plan must contain exactly one aggregate pair for the signature (no
+    k-fold explode re-aggregation)."""
+    from scanner_spark.functions import dedup
+    from scanner_spark.io import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    plan = plan_of(dedup.minhash_signatures(d))
+    # partial+final hash aggregate for the sig, plus the dropDuplicates pair
+    assert plan.count("HashAggregate") <= 4
