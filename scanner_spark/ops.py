@@ -227,13 +227,19 @@ class Op:
 
     # -- stateful ---------------------------------------------------------------
     def _apply_stateful(self, df, inputs, output, out_dt) -> DataFrame:
+        """Ordered per-(stream, slice) execution WITHOUT per-group Python
+        round-trips: hash-repartition on the group key, sort within
+        partitions, then stream every group of a partition through ONE
+        ``mapInPandas`` worker (a streaming group-by over the Arrow batch
+        iterator).  With many small slices this beats ``applyInPandas`` by
+        the per-group invocation overhead; parallelism is unchanged (all
+        of a group's rows land in one partition)."""
         part = [STREAM_COL] + ([SLICE_COL] if SLICE_COL in df.columns else [])
         out_schema = StructType(list(df.schema.fields) + [StructField(output, out_dt, True)])
         fn = self.fn
         null_on_error = self.on_error == "null"
 
         def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(IDX_COL).reset_index(drop=True)
             kernel = fn() if isinstance(fn, type) else fn
             if hasattr(kernel, "reset"):
                 kernel.reset()  # fresh state per (stream, slice) group
@@ -246,10 +252,41 @@ class Op:
                 # stream/slice "blacklisted" (reference master.cpp:986-1018):
                 # its whole group emits NULL outputs; other groups proceed
                 result = [None] * len(pdf)
+            pdf = pdf.copy()
             pdf[output] = list(result)
             return pdf
 
-        return df.groupBy(*part).applyInPandas(run_group, schema=out_schema)
+        def run_partition(batches):
+            # streaming group-by: groups arrive contiguously (sorted within
+            # the partition); buffer only the current group across batch
+            # boundaries — memory is bounded by group size, as with
+            # applyInPandas, but one Python worker handles ALL groups.
+            pending: pd.DataFrame | None = None
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keys = pdf[part].apply(tuple, axis=1)
+                boundaries = keys.ne(keys.shift()).to_numpy().nonzero()[0]
+                start_positions = list(boundaries) + [len(pdf)]
+                for i in range(len(start_positions) - 1):
+                    chunk = pdf.iloc[start_positions[i] : start_positions[i + 1]]
+                    if pending is not None and i == 0 and tuple(pending[part].iloc[-1]) == tuple(chunk[part].iloc[0]):
+                        pending = pd.concat([pending, chunk], ignore_index=True)
+                        continue
+                    if pending is not None:
+                        yield run_group(pending)
+                    pending = chunk.reset_index(drop=True)
+            if pending is not None:
+                yield run_group(pending)
+
+        # explicit partition count: AQE's byte-size coalescing would fold a
+        # few-MB shuffle into ONE partition and serialize the Python stage —
+        # bytes are the wrong cost model for kernel-bound work
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        prepared = df.repartition(n, *[F.col(c) for c in part]).sortWithinPartitions(
+            *part, IDX_COL
+        )
+        return prepared.mapInPandas(run_partition, schema=out_schema)
 
     # -- bounded-state warmup over a gathered subset ------------------------------
     def apply_gather_with_warmup(

@@ -144,6 +144,7 @@ def test_minhash_signature_is_single_aggregate(spark, sf_dir):
     from scanner_spark.functions import dedup
     from scanner_spark.io import read_table
 
+    spark.catalog.clearCache()  # a cached sig from other tests rewrites the plan
     d = read_table(spark, sf_dir, "documents")
     plan = plan_of(dedup.minhash_signatures(d))
     # partial+final hash aggregate for the sig, plus the dropDuplicates pair
