@@ -925,6 +925,24 @@ def q_pipeline_clean_corpus(spark, sf_dir):
 VIDEO_WANTED = [0, 13, 14, 39]
 
 
+def q_frame_encode_png(spark, sf_dir):
+    """Reference ImageEncoder (util/image_encoder.cpp:112-117): frame ->
+    PNG bytes (pure-numpy encoder; zlib is deterministic).  The shape
+    `Column.load()` uses to surface video frames as images (rows-only)."""
+    ship(spark)
+    from scanner_spark.kernels.image import image_encoder_op
+
+    frames = _doc_frames(spark, sf_dir)
+    out = image_encoder_op(
+        frames, ["frame", "height", "width", "channels", "dtype"], "png", "binary"
+    )
+    return out.select(
+        "asset_id",
+        F.length(F.col("png")).alias("png_bytes"),
+        F.md5(F.col("png")).alias("png_md5"),
+    )
+
+
 def q_video_decode_pruned(spark, sf_dir):
     """The engine's one novel physical operator end-to-end: ingest two
     deterministic SVF videos (keyframe index, no transcode), then decode a
@@ -1020,5 +1038,6 @@ QUERIES = {
     "frame_resize": q_frame_resize,
     "frame_optical_flow": q_frame_optical_flow,
     "video_decode_pruned": q_video_decode_pruned,
+    "frame_encode_png": q_frame_encode_png,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
 }
