@@ -281,7 +281,9 @@ def simhash_pairs(
     Hamming radius that differ in the prefix are a recall tradeoff, the
     standard SimHash rotation scheme being the fix (future work).
     Output: (doc_a, doc_b, hamming)."""
-    sig = simhash(df, text_col, id_col, bits)
+    # persist: both sides of the self-join read the signature table, and
+    # without materialization the whole explode-48-bits pipeline runs twice
+    sig = simhash(df, text_col, id_col, bits).persist()
     blocked = sig.withColumn("blk", F.shiftright(F.col("simhash"), bits - prefix_bits))
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
