@@ -494,6 +494,23 @@ FROM common JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
 WHERE round(cmn / (sa.sz + sb.sz - cmn), 6) >= {Q.JACCARD_THRESHOLD}
 """,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_minhash_clusters": f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (
+  SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT component, COUNT(*) AS n_members, MIN(doc) AS keep_id
+FROM lab GROUP BY component
+""",
         "dedup_simhash_sigs": f"""
 WITH toks AS (SELECT DISTINCT doc_id AS doc, unnest({_TOKS}) AS tok FROM documents),
 h AS (SELECT doc, {h60_sql('tok')} AS h FROM toks),

@@ -299,6 +299,87 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: each node is
+    labeled with the MINIMUM node id reachable from it — the canonical
+    cluster id for keep-one-per-cluster dedup.
+
+    Large-star/small-star style label propagation as iterative DataFrame
+    joins: each round every node adopts the min label among itself and its
+    neighbors; convergence when a round changes nothing (checked with one
+    tiny aggregate).  Rounds needed = graph diameter — near-dup clusters
+    are dense and shallow, so a handful.  Each round is one shuffle of the
+    edge list; labels persist round-to-round and the previous round is
+    unpersisted (bounded memory at 100 TB).
+
+    Output: (doc, component).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        # localCheckpoint (not just persist): iterative joins otherwise grow
+        # the logical plan linearly per round and Catalyst re-analysis goes
+        # superlinear — truncating lineage keeps every round O(1) to plan
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Cluster summary for keep-one-per-cluster dedup: (component,
+    n_members, keep_id) where keep_id = the cluster's minimum doc id (==
+    component by construction)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc").alias("keep_id"),
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

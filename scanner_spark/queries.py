@@ -673,6 +673,16 @@ def q_dedup_simhash_sigs(spark, sf_dir):
     return dedup.simhash(d)
 
 
+def q_dedup_minhash_clusters(spark, sf_dir):
+    """MinHash pairs -> connected components -> cluster summary: the
+    keep-one-per-cluster step of a real dedup pipeline.  CC runs as
+    label-propagation DataFrame joins (diameter-bounded rounds, one edge
+    shuffle each); the oracle replays it with a recursive CTE."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=MINHASH_THRESHOLD)
+    return dedup.dedup_clusters(pairs)
+
+
 SIMHASH_MAX_HAMMING = 8
 SIMHASH_PREFIX_BITS = 8
 
@@ -1023,6 +1033,7 @@ QUERIES = {
     "dedup_materialize": q_dedup_materialize,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_simhash_sigs": q_dedup_simhash_sigs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "vocab_topk": q_vocab_topk,

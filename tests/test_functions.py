@@ -225,3 +225,26 @@ def test_two_phase_agg_matches_direct(spark, sf_dir):
         buckets=8,
     ).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, salted))
+
+
+# ---- connected components --------------------------------------------------------
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,9} (chain) and {5,7}; singleton 8 not in graph
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "doc_a long, doc_b long"
+    )
+    cc = {r.doc: r.component for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+    clusters = {r.component: (r.n_members, r.keep_id) for r in dedup.dedup_clusters(pairs).collect()}
+    assert clusters == {1: (4, 1), 5: (2, 5)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12  # diameter > default few rounds; must still converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    cc = dedup.connected_components(pairs).collect()
+    assert {r.component for r in cc} == {0}
+    assert len(cc) == n + 1
