@@ -573,6 +573,29 @@ SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
 WHERE {cos} >= {Q.COSINE_THRESHOLD}
 """,
+        "emb_dup_clusters": f"""
+WITH RECURSIVE e AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b
+  FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
+  WHERE {cos} >= {Q.COSINE_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, x.v FROM reach r JOIN edges x ON r.v = x.u
+),
+lab AS (
+  SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT component, COUNT(*) AS n_members, MIN(doc) AS keep_id
+FROM lab GROUP BY component
+""",
         # emb_knn_lsh / doc_rolling_fingerprint / multimodal_decode:
         # intentionally no oracle (LSH probing, modular-exponentiation rolling
         # hash, and binary decode aren't ANSI-SQL-expressible) -> the driver

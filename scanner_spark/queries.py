@@ -751,6 +751,18 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def q_emb_dup_clusters(spark, sf_dir):
+    """Embedding near-dup pairs -> connected components -> clusters: the
+    semantic-dedup decision step (keep_id per cosine-similarity cluster)."""
+    e = read_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    pairs = dedup.cosine_dup_pairs(e, threshold=COSINE_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup.dedup_clusters(pairs)
+
+
 def q_emb_knn_brute(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1041,6 +1053,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "emb_knn_brute": q_emb_knn_brute,
     "emb_cosine_pairs": q_emb_cosine_pairs,
+    "emb_dup_clusters": q_emb_dup_clusters,
     "emb_knn_lsh": q_emb_knn_lsh,
     "emb_knn_ivf": q_emb_knn_ivf,
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
