@@ -319,6 +319,10 @@ def connected_components(
 
     Output: (doc, component).
     """
+    # cache the pair pipeline while symmetrizing: both union branches read
+    # it, and near-dup pair generation (LSH joins / UDF cosine) is the
+    # expensive part — without this it runs twice
+    pairs = pairs.persist()
     g = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -326,6 +330,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
     comp = g.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=True)
