@@ -432,6 +432,24 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """,
+        "orders_cube": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+        "events_retention": """
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events
+),
+first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM base GROUP BY user_id),
+j AS (
+  SELECT DISTINCT b.user_id, f.cohort_wk, b.wk - f.cohort_wk AS weeks_since
+  FROM base b JOIN first f USING (user_id)
+)
+SELECT cohort_wk, weeks_since, COUNT(*) AS n_users
+FROM j GROUP BY cohort_wk, weeks_since
+""",
         "customers_without_orders": """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders

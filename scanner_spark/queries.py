@@ -528,6 +528,36 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
+def q_orders_cube(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping combinations in one
+    pass, with grouping_id to disambiguate subtotal rows from real NULLs."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents) / 100.0).alias("total"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted per
+    weeks-since-cohort offset — two aggregations, both shuffling on
+    user_id then (cohort, offset)."""
+    ev = read_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(604800)).cast("long")
+    base = ev.select("user_id", wk.alias("wk"))
+    first = base.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = base.join(first, "user_id").select(
+        "user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since")
+    )
+    return (
+        j.distinct()
+        .groupBy("cohort_wk", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     """Anti join (NOT EXISTS): customers with no order above 300k.  The
     price filter is applied to the build side before the anti join, so it
@@ -1036,6 +1066,8 @@ QUERIES = {
     "events_asof_signup": q_events_asof_signup,
     "orders_percentiles": q_orders_percentiles,
     "orders_rollup": q_orders_rollup,
+    "orders_cube": q_orders_cube,
+    "events_retention": q_events_retention,
     "customers_without_orders": q_customers_without_orders,
     "events_pivot": q_events_pivot,
     "events_sliding_daily": q_events_sliding_daily,
