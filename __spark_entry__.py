@@ -266,6 +266,16 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN '{k}' THEN {v}" for k, v in Q.STREAM_FACTORS.items()
         )
         + " END AS scaled FROM st",
+        "scanner_all": f"WITH {_ST} SELECT stream_id, idx, event_id, value FROM st",
+        "scanner_stencil_null": f"WITH {_ST}, r AS (SELECT * FROM st WHERE idx < 100) "
+        "SELECT stream_id, idx, event_id, "
+        "coalesce(lag(value) OVER w, 0) + value + coalesce(lead(value) OVER w, 0) AS esum "
+        "FROM r WINDOW w AS (PARTITION BY stream_id ORDER BY idx)",
+        "scanner_null_passthrough": f"WITH {_ST} "
+        "SELECT stream_id, CAST(idx * 3 + o AS BIGINT) AS idx, "
+        "CASE WHEN o = 0 THEN event_id END AS event_id, "
+        "CASE WHEN o = 0 THEN value * 2.0 END AS doubled "
+        "FROM st CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS o) WHERE idx < 50",
         "scanner_warmup_gather": f"""
 WITH wanted(pos, want) AS (SELECT * FROM (VALUES {w}) t(pos, want)),
 brk AS (SELECT pos, want,

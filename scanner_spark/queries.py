@@ -202,6 +202,42 @@ def q_scanner_stream_args(spark, sf_dir):
     )
 
 
+def q_scanner_all(spark, sf_dir):
+    """The All sampler: identity on the index domain (streams.py:65-88)."""
+    ship(spark)
+    return S.sample_all(events_stream(spark, sf_dir))
+
+
+def q_scanner_stencil_null(spark, sf_dir):
+    """[-1,0,1] stencil with NULL boundary: out-of-range neighbors arrive
+    as None (rpc.proto:254-259 BoundaryCondition.NULL)."""
+    ship(spark)
+
+    @register_op(stencil=[-1, 0, 1], boundary=BoundaryMode.NULL)
+    def edge_sum(win):
+        return sum(v for v in win if v is not None)
+
+    st = S.srange(events_stream(spark, sf_dir), 0, 100)
+    return edge_sum(st, ["value"], "esum", "double").select(
+        "stream_id", "idx", "event_id", "esum"
+    )
+
+
+def q_scanner_null_passthrough(spark, sf_dir):
+    """NullElement passthrough: spacing nulls skip the kernel and stay NULL
+    downstream (evaluate_worker null-element skip; storage.py:8-16)."""
+    ship(spark)
+
+    @register_op
+    def double_it(v):
+        return v * 2.0
+
+    st = S.repeat_null(S.srange(events_stream(spark, sf_dir), 0, 50), 3)
+    return double_it(st, ["value"], "doubled", "double").select(
+        "stream_id", "idx", "event_id", "doubled"
+    )
+
+
 def q_scanner_warmup_gather(spark, sf_dir):
     """Bounded-state counter over Gather with warmup (py_test.py:407-424)."""
     ship(spark)
@@ -1045,6 +1081,9 @@ QUERIES = {
     "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
     "scanner_stencil_smooth": q_scanner_stencil_smooth,
     "scanner_warmup_gather": q_scanner_warmup_gather,
+    "scanner_all": q_scanner_all,
+    "scanner_stencil_null": q_scanner_stencil_null,
+    "scanner_null_passthrough": q_scanner_null_passthrough,
     "scanner_ranges": q_scanner_ranges,
     "scanner_overlap_slices": q_scanner_overlap_slices,
     "scanner_variadic": q_scanner_variadic,
