@@ -159,6 +159,35 @@ SELECT doc_id, quality, CAST(quality >= 0.5 AS INTEGER) AS kept FROM s
 """
 
 
+def _knn_lsh_sql(dim: int = 64, bits: int = 6, k: int = 5) -> str:
+    from scanner_spark.functions.simsearch import hyperplanes
+
+    planes = hyperplanes(dim, bits)
+
+    def bucket_expr(vec: str) -> str:
+        terms = []
+        for j, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE id = 0),
+b AS (SELECT id, v, {bucket_expr('v')} AS bucket FROM e),
+qb AS (SELECT {bucket_expr('qv')} AS qbucket FROM q)
+SELECT b.id,
+       round(list_dot_product(b.v, q.qv) /
+             (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM b, q, qb
+WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(qb.qbucket AS BIGINT))) <= 1
+ORDER BY score DESC, id LIMIT {k}
+"""
+
+
 def _pipeline_sql() -> str:
     def sw_count(words: list[str]) -> str:
         lst = ", ".join(f"'{w}'" for w in words)
@@ -601,6 +630,7 @@ SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
 WHERE {cos} >= {Q.COSINE_THRESHOLD}
 """,
+        "emb_knn_lsh": _knn_lsh_sql(),
         "emb_dup_clusters": f"""
 WITH RECURSIVE e AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -624,7 +654,7 @@ lab AS (
 SELECT component, COUNT(*) AS n_members, MIN(doc) AS keep_id
 FROM lab GROUP BY component
 """,
-        # emb_knn_lsh / doc_rolling_fingerprint / multimodal_decode:
+        # doc_rolling_fingerprint / multimodal_decode / frame_* / ivf:
         # intentionally no oracle (LSH probing, modular-exponentiation rolling
         # hash, and binary decode aren't ANSI-SQL-expressible) -> the driver
         # records its rows-only check for these.

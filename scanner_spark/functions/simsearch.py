@@ -76,13 +76,23 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
     fold-expression alternative bloats Catalyst analysis/codegen with
     ``bits`` giant literal aggregates and runs slower even at small scale.)
     """
-    pl = np.asarray(planes, dtype="float64").T  # (dim, bits)
-    weights = (1 << np.arange(pl.shape[1], dtype="int64"))
+    pl = np.asarray(planes, dtype="float64")  # (bits, dim)
+    weights = 1 << np.arange(pl.shape[0], dtype="int64")
 
     @F.pandas_udf("long")
     def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (m.astype("float64") @ pl) > 0  # (batch, bits)
+        m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        # per-dim accumulation, NOT matmul: the explicit j-loop reproduces
+        # the SEQUENTIAL summation of a scalar dot product (and of DuckDB's
+        # list_dot_product), so bucket sign bits are bit-identical to the
+        # SQL oracle; numpy's matmul uses pairwise/blocked summation whose
+        # rounding can flip a sign at the hyperplane boundary
+        signs = np.empty((m.shape[0], pl.shape[0]), dtype=bool)
+        for b in range(pl.shape[0]):
+            acc = np.zeros(m.shape[0])
+            for j in range(m.shape[1]):
+                acc += m[:, j] * pl[b, j]
+            signs[:, b] = acc > 0
         return pd.Series(signs @ weights)
 
     return bucket(vec_col)
