@@ -296,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " END AS scaled FROM st",
         "scanner_all": f"WITH {_ST} SELECT stream_id, idx, event_id, value FROM st",
+        "scanner_all_distributed": f"WITH {_ST} SELECT stream_id, idx, event_id, value FROM st",
         "scanner_stencil_null": f"WITH {_ST}, r AS (SELECT * FROM st WHERE idx < 100) "
         "SELECT stream_id, idx, event_id, "
         "coalesce(lag(value) OVER w, 0) + value + coalesce(lead(value) OVER w, 0) AS esum "

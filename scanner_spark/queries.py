@@ -208,6 +208,17 @@ def q_scanner_all(spark, sf_dir):
     return S.sample_all(events_stream(spark, sf_dir))
 
 
+def q_scanner_all_distributed(spark, sf_dir):
+    """Same result as scanner_all, built by make_stream_distributed — the
+    giant-stream scale path (per-partition offsets, no whole-stream
+    window).  Sharing scanner_all's oracle proves the two index
+    materializations bit-identical under the driver's hash gate."""
+    ship(spark)
+    ev = read_table(spark, sf_dir, "events")
+    st = S.make_stream_distributed(ev, stream_col="event_type", order_col="event_id")
+    return st.select("stream_id", "idx", "event_id", "value")
+
+
 def q_scanner_stencil_null(spark, sf_dir):
     """[-1,0,1] stencil with NULL boundary: out-of-range neighbors arrive
     as None (rpc.proto:254-259 BoundaryCondition.NULL)."""
@@ -1082,6 +1093,7 @@ QUERIES = {
     "scanner_stencil_smooth": q_scanner_stencil_smooth,
     "scanner_warmup_gather": q_scanner_warmup_gather,
     "scanner_all": q_scanner_all,
+    "scanner_all_distributed": q_scanner_all_distributed,
     "scanner_stencil_null": q_scanner_stencil_null,
     "scanner_null_passthrough": q_scanner_null_passthrough,
     "scanner_ranges": q_scanner_ranges,
