@@ -38,7 +38,12 @@ DEFAULT_BANDS = 4
 
 
 def shingles(col, n: int = DEFAULT_SHINGLE_N):
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    Docs shorter than ``n`` tokens produce an EMPTY array — the same
+    contract as ``_shingled()`` and the DuckDB oracles (which drop
+    sub-n docs via ``shingle IS NOT NULL``), so the two helpers are
+    interchangeable."""
     toks = tokens(col)
     return F.array_distinct(
         F.when(
@@ -47,7 +52,7 @@ def shingles(col, n: int = DEFAULT_SHINGLE_N):
                 F.sequence(F.lit(0), F.size(toks) - n),
                 lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
             ),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 

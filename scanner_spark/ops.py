@@ -72,6 +72,7 @@ class Op:
         boundary: BoundaryMode = BoundaryMode.REPEAT_EDGE,
         name: str | None = None,
         on_error: str = "raise",
+        expr: Callable | None = None,
     ):
         if on_error not in ("raise", "null"):
             raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
@@ -79,6 +80,8 @@ class Op:
             raise ValueError("an op is bounded- or unbounded-state, not both")
         if stencil is not None and (bounded_state or unbounded_state):
             raise ValueError("stencil and state are mutually exclusive attributes")
+        if expr is not None and stencil is None:
+            raise ValueError("expr fast path currently applies to stencil ops only")
         self.fn = fn
         self.batch = batch
         self.stencil = sorted(stencil) if stencil else None
@@ -86,6 +89,11 @@ class Op:
         self.unbounded_state = unbounded_state
         self.boundary = BoundaryMode(boundary)
         self.on_error = on_error
+        # optional JVM compilation of an arithmetic stencil: a callable with
+        # the SAME signature as fn but over pyspark Columns — the op then
+        # compiles to lag/lead window expressions (whole-stage codegen, no
+        # Python in the hot path).  fn stays as the rows-path twin.
+        self.expr = expr
         self.name = name or fn.__name__
         functools.update_wrapper(self, fn)
 
@@ -132,31 +140,66 @@ class Op:
                     return None
                 raise
 
+        def is_null(v):
+            return v is None or (not hasattr(v, "__len__") and pd.isna(v))
+
+        def _null_mask(series):
+            # NullElement rows (spacing nulls) skip the kernel on BOTH the
+            # scalar and the batch path — mirroring evaluate_worker's
+            # null-element skip; a batch kernel must never compute on NaN
+            # standing in for a NullElement.
+            mask = None
+            for s in series:
+                m = s.isna() if s.dtype.kind in "fiumM" else s.map(is_null)
+                mask = m if mask is None else (mask | m)
+            return mask.to_numpy()
+
+        def _emit(out):
+            if struct_out:
+                # struct-returning pandas UDFs exchange a DataFrame
+                return pd.DataFrame([o if o is not None else {} for o in out])
+            return pd.Series(out)
+
         def _run(series):
             if batch:
-                try:
-                    res = fn(*series)
-                except Exception:
-                    if not null_on_error:
-                        raise
-                    # batch poisoned: isolate per element
-                    res = [_safe_batch_elem(vals) for vals in zip(*series)]
-                return res if struct_out else pd.Series(res)
+                mask = _null_mask(series)
+                if not mask.any():
+                    try:
+                        res = fn(*series)
+                    except Exception:
+                        if not null_on_error:
+                            raise
+                        # batch poisoned: isolate per element
+                        res = [_safe_batch_elem(vals) for vals in zip(*series)]
+                    return res if struct_out else pd.Series(res)
+                # invoke the kernel on the non-null subset, reinsert None at
+                # masked positions (same contract as the scalar path)
+                keep = ~mask
+                sub = [s[keep].reset_index(drop=True) for s in series]
+                if not sub[0].empty:
+                    try:
+                        res = fn(*sub)
+                    except Exception:
+                        if not null_on_error:
+                            raise
+                        res = [_safe_batch_elem(vals) for vals in zip(*sub)]
+                    vals = (
+                        res.to_dict("records")
+                        if isinstance(res, pd.DataFrame)
+                        else list(res)
+                    )
+                else:
+                    vals = []
+                it = iter(vals)
+                out = [None if m else next(it) for m in mask]
+                return _emit(out)
             # scalar kernel applied per element inside the Arrow batch —
             # Scanner's non-batched kernel path (kernel.h:135-144).
-            # NULL payloads (NullElements from spacing) skip the kernel,
-            # mirroring evaluate_worker's null-element passthrough.
-            def is_null(v):
-                return v is None or (not hasattr(v, "__len__") and pd.isna(v))
-
             out = [
                 None if any(is_null(v) for v in vals) else _safe(vals)
                 for vals in zip(*series)
             ]
-            if struct_out:
-                # struct-returning scalar pandas UDFs exchange a DataFrame
-                return pd.DataFrame([o if o is not None else {} for o in out])
-            return pd.Series(out)
+            return _emit(out)
 
         # Spark 4 infers the UDF eval type from type hints
         if struct_out:
@@ -174,39 +217,67 @@ class Op:
 
     # -- stencil ---------------------------------------------------------------
     def _apply_stencil(self, df, inputs, output, out_dt) -> DataFrame:
+        if self.expr is not None:
+            return self._apply_stencil_expr(df, inputs, output, out_dt)
         lo, hi = self.stencil[0], self.stencil[-1]
-        offsets = [o - lo for o in self.stencil]  # positions inside the frame
-        width = hi - lo + 1
+        stencil = list(self.stencil)
         part = [STREAM_COL] + ([SLICE_COL] if SLICE_COL in df.columns else [])
         w = Window.partitionBy(*part).orderBy(IDX_COL).rowsBetween(lo, hi)
+        # collect (idx, value) STRUCTS, not bare values: collect_list drops
+        # NULL elements, so a bare-value window would silently shrink around
+        # NullElement rows and misalign every neighbor; the struct row
+        # survives (only its value field is NULL) and the UDF realigns by
+        # absolute idx.
         win_cols = [f"__w_{c}" for c in inputs]
         out = df
         for c, wc in zip(inputs, win_cols):
-            out = out.withColumn(wc, F.collect_list(c).over(w))
+            out = out.withColumn(
+                wc,
+                F.collect_list(
+                    F.struct(F.col(IDX_COL).alias("i"), F.col(c).alias("v"))
+                ).over(w),
+            )
 
-        fn, batch, boundary, name = self.fn, self.batch, self.boundary, self.name
+        fn, boundary, name = self.fn, self.boundary, self.name
         struct_out = isinstance(out_dt, StructType)
+
+        def _norm(v):
+            # Arrow may surface a NULL float field as NaN
+            if v is None or (not hasattr(v, "__len__") and pd.isna(v)):
+                return None
+            return v
 
         def _run_stencil(idx_s, wins):
             res = []
             for i in range(len(idx_s)):
                 idx = int(idx_s.iloc[i])
                 padded = []
+                center_null = False
                 for winser in wins:
-                    win = list(winser.iloc[i])
-                    # rows clipped at the head of the stream: idx+lo < 0
-                    miss_head = max(0, -(idx + lo))
-                    miss_tail = width - len(win) - miss_head
-                    if (miss_head or miss_tail) and boundary is BoundaryMode.ERROR:
-                        raise ValueError(
-                            f"op {name}: stencil out of bounds at idx={idx}"
-                        )
-                    if boundary is BoundaryMode.REPEAT_EDGE and win:
-                        full = [win[0]] * miss_head + win + [win[-1]] * miss_tail
-                    else:
-                        full = [None] * miss_head + win + [None] * miss_tail
-                    padded.append([full[o] for o in offsets])
-                res.append(fn(*padded))
+                    m = {int(r["i"]): _norm(r["v"]) for r in winser.iloc[i]}
+                    lo_k = min(m) if m else None
+                    hi_k = max(m) if m else None
+                    vals = []
+                    for s in stencil:
+                        t = idx + s
+                        if t in m:
+                            v = m[t]
+                        elif boundary is BoundaryMode.ERROR:
+                            raise ValueError(
+                                f"op {name}: stencil out of bounds at idx={idx}"
+                            )
+                        elif boundary is BoundaryMode.REPEAT_EDGE and m:
+                            v = m[lo_k] if t < lo_k else m[hi_k]
+                        else:
+                            v = None
+                        vals.append(v)
+                    padded.append(vals)
+                    # NullElement passthrough: a null payload on the row
+                    # itself skips the kernel (window neighbors may still
+                    # legitimately be None inside other rows' stencils)
+                    if idx in m and m[idx] is None:
+                        center_null = True
+                res.append(None if center_null else fn(*padded))
             if struct_out:
                 return pd.DataFrame([o if o is not None else {} for o in res])
             return pd.Series(res)
@@ -224,6 +295,53 @@ class Op:
         udf = F.pandas_udf(call, returnType=out_dt)
         out = out.withColumn(output, udf(F.col(IDX_COL), *[F.col(c) for c in win_cols]))
         return out.drop(*win_cols)
+
+    def _apply_stencil_expr(self, df, inputs, output, out_dt) -> DataFrame:
+        """JVM fast path for arithmetic stencils: each stencil tap compiles
+        to a ``lag``/``lead`` window expression and boundary handling to a
+        CASE over the partition's min/max idx — the whole op stays inside
+        whole-stage codegen (no Python, no collect_list).  Semantics are
+        identical to the rows path: out-of-partition taps REPEAT_EDGE to
+        the partition's first/last VALUE, NULL taps pass NULL payloads
+        through untouched (lag/lead already return NULL both out of bounds
+        and for genuine NULL payloads, which is exactly the NULL-boundary
+        contract)."""
+        part = [STREAM_COL] + ([SLICE_COL] if SLICE_COL in df.columns else [])
+        w = Window.partitionBy(*part).orderBy(IDX_COL)
+        wp = Window.partitionBy(*part)
+        wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        min_i, max_i = F.min(IDX_COL).over(wp), F.max(IDX_COL).over(wp)
+        per_input = []
+        for c in inputs:
+            vals = []
+            for s in self.stencil:
+                raw = (
+                    F.col(c)
+                    if s == 0
+                    else (F.lag(c, -s).over(w) if s < 0 else F.lead(c, s).over(w))
+                )
+                tgt = F.col(IDX_COL) + F.lit(s)
+                if self.boundary is BoundaryMode.REPEAT_EDGE:
+                    v = (
+                        F.when(tgt < min_i, F.first(c).over(wfull))
+                        .when(tgt > max_i, F.last(c).over(wfull))
+                        .otherwise(raw)
+                    )
+                elif self.boundary is BoundaryMode.NULL:
+                    v = raw
+                else:  # ERROR
+                    v = F.when(
+                        (tgt < min_i) | (tgt > max_i),
+                        F.raise_error(
+                            F.concat(
+                                F.lit(f"op {self.name}: stencil out of bounds at idx="),
+                                F.col(IDX_COL).cast("string"),
+                            )
+                        ),
+                    ).otherwise(raw)
+                vals.append(v)
+            per_input.append(vals)
+        return df.withColumn(output, self.expr(*per_input).cast(out_dt))
 
     # -- stateful ---------------------------------------------------------------
     def _apply_stateful(self, df, inputs, output, out_dt) -> DataFrame:
@@ -370,9 +488,14 @@ def register_op(
     boundary: BoundaryMode = BoundaryMode.REPEAT_EDGE,
     name: str | None = None,
     on_error: str = "raise",
+    expr: Callable | None = None,
 ):
     """Decorator mirroring ``@scannerpy.register_python_op`` (reference:
-    python/scannerpy/op.py:317-615) with the same attribute surface."""
+    python/scannerpy/op.py:317-615) with the same attribute surface.
+
+    ``expr``: optional Column-level twin of ``fn`` for arithmetic stencil
+    kernels — when given, the stencil compiles to JVM lag/lead expressions
+    instead of a collect_list + pandas UDF."""
 
     def wrap(f):
         return Op(
@@ -384,6 +507,7 @@ def register_op(
             boundary=boundary,
             name=name,
             on_error=on_error,
+            expr=expr,
         )
 
     return wrap(fn) if fn is not None else wrap

@@ -54,6 +54,17 @@ def make_stream(
     return df.withColumn(IDX_COL, F.row_number().over(w) - F.lit(1))
 
 
+# cached range-partition layouts from make_stream_distributed; the newest
+# call evicts the previous one so repeated calls can't leak storage memory
+_PERSISTED_LAYOUTS: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Drop any partition layout still cached by make_stream_distributed."""
+    while _PERSISTED_LAYOUTS:
+        _PERSISTED_LAYOUTS.pop().unpersist(blocking=False)
+
+
 def make_stream_distributed(
     df: DataFrame,
     stream_col: str | None = None,
@@ -90,6 +101,12 @@ def make_stream_distributed(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    # bound cache accumulation in long-lived sessions: at most one layout
+    # stays cached; the previous call's blocks are dropped here (callers can
+    # also force-release via release_cached())
+    while _PERSISTED_LAYOUTS:
+        _PERSISTED_LAYOUTS.pop().unpersist(blocking=False)
+    _PERSISTED_LAYOUTS.append(parted)
     counts = (
         parted.groupBy("__pid", STREAM_COL)
         .agg(F.count(F.lit(1)).alias("__n"))
