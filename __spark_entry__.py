@@ -159,19 +159,24 @@ SELECT doc_id, quality, CAST(quality >= 0.5 AS INTEGER) AS kept FROM s
 """
 
 
-def _knn_lsh_sql(dim: int = 64, bits: int = 6, k: int = 5) -> str:
+def _bucket_sql(vec: str, dim: int, bits: int) -> str:
+    """DuckDB twin of functions/simsearch.lsh_bucket over the same
+    deterministic hyperplanes (sequential list_dot_product — bit-identical
+    to the Spark UDF's per-dim accumulation)."""
     from scanner_spark.functions.simsearch import hyperplanes
 
-    planes = hyperplanes(dim, bits)
+    terms = []
+    for j, p in enumerate(hyperplanes(dim, bits)):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
+
+def _knn_lsh_sql(dim: int = 64, bits: int = 6, k: int = 5) -> str:
     def bucket_expr(vec: str) -> str:
-        terms = []
-        for j, p in enumerate(planes):
-            lit = "[" + ", ".join(repr(x) for x in p) + "]"
-            terms.append(
-                f"(CASE WHEN list_dot_product({vec}, {lit}) > 0 THEN {1 << j} ELSE 0 END)"
-            )
-        return " + ".join(terms)
+        return _bucket_sql(vec, dim, bits)
 
     return f"""
 WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -540,7 +545,12 @@ sh0 AS (
   FROM toks WINDOW w AS (PARTITION BY doc ORDER BY ord)
 ),
 shs AS (SELECT DISTINCT doc, shingle FROM sh0 WHERE shingle IS NOT NULL),
-sh AS (SELECT doc, {h60_sql('shingle')} AS shingle FROM shs),
+shu AS (SELECT doc, {h60_sql('shingle')} AS shingle FROM shs),
+-- skew cap in lockstep with dedup.ngram_jaccard_pairs(max_shingle_df):
+-- shingles shared by more than {Q.JACCARD_MAX_SHINGLE_DF} docs generate no candidates
+-- and don't count toward set sizes
+good AS (SELECT shingle FROM shu GROUP BY shingle HAVING COUNT(*) <= {Q.JACCARD_MAX_SHINGLE_DF}),
+sh AS (SELECT shu.doc, shu.shingle FROM shu JOIN good USING (shingle)),
 sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
 common AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS cmn
@@ -625,19 +635,21 @@ SELECT id, round(list_dot_product(v, qv) /
 FROM e, q ORDER BY score DESC, id LIMIT {Q.KNN_K}
 """,
         "emb_cosine_pairs": f"""
-WITH e AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
+WITH e0 AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+e AS (SELECT id, label, v, {_bucket_sql('v', 64, Q.EMB_LSH_BITS)} AS bucket FROM e0)
 SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
+FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.id < b.id
 WHERE {cos} >= {Q.COSINE_THRESHOLD}
 """,
         "emb_knn_lsh": _knn_lsh_sql(),
         "emb_dup_clusters": f"""
-WITH RECURSIVE e AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+WITH RECURSIVE e0 AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
+e AS (SELECT id, label, v, {_bucket_sql('v', 64, Q.EMB_LSH_BITS)} AS bucket FROM e0),
 pairs AS (
   SELECT a.id AS doc_a, b.id AS doc_b
-  FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
+  FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.id < b.id
   WHERE {cos} >= {Q.COSINE_THRESHOLD}
 ),
 edges AS (

@@ -35,6 +35,11 @@ from scanner_spark.functions.text import tokens
 DEFAULT_SHINGLE_N = 3
 DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4
+# df cap on candidate-generating shingles: a shingle shared by d docs emits
+# O(d^2) candidate pairs, so one stop-shingle ("of the and" ...) can go
+# quadratic on the corpus.  1000 keeps any single shingle's pair fan-out
+# under ~500k — bounded work per key at any corpus size.
+DEFAULT_MAX_SHINGLE_DF = 1000
 
 
 def shingles(col, n: int = DEFAULT_SHINGLE_N):
@@ -110,13 +115,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = DEFAULT_SHINGLE_N,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above ``threshold``.
 
-    candidate generation: self-join on shared shingle (skew-capped by
-    ``max_shingle_df``); verification: |A∩B| / (|A|+|B|-|A∩B|) with set
-    sizes computed once per doc.  Output: (doc_a, doc_b, jaccard).
+    candidate generation: self-join on shared shingle, skew-capped by
+    ``max_shingle_df`` (ON by default — pass None to disable and accept
+    quadratic fan-out on corpus-frequent shingles); verification:
+    |A∩B| / (|A|+|B|-|A∩B|) with set sizes computed once per doc over the
+    CAPPED shingle sets.  Output: (doc_a, doc_b, jaccard).
     """
     sh = _shingled(df, text_col, id_col, n)
     # join/aggregate on the 60-bit shingle hash, not the ~25-byte string:
@@ -244,31 +251,30 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """Per-doc SimHash signature over distinct tokens.
 
     bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(H(token)) else -1)
-    is positive; signature = sum of set bits << j.  One narrow explode +
-    one groupBy per doc — linear.  Output: (doc, simhash)."""
+    is positive; signature = sum of set bits << j.
+
+    WIDE layout, like ``minhash_signatures``: the ``bits`` per-bit weight
+    sums are computed as ``bits`` conditional SUM aggregates in a single
+    groupBy over the (doc, token-hash) table — ONE shuffle of |tokens|
+    rows with map-side partial aggregation, instead of exploding
+    |tokens| x bits rows (a 48x shuffle amplification).  Everything stays
+    JVM-side / whole-stage codegen.  Output: (doc, simhash)."""
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", h60(F.col("tok")))
-    bit = tok.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        F.col("h"),
-    ).withColumn(
-        # SQL shiftright accepts a column shift amount; the Python wrapper doesn't
-        "w",
-        F.when(F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"w{j}")
+        for j in range(bits)
+    ]
+    wide = tok.groupBy("doc").agg(*aggs)
+    sig = sum(
+        (F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
+        start=F.lit(0),
     )
-    return (
-        bit.groupBy("doc", "j")
-        .agg(F.sum("w").alias("wsum"))
-        .groupBy("doc")
-        .agg(
-            F.sum(
-                F.when(F.col("wsum") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
-            ).alias("simhash")
-        )
-    )
+    return wide.select("doc", sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(
@@ -400,16 +406,36 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.98,
+    lsh_bits: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold within a
-    blocking key (a semantic label, an LSH bucket, ...).  Exact all-pairs
-    within block; blocks bound the quadratic term.  Output:
-    (id_a, id_b, cosine)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
-    )
+    blocking key.  Output: (id_a, id_b, cosine).
+
+    Blocking is what bounds the quadratic pair term:
+
+    - ``block_col`` alone (a semantic label, ...) is exact within the
+      block but quadratic in block size — a scale-killer on a hot label.
+    - ``lsh_bits`` adds a random-hyperplane LSH bucket
+      (functions/simsearch.hyperplanes — deterministic, oracle-
+      reproducible) to the join key: candidates must share BOTH the label
+      and the bucket, so the per-key pair fan-out is ~|block| / 2^bits
+      squared.  Near-identical vectors agree on almost every hyperplane
+      sign, so recall loss at dedup thresholds (>=0.9) is the standard,
+      accepted LSH tradeoff.  This is the 100 TB path.
+    """
+    keys = []
+    if block_col:
+        keys.append(F.col(block_col).alias("blk"))
+    if lsh_bits:
+        from scanner_spark.functions.simsearch import hyperplanes, lsh_bucket
+
+        dim = int(df.select(F.size(vec_col).alias("d")).first()["d"])
+        planes = hyperplanes(dim, lsh_bits)
+        keys.append(lsh_bucket(F.col(vec_col), planes).alias("__bucket"))
+    if not keys:
+        keys = [F.lit(0).alias("blk")]
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *keys)
+    key_names = [c for c in base.columns if c not in ("id", "v")]
 
     # Per-pair cosine as one Arrow batch: loop over dims, vectorized over
     # pairs.  The explicit j-loop keeps the SEQUENTIAL summation order of
@@ -430,8 +456,11 @@ def cosine_dup_pairs(
         return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
     a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for kcol in key_names:
+        cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, cond)
         .withColumn("cosine", F.round(pair_cosine(F.col("a.v"), F.col("b.v")), 6))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")

@@ -43,6 +43,11 @@ KNN_K = 5
 COSINE_THRESHOLD = 0.3
 JACCARD_THRESHOLD = 0.5
 MINHASH_THRESHOLD = 0.5
+# LSH blocking for cosine dedup: candidates must share label AND 4-bit
+# hyperplane bucket, bounding the per-key quadratic fan-out (scale path)
+EMB_LSH_BITS = 4
+# candidate-join skew cap for n-gram Jaccard (see dedup.DEFAULT_MAX_SHINGLE_DF)
+JACCARD_MAX_SHINGLE_DF = 1000
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,11 +636,17 @@ def q_customers_without_orders(spark, sf_dir):
 
 def q_stream_events_hourly(spark, sf_dir):
     """Structured Streaming twin of events_hourly: readStream over the
-    events parquet, tumbling 1h event-time windows, complete-mode memory
-    sink drained with one availableNow trigger.  The materialized result
+    events parquet, tumbling 1h event-time windows with a watermark,
+    update-mode foreachBatch upsert into a checkpointed parquet sink, and
+    the result read back FROM THE SINK.  No complete-mode memory sink: the
+    driver never holds the aggregate, and the watermark bounds the state
+    store — the pattern that survives an unbounded stream.  The read-back
     must hash-match the same DuckDB oracle as the batch query — streaming
     and batch semantics agree exactly."""
     import os as _os
+    import tempfile as _tempfile
+
+    from scanner_spark.streaming.windows import read_upserted, to_parquet_upsert
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = _os.path.join(sf_dir, "events.parquet")
@@ -649,31 +660,28 @@ def q_stream_events_hourly(spark, sf_dir):
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
-        sdf.groupBy("event_type", F.window("ts", "1 hour"))
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy("event_type", F.window("ts", "1 hour"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
                 "sum_value"
             ),
         )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "n",
+            "sum_value",
+        )
     )
-    sink = "stream_events_hourly_sink"
-    spark.catalog.dropTempView(sink) if sink in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    base = _tempfile.mkdtemp(prefix="stream_events_hourly_")
+    sink_dir = _os.path.join(base, "sink")
+    ckpt_dir = _os.path.join(base, "ckpt")
+    q = to_parquet_upsert(agg, sink_dir, ckpt_dir)
     q.awaitTermination()
-    return spark.table(sink).select(
-        "event_type",
-        F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
-        "n",
-        "sum_value",
+    return read_upserted(spark, sink_dir, ["event_type", "hour_epoch"]).select(
+        "event_type", "hour_epoch", "n", "sum_value"
     )
 
 
@@ -750,7 +758,9 @@ def q_dedup_materialize(spark, sf_dir):
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+    return dedup.ngram_jaccard_pairs(
+        d, threshold=JACCARD_THRESHOLD, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -847,9 +857,9 @@ def q_emb_dup_clusters(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    pairs = dedup.cosine_dup_pairs(e, threshold=COSINE_THRESHOLD).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    pairs = dedup.cosine_dup_pairs(
+        e, threshold=COSINE_THRESHOLD, lsh_bits=EMB_LSH_BITS
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return dedup.dedup_clusters(pairs)
 
 
@@ -865,7 +875,7 @@ def q_emb_cosine_pairs(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    return dedup.cosine_dup_pairs(e, threshold=COSINE_THRESHOLD)
+    return dedup.cosine_dup_pairs(e, threshold=COSINE_THRESHOLD, lsh_bits=EMB_LSH_BITS)
 
 
 # --- rows-only checks (genuinely non-SQL-expressible paths) -----------------
@@ -1010,6 +1020,29 @@ def q_frame_resize(spark, sf_dir):
     )
 
 
+def q_frame_blur(spark, sf_dir):
+    """Reference Blur kernel (tests/test_ops.cpp:239-310): 3x3 box blur
+    with edge replication over decoded frames; emits a per-frame md5 of
+    the blurred pixels so the rows-only check pins the numerics."""
+    ship(spark)
+    from scanner_spark.kernels.image import make_blur_op
+
+    frames = _doc_frames(spark, sf_dir)
+    blur = make_blur_op(3)
+    out = blur(
+        frames,
+        ["frame", "height", "width", "channels", "dtype"],
+        "blurred",
+        "struct<frame:binary,height:int,width:int,channels:int,dtype:string>",
+    )
+    return out.select(
+        "asset_id",
+        F.col("blurred.height").alias("height"),
+        F.col("blurred.width").alias("width"),
+        F.md5(F.col("blurred.frame")).alias("frame_md5"),
+    )
+
+
 def q_pipeline_clean_corpus(spark, sf_dir):
     """The composed LLM-data pipeline in one plan: quality-filter ->
     exact-dedup (keep lowest doc_id) -> per-doc text features.  One narrow
@@ -1151,6 +1184,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "frame_histogram": q_frame_histogram,
     "frame_resize": q_frame_resize,
+    "frame_blur": q_frame_blur,
     "frame_optical_flow": q_frame_optical_flow,
     "video_decode_pruned": q_video_decode_pruned,
     "frame_encode_png": q_frame_encode_png,

@@ -157,3 +157,45 @@ def to_parquet(df: DataFrame, path: str, checkpoint: str, output_mode: str = "ap
         .trigger(availableNow=True)
         .start()
     )
+
+
+def to_parquet_upsert(df: DataFrame, path: str, checkpoint: str):
+    """Update-mode upsert into parquet via ``foreachBatch`` — the
+    production sink for watermarked aggregations.
+
+    The native file sink only supports append mode, and append emits a
+    window only once the watermark passes its end — the final in-progress
+    windows are NEVER flushed, and complete mode (the memory-sink demo
+    pattern) holds the entire aggregate in the driver.  Update mode emits
+    every window changed by the micro-batch while the watermark keeps the
+    state store bounded; ``foreachBatch`` lands those rows in parquet
+    stamped with the batch id, so readers reconstruct the current value of
+    each key as the row with the highest ``__batch_id`` (see
+    ``read_upserted``).  The checkpoint makes re-delivery idempotent at
+    the batch level."""
+
+    def write_batch(bdf: DataFrame, batch_id: int):
+        bdf.withColumn("__batch_id", F.lit(batch_id)).write.mode("append").parquet(path)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upserted(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
+    """Current state of a ``to_parquet_upsert`` sink: latest batch's row
+    per key (one window shuffle over the sink — scale-fine, the sink holds
+    aggregate rows, not events)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__batch_id").desc())
+    return (
+        spark.read.parquet(path)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__batch_id")
+    )

@@ -149,3 +149,32 @@ def test_minhash_signature_is_single_aggregate(spark, sf_dir):
     plan = plan_of(dedup.minhash_signatures(d))
     # partial+final hash aggregate for the sig, plus the dropDuplicates pair
     assert plan.count("HashAggregate") <= 4
+
+
+def test_jaccard_pairs_skew_capped_by_default(spark, sf_dir):
+    """The candidate self-join must be bounded: ngram_jaccard_pairs caps
+    shingle document frequency BY DEFAULT (a single stop-shingle would
+    otherwise emit O(n^2) candidate pairs), and the suite query keeps the
+    cap.  The cap manifests as a df-filtering aggregate feeding the join."""
+    import inspect
+
+    from scanner_spark.functions import dedup
+
+    assert (
+        inspect.signature(dedup.ngram_jaccard_pairs).parameters["max_shingle_df"].default
+        is not None
+    )
+    spark.catalog.clearCache()
+    plan = plan_of(Q.q_dedup_jaccard_pairs(spark, sf_dir))
+    # the semi-join against the capped shingle list appears as LeftSemi
+    assert "LeftSemi" in plan
+
+
+def test_cosine_pairs_blocked_on_lsh_bucket(spark, sf_dir):
+    """Embedding near-dup candidates must join on (label, LSH bucket), not
+    label alone — the bucket key is what bounds the quadratic fan-out on a
+    hot label at scale."""
+    spark.catalog.clearCache()
+    df = Q.q_emb_cosine_pairs(spark, sf_dir)
+    plan = plan_of(df, mode="extended")
+    assert "__bucket" in plan
