@@ -1,0 +1,156 @@
+"""Index-only mp4 ("inplace") ingest: pure-Python ISO-BMFF box parsing.
+
+The reference ingests real video WITHOUT transcoding by demuxing the
+container and recording a keyframe/sample index next to the original bits
+("inplace" mode — reference: scanner/engine/ingest.cpp:310-365,
+metadata.proto:107; the H.264 sample index it builds:
+scanner/video/h264_byte_stream_index_creator.cpp).  That index is pure
+container metadata: no codec is required to build it, only the
+``moov/trak/mdia/minf/stbl`` sample tables:
+
+  stsd          sample description (avc1/hev1...): width/height, codec
+  stsz          per-sample byte sizes
+  stsc          sample-to-chunk runs
+  stco / co64   chunk byte offsets (32/64-bit)
+  stss          sync-sample numbers (keyframes; absent = all sync)
+
+This module walks those boxes and emits the same (meta, entries) shape as
+``svf.parse_index``, so ``ingest_videos`` feeds either container into the
+one ``video_index`` schema.  DECODE of mp4 payloads stays unavailable in
+this environment (no ffmpeg/PyAV) — ingest is index-only, exactly the
+reference's inplace contract: bits stay in the original file, reads plan
+byte ranges off the index.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from scanner_spark.sources.svf import FrameIndexEntry
+
+_FULLBOX = 4  # version (1) + flags (3)
+
+# containers we descend into looking for sample tables
+_CONTAINERS = {"moov", "trak", "mdia", "minf", "stbl"}
+
+
+def _boxes(buf: bytes, start: int, end: int) -> Iterator[tuple[str, int, int]]:
+    """Yield (type, payload_start, box_end) for each box in [start, end)."""
+    off = start
+    while off + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, off)
+        header = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            header = 16
+        elif size == 0:  # box extends to end of file
+            size = end - off
+        if size < header or off + size > end:
+            raise ValueError(f"malformed mp4 box {btype!r} at offset {off}")
+        yield btype.decode("latin1"), off + header, off + size
+        off += size
+
+
+def _walk(buf: bytes, start: int, end: int, found: dict[str, tuple[int, int]]) -> None:
+    for btype, pstart, bend in _boxes(buf, start, end):
+        if btype in _CONTAINERS:
+            _walk(buf, pstart, bend, found)
+        else:
+            # keep the FIRST of each sample-table box (first video trak wins;
+            # a hdlr check below rejects traks without sample sizes anyway)
+            found.setdefault(btype, (pstart, bend))
+
+
+def _u32s(buf: bytes, off: int, n: int) -> list[int]:
+    return list(struct.unpack_from(f">{n}I", buf, off))
+
+
+def _parse_stsd(buf: bytes, start: int, end: int) -> tuple[int, int, str]:
+    """(width, height, codec) from the first sample entry."""
+    # fullbox header + entry_count
+    entry = start + _FULLBOX + 4
+    size, fmt = struct.unpack_from(">I4s", buf, entry)
+    # VisualSampleEntry: 6 reserved + 2 data_ref_index + 16 pre_defined/reserved
+    # then u16 width, u16 height (ISO 14496-12 §12.1.3)
+    w, h = struct.unpack_from(">HH", buf, entry + 8 + 6 + 2 + 16)
+    return w, h, fmt.decode("latin1")
+
+
+def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
+    """Demux-only pass over an mp4: per-sample (frame_no, is_key, offset,
+    size) plus stream meta — the inplace ingest index.  Payload bytes are
+    never touched."""
+    found: dict[str, tuple[int, int]] = {}
+    _walk(buf, 0, len(buf), found)
+    for required in ("stsz", "stsc", "stsd"):
+        if required not in found:
+            raise ValueError(f"mp4 missing {required} box — not a video track?")
+    if "stco" not in found and "co64" not in found:
+        raise ValueError("mp4 missing chunk offsets (stco/co64)")
+
+    # --- sample sizes -----------------------------------------------------
+    s, _ = found["stsz"]
+    uniform, count = struct.unpack_from(">II", buf, s + _FULLBOX)
+    sizes = [uniform] * count if uniform else _u32s(buf, s + _FULLBOX + 8, count)
+
+    # --- chunk offsets ----------------------------------------------------
+    if "stco" in found:
+        s, _ = found["stco"]
+        (n_chunks,) = struct.unpack_from(">I", buf, s + _FULLBOX)
+        chunk_offs = _u32s(buf, s + _FULLBOX + 4, n_chunks)
+    else:
+        s, _ = found["co64"]
+        (n_chunks,) = struct.unpack_from(">I", buf, s + _FULLBOX)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}Q", buf, s + _FULLBOX + 4))
+
+    # --- sample-to-chunk runs -> samples per chunk ------------------------
+    s, _ = found["stsc"]
+    (n_runs,) = struct.unpack_from(">I", buf, s + _FULLBOX)
+    runs = [
+        struct.unpack_from(">III", buf, s + _FULLBOX + 4 + 12 * i) for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+    per_chunk: list[int] = []
+    for i, (first, spc, _sdi) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < n_runs else len(chunk_offs)
+        per_chunk.extend([spc] * (last - first + 1))
+
+    # --- sync samples (keyframes) -----------------------------------------
+    if "stss" in found:
+        s, _ = found["stss"]
+        (n_sync,) = struct.unpack_from(">I", buf, s + _FULLBOX)
+        sync = set(_u32s(buf, s + _FULLBOX + 4, n_sync))  # 1-based sample numbers
+    else:
+        sync = None  # absent stss = every sample is sync (ISO 14496-12 §8.6.2)
+
+    # --- per-sample absolute offsets --------------------------------------
+    entries: list[FrameIndexEntry] = []
+    sample = 0
+    for chunk_i, spc in enumerate(per_chunk):
+        off = chunk_offs[chunk_i]
+        for _ in range(spc):
+            if sample >= len(sizes):
+                break
+            is_key = (sync is None) or ((sample + 1) in sync)
+            entries.append(FrameIndexEntry(sample, bool(is_key), off, sizes[sample]))
+            off += sizes[sample]
+            sample += 1
+
+    w, h, codec = _parse_stsd(buf, *found["stsd"])
+    keys = [e.frame_no for e in entries if e.is_key]
+    gop = max(
+        (b - a for a, b in zip(keys, keys[1:])),
+        default=len(entries) if entries else 0,
+    )
+    meta = {
+        "height": h,
+        "width": w,
+        "channels": 3,
+        "gop": int(gop),
+        "codec": codec,
+    }
+    return meta, entries
+
+
+def is_mp4(buf: bytes) -> bool:
+    return len(buf) >= 8 and buf[4:8] == b"ftyp"

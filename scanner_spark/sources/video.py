@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from scanner_spark.catalog import Database
-from scanner_spark.sources import svf
+from scanner_spark.sources import mp4, svf
 
 VIDEO_INDEX_TABLE = "video_index"
 
@@ -52,7 +52,12 @@ def ingest_videos(
     spark: SparkSession, db: Database, paths: Sequence[str]
 ) -> DataFrame:
     """Index containers (inplace — bits stay in the original files) and
-    record the keyframe index in the catalog's ``video_index`` table."""
+    record the keyframe index in the catalog's ``video_index`` table.
+
+    Container dispatch by sniffing: ISO-BMFF (``ftyp``) goes through the
+    pure-Python mp4 box parser (index-only, no codec — the reference's
+    inplace mode, ingest.cpp:310-365); anything else is SVF.  Both emit
+    the same ``INDEX_SCHEMA`` rows."""
     files = spark.createDataFrame([(p,) for p in paths], "video_path string")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -61,7 +66,8 @@ def ingest_videos(
             for path in pdf["video_path"]:
                 with open(path, "rb") as f:
                     buf = f.read()
-                meta, entries = svf.parse_index(buf)
+                container = mp4 if mp4.is_mp4(buf) else svf
+                meta, entries = container.parse_index(buf)
                 key_no, key_off = 0, None
                 for e in entries:
                     if e.is_key:

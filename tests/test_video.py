@@ -99,3 +99,146 @@ def test_video_sink_roundtrip(spark, video_db, tmp_path):
     out = svf.decode_range(buf, entries[0].offset, meta, set(range(N_FRAMES)))
     for i in range(N_FRAMES):
         assert (out[i] == truth[paths[0]][i]).all()
+
+
+# ---------------------------------------------------------------------------
+# mp4 "inplace" ingest (index-only; reference ingest.cpp:310-365)
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, payload: bytes, version: int = 0) -> bytes:
+    return _box(btype, struct.pack(">B", version) + b"\x00\x00\x00" + payload)
+
+
+def build_test_mp4(sizes, chunks, keyframes, width=64, height=48):
+    """Minimal-but-valid ISO-BMFF file: ftyp + mdat (deterministic filler
+    bytes) + moov/trak/mdia/minf/stbl with real stsd/stts/stsc/stsz/stco/
+    stss tables.  ``chunks`` = samples per chunk list; ``keyframes`` =
+    0-based sample numbers.  Returns (file bytes, expected per-sample
+    absolute offsets)."""
+    assert sum(chunks) == len(sizes)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mdat_payload = bytes(
+        (i * 37 + j) % 256 for i, sz in enumerate(sizes) for j in range(sz)
+    )
+    mdat_header_off = len(ftyp)
+    mdat_data_off = mdat_header_off + 8
+    # chunk offsets: samples laid out contiguously in mdat, chunk-aligned
+    offs, acc = [], mdat_data_off
+    sample_offsets = []
+    si = 0
+    for spc in chunks:
+        offs.append(acc)
+        for _ in range(spc):
+            sample_offsets.append(acc)
+            acc += sizes[si]
+            si += 1
+    mdat = _box(b"mdat", mdat_payload)
+
+    # VisualSampleEntry 'avc1' with a stub avcC (structure-only: the index
+    # parser never reads codec private data)
+    avcc = _box(b"avcC", bytes([1, 0x64, 0x00, 0x1F, 0xFF, 0xE1, 0, 0]))
+    vse = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">H", 24)  # depth
+        + struct.pack(">h", -1)  # pre_defined
+        + avcc
+    )
+    stsd = _full(b"stsd", struct.pack(">I", 1) + _box(b"avc1", vse))
+    stts = _full(b"stts", struct.pack(">III", 1, len(sizes), 1000))
+    # stsc runs: compress consecutive equal samples-per-chunk
+    runs = []
+    for ci, spc in enumerate(chunks):
+        if not runs or runs[-1][1] != spc:
+            runs.append((ci + 1, spc))
+    stsc = _full(
+        b"stsc",
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full(
+        b"stco",
+        struct.pack(">I", len(offs)) + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    stss = _full(
+        b"stss",
+        struct.pack(">I", len(keyframes))
+        + b"".join(struct.pack(">I", k + 1) for k in keyframes),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    hdlr = _full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov, sample_offsets
+
+
+def test_mp4_index_parses_sample_tables(tmp_path):
+    from scanner_spark.sources import mp4
+
+    sizes = [100 + i for i in range(12)]
+    buf, expected_offsets = build_test_mp4(sizes, chunks=[4, 4, 4], keyframes=[0, 4, 8])
+    assert mp4.is_mp4(buf)
+    meta, entries = mp4.parse_index(buf)
+    assert meta["width"] == 64 and meta["height"] == 48
+    assert meta["codec"] == "avc1" and meta["gop"] == 4
+    assert [e.frame_no for e in entries] == list(range(12))
+    assert [e.size for e in entries] == sizes
+    assert [e.offset for e in entries] == expected_offsets
+    assert [e.frame_no for e in entries if e.is_key] == [0, 4, 8]
+    # offsets point INSIDE mdat and the bytes there are the sample's bytes
+    for e in entries[:3]:
+        assert buf[e.offset : e.offset + 4] == bytes(
+            (e.frame_no * 37 + j) % 256 for j in range(4)
+        )
+
+
+def test_mp4_every_sample_sync():
+    from scanner_spark.sources import mp4
+
+    buf, _ = build_test_mp4([50] * 6, chunks=[3, 3], keyframes=list(range(6)))
+    _, entries = mp4.parse_index(buf)
+    assert all(e.is_key for e in entries)
+
+
+def test_mp4_ingest_into_video_index(spark, tmp_path):
+    """End-to-end inplace ingest: a real mp4 file lands in the same
+    video_index table as SVF, with keyframe offsets resolvable for GOP
+    planning (no codec touched)."""
+    db = Database(spark, str(tmp_path / "db"))
+    sizes = [200 + 3 * i for i in range(16)]
+    buf, expected_offsets = build_test_mp4(
+        sizes, chunks=[8, 8], keyframes=[0, 6, 12], width=128, height=96
+    )
+    p = str(tmp_path / "clip.mp4")
+    with open(p, "wb") as f:
+        f.write(buf)
+    ingest_videos(spark, db, [p])
+    idx = db.table("video_index").filter(f"video_path = '{p}'")
+    rows = {r.frame_no: r for r in idx.collect()}
+    assert len(rows) == 16
+    assert rows[7].keyframe_no == 6
+    assert rows[7].keyframe_offset == expected_offsets[6]
+    assert rows[0].is_key and rows[6].is_key and rows[12].is_key
+    assert not rows[7].is_key
+    assert rows[3].offset == expected_offsets[3] and rows[3].size == sizes[3]
+    assert rows[0].height == 96 and rows[0].width == 128 and rows[0].gop == 6
