@@ -310,52 +310,126 @@ def simhash_pairs(
     )
 
 
+# Edge count below which the CC remainder is finished on the driver.
+# 500k (node, node) longs is ~8 MB collected — bounded regardless of input
+# size, because contraction rounds shrink the live edge set geometrically
+# before this path is taken.  Same design as GraphFrames' ConnectedComponents
+# broadcast-threshold local finish.
+LOCAL_CC_MAX_EDGES = 500_000
+
+
+def _local_components(edges) -> dict:
+    """Driver-side union-find with min-label canonicalization: returns
+    {node: min reachable node id}.  Path-halving find + union-by-min keeps
+    it near-linear; only ever called on an edge list bounded by
+    LOCAL_CC_MAX_EDGES."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            parent[r] = parent.get(parent[r], parent[r])  # path halving
+            r = parent[r]
+        return r
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: smaller id becomes the root, so the root IS
+            # the component's minimum node id when all unions are done
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+        else:
+            parent.setdefault(ru, ru)
+        parent.setdefault(u, find(u))
+        parent.setdefault(v, find(v))
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    local_max_edges: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: each node is
     labeled with the MINIMUM node id reachable from it — the canonical
     cluster id for keep-one-per-cluster dedup.
 
-    Large-star/small-star style label propagation as iterative DataFrame
-    joins: each round every node adopts the min label among itself and its
-    neighbors; convergence when a round changes nothing (checked with one
-    tiny aggregate).  Rounds needed = graph diameter — near-dup clusters
-    are dense and shallow, so a handful.  Each round is one shuffle of the
-    edge list; labels persist round-to-round and the previous round is
-    unpersisted (bounded memory at 100 TB).
+    Two-tier execution, both exact:
+
+    - **Distributed min-label edge contraction** (the MapReduce CC
+      algorithm) while the live edge set is large: each round every node
+      merges into least(self, min neighbor) and the graph is rewritten
+      through those labels — path lengths at least halve per round, so
+      O(log diameter) rounds, each one shuffle of the shrinking edge list
+      (plain label propagation needs diameter rounds and was measured not
+      converging in 20 on threshold-0.3 similarity graphs).
+    - **Driver union-find finish** once the (contracted) edge list fits
+      under ``local_max_edges``: contraction shrinks the graph
+      geometrically, so the remainder is tiny; collecting ~8 MB and
+      finishing locally replaces O(log d) further multi-stage rounds with
+      one job.  Near-dup pair graphs at suite scale take this path
+      immediately — the edge list is already a small fraction of the
+      corpus.
 
     Output: (doc, component).
     """
-    # cache the pair pipeline while symmetrizing: both union branches read
-    # it, and near-dup pair generation (LSH joins / UDF cosine) is the
-    # expensive part — without this it runs twice
-    pairs = pairs.persist()
-    g = (
+    spark = pairs.sparkSession
+    node_type = pairs.schema[a_col].dataType.simpleString()
+    # cache the pair pipeline: near-dup pair generation (LSH joins / UDF
+    # cosine) is the expensive part — the count below materializes it once
+    # and every later read hits the cache
+    edges0 = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .filter(F.col("u") != F.col("v"))
+        .persist()
+    )
+    if edges0.count() <= local_max_edges:
+        # common case for near-dup graphs: the pair list is already a
+        # small fraction of the corpus — one collect, zero extra rounds
+        mapping = _local_components([(r["u"], r["v"]) for r in edges0.collect()])
+        edges0.unpersist()
+        return spark.createDataFrame(
+            list(mapping.items()), f"doc {node_type}, component {node_type}"
+        )
+    g = (
+        edges0.unionByName(edges0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    pairs.unpersist()
+    edges0.unpersist()
     comp = g.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=True)
-    # Min-label edge contraction (the MapReduce CC algorithm): each round
-    # every live node merges into least(self, min neighbor) and the graph
-    # is rewritten through those labels — path lengths at least halve per
-    # round, so termination is O(log diameter) with a natural stop (no
-    # edges left), unlike plain label propagation whose round count equals
-    # the diameter (measured: 20+ non-converging rounds on threshold-0.3
-    # embedding similarity graphs).  localCheckpoint each round keeps the
-    # iterative plan O(1) to analyze.
     for _ in range(max_iter):
-        if g.isEmpty():
+        # one cheap count on the checkpointed edge list serves both the
+        # emptiness test and the local-finish decision
+        n_edges = g.count()
+        if n_edges == 0:
             break
+        if n_edges <= local_max_edges:
+            # finish locally: relabel through the union-find of the
+            # remaining contracted edges.  comp.label is the contraction
+            # so far; the local pass maps each surviving label to its
+            # final minimum.
+            mapping = _local_components(
+                [(r["u"], r["v"]) for r in g.collect()]
+            )
+            mdf = spark.createDataFrame(
+                list(mapping.items()), f"node {node_type}, newlab {node_type}"
+            )
+            comp = comp.join(
+                F.broadcast(mdf), comp.label == mdf.node, "left"
+            ).select(
+                comp.node.alias("node"),
+                F.coalesce(F.col("newlab"), comp.label).alias("label"),
+            )
+            break
+        # distributed contraction round.  lab is checkpointed once so the
+        # groupBy shuffle runs once, not three times (comp join + both
+        # edge-rewrite joins read it).
         lab = (
             g.groupBy("u")
             .agg(F.min("v").alias("m"))
@@ -363,6 +437,7 @@ def connected_components(
                 F.col("u").alias("node"),
                 F.least(F.col("u"), F.col("m")).alias("newlab"),
             )
+            .localCheckpoint(eager=True)
         )
         comp = (
             comp.join(lab, comp.label == lab.node, "left")

@@ -248,3 +248,30 @@ def test_connected_components_long_chain_converges(spark):
     cc = dedup.connected_components(pairs).collect()
     assert {r.component for r in cc} == {0}
     assert len(cc) == n + 1
+
+
+def test_connected_components_paths_agree(spark):
+    # the distributed contraction path (local_max_edges=0) and the driver
+    # union-find finish (default) must produce identical labelings on a
+    # graph with chains, a clique, and disjoint pieces
+    edges = (
+        [(i, i + 1) for i in range(10, 18)]        # chain
+        + [(a, b) for a in range(30, 34) for b in range(a + 1, 34)]  # clique
+        + [(50, 99), (99, 42)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    local = sorted(
+        map(tuple, dedup.connected_components(pairs).collect())
+    )
+    distributed = sorted(
+        map(tuple, dedup.connected_components(pairs, local_max_edges=0).collect())
+    )
+    assert local == distributed
+    # hybrid: contraction rounds shrink the chain below the threshold,
+    # then the driver union-find finishes the remainder
+    hybrid = sorted(
+        map(tuple, dedup.connected_components(pairs, local_max_edges=6).collect())
+    )
+    assert local == hybrid
+    comp = dict(local)
+    assert comp[17] == 10 and comp[33] == 30 and comp[99] == 42 and comp[50] == 42
