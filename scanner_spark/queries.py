@@ -892,7 +892,7 @@ def q_frame_optical_flow(spark, sf_dir):
     """Reference OpticalFlow kernel (tests/test_ops.cpp:63-109): stencil
     [-1,0] over a frame stream — Scanner's flagship temporal-window shape.
     Documents become 5 parallel frame streams (dense idx); flow(0) is zero
-    by REPEAT_EDGE.  Rows-only (surrogate flow numerics)."""
+    by REPEAT_EDGE.  Rows-only (dense Lucas-Kanade numerics)."""
     ship(spark)
     from scanner_spark.frames import FRAME_SCHEMA
     from scanner_spark.kernels.image import optical_flow_op
@@ -1000,7 +1000,8 @@ def q_frame_histogram(spark, sf_dir):
 
 def q_frame_resize(spark, sf_dir):
     """Reference Resize kernel (tests/test_ops.cpp:114-170): 16x16 -> 8x4
-    nearest-neighbor, returning the packed frame struct (rows-only)."""
+    bilinear (cv2 half-pixel-center map), returning the packed frame
+    struct (rows-only)."""
     ship(spark)
     from scanner_spark.kernels.image import make_resize_op
 
@@ -1021,8 +1022,8 @@ def q_frame_resize(spark, sf_dir):
 
 
 def q_frame_blur(spark, sf_dir):
-    """Reference Blur kernel (tests/test_ops.cpp:239-310): 3x3 box blur
-    with edge replication over decoded frames; emits a per-frame md5 of
+    """Reference Blur kernel (tests/test_ops.cpp:239-310): 3x3 separable
+    Gaussian (cv2 tap table) over decoded frames; emits a per-frame md5 of
     the blurred pixels so the rows-only check pins the numerics."""
     ship(spark)
     from scanner_spark.kernels.image import make_blur_op

@@ -39,8 +39,8 @@ def test_histogram(frame_stream):
         assert sum(row.hist[c]) == H * W
 
 
-def test_resize(frame_stream):
-    op = make_resize_op(8, 10)
+def test_resize_nearest(frame_stream):
+    op = make_resize_op(8, 10, interp="nearest")
     out = op(
         frame_stream,
         ["frame", "height", "width", "channels", "dtype"],
@@ -56,8 +56,34 @@ def test_resize(frame_stream):
     assert (img[0, 0] == src[0, 0]).all()
 
 
+def test_resize_bilinear_exact_on_ramp(spark):
+    # bilinear interpolation reproduces an affine ramp exactly at the
+    # half-pixel-center source coordinates (the cv2 INTER_LINEAR map)
+    h, w, nh, nw = 16, 20, 8, 10
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    ramp = (2.0 * y + 3.0 * x + 5.0).astype(np.float32)[:, :, None]
+    df = spark.createDataFrame(
+        [{"stream_id": "0", "idx": 0, **pack(ramp)}],
+        f"stream_id string, idx long, {FRAME_SCHEMA}",
+    )
+    op = make_resize_op(nh, nw)
+    out = op(
+        df,
+        ["frame", "height", "width", "channels", "dtype"],
+        "resized",
+        f"struct<{FRAME_SCHEMA}>",
+    )
+    r = out.collect()[0].resized
+    img = unpack(r.frame, r.height, r.width, r.channels, r.dtype)[:, :, 0]
+    sy = np.clip((np.arange(nh) + 0.5) * (h / nh) - 0.5, 0, h - 1)[:, None]
+    sx = np.clip((np.arange(nw) + 0.5) * (w / nw) - 0.5, 0, w - 1)[None, :]
+    expect = 2.0 * sy + 3.0 * sx + 5.0
+    assert np.allclose(img, expect, atol=1e-4)
+
+
 def test_blur_constant_region(spark):
-    # blur of a constant image is the same constant (edge-replicated pad)
+    # blur of a constant image is the same constant (normalized taps)
     img = np.full((8, 8, 1), 77, dtype=np.uint8)
     df = spark.createDataFrame(
         [{"stream_id": "0", "idx": 0, **pack(img)}],
@@ -73,6 +99,30 @@ def test_blur_constant_region(spark):
     r = out.collect()[0].blurred
     assert unpack(r.frame, r.height, r.width, r.channels, r.dtype).min() == 77
     assert unpack(r.frame, r.height, r.width, r.channels, r.dtype).max() == 77
+
+
+def test_blur_impulse_is_gaussian(spark):
+    # blur of a unit impulse is the separable Gaussian kernel itself
+    # (cv2's fixed 3-tap table [.25, .5, .25])
+    img = np.zeros((9, 9, 1), dtype=np.float32)
+    img[4, 4, 0] = 1.0
+    df = spark.createDataFrame(
+        [{"stream_id": "0", "idx": 0, **pack(img)}],
+        f"stream_id string, idx long, {FRAME_SCHEMA}",
+    )
+    op = make_blur_op(3)
+    out = op(
+        df,
+        ["frame", "height", "width", "channels", "dtype"],
+        "blurred",
+        f"struct<{FRAME_SCHEMA}>",
+    )
+    r = out.collect()[0].blurred
+    got = unpack(r.frame, r.height, r.width, r.channels, r.dtype)[:, :, 0]
+    taps = np.array([0.25, 0.5, 0.25])
+    expect = np.zeros((9, 9))
+    expect[3:6, 3:6] = np.outer(taps, taps)
+    assert np.allclose(got, expect, atol=1e-6)
 
 
 @pytest.fixture(scope="module")
@@ -99,12 +149,45 @@ def test_optical_flow(struct_frame_stream):
     # REPEAT_EDGE at stream head: flow(0) compares frame 0 with itself -> 0
     flow0 = unpack(f0.frame, H, W, 2, "f32")
     assert float(np.abs(flow0).max()) == 0.0
-    # interior: x-flow = mean intensity delta between consecutive frames
+    # every frame produces a finite dense field of the right shape
     f1 = rows[("0", 1)]
     flow1 = unpack(f1.frame, H, W, 2, "f32")
-    a = synthetic_frame(0, 0, H, W, C).astype(np.float32).mean(axis=2)
-    b = synthetic_frame(0, 1, H, W, C).astype(np.float32).mean(axis=2)
-    assert np.allclose(flow1[:, :, 0], b - a)
+    assert np.isfinite(flow1).all()
+
+
+def test_optical_flow_recovers_translation(spark):
+    # dense LK must recover a 1-px horizontal shift of a smooth scene:
+    # interior flow_x ~= +1, flow_y ~= 0 (prev->cur displacement sign)
+    h, w = 64, 80
+    y = np.arange(h)[:, None]
+    x = np.arange(w + 1)[None, :]
+    scene = (
+        100.0
+        + 60.0 * np.sin(2 * np.pi * x / 24.0)
+        + 40.0 * np.cos(2 * np.pi * y / 20.0)
+    ) * np.ones((h, 1))
+    prev = scene[:, 1:].astype(np.float32)[:, :, None]   # window at x+1
+    cur = scene[:, :-1].astype(np.float32)[:, :, None]   # window at x: content moved +1 px
+    df = spark.createDataFrame(
+        [
+            {"stream_id": "0", "idx": 0, **pack(prev)},
+            {"stream_id": "0", "idx": 1, **pack(cur)},
+        ],
+        f"stream_id string, idx long, {FRAME_SCHEMA}",
+    )
+    from pyspark.sql import functions as F
+
+    st = df.select(
+        "stream_id",
+        "idx",
+        F.struct("frame", "height", "width", "channels", "dtype").alias("frame_struct"),
+    )
+    out = optical_flow_op(st, ["frame_struct"], "flow", f"struct<{FRAME_SCHEMA}>")
+    r = {row.idx: row.flow for row in out.collect()}[1]
+    flow = unpack(r.frame, r.height, r.width, r.channels, r.dtype)
+    interior = flow[12:-12, 12:-12]
+    assert abs(float(np.median(interior[:, :, 0])) - 1.0) < 0.1
+    assert abs(float(np.median(interior[:, :, 1]))) < 0.1
 
 
 def test_png_encoder_roundtrip_header(frame_stream):
