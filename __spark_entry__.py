@@ -626,6 +626,85 @@ FROM q GROUP BY label, dim
 """,
         "doc_quality": _doc_quality_sql(),
         "pipeline_clean_corpus": _pipeline_sql(),
+        # --- training-data curation (functions/curation.py) -----------------
+        "doc_decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) AS ord
+  FROM documents
+),
+sh0 AS (
+  SELECT doc, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc ORDER BY ord)
+),
+sh AS (SELECT DISTINCT doc, shingle FROM sh0 WHERE shingle IS NOT NULL),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc % {Q.DECONTAM_EVAL_MOD} = 0),
+tr AS (SELECT doc, shingle FROM sh WHERE doc % {Q.DECONTAM_EVAL_MOD} <> 0),
+ov AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM tr JOIN ev USING (shingle) GROUP BY doc)
+SELECT d.doc_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc = d.doc_id
+WHERE d.doc_id % {Q.DECONTAM_EVAL_MOD} <> 0
+""",
+        "doc_repetition_filter": f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS tok,
+         generate_subscripts({_TOKS}, 1) AS ord
+  FROM documents
+),
+tf AS (SELECT doc, tok, COUNT(*) AS cnt FROM toks GROUP BY doc, tok),
+ts AS (SELECT doc, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(MAX(cnt) AS BIGINT) AS top_cnt
+       FROM tf GROUP BY doc),
+big0 AS (
+  SELECT doc, tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc ORDER BY ord) AS big
+  FROM toks
+),
+bs AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_big,
+              CAST(COUNT(DISTINCT big) AS BIGINT) AS n_big_distinct
+       FROM big0 WHERE big IS NOT NULL GROUP BY doc),
+r AS (
+  SELECT ts.doc AS doc_id, ts.n_tokens,
+         round(1.0 - ts.n_distinct / ts.n_tokens, 6) AS dup_token_ratio,
+         round(ts.top_cnt / ts.n_tokens, 6) AS top_token_ratio,
+         round(COALESCE(1.0 - bs.n_big_distinct / bs.n_big, 0.0), 6) AS dup_bigram_ratio
+  FROM ts LEFT JOIN bs ON bs.doc = ts.doc
+)
+SELECT doc_id, n_tokens, dup_token_ratio, top_token_ratio, dup_bigram_ratio,
+       CASE WHEN dup_token_ratio <= 0.7 AND top_token_ratio <= 0.2
+                 AND dup_bigram_ratio <= 0.4 THEN 1 ELSE 0 END AS kept
+FROM r
+""",
+        "docs_stratified_sample": f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {h60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {Q.STRATA_K}
+""",
+        "doc_chunk_windows": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {float(Q.CHUNK_SIZE)}) AS INT) - 1)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * {Q.CHUNK_SIZE} + 1,
+                           chunk_idx * {Q.CHUNK_SIZE} + {Q.CHUNK_SIZE})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {Q.CHUNK_SIZE} + 1,
+                                  chunk_idx * {Q.CHUNK_SIZE} + {Q.CHUNK_SIZE}), ' ') AS chunk_text
+FROM c
+""",
         "emb_knn_brute": f"""
 WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),

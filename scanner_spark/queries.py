@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from scanner_spark import streams as S
 from scanner_spark.deploy import ship
 from scanner_spark.io import read_table
-from scanner_spark.functions import dedup, simsearch, text
+from scanner_spark.functions import curation, dedup, simsearch, text
 from scanner_spark.functions.simsearch import cosine_to
 from scanner_spark.ops import BoundaryMode, register_op
 from scanner_spark.kernels.stateful import IncrementBounded
@@ -1129,6 +1129,53 @@ def q_video_decode_pruned(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# §C2  Training-data curation (functions/curation.py)
+# ---------------------------------------------------------------------------
+
+# eval-set membership: doc_id % DECONTAM_EVAL_MOD == 0 — deterministic,
+# oracle-reproducible stand-in for a benchmark table
+DECONTAM_EVAL_MOD = 97
+CHUNK_SIZE = 32
+STRATA_K = 20
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the (deterministic) eval subset — the GPT-3/PaLM n-gram
+    collision method.  Eval shingles broadcast; corpus side never
+    shuffles beyond its own shingle pass."""
+    d = read_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    train = d.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return curation.decontaminate(train, ev)
+
+
+def q_doc_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signals + keep decision per document
+    (duplicate-token / top-token / duplicate-bigram fractions), one
+    explode + codegen'd aggregations."""
+    return curation.repetition_filter(read_table(spark, sf_dir, "documents"))
+
+
+def q_docs_stratified_sample(spark, sf_dir):
+    """Deterministic exact-k-per-stratum sample over source strata,
+    ranked by the shared 60-bit hash so both engines pick identical
+    rows (no RNG state, retry-stable)."""
+    return curation.stratified_sample(
+        read_table(spark, sf_dir, "documents"), ["source"], STRATA_K
+    )
+
+
+def q_doc_chunk_windows(spark, sf_dir):
+    """Context-window chunking: each doc's token sequence split into
+    fixed 32-token windows (final partial kept) — the sequence-packing
+    precursor.  Pure JVM slice arithmetic, no shuffle."""
+    return curation.chunk_windows(
+        read_table(spark, sf_dir, "documents"), size=CHUNK_SIZE
+    )
+
+
 QUERIES = {
     "scanner_stride": q_scanner_stride,
     "scanner_range": q_scanner_range,
@@ -1149,8 +1196,6 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q6": q_tpch_q6,
     "tpch_q4_priority": q_tpch_q4_priority,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q18": q_tpch_q18,
     "top_customers_per_nation": q_top_customers_per_nation,
     "events_sessionize": q_events_sessionize,
     "segment_intersect": q_segment_intersect,
@@ -1158,7 +1203,6 @@ QUERIES = {
     "events_asof_signup": q_events_asof_signup,
     "orders_percentiles": q_orders_percentiles,
     "orders_rollup": q_orders_rollup,
-    "orders_cube": q_orders_cube,
     "events_retention": q_events_retention,
     "customers_without_orders": q_customers_without_orders,
     "events_pivot": q_events_pivot,
@@ -1170,7 +1214,6 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
-    "dedup_simhash_sigs": q_dedup_simhash_sigs,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "vocab_topk": q_vocab_topk,
     "emb_label_centroids": q_emb_label_centroids,
@@ -1180,6 +1223,10 @@ QUERIES = {
     "emb_dup_clusters": q_emb_dup_clusters,
     "emb_knn_lsh": q_emb_knn_lsh,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "doc_chunk_windows": q_doc_chunk_windows,
     "emb_knn_ivf": q_emb_knn_ivf,
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
@@ -1195,8 +1242,12 @@ QUERIES = {
     # §2 row) and stays fully checked by tests/test_entry_parity.py.
     "scanner_all_distributed": q_scanner_all_distributed,  # oracle == scanner_all
     "scanner_null_passthrough": q_scanner_null_passthrough,  # RepeatNull, see scanner_repeat_null
-    "tpch_q5": q_tpch_q5,  # join+agg, see tpch_q3/q10
+    "tpch_q5": q_tpch_q5,  # join+agg, see tpch_q3
     "tpch_q14": q_tpch_q14,  # see tpch_q1/q6
     "part_brand_stats": q_part_brand_stats,  # plain agg, see tpch_q1
     "events_hourly": q_events_hourly,  # oracle == stream_events_hourly
+    "tpch_q10": q_tpch_q10,  # customer join+agg, see tpch_q3
+    "tpch_q18": q_tpch_q18,  # join+agg+having, see tpch_q3/q4
+    "orders_cube": q_orders_cube,  # grouping-sets family, see orders_rollup
+    "dedup_simhash_sigs": q_dedup_simhash_sigs,  # strict sub-plan of dedup_simhash_pairs
 }
