@@ -509,26 +509,37 @@ def cosine_dup_pairs(
         keys.append(lsh_bucket(F.col(vec_col), planes).alias("__bucket"))
     if not keys:
         keys = [F.lit(0).alias("blk")]
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *keys)
-    key_names = [c for c in base.columns if c not in ("id", "v")]
-
-    # Per-pair cosine as one Arrow batch: loop over dims, vectorized over
-    # pairs.  The explicit j-loop keeps the SEQUENTIAL summation order of
-    # the scalar definition (and of DuckDB's list_dot_product) — numpy's
-    # .sum() would use pairwise summation and break bit-exact oracle
-    # parity.  ~50x faster than the interpreted zip_with/aggregate HOFs.
+    # Arrow-batched arithmetic with explicit j-loops over dims: the loop
+    # keeps the SEQUENTIAL summation order of the scalar definition (and
+    # of DuckDB's list_dot_product) — numpy's .sum() would use pairwise
+    # summation and break bit-exact oracle parity.  ~50x faster than the
+    # interpreted zip_with/aggregate HOFs.  Squared norms are computed
+    # ONCE per vector before the pair join (identical bits to computing
+    # them per pair), so the quadratic stage does only the dot product.
     @F.pandas_udf("double")
-    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    def sq_norm(vs: pd.Series) -> pd.Series:
+        A = np.stack(vs.to_numpy()).astype("float64")
+        n = np.zeros(len(A))
+        for j in range(A.shape[1]):
+            n += A[:, j] * A[:, j]
+        return pd.Series(n)
+
+    @F.pandas_udf("double")
+    def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
         A = np.stack(va.to_numpy()).astype("float64")
         B = np.stack(vb.to_numpy()).astype("float64")
         dot = np.zeros(len(A))
-        na = np.zeros(len(A))
-        nb = np.zeros(len(A))
         for j in range(A.shape[1]):
             dot += A[:, j] * B[:, j]
-            na += A[:, j] * A[:, j]
-            nb += B[:, j] * B[:, j]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        return pd.Series(dot)
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sq_norm(F.col(vec_col)).alias("n2"),
+        *keys,
+    )
+    key_names = [c for c in base.columns if c not in ("id", "v", "n2")]
 
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
@@ -536,7 +547,14 @@ def cosine_dup_pairs(
         cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
     return (
         a.join(b, cond)
-        .withColumn("cosine", F.round(pair_cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                pair_dot(F.col("a.v"), F.col("b.v"))
+                / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
