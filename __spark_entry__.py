@@ -679,6 +679,37 @@ SELECT doc_id, n_tokens, dup_token_ratio, top_token_ratio, dup_bigram_ratio,
                  AND dup_bigram_ratio <= 0.4 THEN 1 ELSE 0 END AS kept
 FROM r
 """,
+        "events_approx_distinct": f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {h60_sql("CAST(user_id AS VARCHAR)")} AS hv FROM events
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+k AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(hv) AS kth
+  FROM r WHERE rn <= {Q.KMV_K} GROUP BY event_type
+)
+SELECT event_type, n_seen,
+       CAST(CASE WHEN n_seen < {Q.KMV_K} THEN n_seen
+                 ELSE floor({float(Q.KMV_K - 1)} * pow(2.0, 60) / kth)
+            END AS BIGINT) AS distinct_est
+FROM k
+""",
+        "events_value_histogram": f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - {Q.HIST_LO}) /
+                   {(Q.HIST_HI - Q.HIST_LO) / Q.HIST_NBINS}), 0), {Q.HIST_NBINS - 1}) AS INT) AS bin
+  FROM events
+)
+SELECT event_type, bin,
+       round({Q.HIST_LO} + bin * {(Q.HIST_HI - Q.HIST_LO) / Q.HIST_NBINS}, 6) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bin
+""",
         "docs_stratified_sample": f"""
 WITH ranked AS (
   SELECT doc_id, source,

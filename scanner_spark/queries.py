@@ -1176,6 +1176,40 @@ def q_doc_chunk_windows(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# §C3  Deterministic sketches (functions/sketches.py)
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+HIST_NBINS = 20
+HIST_LO, HIST_HI = 0.0, 500.0
+
+
+def q_events_approx_distinct(spark, sf_dir):
+    """KMV distinct-user sketch per event type: k smallest h60 hashes,
+    estimate (k-1)*2^60/h_(k) — the mergeable one-pass alternative to
+    exact COUNT(DISTINCT) at 100 TB, with a bit-exact DuckDB twin
+    (Spark's HLL++ approx_count_distinct is the production builtin but
+    its sketch bytes aren't engine-portable)."""
+    from scanner_spark.functions import sketches
+
+    ev = read_table(spark, sf_dir, "events")
+    return sketches.kmv_distinct(ev, ["event_type"], "user_id", k=KMV_K)
+
+
+def q_events_value_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type (20 bins over [0, 500),
+    edge-clamped): the partial-aggregatable numeric-profile primitive —
+    map-side combine means the shuffle carries (group, bin) counts, not
+    rows."""
+    from scanner_spark.functions import sketches
+
+    ev = read_table(spark, sf_dir, "events")
+    return sketches.value_histogram(
+        ev, ["event_type"], "value", HIST_NBINS, HIST_LO, HIST_HI
+    )
+
+
 QUERIES = {
     "scanner_stride": q_scanner_stride,
     "scanner_range": q_scanner_range,
@@ -1250,4 +1284,7 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,  # join+agg+having, see tpch_q3/q4
     "orders_cube": q_orders_cube,  # grouping-sets family, see orders_rollup
     "dedup_simhash_sigs": q_dedup_simhash_sigs,  # strict sub-plan of dedup_simhash_pairs
+    # --- beyond-window additions: oracle-checked by tests/test_entry_parity.py
+    "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
+    "events_value_histogram": q_events_value_histogram,  # equi-width histogram
 }
