@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -25,9 +26,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalizes ns timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # long nanos -> microsecond timestamp (truncation matches DuckDB's
-        # TIMESTAMP_NS -> TIMESTAMP cast)
+        # TIMESTAMP_NS -> TIMESTAMP cast); a TIMESTAMP(MICROS) file needs no
+        # conversion (driver testdata has shipped both precisions)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

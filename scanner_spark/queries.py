@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import LongType as _TLong
 
 from scanner_spark import streams as S
 from scanner_spark.deploy import ship
@@ -650,15 +651,17 @@ def q_stream_events_hourly(spark, sf_dir):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = _os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema  # ts arrives as long nanos
+    raw_schema = spark.read.parquet(path).schema
     # the file stream source wants a directory: stream the sf_dir with a
     # glob pinned to the events table
     sdf = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if isinstance(raw_schema["ts"].dataType, _TLong):
+        # ns-precision file read as long nanos -> microsecond timestamp
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         sdf.withWatermark("ts", "0 seconds")
         .groupBy("event_type", F.window("ts", "1 hour"))
