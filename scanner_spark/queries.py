@@ -22,11 +22,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import LongType as _TLong
 
 from scanner_spark import streams as S
 from scanner_spark.deploy import ship
-from scanner_spark.io import read_table
+from scanner_spark.io import normalize_events_ts, read_table
 from scanner_spark.functions import curation, dedup, simsearch, text
 from scanner_spark.functions.simsearch import cosine_to
 from scanner_spark.ops import BoundaryMode, register_op
@@ -659,9 +658,9 @@ def q_stream_events_hourly(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(raw_schema["ts"].dataType, _TLong):
-        # ns-precision file read as long nanos -> microsecond timestamp
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # dtype-driven: handles long-nanos AND TIMESTAMP_NTZ files under any
+    # session (withWatermark requires plain TIMESTAMP)
+    sdf = normalize_events_ts(sdf)
     agg = (
         sdf.withWatermark("ts", "0 seconds")
         .groupBy("event_type", F.window("ts", "1 hour"))

@@ -21,6 +21,20 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def stock_spark(spark):
+    """A session with STOCK Spark 4 confs — mimics the driver's own
+    SparkSession, which does not apply get_spark()'s defaults.  Round 2
+    shipped a config-masked bug (events.ts read as TIMESTAMP_NTZ under
+    the driver, masked locally by the pinned inferTimestampNTZ=false);
+    every event-time query must also pass under this session."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    ns.conf.set("spark.sql.session.timeZone", "UTC")
+    yield ns
+
+
+@pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
 

