@@ -8,10 +8,23 @@ con = duckdb.connect()
 con.execute("PRAGMA threads=32")
 for t in "region nation customer supplier part orders lineitem documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
-# sf1 events.ts is BIGINT epoch-nanos; present as microsecond timestamp like
-# the TIMESTAMP_NS->micros normalization both engines apply at sf0.1
+# events.ts has shipped as BIGINT epoch-nanos, TIMESTAMP_NS, and plain
+# TIMESTAMP across testdata generations — inspect the parquet schema and
+# normalize to microsecond TIMESTAMP the same way scanner_spark.io does
+ts_type = str(
+    con.execute(
+        f"SELECT column_type FROM (DESCRIBE SELECT ts FROM "
+        f"read_parquet('{SF}/events.parquet'))"
+    ).fetchone()[0]
+).upper()
+if "BIGINT" in ts_type:
+    ts_expr = "make_timestamp(ts // 1000)"
+elif "TIMESTAMP_NS" in ts_type:
+    ts_expr = "CAST(ts AS TIMESTAMP)"
+else:
+    ts_expr = "ts"
 con.execute(
-    f"CREATE VIEW events AS SELECT event_id, make_timestamp(ts // 1000) AS ts, "
+    f"CREATE VIEW events AS SELECT event_id, {ts_expr} AS ts, "
     f"user_id, event_type, value, props FROM read_parquet('{SF}/events.parquet')"
 )
 times = {}
