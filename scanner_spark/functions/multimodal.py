@@ -6,12 +6,15 @@ feature extraction run as Arrow-batched ``mapInPandas`` so each Python
 worker sees a columnar batch of blobs — the right shape for handing to an
 image/audio library.
 
-The decode *numerics* are STUBBED (this container ships no image/audio
-codecs — no cv2/PIL/av): ``decode_image`` et al. produce a deterministic
-fake derived from the payload bytes, clearly marked, behind the same
-signatures a real libjpeg/ffmpeg path would use.  The Spark-side plumbing —
-schema, batch iteration, partitioning, output contracts — is real and
-tested; swapping in a real codec changes only the marked inner function.
+``decode_image`` has a REAL codec path: PNG payloads are decoded by the
+in-repo dependency-free decoder (``kernels.image.decode_png`` — inverse of
+``encode_png``; the reference ingests real images the same way,
+scanner/engine/ingest.cpp:1004), normalized to 3 channels, and bilinearly
+resized to the requested output size.  Non-PNG payloads (this container
+ships no JPEG/ffmpeg codecs — no cv2/PIL/av) fall back to a deterministic
+md5-seeded fake, clearly marked, behind the same signature a real
+libjpeg/ffmpeg path would use.  The Spark-side plumbing — schema, batch
+iteration, partitioning, output contracts — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -30,34 +33,54 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, duration_ms:int, codec:string>"
 )
 
-_REAL_CODECS = False  # flip when cv2/PIL/av are installed
-
 
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
     """DETERMINISTIC FAKE decode: pixels seeded from md5(payload).
-    Stands in for cv2.imdecode until real codecs exist."""
+    Stands in for libjpeg/ffmpeg for formats with no in-repo codec."""
     seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """(H, W, C) any-channel-count uint8 -> (H, W, 3)."""
+    c = img.shape[2]
+    if c == 3:
+        return img
+    if c == 1:  # grey -> replicate
+        return np.repeat(img, 3, axis=2)
+    if c == 2:  # grey+alpha -> replicate grey, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGBA -> drop alpha
+
+
+def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
+    """One blob -> (out_h, out_w, 3) uint8.  PNG: real decode + bilinear
+    resize; anything else: deterministic fake."""
+    from scanner_spark.kernels.image import PNG_MAGIC, decode_png, resize_bilinear
+
+    if payload and bytes(payload[:8]) == PNG_MAGIC:
+        img = _to_rgb(decode_png(bytes(payload)))
+        if img.shape[:2] != (out_h, out_w):
+            img = resize_bilinear(img, out_h, out_w)
+        return img
+    return _fake_decode(payload, out_h, out_w)
+
+
 def decode_image(df: DataFrame, out_h: int = 32, out_w: int = 32) -> DataFrame:
     """payload binary -> decoded frame columns (mapInPandas, Arrow batches).
 
-    Real-codec path raises until codecs are installed; fake path is
-    deterministic so downstream plumbing is testable.
+    PNG payloads take the real decode path; other formats the marked fake.
     """
 
     out_schema = f"asset_id long, {FRAME_SCHEMA}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
-            for payload in pdf["payload"]:
-                if _REAL_CODECS:
-                    raise NotImplementedError("install cv2/PIL and implement real decode here")
-                arr = _fake_decode(payload, out_h, out_w)
-                frames.append(arr.tobytes())
+            frames = [
+                decode_payload(payload, out_h, out_w).tobytes()
+                for payload in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -70,6 +93,43 @@ def decode_image(df: DataFrame, out_h: int = 32, out_w: int = 32) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def text_to_png(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
+                id_col: str = "doc_id") -> DataFrame:
+    """Render each document's utf-8 bytes into a deterministic (h, w, 3)
+    image and REAL-encode it as PNG — gives the media pipeline genuine
+    compressed image payloads built from driver-provided data (no RNG:
+    bytes tile the pixel grid).  Arrow-batched mapInPandas."""
+    from scanner_spark.kernels.image import encode_png
+
+    out_schema = (
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+    )
+    need = h * w * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                raw = (s or " ").encode("utf-8")
+                reps = -(-need // len(raw))  # ceil-div tile
+                arr = np.frombuffer((raw * reps)[:need], dtype=np.uint8)
+                payloads.append(encode_png(arr.reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"width": w, "height": h, "duration_ms": 0, "codec": "png"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
@@ -121,15 +181,31 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 8) -> DataFrame:
-    """Deterministic media table for tests (payload = seeded bytes)."""
+    """Deterministic media table for tests: image rows carry REAL PNG
+    payloads (in-repo encoder), video/audio rows opaque seeded bytes."""
+    from scanner_spark.kernels.image import encode_png
+
     rows = []
     for i in range(n):
+        kind = ["image", "video", "audio"][i % 3]
+        if kind == "image":
+            raw = hashlib.sha256(str(i).encode()).digest() * (64 * 48 * 3 // 32)
+            payload = encode_png(
+                np.frombuffer(raw, dtype=np.uint8).reshape(48, 64, 3)
+            )
+        else:
+            payload = hashlib.sha256(str(i).encode()).digest() * 8
         rows.append(
             {
                 "asset_id": i,
-                "media_type": ["image", "video", "audio"][i % 3],
-                "payload": hashlib.sha256(str(i).encode()).digest() * 8,
-                "meta": {"width": 64, "height": 48, "duration_ms": 3500 + 500 * i, "codec": "fake"},
+                "media_type": kind,
+                "payload": payload,
+                "meta": {
+                    "width": 64,
+                    "height": 48,
+                    "duration_ms": 3500 + 500 * i,
+                    "codec": "png" if kind == "image" else "fake",
+                },
             }
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -57,6 +57,23 @@ def _bilinear_axis(length_src: int, length_dst: int):
     return lo, hi, (src - lo)
 
 
+def resize_bilinear(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Bilinear resize of an (H, W, C) array with cv2's half-pixel-center
+    source mapping — exact on affine ramps.  Shared by the Resize kernel
+    and the multimodal decode path."""
+    ylo, yhi, wy = _bilinear_axis(img.shape[0], new_h)
+    xlo, xhi, wx = _bilinear_axis(img.shape[1], new_w)
+    f = img.astype(np.float64)
+    wy = wy[:, None, None]
+    # rows first, then columns (separable lerp)
+    rows = f[ylo] * (1.0 - wy) + f[yhi] * wy
+    wx = wx[None, :, None]
+    out = rows[:, xlo] * (1.0 - wx) + rows[:, xhi] * wx
+    if img.dtype == np.uint8:
+        return np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
+    return out.astype(img.dtype)
+
+
 def make_resize_op(new_h: int, new_w: int, interp: str = "bilinear"):
     """Resize kernel factory — per-stream (width, height) args in the
     reference (ResizeArgs, tests/test_ops.proto:8-14; kernel
@@ -77,19 +94,7 @@ def make_resize_op(new_h: int, new_w: int, interp: str = "bilinear"):
             ys = (np.arange(new_h) * height // new_h).clip(0, height - 1)
             xs = (np.arange(new_w) * width // new_w).clip(0, width - 1)
             return pack(np.ascontiguousarray(img[ys][:, xs]))
-        ylo, yhi, wy = _bilinear_axis(height, new_h)
-        xlo, xhi, wx = _bilinear_axis(width, new_w)
-        f = img.astype(np.float64)
-        wy = wy[:, None, None]
-        # rows first, then columns (separable lerp)
-        rows = f[ylo] * (1.0 - wy) + f[yhi] * wy
-        wx = wx[None, :, None]
-        out = rows[:, xlo] * (1.0 - wx) + rows[:, xhi] * wx
-        if img.dtype == np.uint8:
-            out = np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
-        else:
-            out = out.astype(img.dtype)
-        return pack(np.ascontiguousarray(out))
+        return pack(np.ascontiguousarray(resize_bilinear(img, new_h, new_w)))
 
     return resize_op
 
@@ -264,6 +269,87 @@ def encode_png(img: np.ndarray) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Dependency-free PNG decode (stdlib zlib) — the inverse of
+    ``encode_png`` and the real-codec counterpart of the reference's image
+    ingest (scanner/engine/ingest.cpp:1004).
+
+    Supports 8-bit grey / grey+alpha / RGB / RGBA, non-interlaced, and all
+    five scanline filter types (our encoder emits filter 0 only, but
+    foreign encoders differ).  Returns (H, W, C) uint8.
+    """
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif tag == b"IDAT":
+            idat.append(chunk)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:  # 3 = palette
+        raise ValueError(f"unsupported color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, rows = arr[:, 0], arr[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f, cur = int(filters[y]), rows[y]
+        up = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: per-lane prefix sum (mod 256 distributes)
+            rec = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = cur + up
+        else:  # Average (3) / Paeth (4): left-dependent, per-pixel walk
+            rec = np.empty(stride, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                u = up[s] & 0xFF
+                if f == 3:
+                    px = (cur[s] + ((left + u) >> 1)) & 0xFF
+                elif f == 4:
+                    ul = (
+                        (out[y - 1, (x - 1) * bpp : x * bpp].astype(np.int64))
+                        if (y and x)
+                        else np.zeros(bpp, dtype=np.int64)
+                    )
+                    p = left + u - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - u), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, u, ul)
+                    )
+                    px = (cur[s] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad filter byte {f}")
+                rec[s] = px
+                left = px
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, channels)
 
 
 @register_op(name="ImageEncoder")

@@ -938,44 +938,29 @@ def q_doc_rolling_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Binary-payload pipeline: documents text -> binary payload -> fake
-    decode -> per-frame mean intensity.  Exercises the mapInPandas media
-    plumbing on driver-provided data (rows-only check: fake codec)."""
+    """Binary-payload pipeline on REAL compressed images: documents text
+    -> PNG payload (real in-repo encoder) -> real PNG decode + bilinear
+    resize (kernels.image.decode_png) -> frame columns.  Exercises the
+    mapInPandas media plumbing end-to-end with a genuine codec on
+    driver-provided data (rows-only check)."""
     ship(spark)
     from scanner_spark.functions import multimodal
 
-    d = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("image").alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.lit(32).alias("width"),
-            F.lit(32).alias("height"),
-            F.lit(0).alias("duration_ms"),
-            F.lit("fake").alias("codec"),
-        ).alias("meta"),
-    )
-    frames = multimodal.decode_image(d, 16, 16)
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.text_to_png(d, "text", 32, 32)
+    frames = multimodal.decode_image(media, 16, 16)
     return frames.select("asset_id", "height", "width", "channels")
 
 
 def _doc_frames(spark, sf_dir, h=16, w=16):
-    """documents -> deterministic fake-decoded frames (shared by the frame
-    kernel queries)."""
+    """documents -> real PNG payloads -> really-decoded frames (shared by
+    the frame kernel queries; every downstream kernel consumes genuinely
+    decoded pixels)."""
     from scanner_spark.functions import multimodal
 
-    d = read_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("image").alias("media_type"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.lit(w).alias("width"),
-            F.lit(h).alias("height"),
-            F.lit(0).alias("duration_ms"),
-            F.lit("fake").alias("codec"),
-        ).alias("meta"),
-    )
-    return multimodal.decode_image(d, h, w)
+    d = read_table(spark, sf_dir, "documents")
+    media = multimodal.text_to_png(d, "text", h, w)
+    return multimodal.decode_image(media, h, w)
 
 
 def q_frame_histogram(spark, sf_dir):

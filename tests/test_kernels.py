@@ -205,3 +205,78 @@ def test_png_encoder_roundtrip_header(frame_stream):
 def test_png_bytes_deterministic():
     img = synthetic_frame(0, 0, 4, 4, 3)
     assert encode_png(img) == encode_png(img)
+
+
+# ---- PNG decode (real codec) ----------------------------------------------------
+
+
+def _filtered_png(img, filter_type):
+    """Foreign-encoder PNG using one non-trivial scanline filter per row."""
+    import struct as _s
+    import zlib as _z
+
+    from scanner_spark.kernels.image import _png_chunk
+
+    h, w, c = img.shape
+    lines, prev = [], np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(c, np.int64), row[:-c]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = (row - left) & 0xFF
+        elif filter_type == 2:
+            filt = (row - prev) & 0xFF
+        elif filter_type == 3:
+            filt = (row - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            filt = np.empty(w * c, np.int64)
+            prow = (
+                img[y - 1].reshape(-1).astype(np.int64)
+                if y
+                else np.zeros(w * c, np.int64)
+            )
+            for x in range(w * c):
+                a = row[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prow[x - c] if (y and x >= c) else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                filt[x] = (row[x] - pred) & 0xFF
+        lines.append(bytes([filter_type]) + bytes(filt.astype(np.uint8)))
+        prev = row
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(5, 7, 3), (4, 4, 1), (9, 3, 4), (1, 1, 3)])
+def test_png_decode_roundtrip_bit_exact(shape):
+    from scanner_spark.kernels.image import decode_png
+
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    enc_input = img if shape[2] > 1 else img[:, :, 0]
+    assert np.array_equal(decode_png(encode_png(enc_input)), img)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_decode_foreign_filters(filter_type):
+    from scanner_spark.kernels.image import decode_png
+
+    rng = np.random.default_rng(filter_type)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(_filtered_png(img, filter_type)), img)
+
+
+def test_png_decode_rejects_garbage():
+    from scanner_spark.kernels.image import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
