@@ -601,11 +601,12 @@ bitsum AS (
 sig AS (
   SELECT doc, CAST(SUM(CASE WHEN wsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
   FROM bitsum GROUP BY doc
-),
-blocked AS (SELECT doc, simhash, simhash >> {48 - Q.SIMHASH_PREFIX_BITS} AS blk FROM sig)
+)
+-- brute-force all-pairs: the Spark side's block-rotation scheme claims
+-- FULL recall at the radius, so the oracle is the plain definition
 SELECT a.doc AS doc_a, b.doc AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc < b.doc
+FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {Q.SIMHASH_MAX_HAMMING}
 """,
         "vocab_topk": f"""

@@ -277,36 +277,100 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return wide.select("doc", sig.cast("long").alias("simhash"))
 
 
+def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Partition ``bits`` into ``n_blocks`` contiguous (start, size) blocks
+    (sizes differ by at most 1, LSB-first)."""
+    base, extra = divmod(bits, n_blocks)
+    out, start = [], 0
+    for i in range(n_blocks):
+        size = base + (1 if i < extra else 0)
+        out.append((start, size))
+        start += size
+    return out
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 48,
     max_hamming: int = 3,
-    prefix_bits: int = 12,
+    n_blocks: int | None = None,
+    prefix_bits: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming`` with
+    FULL recall inside the radius.
 
-    Candidate blocking on the signature's top ``prefix_bits`` (docs whose
-    prefix matches join) keeps the self-join linear-ish; exact pairs within
-    Hamming radius that differ in the prefix are a recall tradeoff, the
-    standard SimHash rotation scheme being the fix (future work).
-    Output: (doc_a, doc_b, hamming)."""
+    The table-rotation scheme (Manku et al., Detecting Near-Duplicates for
+    Web Crawling, WWW'07): split the signature into ``n_blocks`` contiguous
+    blocks; by pigeonhole, two signatures within Hamming distance
+    ``n_blocks - 1`` agree on at least one whole block, so blocking the
+    self-join on (block_index, block_value) — each rotation's prefix,
+    without materializing rotated tables — finds every qualifying pair.
+    ``n_blocks`` defaults to ``max_hamming + 1``, the smallest count with
+    the guarantee.  Each doc is exploded into ``n_blocks`` keyed rows (a
+    constant-factor, not quadratic, blow-up); candidate pairs are deduped
+    before the Hamming filter.  Output: (doc_a, doc_b, hamming).
+
+    ``prefix_bits`` is accepted for back-compat and ignored (the old
+    prefix-only blocking missed pairs differing inside the prefix).
+    """
     # persist: both sides of the self-join read the signature table, and
     # without materialization the whole explode-48-bits pipeline runs twice
     sig = simhash(df, text_col, id_col, bits).persist()
-    blocked = sig.withColumn("blk", F.shiftright(F.col("simhash"), bits - prefix_bits))
+    return simhash_pairs_from_sigs(sig, bits=bits, max_hamming=max_hamming,
+                                   n_blocks=n_blocks)
+
+
+def simhash_pairs_from_sigs(
+    sig: DataFrame,
+    bits: int = 48,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Block-rotation candidate join over a precomputed (doc, simhash)
+    table — the guarantee-carrying half of ``simhash_pairs``, exposed so
+    crafted signatures can pin the recall property directly."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(f"n_blocks={n_blocks} exceeds signature bits={bits}")
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("t"),
+                (
+                    F.shiftright(F.col("simhash"), start).bitwiseAND(
+                        F.lit((1 << size) - 1)
+                    )
+                ).alias("blk"),
+            )
+            for i, (start, size) in enumerate(simhash_blocks(bits, n_blocks))
+        ]
+    )
+    blocked = sig.select("doc", "simhash", F.explode(keys).alias("k"))
     a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k.t") == F.col("b.k.t"))
+            & (F.col("a.k.blk") == F.col("b.k.blk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()  # a pair can match in several blocks
+    )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc") < F.col("b.doc")))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), "hamming"
-        )
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

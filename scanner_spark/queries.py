@@ -786,15 +786,14 @@ def q_dedup_minhash_clusters(spark, sf_dir):
 
 
 SIMHASH_MAX_HAMMING = 8
-SIMHASH_PREFIX_BITS = 8
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: prefix-blocked self-join, Hamming filter."""
+    """SimHash near-dup pairs via the block-rotation scheme (Manku WWW'07):
+    9 signature blocks guarantee FULL recall at Hamming radius 8, verified
+    against a brute-force all-pairs oracle."""
     d = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(
-        d, max_hamming=SIMHASH_MAX_HAMMING, prefix_bits=SIMHASH_PREFIX_BITS
-    )
+    return dedup.simhash_pairs(d, max_hamming=SIMHASH_MAX_HAMMING)
 
 
 VOCAB_TOPK = 100

@@ -68,6 +68,42 @@ def test_rolling_fingerprint(docs, spark):
     assert out[0] == h
 
 
+def test_mulmod61_matches_python_ints():
+    import numpy as np
+
+    MOD = (1 << 61) - 1
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, MOD, size=1000, dtype=np.uint64)
+    b = rng.integers(0, MOD, size=1000, dtype=np.uint64)
+    # edge values: 0, 1, MOD-1 in both operands
+    edges = np.array([0, 1, MOD - 1, MOD - 1, 2**32, 2**32 - 1], dtype=np.uint64)
+    a = np.concatenate([a, edges])
+    b = np.concatenate([b, edges[::-1]])
+    got = text._mulmod61(a, b)
+    expect = [(int(x) * int(y)) % MOD for x, y in zip(a, b)]
+    assert got.tolist() == expect
+
+
+def test_rolling_fingerprint_unicode_and_empty(docs, spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "héllo wörld ✓"), (3, "a" * 5000)],
+        "doc_id long, text string",
+    )
+    roll = text.rolling_fingerprint_udf()
+    out = {r.doc_id: r.h for r in df.select("doc_id", roll(F.col("text")).alias("h")).collect()}
+    MOD, BASE = (1 << 61) - 1, 257
+
+    def ref(t):
+        h = 0
+        for ch in t:
+            h = (h * BASE + ord(ch)) % MOD
+        return h
+
+    assert out[0] == 0 and out[1] == 0
+    assert out[2] == ref("héllo wörld ✓")
+    assert out[3] == ref("a" * 5000)
+
+
 # ---- dedup -------------------------------------------------------------------
 
 def test_exact_duplicates(docs):
@@ -106,6 +142,50 @@ def test_simhash_near_dup(docs):
     assert ham02 < ham04  # near-dup closer than unrelated
     pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs.filter("doc_id < 5"), max_hamming=ham02).collect()}
     assert (0, 1) in pairs
+
+
+def test_simhash_rotation_finds_prefix_differing_pair(spark):
+    """The round-2 recall gap: two signatures differing ONLY in the top
+    (old prefix-block) bits must still pair.  The block-rotation scheme
+    guarantees it for hamming <= n_blocks - 1."""
+    top3 = 0b111 << 45  # hamming 3, entirely inside the old 12-bit prefix
+    sig = spark.createDataFrame(
+        [(0, 0), (1, top3), (2, (1 << 48) - 1)], "doc long, simhash long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs_from_sigs(sig, max_hamming=3).collect()
+    }
+    assert got == {(0, 1): 3}
+
+
+def test_simhash_rotation_full_recall_vs_brute_force(docs, spark):
+    """Candidate blocking loses NOTHING inside the radius: block-rotation
+    pairs == brute-force all-pairs at the same threshold, on real docs."""
+    sig = dedup.simhash(docs)
+    rows = sig.collect()
+    brute = {
+        (a.doc, b.doc): bin(a.simhash ^ b.simhash).count("1")
+        for a in rows
+        for b in rows
+        if a.doc < b.doc and bin(a.simhash ^ b.simhash).count("1") <= 8
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs_from_sigs(sig, max_hamming=8).collect()
+    }
+    assert got == brute
+
+
+def test_simhash_blocks_partition():
+    blocks = dedup.simhash_blocks(48, 9)
+    assert len(blocks) == 9
+    assert sum(size for _, size in blocks) == 48
+    # contiguous, no overlap
+    pos = 0
+    for start, size in blocks:
+        assert start == pos
+        pos += size
 
 
 def test_cosine_dup_pairs(spark):
