@@ -1090,17 +1090,20 @@ def q_frame_encode_png(spark, sf_dir):
 
 def q_video_decode_pruned(spark, sf_dir):
     """The engine's one novel physical operator end-to-end: ingest two
-    deterministic SVF videos (keyframe index, no transcode), then decode a
-    sparse frame set — the GOP-pruning join ensures only the two GOPs
-    containing wanted frames are decoded.  Driver testdata has no video
-    table, so the videos are synthesized deterministically per call
-    (rows-only check; pixel exactness is pinned by tests/test_video.py)."""
+    deterministic SVF videos (keyframe index, no transcode) PLUS a legal
+    raw-sample mp4 (standard ISO-BMFF container), then decode a sparse
+    frame set — the GOP-pruning join ensures only the GOPs containing
+    wanted frames are decoded, and mp4 frames decode straight off the
+    sample index.  Driver testdata has no video table, so the videos are
+    synthesized deterministically per call (rows-only check; pixel
+    exactness is pinned by tests/test_video.py)."""
     import hashlib
     import tempfile
 
     from scanner_spark.catalog import Database
     from scanner_spark.frames import synthetic_frame
     from scanner_spark.sources import ingest_videos, load_frames
+    from scanner_spark.sources import mp4 as mp4mod
     from scanner_spark.sources import svf as svfmod
 
     ship(spark)
@@ -1113,8 +1116,16 @@ def q_video_decode_pruned(spark, sf_dir):
         with open(p, "wb") as f:
             f.write(svfmod.encode_svf(frames, gop=8))
         paths.append(p)
+    mp4_path = f"{tmp}/vid2.mp4"
+    with open(mp4_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_raw(
+                [synthetic_frame(2, i, 12, 16, 3) for i in range(40)]
+            )
+        )
+    paths.append(mp4_path)
     ingest_videos(spark, db, paths)
-    wanted = {paths[0]: VIDEO_WANTED, paths[1]: [25]}
+    wanted = {paths[0]: VIDEO_WANTED, paths[1]: [25], mp4_path: [7, 31]}
     out = load_frames(spark, db, wanted)
 
     @F.pandas_udf("string")

@@ -154,3 +154,141 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
 
 def is_mp4(buf: bytes) -> bool:
     return len(buf) >= 8 and buf[4:8] == b"ftyp"
+
+
+# ---------------------------------------------------------------------------
+# raw-video mp4: write + decode
+#
+# 'raw ' is the QuickTime/ISO fourcc for uncompressed RGB samples.  With a
+# real codec unavailable in this environment, a raw-sample track is the one
+# standard-container format the engine can both WRITE (FrameColumn sink,
+# column_sink.cpp:278 analog) and DECODE (column_source.cpp:560 analog)
+# with full pixel fidelity — closing the mp4 round trip with legal
+# ISO-BMFF instead of the private SVF container.  Every sample is a sync
+# sample (no stss box), so GOP pruning degenerates to per-frame tasks.
+# ---------------------------------------------------------------------------
+
+
+def _wbox(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _wfull(btype: bytes, payload: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _wbox(btype, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
+
+
+_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)  # identity transform, 16.16 / 2.30 fixed point
+
+
+def encode_mp4_raw(frames, fps: int = 30) -> bytes:
+    """Encode u8 (H, W, 3) frames as a legal ISO-BMFF mp4 with an
+    uncompressed 'raw ' RGB24 video track: ftyp + mdat (raw samples,
+    single chunk) + moov with real mvhd/tkhd/mdhd/hdlr/vmhd/dinf and
+    stsd/stts/stsc/stsz/stco sample tables.  Readable by ``parse_index``
+    and decodable by ``decode_range`` (and by ffprobe-class tooling)."""
+    h, w, c = frames[0].shape
+    if c != 3:
+        raise ValueError("raw mp4 track is RGB24: expected 3 channels")
+    n = len(frames)
+    sample_size = h * w * 3
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype.name != "uint8":
+            raise ValueError("all frames must be uint8 with identical shape")
+
+    ftyp = _wbox(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mdat_data_off = len(ftyp) + 8
+    mdat = _wbox(b"mdat", b"".join(f.tobytes() for f in frames))
+
+    timescale, delta = fps * 1000, 1000
+    duration = n * delta
+
+    # VisualSampleEntry 'raw ' (ISO 14496-12 §12.1.3): no codec-private box
+    vse = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">H", 24)  # depth: RGB24
+        + struct.pack(">h", -1)  # pre_defined
+    )
+    stsd = _wfull(b"stsd", struct.pack(">I", 1) + _wbox(b"raw ", vse))
+    stts = _wfull(b"stts", struct.pack(">I", 1) + struct.pack(">II", n, delta))
+    stsc = _wfull(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, n, 1))
+    stsz = _wfull(b"stsz", struct.pack(">II", sample_size, n))  # uniform sizes
+    stco = _wfull(b"stco", struct.pack(">II", 1, mdat_data_off))
+    # no stss box: every sample is sync (ISO 14496-12 §8.6.2)
+    stbl = _wbox(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    url = _wfull(b"url ", b"", flags=1)  # self-contained
+    dref = _wfull(b"dref", struct.pack(">I", 1) + url)
+    dinf = _wbox(b"dinf", dref)
+    vmhd = _wfull(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    minf = _wbox(b"minf", vmhd + dinf + stbl)
+    hdlr = _wfull(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    mdhd = _wfull(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    mdia = _wbox(b"mdia", mdhd + hdlr + minf)
+    tkhd = _wfull(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + _MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+        flags=7,  # enabled | in_movie | in_preview
+    )
+    trak = _wbox(b"trak", tkhd + mdia)
+    mvhd = _wfull(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + _MATRIX
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    moov = _wbox(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def decode_range(buf: bytes, start_offset: int, meta: dict, wanted: set) -> dict:
+    """Decode wanted frames from a raw-sample mp4 (same contract as
+    ``svf.decode_range``).  Raw samples are independent, so the "range" is
+    a direct read at each wanted sample's indexed byte range; compressed
+    codecs (avc1/hev1) raise — their ingest stays index-only in this
+    environment."""
+    import numpy as np
+
+    m, entries = parse_index(buf)
+    codec = m["codec"].strip()
+    if codec != "raw":
+        raise NotImplementedError(
+            f"no decoder for codec {m['codec']!r} in this environment; "
+            "mp4 ingest is index-only for compressed tracks"
+        )
+    h, w, c = m["height"], m["width"], 3
+    out, remaining = {}, set(wanted)
+    for e in entries:
+        if e.frame_no in remaining:
+            if e.size != h * w * c:
+                raise ValueError(
+                    f"raw sample {e.frame_no} has {e.size} bytes, expected {h * w * c}"
+                )
+            out[e.frame_no] = (
+                np.frombuffer(buf, dtype=np.uint8, count=e.size, offset=e.offset)
+                .reshape(h, w, c)
+                .copy()
+            )
+            remaining.discard(e.frame_no)
+    if remaining:
+        raise ValueError(f"frames not found in container: {sorted(remaining)[:5]}")
+    return out

@@ -142,7 +142,11 @@ def load_frames(
                         handles[path] = f.read()
                 buf = handles[path]
                 meta = {"height": r["height"], "width": r["width"], "channels": r["channels"]}
-                decoded = svf.decode_range(
+                # container dispatch by sniffing, like ingest: raw-sample
+                # mp4 decodes directly at indexed offsets, SVF forward
+                # from the GOP keyframe
+                container = mp4 if mp4.is_mp4(buf) else svf
+                decoded = container.decode_range(
                     buf, int(r["keyframe_offset"]), meta, set(int(x) for x in r["want_frames"])
                 )
                 for fno, arr in sorted(decoded.items()):
@@ -167,10 +171,20 @@ def write_video(
     gop: int = 8,
     stream_col: str = "video_path",
     frame_no_col: str = "frame_no",
+    container: str = "svf",
+    fps: int = 30,
 ) -> DataFrame:
-    """FrameColumn sink: re-encode frame rows into SVF segments, one file
-    per stream (compress_video analog; column_sink.cpp).  Returns a
-    manifest DataFrame (stream, path, n_frames)."""
+    """FrameColumn sink: re-encode frame rows into video files, one per
+    stream (compress_video analog; column_sink.cpp:278).  Returns a
+    manifest DataFrame (stream, path, n_frames).
+
+    ``container='svf'`` writes GOP-delta SVF segments; ``container='mp4'``
+    writes a legal ISO-BMFF file with an uncompressed 'raw ' RGB24 track
+    (every sample sync; ``gop`` is ignored) — the standard-container round
+    trip: the file re-ingests through the mp4 box parser and decodes
+    pixel-exactly via ``mp4.decode_range``."""
+    if container not in ("svf", "mp4"):
+        raise ValueError(f"unknown container {container!r}")
     os.makedirs(out_dir, exist_ok=True)
     out_schema = "stream string, path string, n_frames long"
 
@@ -182,9 +196,14 @@ def write_video(
         ]
         stream = str(key[0])
         safe = stream.replace(os.sep, "_").replace(":", "_")
-        path = os.path.join(out_dir, f"{safe}.svf")
+        path = os.path.join(out_dir, f"{safe}.{container}")
+        data = (
+            mp4.encode_mp4_raw(frames, fps=fps)
+            if container == "mp4"
+            else svf.encode_svf(frames, gop=gop)
+        )
         with open(path, "wb") as f:
-            f.write(svf.encode_svf(frames, gop=gop))
+            f.write(data)
         return pd.DataFrame({"stream": [stream], "path": [path], "n_frames": [len(frames)]})
 
     return df.groupBy(stream_col).applyInPandas(encode, schema=out_schema)
