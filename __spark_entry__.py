@@ -711,6 +711,11 @@ SELECT event_type, bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM b GROUP BY event_type, bin
 """,
+        "scanner_sparse_load": f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id IN ({", ".join(str(r) for r in Q.SPARSE_LOAD_ROWS)})
+   OR (doc_id >= {Q.SPARSE_LOAD_RANGE[0]} AND doc_id < {Q.SPARSE_LOAD_RANGE[1]})
+""",
         "docs_stratified_sample": f"""
 WITH ranked AS (
   SELECT doc_id, source,

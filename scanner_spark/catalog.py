@@ -28,6 +28,91 @@ from scanner_spark import streams as S
 
 _CATALOG = "_catalog.json"
 
+# Gap width below which requested rows are read as one sequential interval
+# instead of point lookups — the reference's load_sparsity_threshold
+# (rpc.proto:252 default 8, applied in python/scannerpy/column.py:114-118).
+LOAD_SPARSITY_THRESHOLD = 8
+
+
+def _coalesce_rows(
+    wanted: list[int], threshold: int
+) -> tuple[list[tuple[int, int]], list[int], bool]:
+    """Split a sorted row-index list into (intervals, singles, exact):
+    runs whose inter-row gap is < ``threshold`` merge into [lo, hi]
+    intervals; isolated rows stay singles.  ``exact`` is False when any
+    merged interval covers indices that were not requested (gap > 1), so
+    the caller knows to re-trim."""
+    intervals: list[tuple[int, int]] = []
+    singles: list[int] = []
+    exact = True
+    i = 0
+    while i < len(wanted):
+        j = i
+        while j + 1 < len(wanted) and wanted[j + 1] - wanted[j] < threshold:
+            j += 1
+        if j == i:
+            singles.append(wanted[i])
+        else:
+            intervals.append((wanted[i], wanted[j]))
+            if wanted[j] - wanted[i] != j - i:
+                exact = False
+        i = j + 1
+    return intervals, singles, exact
+
+
+def sparse_load(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rows: list[int] | None = None,
+    ranges: list[tuple[int, int]] | None = None,
+    idx_col: str = "idx",
+) -> DataFrame:
+    """Sparse row-subset read — the reference's ``Column.load(rows=…)``
+    with its ``load_sparsity_threshold`` heuristic
+    (python/scannerpy/column.py:114-118, rpc.proto:252), re-expressed as
+    parquet predicate pushdown:
+
+    - ``columns``: projection, pruned at the scan (ReadSchema);
+    - ``ranges``: half-open ``(start, end)`` index ranges, pushed as
+      BETWEEN predicates so row-group min/max stats skip everything else
+      — the dense-read path;
+    - ``rows``: explicit row indices.  Runs the reference's sparsity
+      heuristic: requested rows are coalesced into intervals wherever the
+      gap is under ``LOAD_SPARSITY_THRESHOLD`` (dense stretches read
+      sequentially as BETWEEN), the isolated remainder becomes an IN list
+      (point lookups) — the same choice the C++ engine made between
+      sequential and striped reads.
+
+    All predicates reach the parquet scan (PushedFilters), so at 100 TB
+    the I/O is proportional to the requested row set, not the table."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    if (rows is not None or ranges is not None) and idx_col not in df.columns:
+        raise ValueError(f"DataFrame has no index column {idx_col!r}")
+    preds = []
+    if ranges is not None:
+        for start, end in ranges:
+            preds.append(F.col(idx_col).between(int(start), int(end) - 1))
+    if rows is not None:
+        wanted = sorted(set(int(r) for r in rows))
+        intervals, singles, exact = _coalesce_rows(wanted, LOAD_SPARSITY_THRESHOLD)
+        cover = [F.col(idx_col).between(a, b) for a, b in intervals]
+        if singles:
+            cover.append(F.col(idx_col).isin(singles))
+        pred = functools.reduce(operator.or_, cover)
+        if not exact:
+            # coalescing widened dense stretches over sub-threshold gaps
+            # (sequential read beats striping); trim back to the exact
+            # request — evaluated only on interval survivors
+            pred = pred & F.col(idx_col).isin(wanted)
+        preds.append(pred)
+    if preds:
+        df = df.filter(functools.reduce(operator.or_, preds))
+    return df.select(*columns) if columns else df
+
 
 @dataclass
 class TableInfo:
@@ -148,6 +233,19 @@ class Database:
         if path.startswith("spark_catalog:"):
             return self.spark.table(path.split(":", 1)[1])
         return self.spark.read.parquet(path)
+
+    def load(
+        self,
+        name: str,
+        columns: list[str] | None = None,
+        rows: list[int] | None = None,
+        ranges: list[tuple[int, int]] | None = None,
+        idx_col: str = "idx",
+    ) -> DataFrame:
+        """Sparse row-subset read of a catalog table — see ``sparse_load``."""
+        return sparse_load(
+            self.table(name), columns=columns, rows=rows, ranges=ranges, idx_col=idx_col
+        )
 
     def stream(self, name: str, stream_col: str | None = None, order_col: str | None = None) -> DataFrame:
         """Open a table as a stream (materializes dense ``idx`` if absent)."""

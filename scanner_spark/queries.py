@@ -1139,6 +1139,28 @@ def q_video_decode_pruned(spark, sf_dir):
     )
 
 
+SPARSE_LOAD_ROWS = [3, 4, 5, 6, 9, 120, 121, 122, 240, 481]
+SPARSE_LOAD_RANGE = (300, 320)  # half-open
+
+
+def q_scanner_sparse_load(spark, sf_dir):
+    """The reference's sparse ``Column.load(rows=…)`` surface
+    (python/scannerpy/column.py:114-118): explicit row indices + a dense
+    range over the documents table, served by coalesced BETWEEN / IN
+    predicates pushed to the parquet scan (load_sparsity_threshold
+    heuristic -> row-group pruning)."""
+    from scanner_spark.catalog import sparse_load
+
+    d = read_table(spark, sf_dir, "documents")
+    return sparse_load(
+        d,
+        columns=["doc_id", "source", "n_chars"],
+        rows=SPARSE_LOAD_ROWS,
+        ranges=[SPARSE_LOAD_RANGE],
+        idx_col="doc_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §C2  Training-data curation (functions/curation.py)
 # ---------------------------------------------------------------------------
@@ -1297,4 +1319,5 @@ QUERIES = {
     # --- beyond-window additions: oracle-checked by tests/test_entry_parity.py
     "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
     "events_value_histogram": q_events_value_histogram,  # equi-width histogram
+    "scanner_sparse_load": q_scanner_sparse_load,  # Column.load(rows=...) analog
 }

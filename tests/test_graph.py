@@ -18,6 +18,46 @@ def db(spark, tmp_path):
     return d
 
 
+def test_sparse_load_rows_and_ranges(spark, tmp_path):
+    from scanner_spark.catalog import Database, sparse_load
+
+    d = Database(spark, str(tmp_path / "db"))
+    rows = [{"idx": i, "value": float(i), "other": "x" * 5} for i in range(500)]
+    d.new_table("t", rows, schema="idx long, value double, other string")
+    # dense run (gaps < threshold), isolated points, plus a half-open range
+    got = d.load(
+        "t",
+        columns=["idx", "value"],
+        rows=[3, 4, 5, 9, 200, 401],
+        ranges=[(100, 110)],
+    )
+    assert got.columns == ["idx", "value"]  # projection pruned
+    idxs = sorted(r.idx for r in got.collect())
+    assert idxs == [3, 4, 5, 9, 100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 200, 401]
+    # predicates reach the parquet scan (row-group prunable at scale)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "Or(" in plan
+    # gap-coalescing must never return unrequested rows
+    exact = sparse_load(d.table("t"), rows=[0, 7, 14], idx_col="idx")
+    assert sorted(r.idx for r in exact.collect()) == [0, 7, 14]
+    # missing index column is an explicit error
+    with pytest.raises(ValueError, match="index column"):
+        sparse_load(d.table("t").drop("idx"), rows=[1])
+
+
+def test_coalesce_rows_heuristic():
+    from scanner_spark.catalog import _coalesce_rows
+
+    # pure dense run -> one exact interval
+    assert _coalesce_rows([1, 2, 3, 4], 8) == ([(1, 4)], [], True)
+    # sub-threshold gaps merge (inexact); isolated rows stay singles
+    iv, si, exact = _coalesce_rows([1, 3, 5, 50, 100, 101], 8)
+    assert iv == [(1, 5), (100, 101)] and si == [50] and not exact
+    # gap >= threshold splits
+    iv, si, exact = _coalesce_rows([1, 9, 17], 8)
+    assert iv == [] and si == [1, 9, 17] and exact
+
+
 def test_multi_stream_job_with_sampler(db):
     g = Graph(db)
     inp = g.input(["in0", "in1"], order_col="idx")
