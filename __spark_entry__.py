@@ -711,6 +711,15 @@ SELECT event_type, bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM b GROUP BY event_type, bin
 """,
+        "docs_domain_resample": f"""
+WITH c AS (SELECT source, COUNT(*) AS n_group FROM documents GROUP BY source)
+SELECT d.doc_id, d.source,
+       CAST(c.n_group AS BIGINT) AS n_group,
+       round(least(1.0, {float(Q.DOMAIN_RESAMPLE_TARGET)} / c.n_group), 6) AS keep_p
+FROM documents d JOIN c USING (source)
+WHERE {h60_sql("CAST(d.doc_id AS VARCHAR)")} / {float(1 << 60)}
+      < least(1.0, {float(Q.DOMAIN_RESAMPLE_TARGET)} / c.n_group)
+""",
         "scanner_sparse_load": f"""
 SELECT doc_id, source, n_chars FROM documents
 WHERE doc_id IN ({", ".join(str(r) for r in Q.SPARSE_LOAD_ROWS)})

@@ -188,6 +188,41 @@ def stratified_sample(
     )
 
 
+def domain_resample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    target_per_group: int = 100,
+) -> DataFrame:
+    """Deterministic domain rebalancing: cap each group at ~``target``
+    rows by hash-thresholded Bernoulli sampling with keep probability
+    min(1, target / |group|) — the Pile/DoReMi-style domain-mixture
+    flattening step, with no RNG state (retry-stable, engine-portable).
+
+    Each row keeps iff u < p where u = h60(id)/2^60 (uniform in [0,1),
+    identical in Spark and the DuckDB oracle) and p is the group's keep
+    probability.  Plan: one map-side-combined count per group, broadcast
+    back, one narrow filter — no shuffle of the data itself, so at 100 TB
+    the cost is a single pass over the corpus plus a tiny dimension
+    join.  Unlike ``stratified_sample`` (exact-k, per-stratum sort) this
+    is the constant-memory rate-based flavor: group sizes land near the
+    target with Binomial noise, which is what production mixers use when
+    an exact count isn't worth a per-group sort."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_group"))
+    joined = df.join(F.broadcast(counts), group_col)
+    u = h60(F.col(id_col).cast("string")) / F.lit(float(1 << 60))
+    p = F.least(F.lit(1.0), F.lit(float(target_per_group)) / F.col("_n_group"))
+    return (
+        joined.filter(u < p)
+        .select(
+            id_col,
+            group_col,
+            F.col("_n_group").cast("long").alias("n_group"),
+            F.round(p, 6).alias("keep_p"),
+        )
+    )
+
+
 def chunk_windows(
     df: DataFrame,
     text_col: str = "text",

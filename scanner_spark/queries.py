@@ -798,12 +798,17 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
-SIMHASH_MAX_HAMMING = 8
+# Manku WWW'07's production setting: Hamming radius 3.  radius+1 = 4 blocks
+# of 12 bits each — 4096-value blocks keep LSH buckets fine-grained (the
+# block width, bits/(k+1), is what conditions the candidate join; a loose
+# radius like 8 would force 5-bit blocks = 32-value buckets and a
+# quadratic candidate blow-up on any duplicated corpus).
+SIMHASH_MAX_HAMMING = 3
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via the block-rotation scheme (Manku WWW'07):
-    9 signature blocks guarantee FULL recall at Hamming radius 8, verified
+    4 signature blocks guarantee FULL recall at Hamming radius 3, verified
     against a brute-force all-pairs oracle."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, max_hamming=SIMHASH_MAX_HAMMING)
@@ -1139,6 +1144,21 @@ def q_video_decode_pruned(spark, sf_dir):
     )
 
 
+DOMAIN_RESAMPLE_TARGET = 10
+
+
+def q_docs_domain_resample(spark, sf_dir):
+    """Pile/DoReMi-style domain rebalancing: cap every source at ~target
+    docs via hash-thresholded Bernoulli keep (p = min(1, target/|group|),
+    u = h60(doc_id)/2^60) — deterministic, RNG-free, one count + broadcast
+    join + narrow filter (the data itself never shuffles)."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.domain_resample(
+        d, group_col="source", id_col="doc_id",
+        target_per_group=DOMAIN_RESAMPLE_TARGET,
+    )
+
+
 SPARSE_LOAD_ROWS = [3, 4, 5, 6, 9, 120, 121, 122, 240, 481]
 SPARSE_LOAD_RANGE = (300, 320)  # half-open
 
@@ -1320,4 +1340,5 @@ QUERIES = {
     "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
     "events_value_histogram": q_events_value_histogram,  # equi-width histogram
     "scanner_sparse_load": q_scanner_sparse_load,  # Column.load(rows=...) analog
+    "docs_domain_resample": q_docs_domain_resample,  # domain-mixture rebalancing
 }

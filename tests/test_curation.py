@@ -67,6 +67,25 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
 
 
+def test_domain_resample_caps_and_determinism(spark):
+    # one huge group, one small: big is downsampled to ~target, small kept
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out1 = curation.domain_resample(df, target_per_group=20)
+    out2 = curation.domain_resample(df, target_per_group=20)
+    got1 = sorted((r.doc_id, r.source) for r in out1.collect())
+    assert got1 == sorted((r.doc_id, r.source) for r in out2.collect())
+    by_src = {}
+    for _, src in got1:
+        by_src[src] = by_src.get(src, 0) + 1
+    assert by_src["small"] == 5  # p = 1, every row kept
+    # Binomial(400, 0.05): mean 20, sd ~4.4 — accept a wide but real band
+    assert 5 <= by_src["big"] <= 40
+    # keep_p is the exact capped rate
+    ps = {r.source: r.keep_p for r in out1.collect()}
+    assert ps["small"] == 1.0 and ps["big"] == 0.05
+
+
 def test_chunk_windows_remainder(spark):
     df = spark.createDataFrame(
         [(7, " ".join(f"t{i}" for i in range(70)))], "doc_id long, text string"
