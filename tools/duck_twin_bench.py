@@ -28,12 +28,16 @@ con.execute(
     f"user_id, event_type, value, props FROM read_parquet('{SF}/events.parquet')"
 )
 times = {}
+# min-of-2 absorbs cold-cache noise on sub-second queries; a second pass
+# of a 30 s+ query costs more signal than it buys — run it once
+SECOND_PASS_BUDGET_S = 30.0
 for name, sql in e.oracle_sql().items():
-    best = None
-    for _ in range(2):
+    t0 = time.time()
+    con.execute(sql).fetchall()
+    best = time.time() - t0
+    if best < SECOND_PASS_BUDGET_S:
         t0 = time.time()
         con.execute(sql).fetchall()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        best = min(best, time.time() - t0)
     times[name] = round(best, 3)
 print(json.dumps({"total": round(sum(times.values()), 2), "queries": times}))
