@@ -605,11 +605,24 @@ def cosine_dup_pairs(
     )
     key_names = [c for c in base.columns if c not in ("id", "v", "n2")]
 
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
+    # Exact-duplicate collapse BEFORE the quadratic stage: bitwise-equal
+    # vectors (ubiquitous in real corpora — re-crawls, mirrors; the sf1
+    # bench corpus is 10x-duplicated by construction) are grouped to one
+    # representative, the pair join runs on DISTINCT vectors only, and
+    # pairs expand back afterwards.  A group of m copies costs m output
+    # rows instead of m^2 join work — the duplicate factor falls out of
+    # the quadratic term entirely.  Bit-exactness is free: cosine of any
+    # member pair equals the representative pair's (identical arrays ->
+    # identical dot and norms).
+    reps = base.groupBy(*key_names, "v", "n2").agg(
+        F.min("id").alias("rid"), F.collect_list("id").alias("ids")
+    ).localCheckpoint(eager=True)
+
+    a, b = reps.alias("a"), reps.alias("b")
+    cond = F.col("a.rid") < F.col("b.rid")
     for kcol in key_names:
         cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
-    return (
+    cross = (
         a.join(b, cond)
         .withColumn(
             "cosine",
@@ -620,5 +633,28 @@ def cosine_dup_pairs(
             ),
         )
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        # expand group x group; output ids ordered per-pair
+        .select(
+            F.explode(F.col("a.ids")).alias("ia"), F.col("b.ids").alias("ibs"), "cosine"
+        )
+        .select("ia", F.explode(F.col("ibs")).alias("ib"), "cosine")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "cosine",
+        )
     )
+    # intra-group pairs: identical vectors, cosine = n2/(sqrt(n2)*sqrt(n2))
+    # rounded — the same floating-point path the member pair would take
+    intra = (
+        reps.filter(F.size("ids") > 1)
+        .withColumn(
+            "cosine",
+            F.round(F.col("n2") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("n2"))), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.explode("ids").alias("id_a"), F.col("ids").alias("ibs"), "cosine")
+        .select("id_a", F.explode("ibs").alias("id_b"), "cosine")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return cross.unionByName(intra)
