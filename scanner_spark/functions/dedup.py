@@ -84,6 +84,64 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def _text_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate collapse for the text pair operators: one
+    representative row per distinct text — (doc = min id, text, __ids =
+    all member ids, __m = group size).
+
+    Real corpora are duplicate-heavy (re-crawls, mirrors; the sf1 bench
+    corpus is 10x-duplicated by construction), and every text sketch —
+    shingle set, MinHash signature, SimHash — is a pure function of the
+    text, so a group of m copies can do the sketch work ONCE and expand
+    pairs at the end: m output rows instead of m^2 join work.  Bit-exact
+    parity with the uncollapsed computation is structural: identical
+    strings produce identical shingles/signatures, so every cross-group
+    pair metric equals the representative pair's, and intra-group metrics
+    are the identical-input fixed points (jaccard 1.0, est 1.0,
+    hamming 0)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(
+            F.min(id_col).alias("doc"),
+            F.first(text_col).alias(text_col),
+            F.collect_list(id_col).alias("__ids"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .drop("__h")
+    )
+
+
+def _expand_pairs(
+    pairs: DataFrame, groups: DataFrame, metric_col: str
+) -> DataFrame:
+    """Map representative pairs back to member pairs: join each side's id
+    list, double-explode, and order ids per pair.  Linear in output size."""
+    ga = groups.select(F.col("doc").alias("doc_a"), F.col("__ids").alias("__ia"))
+    gb = groups.select(F.col("doc").alias("doc_b"), F.col("__ids").alias("__ib"))
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(F.explode("__ia").alias("__a"), "__ib", metric_col)
+        .select("__a", F.explode("__ib").alias("__b"), metric_col)
+        .select(
+            F.least("__a", "__b").alias("doc_a"),
+            F.greatest("__a", "__b").alias("doc_b"),
+            metric_col,
+        )
+    )
+
+
+def _intra_pairs(groups: DataFrame, metric) -> DataFrame:
+    """All (id_a < id_b) pairs inside each duplicate group, tagged with the
+    identical-input metric value."""
+    return (
+        groups.filter(F.col("__m") > 1)
+        .select(F.explode("__ids").alias("doc_a"), F.col("__ids").alias("__ib"), metric)
+        .select("doc_a", F.explode("__ib").alias("doc_b"), metric)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(doc, shingle) rows, distinct word n-grams per doc.
 
@@ -125,15 +183,21 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|) with set sizes computed once per doc over the
     CAPPED shingle sets.  Output: (doc_a, doc_b, jaccard).
     """
-    sh = _shingled(df, text_col, id_col, n)
+    # exact-duplicate collapse: sketch per DISTINCT text, expand at the end
+    groups = _text_groups(df, text_col, id_col).persist()
+    sh = _shingled(groups, text_col, "doc", n)
     # join/aggregate on the 60-bit shingle hash, not the ~25-byte string:
     # smaller shuffle keys, same results (the DuckDB oracle hashes with the
     # same md5-prefix function, so even collisions reproduce identically)
     sh = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
     if max_shingle_df is not None:
+        # document frequency must count COPIES (the oracle counts every
+        # doc), so weight each representative by its group size
+        rep_m = groups.select("doc", "__m")
         good = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
+            sh.join(F.broadcast(rep_m), "doc")
+            .groupBy("shingle")
+            .agg(F.sum("__m").alias("df"))
             .filter(F.col("df") <= max_shingle_df)
             .select("shingle")
         )
@@ -151,7 +215,7 @@ def ngram_jaccard_pairs(
     )
     # per-doc sizes: |docs| rows — AQE broadcasts when small enough, shuffles
     # when the corpus is too big to broadcast; don't force either
-    out = (
+    rep_pairs = (
         common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn(
@@ -163,7 +227,15 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
+    # intra-group pairs: identical capped shingle sets -> cmn = sz_a = sz_b
+    # -> jaccard sz/sz = exactly 1.0 (integer-exact double division); docs
+    # whose capped set is EMPTY generate no candidates in the uncollapsed
+    # pipeline, so require sz > 0
+    intra = _intra_pairs(
+        groups.join(sizes, "doc").filter(F.col("sz") > 0),
+        F.lit(1.0).alias("jaccard"),
+    ).filter(F.lit(1.0) >= threshold)
+    return _expand_pairs(rep_pairs, groups, "jaccard").unionByName(intra)
 
 
 def minhash_signatures(
@@ -210,7 +282,9 @@ def minhash_lsh_pairs(
     matching mins / k).  Output: (doc_a, doc_b, est_jaccard).
     """
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n).persist()
+    # exact-duplicate collapse: signatures per DISTINCT text only
+    groups = _text_groups(df, text_col, id_col).persist()
+    sig = minhash_signatures(groups, text_col, "doc", k, n).persist()
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"m{i}").cast("string") for i in range(b * r, (b + 1) * r)]
@@ -244,21 +318,22 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
-    return est
+    # intra-group pairs: identical text -> identical signature -> every
+    # band collides and all k mins match -> est exactly 1.0.  Docs with no
+    # shingles have no signature row (no candidates uncollapsed): require
+    # a sig row via the inner join.
+    intra = _intra_pairs(
+        groups.join(sig.select("doc"), "doc"),
+        F.lit(1.0).alias("est_jaccard"),
+    ).filter(F.lit(1.0) >= threshold)
+    return _expand_pairs(est, groups, "est_jaccard").unionByName(intra)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48) -> DataFrame:
-    """Per-doc SimHash signature over distinct tokens.
-
-    bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(H(token)) else -1)
-    is positive; signature = sum of set bits << j.
-
-    WIDE layout, like ``minhash_signatures``: the ``bits`` per-bit weight
-    sums are computed as ``bits`` conditional SUM aggregates in a single
-    groupBy over the (doc, token-hash) table — ONE shuffle of |tokens|
-    rows with map-side partial aggregation, instead of exploding
-    |tokens| x bits rows (a 48x shuffle amplification).  Everything stays
-    JVM-side / whole-stage codegen.  Output: (doc, simhash)."""
+def _simhash_wide(df: DataFrame, text_col: str, id_col: str, bits: int) -> DataFrame:
+    """Raw per-row SimHash: ``bits`` conditional SUM aggregates in a single
+    groupBy over the (doc, token-hash) table — ONE shuffle of |tokens| rows
+    with map-side partial aggregation, instead of exploding |tokens| x bits
+    rows (a 48x shuffle amplification).  JVM-side / whole-stage codegen."""
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
@@ -275,6 +350,35 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         start=F.lit(0),
     )
     return wide.select("doc", sig.cast("long").alias("simhash"))
+
+
+def _simhash_reps(
+    df: DataFrame, text_col: str, id_col: str, bits: int
+) -> tuple[DataFrame, DataFrame]:
+    """(groups, rep_sigs): exact-duplicate collapse + signatures computed
+    per DISTINCT text only (the signature is a pure function of the
+    text)."""
+    groups = _text_groups(df, text_col, id_col).persist()
+    return groups, _simhash_wide(groups, text_col, "doc", bits)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48) -> DataFrame:
+    """Per-doc SimHash signature over distinct tokens.
+
+    bit_j(doc) = 1 iff sum over tokens of (+1 if bit_j(H(token)) else -1)
+    is positive; signature = sum of set bits << j.
+
+    The signature aggregation (see ``_simhash_wide``) runs once per
+    DISTINCT text; member docs get their representative's signature via a
+    narrow expand join — identical values, duplicate-factor less work.
+    Output: (doc, simhash)."""
+    groups, rep_sigs = _simhash_reps(df, text_col, id_col, bits)
+    member = groups.select(
+        F.col("doc").alias("__rep"), F.explode("__ids").alias("doc")
+    )
+    return member.join(
+        rep_sigs.withColumnRenamed("doc", "__rep"), "__rep"
+    ).select("doc", "simhash")
 
 
 def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
@@ -315,11 +419,21 @@ def simhash_pairs(
     ``prefix_bits`` is accepted for back-compat and ignored (the old
     prefix-only blocking missed pairs differing inside the prefix).
     """
-    # persist: both sides of the self-join read the signature table, and
-    # without materialization the whole explode-48-bits pipeline runs twice
-    sig = simhash(df, text_col, id_col, bits).persist()
-    return simhash_pairs_from_sigs(sig, bits=bits, max_hamming=max_hamming,
-                                   n_blocks=n_blocks)
+    # exact-duplicate collapse + persist: both sides of the self-join read
+    # the signature table, and without materialization the whole
+    # explode-48-bits pipeline runs twice
+    groups, rep_sigs = _simhash_reps(df, text_col, id_col, bits)
+    rep_sigs = rep_sigs.persist()
+    rep_pairs = simhash_pairs_from_sigs(
+        rep_sigs, bits=bits, max_hamming=max_hamming, n_blocks=n_blocks
+    )
+    # intra-group pairs: identical text -> identical signature -> hamming 0
+    # (docs with no tokens have no signature row and, uncollapsed, no pairs)
+    intra = _intra_pairs(
+        groups.join(rep_sigs.select("doc"), "doc"),
+        F.lit(0).alias("hamming"),
+    )
+    return _expand_pairs(rep_pairs, groups, "hamming").unionByName(intra)
 
 
 def simhash_pairs_from_sigs(
