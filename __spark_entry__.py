@@ -711,6 +711,28 @@ SELECT event_type, bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM b GROUP BY event_type, bin
 """,
+        "events_asof_join_op": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, epoch_us(s.ts) AS signup_us
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+        "docs_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(length({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(cum / {Q.PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(cum % {Q.PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM c
+""",
         "docs_domain_resample": f"""
 WITH c AS (SELECT source, COUNT(*) AS n_group FROM documents GROUP BY source)
 SELECT d.doc_id, d.source,

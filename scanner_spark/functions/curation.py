@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from scanner_spark.functions.hashing import h60
-from scanner_spark.functions.text import tokens
+from scanner_spark.functions.text import token_count, tokens
 
 DECONTAM_NGRAM_N = 5
 
@@ -220,6 +220,44 @@ def domain_resample(
             F.col("_n_group").cast("long").alias("n_group"),
             F.round(p, 6).alias("keep_p"),
         )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: lay documents end-to-end in
+    deterministic (shard, id) order and assign each to the training
+    sequence its first token lands in — the packing step that turns a
+    curated corpus into fixed-length pretraining rows.
+
+    Packing is per-shard, not global: a global cumulative sum would
+    serialize into one window partition (a 100 TB straggler), while
+    per-shard windows parallelize across shards and stay deterministic.
+    Docs longer than the remaining room overflow their sequence — the
+    standard greedy-contiguous approximation; downstream consumers split
+    or truncate at sequence boundaries.  Pure integer window arithmetic:
+    one shuffle keyed by shard, exact in any engine.
+
+    Output: (id, shard, n_tokens, seq_id, seq_offset)."""
+    n_tok = token_count(F.col(text_col)).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__cum")
+    base = df.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+    return base.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.floor(cum_before / seq_len).cast("long").alias("seq_id"),
+        (cum_before % seq_len).cast("long").alias("seq_offset"),
     )
 
 

@@ -1144,6 +1144,39 @@ def q_video_decode_pruned(spark, sf_dir):
     )
 
 
+def q_events_asof_join_op(spark, sf_dir):
+    """The reusable two-table as-of join operator
+    (functions/temporal.asof_join, union-tag shape: one shuffle on the
+    key, no range explosion) on real data: each purchase event joined to
+    the user's most recent signup at-or-before it.  Oracle: DuckDB's
+    NATIVE ASOF LEFT JOIN — a fully independent implementation of the
+    same semantics."""
+    from scanner_spark.functions.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    out = asof_join(purchases, signups, on="ts", by=["user_id"], value_cols=[])
+    return out.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts_r")).alias("signup_us")
+    )
+
+
+PACK_SEQ_LEN = 128
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    """Greedy contiguous sequence packing: documents laid end-to-end in
+    (source, doc_id) order, each assigned the 128-token training sequence
+    its first token lands in.  Per-source windows parallelize (a global
+    cumsum would single-partition); integer window arithmetic, exact in
+    both engines."""
+    d = read_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(d, seq_len=PACK_SEQ_LEN)
+
+
 DOMAIN_RESAMPLE_TARGET = 10
 
 
@@ -1341,4 +1374,6 @@ QUERIES = {
     "events_value_histogram": q_events_value_histogram,  # equi-width histogram
     "scanner_sparse_load": q_scanner_sparse_load,  # Column.load(rows=...) analog
     "docs_domain_resample": q_docs_domain_resample,  # domain-mixture rebalancing
+    "docs_pack_sequences": q_docs_pack_sequences,  # sequence packing
+    "events_asof_join_op": q_events_asof_join_op,  # two-table as-of join operator
 }

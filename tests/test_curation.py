@@ -86,6 +86,23 @@ def test_domain_resample_caps_and_determinism(spark):
     assert ps["small"] == 1.0 and ps["big"] == 0.05
 
 
+def test_pack_sequences_layout(spark):
+    # docs of 5/7/4 tokens in one shard, seq_len 8: cum-before 0,5,12
+    rows = [
+        (1, "a", "t t t t t"),
+        (2, "a", "t t t t t t t"),
+        (3, "a", "t t t t"),
+        (9, "b", "t t t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in curation.pack_sequences(df, seq_len=8).collect()}
+    assert (out[1].seq_id, out[1].seq_offset) == (0, 0)
+    assert (out[2].seq_id, out[2].seq_offset) == (0, 5)  # overflows seq 0
+    assert (out[3].seq_id, out[3].seq_offset) == (1, 4)  # lands in seq 1
+    assert (out[9].seq_id, out[9].seq_offset) == (0, 0)  # shards independent
+    assert out[2].n_tokens == 7
+
+
 def test_chunk_windows_remainder(spark):
     df = spark.createDataFrame(
         [(7, " ".join(f"t{i}" for i in range(70)))], "doc_id long, text string"
