@@ -711,6 +711,31 @@ SELECT event_type, bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM b GROUP BY event_type, bin
 """,
+        "stream_events_dedup": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+        "emb_quantize": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM s
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS q_maxabs
+FROM q
+""",
         "events_asof_join_op": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
 s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')

@@ -700,6 +700,42 @@ def q_stream_events_hourly(spark, sf_dir):
     )
 
 
+def q_stream_events_dedup(spark, sf_dir):
+    """Streaming exact dedup: readStream over events, state-store
+    dropDuplicates on (user_id, event_type), append parquet sink — each
+    key emitted exactly once on first arrival.  The emitted KEY SET is
+    deterministic (row choice is not, so only keys are returned), and
+    must equal the batch DISTINCT — streaming and batch dedup agree.
+    State = one entry per distinct key (the honest cost of exact dedup;
+    bounded by key cardinality, not stream length)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from scanner_spark.streaming.windows import to_parquet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(old_parts))))
+    try:
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        sdf = normalize_events_ts(sdf)
+        dd = sdf.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        base = _tempfile.mkdtemp(prefix="stream_events_dedup_")
+        sink_dir = _os.path.join(base, "sink")
+        q = to_parquet(dd, sink_dir, _os.path.join(base, "ckpt"), "append")
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(sink_dir).select("user_id", "event_type")
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1144,6 +1180,24 @@ def q_video_decode_pruned(spark, sf_dir):
     )
 
 
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embeddings table (4x vector
+    compression for a 100 TB ANN index) — narrow JVM projection, no
+    shuffle; emits per-vector scale + integer-code stats so both engines
+    hash-compare scalars."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qz = simsearch.quantize_embeddings(e)
+    absq = F.transform(F.col("q"), lambda x: F.abs(x))
+    return qz.select(
+        F.col("id").alias("vec_id"),
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.aggregate(
+            absq, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_l1"),
+        F.array_max(absq).cast("long").alias("q_maxabs"),
+    )
+
+
 def q_events_asof_join_op(spark, sf_dir):
     """The reusable two-table as-of join operator
     (functions/temporal.asof_join, union-tag shape: one shuffle on the
@@ -1376,4 +1430,6 @@ QUERIES = {
     "docs_domain_resample": q_docs_domain_resample,  # domain-mixture rebalancing
     "docs_pack_sequences": q_docs_pack_sequences,  # sequence packing
     "events_asof_join_op": q_events_asof_join_op,  # two-table as-of join operator
+    "emb_quantize": q_emb_quantize,  # int8 embedding quantization
+    "stream_events_dedup": q_stream_events_dedup,  # streaming exact dedup
 }

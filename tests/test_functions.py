@@ -234,6 +234,28 @@ def test_knn_ivf_recall_and_partitioning(real_embs):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_quantize_embeddings_roundtrip_bound(spark):
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0, q zeros
+        (2, [3.0, -2.0, 1.5, 0.125]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qz = simsearch.quantize_embeddings(df)
+    rec = qz.select(
+        "id", "scale", simsearch.dequantize(F.col("q"), F.col("scale")).alias("r")
+    )
+    got = {r.id: r for r in rec.join(df, F.col("id") == F.col("vec_id")).collect()}
+    for vid, row in got.items():
+        scale = row.scale
+        for orig, back in zip(row.embedding, row.r):
+            assert abs(orig - back) <= scale / 2 + 1e-12
+    # codes stay inside the int8 range
+    q = {r.id: r.q for r in qz.collect()}
+    assert all(-127 <= x <= 127 for xs in q.values() for x in xs)
+    assert q[1] == [0, 0, 0, 0]
+
+
 # ---- multimodal ------------------------------------------------------------------
 
 def test_decode_image_plumbing(spark):
