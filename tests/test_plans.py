@@ -178,3 +178,42 @@ def test_cosine_pairs_blocked_on_lsh_bucket(spark, sf_dir):
     df = Q.q_emb_cosine_pairs(spark, sf_dir)
     plan = plan_of(df, mode="extended")
     assert "__bucket" in plan
+
+
+def test_domain_resample_broadcasts_group_counts(spark, sf_dir):
+    """The group-count dimension joins back by BROADCAST — the corpus
+    itself must not shuffle for a rebalancing decision."""
+    plan = plan_of(Q.q_docs_domain_resample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Packing must shuffle ONCE, keyed by the shard column (a global
+    cumsum would serialize into a single partition)."""
+    plan = plan_of(Q.q_docs_pack_sequences(spark, sf_dir))
+    assert plan.count("hashpartitioning(source") == 1
+    # and never a single-partition global window
+    assert "SinglePartition" not in plan
+
+
+def test_asof_join_is_one_key_shuffle_no_range_join(spark, sf_dir):
+    """The as-of join must be the union-tag window shape: shuffles keyed
+    by user_id only, and NO broadcast-nested-loop / cartesian range join."""
+    plan = plan_of(Q.q_events_asof_join_op(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_quantize_is_narrow_projection(spark, sf_dir):
+    """Quantization adds NO shuffle — pure per-row array arithmetic."""
+    plan = plan_of(Q.q_emb_quantize(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_sparse_load_prunes_and_pushes(spark, sf_dir):
+    plan = plan_of(Q.q_scanner_sparse_load(spark, sf_dir))
+    filters = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "Or(" in filters
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in read_schema  # projection pruned to 3 columns
