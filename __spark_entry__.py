@@ -714,6 +714,33 @@ FROM b GROUP BY event_type, bin
         "stream_events_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
 """,
+        "dedup_keep_best": f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_sql()})),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (
+  SELECT u AS doc, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+),
+q AS (SELECT doc_id, quality FROM ({_doc_quality_sql()})),
+comp AS (
+  SELECT d.doc_id, COALESCE(lab.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN lab ON lab.doc = d.doc_id
+),
+ranked AS (
+  SELECT c.doc_id, c.component, q.quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT doc_id, component, quality FROM ranked WHERE rn = 1
+""",
         "emb_quantize": """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

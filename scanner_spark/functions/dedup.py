@@ -653,6 +653,41 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST-scoring document per near-duplicate cluster — the
+    production materialization (keep-min-id is a test convenience; real
+    pipelines keep the highest-quality member).  Singleton docs (no pair)
+    keep themselves.  Ties break deterministically by id.
+
+    Plan: connected components over the pair graph, a left join to tag
+    every doc with its cluster (NULL -> its own id), one window per
+    cluster for the argmax.  Output: (doc_id, component, score)."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs)
+    joined = df.select(F.col(id_col), F.col(score_col)).join(
+        cc, F.col(id_col) == cc["doc"], "left"
+    )
+    tagged = joined.select(
+        id_col,
+        score_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "component", score_col)
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

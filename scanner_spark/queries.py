@@ -1180,6 +1180,16 @@ def q_video_decode_pruned(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Production dedup materialization: MinHash-LSH near-dup clusters,
+    keep the highest-QUALITY member of each (not min-id; ties by id) —
+    CC + one per-cluster argmax window."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.withColumn("quality", text.quality_score(F.col("text")))
+    pairs = dedup.minhash_lsh_pairs(d, threshold=MINHASH_THRESHOLD)
+    return dedup.dedup_keep_best(scored, pairs, "quality", "doc_id")
+
+
 def q_emb_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embeddings table (4x vector
     compression for a 100 TB ANN index) — narrow JVM projection, no
@@ -1432,4 +1442,5 @@ QUERIES = {
     "events_asof_join_op": q_events_asof_join_op,  # two-table as-of join operator
     "emb_quantize": q_emb_quantize,  # int8 embedding quantization
     "stream_events_dedup": q_stream_events_dedup,  # streaming exact dedup
+    "dedup_keep_best": q_dedup_keep_best,  # keep-best-quality per cluster
 }

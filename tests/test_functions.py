@@ -234,6 +234,19 @@ def test_knn_ivf_recall_and_partitioning(real_embs):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_dedup_keep_best_argmax_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(0, 0.3), (1, 0.9), (2, 0.5), (7, 0.1)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "doc_a long, doc_b long"
+    )  # {0,1,2} one cluster; 7 singleton
+    out = {r.doc_id: r for r in dedup.dedup_keep_best(docs, pairs).collect()}
+    assert set(out) == {1, 7}  # best of cluster (quality .9) + singleton
+    assert out[1].component == 0  # component = min member id
+    assert out[7].component == 7
+
+
 def test_quantize_embeddings_roundtrip_bound(spark):
     rows = [
         (0, [0.5, -1.0, 0.25, 0.0]),
