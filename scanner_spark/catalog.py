@@ -102,15 +102,19 @@ def sparse_load(
         cover = [F.col(idx_col).between(a, b) for a, b in intervals]
         if singles:
             cover.append(F.col(idx_col).isin(singles))
-        pred = functools.reduce(operator.or_, cover)
-        if not exact:
-            # coalescing widened dense stretches over sub-threshold gaps
-            # (sequential read beats striping); trim back to the exact
-            # request — evaluated only on interval survivors
-            pred = pred & F.col(idx_col).isin(wanted)
-        preds.append(pred)
+        if cover:
+            pred = functools.reduce(operator.or_, cover)
+            if not exact:
+                # coalescing widened dense stretches over sub-threshold
+                # gaps (sequential read beats striping); trim back to the
+                # exact request — evaluated only on interval survivors
+                pred = pred & F.col(idx_col).isin(wanted)
+            preds.append(pred)
     if preds:
         df = df.filter(functools.reduce(operator.or_, preds))
+    elif rows is not None or ranges is not None:
+        # an explicit EMPTY request means zero rows, not the whole table
+        df = df.filter(F.lit(False))
     return df.select(*columns) if columns else df
 
 

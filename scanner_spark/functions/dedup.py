@@ -99,15 +99,15 @@ def _text_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     pair metric equals the representative pair's, and intra-group metrics
     are the identical-input fixed points (jaccard 1.0, est 1.0,
     hamming 0)."""
-    return (
-        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
-        .agg(
-            F.min(id_col).alias("doc"),
-            F.first(text_col).alias(text_col),
-            F.collect_list(id_col).alias("__ids"),
-            F.count(F.lit(1)).alias("__m"),
-        )
-        .drop("__h")
+    # group on the text ITSELF, not a hash of it: an (adversarially
+    # constructible) md5 collision would merge two different documents
+    # into one group and fabricate pairs.  The shuffle carries the text
+    # either way (the old first(text) shipped it too), so exactness is
+    # free.
+    return df.groupBy(F.col(text_col)).agg(
+        F.min(id_col).alias("doc"),
+        F.collect_list(id_col).alias("__ids"),
+        F.count(F.lit(1)).alias("__m"),
     )
 
 

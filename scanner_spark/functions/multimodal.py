@@ -56,7 +56,8 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 
 def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
     """One blob -> (out_h, out_w, 3) uint8.  PNG: real decode + bilinear
-    resize; anything else: deterministic fake."""
+    resize; anything else: deterministic fake.  Raises on a malformed PNG
+    (magic present, body corrupt) — callers choose the failure policy."""
     from scanner_spark.kernels.image import PNG_MAGIC, decode_png, resize_bilinear
 
     if payload and bytes(payload[:8]) == PNG_MAGIC:
@@ -67,28 +68,42 @@ def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
     return _fake_decode(payload, out_h, out_w)
 
 
-def decode_image(df: DataFrame, out_h: int = 32, out_w: int = 32) -> DataFrame:
+def decode_image(
+    df: DataFrame, out_h: int = 32, out_w: int = 32, on_error: str = "raise"
+) -> DataFrame:
     """payload binary -> decoded frame columns (mapInPandas, Arrow batches).
 
     PNG payloads take the real decode path; other formats the marked fake.
+    ``on_error``: ``'raise'`` fails the job on a corrupt payload (strict
+    pipelines); ``'skip'`` drops the bad rows — one rotten blob in a
+    billion-asset corpus should not kill the query (the per-row analog of
+    the op compiler's ``on_error='null'`` blacklisting).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r}")
 
     out_schema = f"asset_id long, {FRAME_SCHEMA}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = [
-                decode_payload(payload, out_h, out_w).tobytes()
-                for payload in pdf["payload"]
-            ]
+            ids, frames = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    arr = decode_payload(payload, out_h, out_w)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue  # skip: blacklist the corrupt element
+                ids.append(asset_id)
+                frames.append(arr.tobytes())
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf["asset_id"],
+                    "asset_id": ids,
                     "frame": frames,
-                    "height": out_h,
-                    "width": out_w,
-                    "channels": 3,
-                    "dtype": "u8",
+                    "height": [out_h] * len(ids),
+                    "width": [out_w] * len(ids),
+                    "channels": [3] * len(ids),
+                    "dtype": ["u8"] * len(ids),
                 }
             )
 

@@ -66,11 +66,15 @@ def asof_join(
     )
     r2 = r2.withColumn("__l", F.lit(None).cast(l2.schema["__l"].dataType))
     u = l2.unionByName(r2)
+    # __r last in the ordering: right rows sharing (ts) sort by payload, so
+    # last() deterministically takes the LARGEST payload struct among ties
+    # (otherwise the match would flip with partitioning).  Left probes
+    # (__tag 1, __r NULL) still sort after all right rows at equal ts.
     if direction == "backward":
-        order = [F.col("__ts").asc(), F.col("__tag").asc()]
+        order = [F.col("__ts").asc(), F.col("__tag").asc(), F.col("__r").asc()]
         frame = (Window.unboundedPreceding, Window.currentRow)
     else:
-        order = [F.col("__ts").desc(), F.col("__tag").asc()]
+        order = [F.col("__ts").desc(), F.col("__tag").asc(), F.col("__r").asc()]
         frame = (Window.unboundedPreceding, Window.currentRow)
     w = Window.partitionBy(*by).orderBy(*order).rowsBetween(*frame)
     filled = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))

@@ -44,8 +44,20 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         # TIMESTAMP_NS -> TIMESTAMP cast)
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dt, TimestampNTZType):
-        # session TZ is UTC, so NTZ -> TIMESTAMP is a pure type relabel
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        # NTZ wall clock -> the UTC instant with that wall clock, computed
+        # SESSION-TIMEZONE-PROOF: microseconds since the NTZ epoch is pure
+        # wall-clock integer arithmetic (no tz, no DST), and
+        # timestamp_micros() builds the instant from epoch micros directly.
+        # A plain cast("timestamp") would interpret the wall clock in the
+        # session timezone — correct only on UTC sessions, and the driver
+        # builds its own session (see the round-2 regression).
+        ntz_epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.timestamp_diff("MICROSECOND", ntz_epoch, F.col(col))
+            ),
+        )
     return df
 
 

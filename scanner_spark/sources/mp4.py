@@ -196,6 +196,14 @@ def encode_mp4_raw(frames, fps: int = 30) -> bytes:
     for f in frames:
         if f.shape != (h, w, 3) or f.dtype.name != "uint8":
             raise ValueError("all frames must be uint8 with identical shape")
+    total = n * sample_size
+    if total + 1024 >= (1 << 32):
+        # 32-bit box sizes / stco offsets; co64+largesize would be needed
+        raise ValueError(
+            f"raw mp4 stream is {total} bytes — exceeds the 32-bit ISO-BMFF "
+            "box limit; split the stream (write_video writes one file per "
+            "stream key, so partition longer streams before the sink)"
+        )
 
     ftyp = _wbox(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
     mdat_data_off = len(ftyp) + 8
@@ -260,15 +268,19 @@ def encode_mp4_raw(frames, fps: int = 30) -> bytes:
     return ftyp + mdat + moov
 
 
-def decode_range(buf: bytes, start_offset: int, meta: dict, wanted: set) -> dict:
+def decode_range(
+    buf: bytes, start_offset: int, meta: dict, wanted: set, index=None
+) -> dict:
     """Decode wanted frames from a raw-sample mp4 (same contract as
     ``svf.decode_range``).  Raw samples are independent, so the "range" is
     a direct read at each wanted sample's indexed byte range; compressed
     codecs (avc1/hev1) raise — their ingest stays index-only in this
-    environment."""
+    environment.  Pass ``index=(meta, entries)`` (from one ``parse_index``
+    per file) to avoid re-walking the box tree per decode task — raw mp4s
+    are all-sync, so sparse loads plan one task per frame."""
     import numpy as np
 
-    m, entries = parse_index(buf)
+    m, entries = index if index is not None else parse_index(buf)
     codec = m["codec"].strip()
     if codec != "raw":
         raise NotImplementedError(

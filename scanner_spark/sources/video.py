@@ -133,6 +133,7 @@ def load_frames(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         handles: dict[str, bytes] = {}
+        mp4_indices: dict[str, tuple] = {}  # one box-tree parse per file
         for pdf in batches:
             rows = {k: [] for k in ("video_path", "frame_no", "frame", "height", "width", "channels", "dtype")}
             for _, r in pdf.iterrows():
@@ -142,13 +143,21 @@ def load_frames(
                         handles[path] = f.read()
                 buf = handles[path]
                 meta = {"height": r["height"], "width": r["width"], "channels": r["channels"]}
+                wanted = set(int(x) for x in r["want_frames"])
                 # container dispatch by sniffing, like ingest: raw-sample
                 # mp4 decodes directly at indexed offsets, SVF forward
                 # from the GOP keyframe
-                container = mp4 if mp4.is_mp4(buf) else svf
-                decoded = container.decode_range(
-                    buf, int(r["keyframe_offset"]), meta, set(int(x) for x in r["want_frames"])
-                )
+                if mp4.is_mp4(buf):
+                    if path not in mp4_indices:
+                        mp4_indices[path] = mp4.parse_index(buf)
+                    decoded = mp4.decode_range(
+                        buf, int(r["keyframe_offset"]), meta, wanted,
+                        index=mp4_indices[path],
+                    )
+                else:
+                    decoded = svf.decode_range(
+                        buf, int(r["keyframe_offset"]), meta, wanted
+                    )
                 for fno, arr in sorted(decoded.items()):
                     rows["video_path"].append(path)
                     rows["frame_no"].append(fno)

@@ -35,6 +35,18 @@ def stock_spark(spark):
 
 
 @pytest.fixture(scope="session")
+def nonutc_spark(spark):
+    """Stock parquet inference AND a non-UTC session timezone: the
+    events-ts normalization must be timezone-PROOF (wall-clock epoch
+    arithmetic), not merely correct on UTC hosts."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield ns
+
+
+@pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
 

@@ -318,6 +318,26 @@ def test_decode_image_native_size_bit_exact(spark):
         assert out[aid] == decode_png(payload).tobytes()
 
 
+def test_decode_image_skip_on_corrupt_png(spark):
+    """on_error='skip' blacklists a malformed PNG (magic intact, body
+    corrupt) instead of killing the job; 'raise' (default) propagates."""
+    import pytest as _pytest
+
+    rows = [
+        (0, "image", b"\x89PNG\r\n\x1a\n" + b"garbage", None),
+        (1, "image", None, None),  # non-PNG -> fake path, fine
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    out = multimodal.decode_image(media, 8, 8, on_error="skip").collect()
+    assert [r.asset_id for r in out] == [1]
+    with _pytest.raises(Exception):
+        multimodal.decode_image(media, 8, 8).collect()
+
+
 def test_text_to_png_real_payloads(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "the quick brown fox")], "doc_id long, text string"

@@ -43,6 +43,12 @@ def test_sparse_load_rows_and_ranges(spark, tmp_path):
     # missing index column is an explicit error
     with pytest.raises(ValueError, match="index column"):
         sparse_load(d.table("t").drop("idx"), rows=[1])
+    # explicit EMPTY requests mean zero rows, not the whole table
+    assert sparse_load(d.table("t"), rows=[]).count() == 0
+    assert sparse_load(d.table("t"), ranges=[]).count() == 0
+    assert sparse_load(d.table("t"), rows=[], ranges=[]).count() == 0
+    # and rows=[] combined with a real range still returns the range
+    assert sparse_load(d.table("t"), rows=[], ranges=[(5, 8)]).count() == 3
 
 
 def test_coalesce_rows_heuristic():

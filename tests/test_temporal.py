@@ -64,6 +64,18 @@ def test_asof_join_tie_is_inclusive(spark):
     assert out[6].px_r is None
 
 
+def test_asof_join_right_ties_deterministic(spark):
+    """Two right rows at the same (key, ts): the match must be stable
+    across runs/partitionings (largest payload struct wins)."""
+    l = spark.createDataFrame([(1, "a", 20)], "id long, key string, ts long")
+    r = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 10, 2.0)], "key string, ts long, px double"
+    )
+    for _ in range(3):
+        out = asof_join(l, r, on="ts", by=["key"]).collect()
+        assert out[0].px_r == 2.0
+
+
 def test_asof_join_tolerance(spark):
     l = spark.createDataFrame(LEFT, "id long, key string, ts long")
     r = spark.createDataFrame(RIGHT, "key string, ts long, px double")

@@ -60,3 +60,21 @@ def test_image_encodes_png_and_decode_is_gated():
     assert t.serialize(img).startswith(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         t.deserialize(b"\x89PNG...")
+
+
+def test_events_ts_normalization_is_timezone_proof(spark, nonutc_spark, sf_dir):
+    """unix_micros(events.ts) must be identical under a UTC session and a
+    stock-inference America/New_York session — the round-3 hardening of
+    the round-2 TIMESTAMP_NTZ regression (a plain NTZ->TIMESTAMP cast is
+    session-tz-dependent; the wall-clock epoch arithmetic is not)."""
+    from pyspark.sql import functions as F
+
+    from scanner_spark.io import read_table
+
+    def micros(sess):
+        ev = read_table(sess, sf_dir, "events")
+        return sorted(
+            r.us for r in ev.select(F.unix_micros("ts").alias("us")).limit(100).collect()
+        )
+
+    assert micros(spark) == micros(nonutc_spark)
