@@ -714,6 +714,30 @@ FROM b GROUP BY event_type, bin
         "stream_events_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
 """,
+        "stream_events_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+),
+g AS (
+  SELECT user_id, sess,
+         MIN(us) AS session_start_us,
+         MAX(us) + 1800000000 AS session_end_us,
+         COUNT(*) AS n
+  FROM s GROUP BY user_id, sess
+)
+SELECT user_id, session_start_us, session_end_us, CAST(n AS BIGINT) AS n
+FROM g
+""",
         "dedup_keep_best": f"""
 WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_sql()})),
 edges AS (

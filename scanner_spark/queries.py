@@ -700,6 +700,67 @@ def q_stream_events_hourly(spark, sf_dir):
     )
 
 
+def q_stream_events_sessions(spark, sf_dir):
+    """Streaming SESSION windows: readStream over events, 30-minute-gap
+    session_window per user, complete-mode foreachBatch overwrite sink.
+    Sessions merge in the state store as events arrive; the final (user,
+    start, end, n) set must hash-match a batch gaps-and-islands oracle
+    (new session when gap >= 30 min — session_window's half-open
+    [start, last+gap) boundary).
+
+    Output-mode note: Spark supports session windows in append or
+    complete mode only.  Append emits a session once the watermark passes
+    its END — on a bounded replay each user's LAST session never
+    finalizes (its end is beyond the final watermark), so a full-history
+    result needs complete mode, whose state holds every open+closed
+    session.  On an unbounded production stream the right shape is
+    append + a real watermark delay and accepting finalized-only output;
+    this query demonstrates the bounded-replay complete variant."""
+    import os as _os
+    import tempfile as _tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(old_parts))))
+    try:
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        sdf = normalize_events_ts(sdf)
+        agg = (
+            sdf.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+                F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+                "n",
+            )
+        )
+        base = _tempfile.mkdtemp(prefix="stream_events_sessions_")
+        sink_dir = _os.path.join(base, "sink")
+
+        def write_batch(bdf, batch_id):
+            bdf.write.mode("overwrite").parquet(sink_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(sink_dir).select(
+        "user_id", "session_start_us", "session_end_us", "n"
+    )
+
+
 def q_stream_events_dedup(spark, sf_dir):
     """Streaming exact dedup: readStream over events, state-store
     dropDuplicates on (user_id, event_type), append parquet sink — each
@@ -1443,4 +1504,5 @@ QUERIES = {
     "emb_quantize": q_emb_quantize,  # int8 embedding quantization
     "stream_events_dedup": q_stream_events_dedup,  # streaming exact dedup
     "dedup_keep_best": q_dedup_keep_best,  # keep-best-quality per cluster
+    "stream_events_sessions": q_stream_events_sessions,  # streaming session windows
 }
