@@ -243,3 +243,111 @@ def quantize_embeddings(
 def dequantize(q_col, scale_col):
     """Inverse map: float reconstruction of a quantized vector."""
     return F.transform(q_col, lambda qi: qi.cast("double") * scale_col)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Product-quantizer codebooks: the dimension splits into ``m``
+    subspaces and each gets a ``ksub``-entry k-means codebook — vectors
+    compress to m small codes (m bytes at ksub<=256), the standard
+    memory/IO shape for billion-scale ANN (Jegou et al., PQ for nearest
+    neighbor search).
+
+    Training runs on a bounded DETERMINISTIC sample (the ``sample``
+    lowest-id vectors) on the driver — the faiss practice; codebook
+    training needs thousands of examples, not the corpus.  Seeds are the
+    first ``ksub`` subvectors; Lloyd iterations are exact numpy.  Only
+    sample x dim floats ever reach the driver.  Returns (m, ksub, dsub)
+    nested lists."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[: min(ksub, len(S))].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vector -> m nearest-centroid codes.  One Arrow batch computes all
+    subspace assignments with broadcast codebook matmuls — embarrassingly
+    parallel, no shuffle.  Output: (id, codes array<int>)."""
+    CB = [np.asarray(b, dtype="float64") for b in codebooks]
+    dsub = CB[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype("float64")
+        codes = np.empty((len(X), len(CB)), dtype="int32")
+        for j, C in enumerate(CB):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            c_sq = (C * C).sum(axis=1)
+            codes[:, j] = np.argmin(c_sq[None, :] - 2.0 * (S @ C.T), axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("codes"))
+
+
+def knn_pq_adc(
+    df: DataFrame,
+    query: list,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): precompute the
+    query's (m x ksub) subspace distance table, score each code vector as
+    a table-lookup sum — the scan reads m ints per vector instead of the
+    full float array.  Output: (id, adc_dist), ascending (L2^2
+    approximation), ties by id."""
+    if codebooks is None:
+        codebooks = pq_train(df, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col)
+    CB = [np.asarray(b, dtype="float64") for b in codebooks]
+    dsub = CB[0].shape[1]
+    q = np.asarray([float(x) for x in query], dtype="float64")
+    table = np.stack(
+        [
+            ((C - q[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+            for j, C in enumerate(CB)
+        ]
+    )  # (m, ksub)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        M = np.stack(codes.to_numpy()).astype("int64")  # (batch, m)
+        rows = np.arange(table.shape[0])[None, :]
+        return pd.Series(table[rows, M].sum(axis=1))
+
+    codes = pq_encode(df, codebooks, vec_col, id_col)
+    return (
+        codes.select("id", F.round(adc(F.col("codes")), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("id").asc())
+        .limit(k)
+    )

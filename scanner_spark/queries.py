@@ -1241,6 +1241,21 @@ def q_video_decode_pruned(spark, sf_dir):
     )
 
 
+def q_emb_knn_pq(spark, sf_dir):
+    """Product-quantization ANN end-to-end: train codebooks on a bounded
+    deterministic sample, encode the corpus to m x int codes (no
+    shuffle), ADC table-lookup top-k for the query vector — the
+    billion-scale memory/IO shape (scan reads m ints per vector).
+    Rows-only (k-means training isn't ANSI-SQL); recall vs exact L2 is
+    pinned by tests."""
+    ship(spark)
+    e = read_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return simsearch.knn_pq_adc(e, list(q), k=KNN_K, m=8, ksub=16)
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Production dedup materialization: MinHash-LSH near-dup clusters,
     keep the highest-QUALITY member of each (not min-id; ties by id) —
@@ -1505,4 +1520,5 @@ QUERIES = {
     "stream_events_dedup": q_stream_events_dedup,  # streaming exact dedup
     "dedup_keep_best": q_dedup_keep_best,  # keep-best-quality per cluster
     "stream_events_sessions": q_stream_events_sessions,  # streaming session windows
+    "emb_knn_pq": q_emb_knn_pq,  # product-quantization ADC ANN (rows-only)
 }

@@ -234,6 +234,37 @@ def test_knn_ivf_recall_and_partitioning(real_embs):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_pq_adc_clustered_recall(spark):
+    """On cluster-structured data the PQ codes separate clusters exactly,
+    so ADC top-k must equal exact L2 top-k (query's own cluster first)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(0.0, 0.05, size=(20, 8)) + np.array([1.0] * 8)
+    b = rng.normal(0.0, 0.05, size=(20, 8)) + np.array([-1.0] * 8)
+    X = np.vstack([a, b])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in X[3]]
+    out = simsearch.knn_pq_adc(df, q, k=5, m=4, ksub=8).collect()
+    got = [r.id for r in out]
+    assert got[0] == 3  # the query vector itself
+    assert all(i < 20 for i in got)  # every neighbor from the query's cluster
+    # deterministic across runs
+    again = [r.id for r in simsearch.knn_pq_adc(df, q, k=5, m=4, ksub=8).collect()]
+    assert got == again
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    rows = [(i, [float(i), float(-i), 0.5, 1.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = simsearch.pq_train(df, m=2, ksub=4, sample=30)
+    assert len(books) == 2 and all(len(b) <= 4 for b in books)
+    codes = {r.id: list(r.codes) for r in simsearch.pq_encode(df, books).collect()}
+    assert all(len(c) == 2 for c in codes.values())
+    assert all(0 <= x < 4 for c in codes.values() for x in c)
+
+
 def test_dedup_keep_best_argmax_and_singletons(spark):
     docs = spark.createDataFrame(
         [(0, 0.3), (1, 0.9), (2, 0.5), (7, 0.1)], "doc_id long, quality double"
