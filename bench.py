@@ -48,12 +48,17 @@ def main() -> None:
 
     # two passes, min per query: pass 1 absorbs one-time Catalyst/codegen
     # compile of each plan shape; the min is the steady-state number a
-    # long-running cluster job actually sees.
+    # long-running cluster job actually sees.  SAME second-pass policy as
+    # tools/duck_twin_bench.py (skip the re-run once a query exceeds the
+    # budget) so cross-engine ratios always compare like timings.
+    SECOND_PASS_BUDGET_S = 30.0
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for _pass in range(2):
         for name, fn in Q.QUERIES.items():
             if name in failures:
+                continue
+            if _pass and timings.get(name, 0.0) >= SECOND_PASS_BUDGET_S:
                 continue
             t0 = time.monotonic()
             try:

@@ -192,10 +192,12 @@ def ngram_jaccard_pairs(
     sh = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
     if max_shingle_df is not None:
         # document frequency must count COPIES (the oracle counts every
-        # doc), so weight each representative by its group size
+        # doc), so weight each representative by its group size.  rep_m has
+        # one row per DISTINCT text — it scales with the corpus, so let AQE
+        # pick the join strategy (broadcast only when it actually fits)
         rep_m = groups.select("doc", "__m")
         good = (
-            sh.join(F.broadcast(rep_m), "doc")
+            sh.join(rep_m, "doc")
             .groupBy("shingle")
             .agg(F.sum("__m").alias("df"))
             .filter(F.col("df") <= max_shingle_df)
@@ -763,9 +765,12 @@ def cosine_dup_pairs(
     # the quadratic term entirely.  Bit-exactness is free: cosine of any
     # member pair equals the representative pair's (identical arrays ->
     # identical dot and norms).
+    # persist (not eager localCheckpoint): materialization happens on first
+    # action, and partitions stay recomputable from lineage if an executor
+    # dies — checkpointed blocks would not be
     reps = base.groupBy(*key_names, "v", "n2").agg(
         F.min("id").alias("rid"), F.collect_list("id").alias("ids")
-    ).localCheckpoint(eager=True)
+    ).persist()
 
     a, b = reps.alias("a"), reps.alias("b")
     cond = F.col("a.rid") < F.col("b.rid")

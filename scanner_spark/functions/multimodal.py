@@ -78,24 +78,42 @@ def decode_image(
     pipelines); ``'skip'`` drops the bad rows — one rotten blob in a
     billion-asset corpus should not kill the query (the per-row analog of
     the op compiler's ``on_error='null'`` blacklisting).
+
+    Skips are never silent: a Spark accumulator counts dropped payloads and
+    is exposed as ``.decode_skipped`` on the returned DataFrame (read its
+    ``.value`` after an action; task retries may over-count, as usual for
+    accumulators in transformations — it is an observability counter, not an
+    exact ledger), and each affected batch logs a worker-side warning.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"unknown on_error {on_error!r}")
 
     out_schema = f"asset_id long, {FRAME_SCHEMA}"
+    skipped = df.sparkSession.sparkContext.accumulator(0)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import logging
+
         for pdf in batches:
             ids, frames = [], []
+            n_bad = 0
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
                     arr = decode_payload(payload, out_h, out_w)
                 except Exception:
                     if on_error == "raise":
                         raise
+                    n_bad += 1
                     continue  # skip: blacklist the corrupt element
                 ids.append(asset_id)
                 frames.append(arr.tobytes())
+            if n_bad:
+                skipped.add(n_bad)
+                logging.getLogger(__name__).warning(
+                    "decode_image skipped %d corrupt payload(s) in a batch of %d",
+                    n_bad,
+                    len(pdf),
+                )
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
@@ -107,7 +125,9 @@ def decode_image(
                 }
             )
 
-    return df.mapInPandas(run, schema=out_schema)
+    out = df.mapInPandas(run, schema=out_schema)
+    out.decode_skipped = skipped
+    return out
 
 
 def text_to_png(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,

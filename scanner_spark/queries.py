@@ -50,12 +50,30 @@ EMB_LSH_BITS = 4
 JACCARD_MAX_SHINGLE_DF = 1000
 
 
+# events_stream is rebuilt by ~15 §A suite queries; the stream DataFrame is
+# cached per (session, sf_dir) so that when make_stream's auto-dispatch picks
+# the distributed layout (large inputs), its eager layout job runs once per
+# suite, not once per query.  Entries are lazy plans — cheap to hold.
+_STREAM_CACHE: dict = {}
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a Scanner-model stream: one stream per event_type, idx
-    dense in event_id order."""
+    dense in event_id order.
+
+    Uses ``make_stream``'s default auto-dispatch: single-window path below
+    the straggler threshold, the partition-bounded distributed layout above
+    it — no query in the suite ever plans a whole-stream single-task window
+    on a large input."""
+    key = (id(spark), sf_dir)
+    cached = _STREAM_CACHE.get(key)
+    if cached is not None:
+        return cached
     ev = read_table(spark, sf_dir, "events")
     st = S.make_stream(ev, stream_col="event_type", order_col="event_id")
-    return st.select("stream_id", "idx", "event_id", "value")
+    out = st.select("stream_id", "idx", "event_id", "value")
+    _STREAM_CACHE[key] = out
+    return out
 
 
 def _dec(c: str, p: int = 12, s: int = 2):

@@ -31,19 +31,51 @@ IDX_COL = "idx"
 SLICE_COL = "slice_id"
 
 
+# Catalyst-stats size above which the DEFAULT make_stream dispatches to the
+# distributed two-pass layout.  A `row_number() OVER (PARTITION BY stream)`
+# funnels each stream through ONE task; once the input exceeds roughly a
+# shuffle-partition's worth of bytes, that task is a straggler (and at 100 TB
+# an OOM), so the default path must never plan it.
+AUTO_DISTRIBUTE_BYTES = 128 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes — file sizes for
+    scans, computed stats for synthetic relations.  No job is run."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def make_stream(
     df: DataFrame,
     stream_col: str | None = None,
     order_col: str | None = None,
+    distribute: bool | str = "auto",
+    distribute_threshold: int = AUTO_DISTRIBUTE_BYTES,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Materialize dense row identity on an arbitrary DataFrame.
 
     Scanner tables have positional row identity (dense index 0..N-1,
     reference: scanner/metadata.proto:120-128); Spark rows do not, so the
-    engine materializes ``idx`` explicitly with a window ``row_number``.
-    This is the ONE place a shuffle happens to establish the stream model;
-    every downstream sampler is then narrow.
+    engine materializes ``idx`` explicitly.  Two physical strategies, both
+    hash-identical (checked by ``scanner_all_distributed`` sharing
+    ``scanner_all``'s oracle):
+
+    - small inputs: one ``row_number`` window per stream — a single shuffle,
+      lowest constant cost, but each stream is ONE task;
+    - large inputs: :func:`make_stream_distributed` — windows bounded by
+      physical partition, never by stream size (the reference's analog:
+      master.cpp:1555-1607 chunks output domains so a stream is never one
+      task).
+
+    ``distribute="auto"`` (the default) picks by Catalyst's plan-stats size
+    estimate — no job is run for the decision; ``True``/``False`` force a
+    strategy.
     """
+    if distribute is True or (
+        distribute == "auto" and plan_size_bytes(df) > distribute_threshold
+    ):
+        return make_stream_distributed(df, stream_col, order_col, num_partitions)
     if stream_col is None:
         df = df.withColumn(STREAM_COL, F.lit("0"))
     elif stream_col != STREAM_COL:
@@ -62,7 +94,11 @@ _PERSISTED_LAYOUTS: list[DataFrame] = []
 def release_cached() -> None:
     """Drop any partition layout still cached by make_stream_distributed."""
     while _PERSISTED_LAYOUTS:
-        _PERSISTED_LAYOUTS.pop().unpersist(blocking=False)
+        cached = _PERSISTED_LAYOUTS.pop()
+        try:
+            cached.unpersist(blocking=False)
+        except Exception:
+            pass  # owning session already stopped; its blocks are gone
 
 
 def make_stream_distributed(
@@ -104,8 +140,7 @@ def make_stream_distributed(
     # bound cache accumulation in long-lived sessions: at most one layout
     # stays cached; the previous call's blocks are dropped here (callers can
     # also force-release via release_cached())
-    while _PERSISTED_LAYOUTS:
-        _PERSISTED_LAYOUTS.pop().unpersist(blocking=False)
+    release_cached()
     _PERSISTED_LAYOUTS.append(parted)
     counts = (
         parted.groupBy("__pid", STREAM_COL)

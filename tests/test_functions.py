@@ -363,8 +363,11 @@ def test_decode_image_skip_on_corrupt_png(spark):
         "asset_id long, media_type string, payload binary, "
         "meta struct<width:int,height:int,duration_ms:int,codec:string>",
     )
-    out = multimodal.decode_image(media, 8, 8, on_error="skip").collect()
+    skipping = multimodal.decode_image(media, 8, 8, on_error="skip")
+    out = skipping.collect()
     assert [r.asset_id for r in out] == [1]
+    # the drop is observable, not silent: the accumulator counted it
+    assert skipping.decode_skipped.value == 1
     with _pytest.raises(Exception):
         multimodal.decode_image(media, 8, 8).collect()
 

@@ -211,6 +211,50 @@ def test_quantize_is_narrow_projection(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_make_stream_default_never_single_task_window_at_scale(spark, sf_dir):
+    """Scale gate for the DEFAULT stream path: once input size crosses the
+    straggler threshold, make_stream must NOT plan an unbounded
+    `row_number() OVER (PARTITION BY stream_id)` window (one task per
+    stream); it dispatches to the two-pass layout whose windows are bounded
+    by physical partition."""
+    import re
+
+    from scanner_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    # default call, input forced over the threshold -> distributed shape
+    st = S.make_stream(ev, "event_type", "event_id", distribute_threshold=0)
+    plan = plan_of(st, mode="extended")
+    assert "__pid" in plan, "expected the partition-bounded distributed layout"
+    # every row_number window spec partitions by MORE than stream_id alone
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        part_cols = spec.split("event_id")[0]
+        assert "__pid" in part_cols, f"stream-only window partition: {spec}"
+    # rows-identical to the single-window path (full contract is the
+    # scanner_all_distributed oracle; this is the cheap local check)
+    small = S.make_stream(ev, "event_type", "event_id", distribute=False)
+    assert sorted(st.select("stream_id", "idx", "event_id").collect()) == sorted(
+        small.select("stream_id", "idx", "event_id").collect()
+    )
+
+
+def test_make_stream_auto_dispatch_uses_plan_stats(spark):
+    """The dispatch decision reads Catalyst stats (no job): a relation whose
+    estimated size exceeds the DEFAULT threshold plans the distributed
+    layout with no explicit opt-in from the caller."""
+    big = (
+        spark.range(0, 30_000_000)  # 8B/row stats => ~229 MB > 128 MB default
+        .withColumn("stream_id", (F.col("id") % 4).cast("string"))
+    )
+    assert S.plan_size_bytes(big) > S.AUTO_DISTRIBUTE_BYTES
+    st = S.make_stream(big, "stream_id", "id")
+    assert "__pid" in plan_of(st, mode="extended")
+    S.release_cached()
+    # and a small relation keeps the cheap single-window plan
+    small = spark.range(0, 100).withColumn("stream_id", F.lit("0"))
+    assert "__pid" not in plan_of(S.make_stream(small, "stream_id", "id"), mode="extended")
+
+
 def test_sparse_load_prunes_and_pushes(spark, sf_dir):
     plan = plan_of(Q.q_scanner_sparse_load(spark, sf_dir))
     filters = plan.split("PushedFilters:")[1].split("\n")[0]

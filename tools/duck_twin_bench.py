@@ -29,7 +29,9 @@ con.execute(
 )
 times = {}
 # min-of-2 absorbs cold-cache noise on sub-second queries; a second pass
-# of a 30 s+ query costs more signal than it buys — run it once
+# of a 30 s+ query costs more signal than it buys — run it once.  bench.py
+# applies the IDENTICAL policy to the Spark side, so per-query ratios always
+# compare min-of-2 with min-of-2 (or single-pass with single-pass).
 SECOND_PASS_BUDGET_S = 30.0
 for name, sql in e.oracle_sql().items():
     t0 = time.time()
