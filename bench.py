@@ -70,6 +70,9 @@ def main() -> None:
                 failures[name] = f"{type(e).__name__}: {e}"[:200]
             # drop caches persisted inside queries (minhash/jaccard) so
             # leaked blocks don't GC-throttle later queries
+            from scanner_spark.caching import release_all
+
+            release_all()
             spark.catalog.clearCache()
     out = {
         "metric": "scanner_spark_query_suite_total",

@@ -14,6 +14,7 @@ for 100 TB scale.
 from scanner_spark.session import get_spark
 from scanner_spark.catalog import Database
 from scanner_spark import streams
+from scanner_spark.caching import release_all as release_cached, scoped_caches
 from scanner_spark.ops import register_op, BoundaryMode
 
 __all__ = [
@@ -22,6 +23,8 @@ __all__ = [
     "streams",
     "register_op",
     "BoundaryMode",
+    "release_cached",
+    "scoped_caches",
 ]
 
 __version__ = "0.1.0"

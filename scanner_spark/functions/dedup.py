@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from scanner_spark.caching import track
 from scanner_spark.functions.hashing import MINHASH_P, h60, minhash_coeffs  # noqa: F401
 from scanner_spark.functions.text import tokens
 
@@ -184,7 +185,7 @@ def ngram_jaccard_pairs(
     CAPPED shingle sets.  Output: (doc_a, doc_b, jaccard).
     """
     # exact-duplicate collapse: sketch per DISTINCT text, expand at the end
-    groups = _text_groups(df, text_col, id_col).persist()
+    groups = track(_text_groups(df, text_col, id_col))
     sh = _shingled(groups, text_col, "doc", n)
     # join/aggregate on the 60-bit shingle hash, not the ~25-byte string:
     # smaller shuffle keys, same results (the DuckDB oracle hashes with the
@@ -206,7 +207,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(good, "shingle", "left_semi")
     # the shingle table feeds three plan branches (sizes + both join sides);
     # materialize it once instead of re-running tokenize/explode per branch
-    sh = sh.persist()
+    sh = track(sh)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -285,8 +286,8 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     # exact-duplicate collapse: signatures per DISTINCT text only
-    groups = _text_groups(df, text_col, id_col).persist()
-    sig = minhash_signatures(groups, text_col, "doc", k, n).persist()
+    groups = track(_text_groups(df, text_col, id_col))
+    sig = track(minhash_signatures(groups, text_col, "doc", k, n))
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"m{i}").cast("string") for i in range(b * r, (b + 1) * r)]
@@ -360,7 +361,7 @@ def _simhash_reps(
     """(groups, rep_sigs): exact-duplicate collapse + signatures computed
     per DISTINCT text only (the signature is a pure function of the
     text)."""
-    groups = _text_groups(df, text_col, id_col).persist()
+    groups = track(_text_groups(df, text_col, id_col))
     return groups, _simhash_wide(groups, text_col, "doc", bits)
 
 
@@ -425,7 +426,7 @@ def simhash_pairs(
     # the signature table, and without materialization the whole
     # explode-48-bits pipeline runs twice
     groups, rep_sigs = _simhash_reps(df, text_col, id_col, bits)
-    rep_sigs = rep_sigs.persist()
+    rep_sigs = track(rep_sigs)
     rep_pairs = simhash_pairs_from_sigs(
         rep_sigs, bits=bits, max_hamming=max_hamming, n_blocks=n_blocks
     )
@@ -768,9 +769,11 @@ def cosine_dup_pairs(
     # persist (not eager localCheckpoint): materialization happens on first
     # action, and partitions stay recomputable from lineage if an executor
     # dies — checkpointed blocks would not be
-    reps = base.groupBy(*key_names, "v", "n2").agg(
-        F.min("id").alias("rid"), F.collect_list("id").alias("ids")
-    ).persist()
+    reps = track(
+        base.groupBy(*key_names, "v", "n2").agg(
+            F.min("id").alias("rid"), F.collect_list("id").alias("ids")
+        )
+    )
 
     a, b = reps.alias("a"), reps.alias("b")
     cond = F.col("a.rid") < F.col("b.rid")

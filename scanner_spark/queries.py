@@ -652,6 +652,34 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def _stream_session(spark: SparkSession, max_parts: int = 8) -> SparkSession:
+    """Isolated session for ONE streaming query: shares the SparkContext
+    but owns its SQL conf, so sizing the state-store partition count
+    (frozen into the checkpoint at first start) and the parquet
+    nanos-as-long read flag never mutate — or race — the caller's session
+    under concurrent query submission.
+
+    State-store partition sizing: a streaming aggregation creates one
+    state dir + per-batch commit per shuffle partition.  Inheriting the
+    batch shuffle conf (32 here, thousands on a cluster) pays that fixed
+    cost for a handful of keys; capping it to key-cardinality scale was a
+    4x wall-clock win at sf0.1 (6.7s -> 1.6s)."""
+    ns = spark.newSession()
+    # keep caller semantics for the confs that affect event-time results
+    for k in (
+        "spark.sql.session.timeZone",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+    ):
+        try:
+            ns.conf.set(k, spark.conf.get(k))
+        except Exception:
+            pass
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ns.conf.set("spark.sql.shuffle.partitions", str(min(max_parts, cur)))
+    return ns
+
+
 def q_stream_events_hourly(spark, sf_dir):
     """Structured Streaming twin of events_hourly: readStream over the
     events parquet, tumbling 1h event-time windows with a watermark,
@@ -666,53 +694,43 @@ def q_stream_events_hourly(spark, sf_dir):
 
     from scanner_spark.streaming.windows import read_upserted, to_parquet_upsert
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # per-query conf isolation: state-store sizing + parquet read flags
+    # live on this query's own session, never the caller's
+    ss = _stream_session(spark)
     path = _os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    # State-store partition count: a streaming aggregation creates one
-    # state dir + per-batch commit per shuffle partition, and the count is
-    # frozen into the checkpoint at first start.  Inheriting the batch
-    # shuffle conf (32 here, thousands on a cluster) pays that fixed cost
-    # for a 5-key aggregate; size it to the key cardinality instead (this
-    # alone was a 4x wall-clock win at sf0.1: 6.7s -> 1.6s).
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(min(8, int(old_parts)))
+    raw_schema = ss.read.parquet(path).schema
+    # the file stream source wants a directory: stream the sf_dir with
+    # a glob pinned to the events table
+    sdf = (
+        ss.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
-    try:
-        # the file stream source wants a directory: stream the sf_dir with
-        # a glob pinned to the events table
-        sdf = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+    # dtype-driven: handles long-nanos AND TIMESTAMP_NTZ files under
+    # any session (withWatermark requires plain TIMESTAMP)
+    sdf = normalize_events_ts(sdf)
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy("event_type", F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
         )
-        # dtype-driven: handles long-nanos AND TIMESTAMP_NTZ files under
-        # any session (withWatermark requires plain TIMESTAMP)
-        sdf = normalize_events_ts(sdf)
-        agg = (
-            sdf.withWatermark("ts", "0 seconds")
-            .groupBy("event_type", F.window("ts", "1 hour"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
-                    "sum_value"
-                ),
-            )
-            .select(
-                "event_type",
-                F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
-                "n",
-                "sum_value",
-            )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "n",
+            "sum_value",
         )
-        base = _tempfile.mkdtemp(prefix="stream_events_hourly_")
-        sink_dir = _os.path.join(base, "sink")
-        ckpt_dir = _os.path.join(base, "ckpt")
-        q = to_parquet_upsert(agg, sink_dir, ckpt_dir)
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    )
+    base = _tempfile.mkdtemp(prefix="stream_events_hourly_")
+    sink_dir = _os.path.join(base, "sink")
+    ckpt_dir = _os.path.join(base, "ckpt")
+    q = to_parquet_upsert(agg, sink_dir, ckpt_dir)
+    q.awaitTermination()
+    # read-back on the CALLER's session: the sink parquet is plain micros
     return read_upserted(spark, sink_dir, ["event_type", "hour_epoch"]).select(
         "event_type", "hour_epoch", "n", "sum_value"
     )
@@ -737,43 +755,38 @@ def q_stream_events_sessions(spark, sf_dir):
     import os as _os
     import tempfile as _tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(old_parts))))
-    try:
-        sdf = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+    ss = _stream_session(spark)
+    raw_schema = ss.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        ss.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = normalize_events_ts(sdf)
+    agg = (
+        sdf.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n",
         )
-        sdf = normalize_events_ts(sdf)
-        agg = (
-            sdf.groupBy("user_id", F.session_window("ts", "30 minutes"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                "user_id",
-                F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
-                F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
-                "n",
-            )
-        )
-        base = _tempfile.mkdtemp(prefix="stream_events_sessions_")
-        sink_dir = _os.path.join(base, "sink")
+    )
+    base = _tempfile.mkdtemp(prefix="stream_events_sessions_")
+    sink_dir = _os.path.join(base, "sink")
 
-        def write_batch(bdf, batch_id):
-            bdf.write.mode("overwrite").parquet(sink_dir)
+    def write_batch(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(sink_dir)
 
-        q = (
-            agg.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", _os.path.join(base, "ckpt"))
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(sink_dir).select(
         "user_id", "session_start_us", "session_end_us", "n"
     )
@@ -792,26 +805,21 @@ def q_stream_events_dedup(spark, sf_dir):
 
     from scanner_spark.streaming.windows import to_parquet
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(old_parts))))
-    try:
-        sdf = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        sdf = normalize_events_ts(sdf)
-        dd = sdf.select("user_id", "event_type").dropDuplicates(
-            ["user_id", "event_type"]
-        )
-        base = _tempfile.mkdtemp(prefix="stream_events_dedup_")
-        sink_dir = _os.path.join(base, "sink")
-        q = to_parquet(dd, sink_dir, _os.path.join(base, "ckpt"), "append")
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    ss = _stream_session(spark)
+    raw_schema = ss.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        ss.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = normalize_events_ts(sdf)
+    dd = sdf.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    base = _tempfile.mkdtemp(prefix="stream_events_dedup_")
+    sink_dir = _os.path.join(base, "sink")
+    q = to_parquet(dd, sink_dir, _os.path.join(base, "ckpt"), "append")
+    q.awaitTermination()
     return spark.read.parquet(sink_dir).select("user_id", "event_type")
 
 

@@ -97,3 +97,23 @@ def test_parquet_sink_checkpointed(spark, stream_dir, tmp_path):
     )
     _drain(q2)
     assert spark.read.parquet(out).count() == 4
+
+
+def test_stream_queries_leave_caller_conf_untouched(spark, sf_dir):
+    """Per-query conf isolation: the streaming suite queries size their
+    state-store partitions and parquet read flags on their OWN session
+    (spark.newSession()), so a concurrent query on the caller's session
+    can never observe a mutated conf."""
+    from scanner_spark import queries as Q
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.legacy.parquet.nanosAsLong",
+        )
+    }
+    out = Q.q_stream_events_hourly(spark, sf_dir)
+    assert out.count() > 0
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert after == before
