@@ -562,6 +562,9 @@ FROM common JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
 WHERE round(cmn / (sa.sz + sb.sz - cmn), 6) >= {Q.JACCARD_THRESHOLD}
 """,
         "dedup_minhash_lsh": _minhash_sql(),
+        # streaming twin: the DISTINCT emitted pair set on a bounded replay
+        # equals the batch LSH pair set exactly (same sketches, same oracle)
+        "stream_dedup_minhash_lsh": _minhash_sql(),
         "dedup_minhash_clusters": f"""
 WITH RECURSIVE pairs AS ({_minhash_sql()}),
 edges AS (
@@ -737,6 +740,35 @@ g AS (
 )
 SELECT user_id, session_start_us, session_end_us, CAST(n AS BIGINT) AS n
 FROM g
+""",
+        "stream_events_sessions_append": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+),
+g AS (
+  SELECT user_id, sess,
+         MIN(us) AS session_start_us,
+         MAX(us) + 1800000000 AS session_end_us,
+         COUNT(*) AS n
+  FROM s GROUP BY user_id, sess
+),
+-- Spark's final watermark: millisecond-truncated max event time minus the
+-- delay; a session is FINALIZED (emitted in append mode) iff its end is
+-- at or before the watermark (boundary verified empirically: end == wm
+-- emits)
+wm AS (SELECT (MAX(us) // 1000) * 1000 - {Q.SESSION_APPEND_DELAY_US} AS w FROM e)
+SELECT user_id, session_start_us, session_end_us, CAST(n AS BIGINT) AS n
+FROM g, wm WHERE session_end_us <= w
 """,
         "dedup_keep_best": f"""
 WITH RECURSIVE pairs AS (SELECT * FROM ({_minhash_sql()})),

@@ -749,9 +749,10 @@ def q_stream_events_sessions(spark, sf_dir):
     its END — on a bounded replay each user's LAST session never
     finalizes (its end is beyond the final watermark), so a full-history
     result needs complete mode, whose state holds every open+closed
-    session.  On an unbounded production stream the right shape is
-    append + a real watermark delay and accepting finalized-only output;
-    this query demonstrates the bounded-replay complete variant."""
+    session.  THIS query is the bounded-replay/backfill twin; the
+    production shape — append mode, nonzero watermark delay,
+    finalized-only contract, state bounded by open sessions — is
+    ``q_stream_events_sessions_append`` below."""
     import os as _os
     import tempfile as _tempfile
 
@@ -783,6 +784,110 @@ def q_stream_events_sessions(spark, sf_dir):
         agg.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", _os.path.join(base, "ckpt"))
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir).select(
+        "user_id", "session_start_us", "session_end_us", "n"
+    )
+
+
+def q_stream_dedup_minhash_lsh(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup detection: documents readStream ->
+    per-row banded signatures (narrow JVM transforms) ->
+    applyInPandasWithState keyed by (band, band_sig) emitting a scored
+    pair the moment a new doc collides with a bucket's seen docs.
+
+    On this bounded replay the DISTINCT emitted pair set must hash-match
+    the SAME DuckDB oracle as the batch ``dedup_minhash_lsh`` — streaming
+    and batch near-dup semantics agree exactly.  (DISTINCT because a pair
+    colliding in several bands is emitted once per band — different state
+    keys cannot coordinate — with an identical score each time.)"""
+    import os as _os
+    import tempfile as _tempfile
+
+    from scanner_spark.streaming.dedup import banded_minhash_rows, lsh_dedup_pairs
+
+    ss = _stream_session(spark)
+    raw_schema = ss.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
+    sdf = (
+        ss.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    pairs = lsh_dedup_pairs(
+        banded_minhash_rows(sdf), threshold=MINHASH_THRESHOLD
+    )
+    base = _tempfile.mkdtemp(prefix="stream_dedup_minhash_")
+    sink_dir = _os.path.join(base, "sink")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink_dir)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .distinct()
+    )
+
+
+# append-mode watermark delay: sessions whose end is older than the final
+# watermark (ms-truncated max event time minus this delay) are FINALIZED
+# and emitted; later sessions stay open in the state store.
+SESSION_APPEND_DELAY = "4 hours"
+SESSION_APPEND_DELAY_US = 4 * 3600 * 1_000_000
+
+
+def q_stream_events_sessions_append(spark, sf_dir):
+    """Streaming session windows, PRODUCTION shape: append output mode
+    with a nonzero watermark delay, emitting FINALIZED sessions only.
+
+    Contract (the one that survives an unbounded stream): a session is
+    emitted exactly once, when the watermark passes its end; state holds
+    only open sessions plus those younger than the delay — bounded by
+    recent activity, never by stream history (unlike the complete-mode
+    bounded-replay twin ``q_stream_events_sessions``).
+
+    Emission boundary, verified against Spark's state-store eviction: a
+    session finalizes when ``session_end <= watermark`` where the final
+    watermark is the millisecond-truncated max event time minus the
+    delay.  The DuckDB oracle is the same gaps-and-islands CTE truncated
+    by exactly that predicate."""
+    import os as _os
+    import tempfile as _tempfile
+
+    ss = _stream_session(spark)
+    raw_schema = ss.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    sdf = (
+        ss.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sdf = normalize_events_ts(sdf)
+    agg = (
+        sdf.withWatermark("ts", SESSION_APPEND_DELAY)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n",
+        )
+    )
+    base = _tempfile.mkdtemp(prefix="stream_events_sessions_append_")
+    sink_dir = _os.path.join(base, "sink")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
@@ -1546,5 +1651,7 @@ QUERIES = {
     "stream_events_dedup": q_stream_events_dedup,  # streaming exact dedup
     "dedup_keep_best": q_dedup_keep_best,  # keep-best-quality per cluster
     "stream_events_sessions": q_stream_events_sessions,  # streaming session windows
+    "stream_events_sessions_append": q_stream_events_sessions_append,  # finalized-only
+    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,  # stateful near-dup pairs
     "emb_knn_pq": q_emb_knn_pq,  # product-quantization ADC ANN (rows-only)
 }
