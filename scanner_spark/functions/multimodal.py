@@ -6,15 +6,17 @@ feature extraction run as Arrow-batched ``mapInPandas`` so each Python
 worker sees a columnar batch of blobs — the right shape for handing to an
 image/audio library.
 
-``decode_image`` has a REAL codec path: PNG payloads are decoded by the
-in-repo dependency-free decoder (``kernels.image.decode_png`` — inverse of
-``encode_png``; the reference ingests real images the same way,
-scanner/engine/ingest.cpp:1004), normalized to 3 channels, and bilinearly
-resized to the requested output size.  Non-PNG payloads (this container
-ships no JPEG/ffmpeg codecs — no cv2/PIL/av) fall back to a deterministic
-md5-seeded fake, clearly marked, behind the same signature a real
-libjpeg/ffmpeg path would use.  The Spark-side plumbing — schema, batch
-iteration, partitioning, output contracts — is identical on both paths.
+``decode_image`` has REAL codec paths for the two dominant formats: PNG
+payloads are decoded by the in-repo dependency-free decoder
+(``kernels.image.decode_png`` — inverse of ``encode_png``) and baseline
+JPEG payloads by the in-repo T.81 decoder (``kernels.jpeg.decode_jpeg``;
+the reference ingests real image format groups the same way,
+scanner/engine/ingest.cpp:1004) — both normalized to 3 channels and
+bilinearly resized to the requested output size.  Only formats neither
+codec covers (GIF/WebP/TIFF/...; this container ships no image libs) fall
+back to a deterministic md5-seeded fake, clearly marked, behind the same
+signature.  The Spark-side plumbing — schema, batch iteration,
+partitioning, output contracts — is identical on all paths.
 """
 
 from __future__ import annotations
@@ -55,17 +57,23 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
-    """One blob -> (out_h, out_w, 3) uint8.  PNG: real decode + bilinear
-    resize; anything else: deterministic fake.  Raises on a malformed PNG
-    (magic present, body corrupt) — callers choose the failure policy."""
+    """One blob -> (out_h, out_w, 3) uint8.  PNG and baseline JPEG take
+    REAL in-repo decoders (+ bilinear resize); only formats neither codec
+    covers (GIF/WebP/TIFF/...) fall to the deterministic fake.  Raises on
+    a malformed payload with a recognized magic — callers choose the
+    failure policy."""
     from scanner_spark.kernels.image import PNG_MAGIC, decode_png, resize_bilinear
+    from scanner_spark.kernels.jpeg import JPEG_MAGIC, decode_jpeg
 
     if payload and bytes(payload[:8]) == PNG_MAGIC:
         img = _to_rgb(decode_png(bytes(payload)))
-        if img.shape[:2] != (out_h, out_w):
-            img = resize_bilinear(img, out_h, out_w)
-        return img
-    return _fake_decode(payload, out_h, out_w)
+    elif payload and bytes(payload[:2]) == JPEG_MAGIC:
+        img = decode_jpeg(bytes(payload))
+    else:
+        return _fake_decode(payload, out_h, out_w)
+    if img.shape[:2] != (out_h, out_w):
+        img = resize_bilinear(img, out_h, out_w)
+    return img
 
 
 def decode_image(
@@ -159,6 +167,43 @@ def text_to_png(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
                     "payload": payloads,
                     "meta": [
                         {"width": w, "height": h, "duration_ms": 0, "codec": "png"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def text_to_jpeg(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
+                 id_col: str = "doc_id", quality: int = 85) -> DataFrame:
+    """Render each document's utf-8 bytes into a deterministic (h, w, 3)
+    image and REAL-encode it as baseline JPEG (in-repo T.81 encoder) —
+    genuine lossy-compressed payloads from driver-provided data, the JPEG
+    twin of ``text_to_png``.  Arrow-batched mapInPandas."""
+    from scanner_spark.kernels.jpeg import encode_jpeg
+
+    out_schema = (
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+    )
+    need = h * w * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                raw = (s or " ").encode("utf-8")
+                reps = -(-need // len(raw))
+                arr = np.frombuffer((raw * reps)[:need], dtype=np.uint8)
+                payloads.append(encode_jpeg(arr.reshape(h, w, 3), quality=quality))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"width": w, "height": h, "duration_ms": 0, "codec": "jpeg"}
                     ]
                     * len(pdf),
                 }

@@ -1183,17 +1183,23 @@ def q_doc_rolling_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Binary-payload pipeline on REAL compressed images: documents text
-    -> PNG payload (real in-repo encoder) -> real PNG decode + bilinear
-    resize (kernels.image.decode_png) -> frame columns.  Exercises the
-    mapInPandas media plumbing end-to-end with a genuine codec on
-    driver-provided data (rows-only check)."""
+    """Binary-payload pipeline on REAL compressed images in BOTH dominant
+    formats: documents text -> PNG payloads (even doc_ids, in-repo
+    encoder) and baseline JPEG payloads (odd doc_ids, in-repo T.81
+    encoder) -> format-sniffed real decode + bilinear resize -> frame
+    columns.  Exercises the mapInPandas media plumbing end-to-end with
+    genuine codecs on driver-provided data (rows-only check)."""
     ship(spark)
     from scanner_spark.functions import multimodal
 
-    d = read_table(spark, sf_dir, "documents")
-    media = multimodal.text_to_png(d, "text", 32, 32)
-    frames = multimodal.decode_image(media, 16, 16)
+    # the codec UDFs are ms-per-row CPU work: spread the small documents
+    # scan (1-2 parquet row groups) across every core before encoding
+    d = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    png = multimodal.text_to_png(d.filter(F.col("doc_id") % 2 == 0), "text", 32, 32)
+    jpg = multimodal.text_to_jpeg(d.filter(F.col("doc_id") % 2 == 1), "text", 32, 32)
+    frames = multimodal.decode_image(png.unionByName(jpg), 16, 16)
     return frames.select("asset_id", "height", "width", "channels")
 
 

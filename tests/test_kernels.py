@@ -280,3 +280,131 @@ def test_png_decode_rejects_garbage():
 
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (kernels/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def _grad_img(n=64):
+    import numpy as np
+
+    x = np.linspace(0, 255, n)
+    g = np.stack(np.meshgrid(x, x), axis=-1).mean(axis=-1)
+    return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+
+
+def test_jpeg_flat_blocks_exact():
+    """A flat image is DC-only: quantization cannot touch it — decode must
+    reproduce the input EXACTLY, in both subsample modes."""
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    for val in (0, 64, 128, 200, 255):
+        img = np.full((16, 24, 3), val, dtype=np.uint8)
+        for ss in (True, False):
+            assert np.array_equal(decode_jpeg(encode_jpeg(img, subsample=ss)), img)
+
+
+def test_jpeg_gradient_high_psnr():
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    img = _grad_img()
+    for ss in (True, False):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample=ss))
+        err = out.astype(float) - img.astype(float)
+        psnr = 10 * np.log10(255**2 / max(1e-9, float(np.mean(err**2))))
+        assert psnr > 40.0, f"psnr {psnr:.1f} subsample={ss}"
+        assert int(np.abs(err).max()) <= 8
+
+
+def test_jpeg_golden_pixels():
+    """Pinned bytes and pixels: the codec is deterministic arithmetic, so
+    any change to DCT/quant/huffman shows up as a golden mismatch."""
+    import hashlib
+
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    enc = encode_jpeg(img, quality=85)
+    assert hashlib.sha256(enc).hexdigest()[:16] == "048c958f9cdecee0"
+    dec = decode_jpeg(enc)
+    assert hashlib.sha256(dec.tobytes()).hexdigest()[:16] == "da7bbf43c4d488b8"
+    assert dec[0, 0].tolist() == [142, 105, 47]
+    assert dec[12, 20].tolist() == [112, 148, 101]
+    assert dec[23, 39].tolist() == [102, 109, 117]
+    dec444 = decode_jpeg(encode_jpeg(img, quality=85, subsample=False))
+    assert hashlib.sha256(dec444.tobytes()).hexdigest()[:16] == "af407e18c309d3d7"
+
+
+def test_jpeg_restart_markers_equivalent():
+    """DRI/RSTn path: restart intervals change the byte stream but not one
+    pixel (DC predictor + bit alignment reset handled on both sides)."""
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 56, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=95))
+    for ri in (1, 2, 7):
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=95, restart_interval=ri)), base)
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (19, 23, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])  # grey replicated
+    img = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)  # non-multiple of 16
+    assert decode_jpeg(encode_jpeg(img)).shape == img.shape
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest
+
+    from scanner_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in a real stream: must refuse, not
+    # silently mis-decode
+    enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(enc))
+
+
+def test_decode_payload_jpeg_real_path_and_fake_scope():
+    """decode_payload routes JPEG magic through the REAL decoder; the fake
+    is reachable only for formats neither codec covers."""
+    import numpy as np
+    import pytest
+
+    from scanner_spark.functions.multimodal import _fake_decode, decode_payload
+    from scanner_spark.kernels.jpeg import encode_jpeg
+
+    img = _grad_img(32)
+    pay = encode_jpeg(img, quality=90)
+    out = decode_payload(pay, 32, 32)
+    err = out.astype(float) - img.astype(float)
+    assert 10 * np.log10(255**2 / max(1e-9, float(np.mean(err**2)))) > 40.0
+    # corrupt JPEG body with intact magic: raises (caller picks policy)
+    with pytest.raises(Exception):
+        decode_payload(b"\xff\xd8garbage", 8, 8)
+    # unknown magic (GIF) -> the marked fake
+    gif = b"GIF89a" + b"\x00" * 16
+    assert np.array_equal(decode_payload(gif, 8, 8), _fake_decode(gif, 8, 8))
