@@ -741,6 +741,43 @@ g AS (
 SELECT user_id, session_start_us, session_end_us, CAST(n AS BIGINT) AS n
 FROM g
 """,
+        # recomputes the whole audio path from the closed-form sample
+        # formula: the Spark side synthesizes s_i = (((i*p)%256)-128)*64,
+        # round-trips it through a REAL RIFF/WAVE encode+parse, and
+        # extracts integer-exact features — identical values by design
+        "multimodal_audio": """
+WITH p AS (
+  SELECT doc_id, doc_id % 50 + 2 AS per, 1000 + (doc_id % 7) * 100 AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, i, (((i * per) % 256) - 128) * 64 AS v
+  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i)
+),
+x AS (
+  SELECT doc_id, n, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+),
+f AS (
+  SELECT doc_id, n,
+         SUM(v * v) AS ss,
+         SUM(CASE WHEN pv IS NOT NULL AND
+                  (CASE WHEN v >= 0 THEN 1 ELSE -1 END) <>
+                  (CASE WHEN pv >= 0 THEN 1 ELSE -1 END)
+             THEN 1 ELSE 0 END) AS crossings,
+         MAX(ABS(v)) AS peak
+  FROM x GROUP BY doc_id, n
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+       round(sqrt(ss / n), 6) AS rms,
+       round(crossings / (n - 1), 6) AS zcr,
+       CAST(peak AS BIGINT) AS peak
+FROM f
+""",
         "stream_events_sessions_append": f"""
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 o AS (

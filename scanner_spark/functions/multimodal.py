@@ -212,6 +212,85 @@ def text_to_jpeg(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+AUDIO_SAMPLE_RATE = 8000
+
+
+def synth_audio(df: DataFrame, id_col: str = "doc_id",
+                sample_rate: int = AUDIO_SAMPLE_RATE) -> DataFrame:
+    """Deterministic audio synthesis: per doc, an integer sawtooth whose
+    period and length derive from the id (s_i = (((i*p) % 256) - 128) * 64,
+    p = id%50+2, n = 1000 + (id%7)*100), REAL-encoded as 16-bit PCM
+    RIFF/WAVE.  Closed-form samples so a SQL oracle can recompute every
+    downstream feature exactly.  Arrow-batched mapInPandas."""
+    from scanner_spark.kernels.audio import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                p = did % 50 + 2
+                n = 1000 + (did % 7) * 100
+                i = np.arange(n, dtype=np.int64)
+                s = (((i * p) % 256) - 128) * 64
+                payloads.append(encode_wav(s.astype(np.int16), sample_rate))
+                metas.append(
+                    {
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": n * 1000 // sample_rate,
+                        "codec": "pcm_s16le",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def audio_feature_table(df: DataFrame) -> DataFrame:
+    """WAV payload -> per-clip features via the REAL RIFF decoder:
+    (n_samples, sample_rate, duration_ms, rms, zcr, peak).  Features use
+    integer-exact accumulation (kernels.audio.audio_features) so they
+    hash-match a SQL oracle.  Multi-channel clips are folded to mono by
+    integer-averaging channels."""
+    from scanner_spark.kernels.audio import audio_features, decode_wav
+
+    out_schema = (
+        "asset_id long, n_samples long, sample_rate long, duration_ms long, "
+        "rms double, zcr double, peak long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "n_samples", "sample_rate", "duration_ms", "rms", "zcr", "peak"
+            )}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                x, sr = decode_wav(bytes(payload))
+                # back to the raw int16 scale (exact: int16/32768 round-trips
+                # in double), mono-fold by integer mean
+                s = np.round(x * 32768.0).astype(np.int64)
+                mono = s[:, 0] if s.shape[1] == 1 else s.sum(axis=1) // s.shape[1]
+                f = audio_features(mono)
+                rows["asset_id"].append(asset_id)
+                rows["n_samples"].append(f["n_samples"])
+                rows["sample_rate"].append(sr)
+                rows["duration_ms"].append(f["n_samples"] * 1000 // sr)
+                rows["rms"].append(f["rms"])
+                rows["zcr"].append(f["zcr"])
+                rows["peak"].append(f["peak"])
+            yield pd.DataFrame(rows)
+
+    return df.select("asset_id", "payload").mapInPandas(run, schema=out_schema)
+
+
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """payload binary -> feature vector (array<float>).
 

@@ -1203,6 +1203,30 @@ def q_multimodal_decode(spark, sf_dir):
     return frames.select("asset_id", "height", "width", "channels")
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Third modality end-to-end with a REAL codec: deterministic int16
+    sawtooth per doc -> 16-bit PCM RIFF/WAVE encode -> RIFF parse +
+    feature extraction (RMS / zero-crossing rate / peak), all integer-
+    exact so the DuckDB oracle recomputes every value from the closed-form
+    sample formula.  mapInPandas both directions; no audio libraries."""
+    ship(spark)
+    from scanner_spark.functions import multimodal
+
+    d = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = multimodal.synth_audio(d)
+    return multimodal.audio_feature_table(media).select(
+        F.col("asset_id").alias("doc_id"),
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        "rms",
+        "zcr",
+        "peak",
+    )
+
+
 def _doc_frames(spark, sf_dir, h=16, w=16):
     """documents -> real PNG payloads -> really-decoded frames (shared by
     the frame kernel queries; every downstream kernel consumes genuinely
@@ -1626,6 +1650,7 @@ QUERIES = {
     "emb_knn_ivf": q_emb_knn_ivf,
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,  # WAV codec + features, oracle-checked
     "frame_histogram": q_frame_histogram,
     "frame_resize": q_frame_resize,
     "frame_blur": q_frame_blur,

@@ -408,3 +408,94 @@ def test_decode_payload_jpeg_real_path_and_fake_scope():
     # unknown magic (GIF) -> the marked fake
     gif = b"GIF89a" + b"\x00" * 16
     assert np.array_equal(decode_payload(gif, 8, 8), _fake_decode(gif, 8, 8))
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM audio codec (kernels/audio.py)
+# ---------------------------------------------------------------------------
+
+def test_wav_int16_round_trip_bit_exact():
+    import numpy as np
+
+    from scanner_spark.kernels.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32768, (777, ch)).astype(np.int16)
+        x, sr = decode_wav(encode_wav(s, 44100))
+        assert sr == 44100 and x.shape == (777, ch)
+        back = np.round(x * 32768.0).astype(np.int16)  # exact: int16/2^15
+        assert np.array_equal(back, s)
+
+
+def test_wav_decodes_other_depths_and_skips_chunks():
+    import struct
+
+    import numpy as np
+
+    from scanner_spark.kernels.audio import decode_wav
+
+    def wav(tag, bits, body, ch=1, sr=8000, extra=b""):
+        fmt = struct.pack("<HHIIHH", tag, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+        chunks = extra + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # 8-bit unsigned: 128 is zero
+    x, _ = decode_wav(wav(1, 8, bytes([128, 255, 0])))
+    assert x[0, 0] == 0.0 and x[1, 0] > 0.99 and x[2, 0] == -1.0
+    # 24-bit: max positive
+    x, _ = decode_wav(wav(1, 24, b"\xff\xff\x7f" + b"\x00\x00\x80"))
+    assert abs(x[0, 0] - (2**23 - 1) / 2**23) < 1e-12 and x[1, 0] == -1.0
+    # float32 passthrough
+    body = np.array([0.5, -0.25], dtype="<f4").tobytes()
+    x, _ = decode_wav(wav(3, 32, body))
+    assert x[0, 0] == 0.5 and x[1, 0] == -0.25
+    # unknown leading chunk (LIST) skipped
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    x, sr = decode_wav(wav(1, 16, np.array([1000], dtype="<i2").tobytes(), extra=lst))
+    assert sr == 8000 and x.shape == (1, 1)
+
+
+def test_wav_malformed_raises():
+    import pytest
+
+    from scanner_spark.kernels.audio import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_resample_linear_endpoints_and_identity():
+    import numpy as np
+
+    from scanner_spark.kernels.audio import resample_linear
+
+    s = np.array([0.0, 1.0, 0.0, -1.0, 0.0])
+    same = resample_linear(s, 8000, 8000)
+    assert np.allclose(same, s)  # identity rate keeps every sample
+    up = resample_linear(s, 8000, 16000)
+    assert up[0] == s[0] and up[-1] == s[-1]  # endpoint-anchored
+    assert len(up) == 10
+    down = resample_linear(up, 16000, 8000)
+    assert down[0] == s[0] and down[-1] == s[-1]
+    # a straight line resamples to a straight line exactly (linear kernel)
+    line = np.linspace(-1, 1, 100)
+    up2 = resample_linear(line, 100, 250)
+    assert np.allclose(up2, np.linspace(-1, 1, len(up2)), atol=1e-12)
+
+
+def test_audio_features_integer_exact():
+    import numpy as np
+
+    from scanner_spark.kernels.audio import audio_features
+
+    # alternating full-scale square wave: rms = amplitude, zcr = 1
+    s = np.tile([1000, -1000], 50).astype(np.int16)
+    f = audio_features(s)
+    assert f == {"n_samples": 100, "rms": 1000.0, "zcr": 1.0, "peak": 1000}
+    # silence: zero everything, sign(0) = +1 so no crossings
+    z = audio_features(np.zeros(10, dtype=np.int16))
+    assert z == {"n_samples": 10, "rms": 0.0, "zcr": 0.0, "peak": 0}
