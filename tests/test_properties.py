@@ -77,3 +77,93 @@ def test_strided_range_matches_python_slice(stream, start, length, s):
         sub = got[got.stream_id == sid].sort_values("idx")
         assert list(sub["value"]) == [float(100 * int(sid) + i) for i in expect_idx]
         assert list(sub["idx"]) == list(range(len(expect_idx)))
+
+
+# ---------------------------------------------------------------------------
+# Adversarial skew: one hot LSH bucket / one hot label bucket covering ~20%
+# of the corpus.  These prove the operators' skew mitigations actually bound
+# wall time on the worst realistic key distribution:
+#
+# - exact-duplicate collapse (dedup._text_groups / the vector groupBy in
+#   cosine_dup_pairs) removes identical members BEFORE any quadratic stage;
+# - NEAR-identical members (distinct texts/vectors in one bucket) are the
+#   irreducible case — their pair OUTPUT is inherently quadratic in the
+#   bucket, so the operators must complete in time proportional to that
+#   output (m^2 pairs), not degrade super-quadratically, and AQE's skew
+#   join keeps one hot key from serializing a single task.
+#
+# If a bound trips: first check the exact-dup collapse still runs before
+# the self-join, then the AQE skew-join conf (spark.sql.adaptive.
+# skewJoin.enabled) the session pins on.
+# ---------------------------------------------------------------------------
+
+
+def _skew_docs(spark, n_total=2500, hot_frac=0.2):
+    """~20% of docs are one-token variants of a single base paragraph
+    (distinct texts -> NOT collapsible; near-identical shingle sets -> one
+    hot MinHash band bucket), the rest unique random-ish text."""
+    import random
+
+    rnd = random.Random(99)
+    words = [f"w{j}" for j in range(500)]
+    base = " ".join(f"b{j}" for j in range(40))
+    hot = int(n_total * hot_frac)
+    rows = []
+    for i in range(hot):
+        rows.append((i, base + f" v{i}"))  # unique suffix token
+    for i in range(hot, n_total):
+        rows.append((i, " ".join(rnd.choice(words) for _ in range(30))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_hot_band_bucket_bounded(spark):
+    import time
+
+    from scanner_spark.functions import dedup
+    from scanner_spark import caching
+
+    docs = _skew_docs(spark)
+    t0 = time.monotonic()
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    n = pairs.count()
+    dt = time.monotonic() - t0
+    caching.release_all()
+    hot = int(2500 * 0.2)
+    # the hot bucket's members really are near-dups: (almost) all pairs out
+    assert n >= 0.9 * hot * (hot - 1) / 2
+    # bounded: proportional to the quadratic OUTPUT, no runaway beyond it
+    assert dt < 90.0, f"hot-bucket LSH took {dt:.1f}s — skew mitigation regressed"
+
+
+def test_cosine_hot_label_bucket_bounded(spark):
+    import time
+
+    import numpy as np
+
+    from scanner_spark.functions import dedup
+    from scanner_spark import caching
+
+    rng = np.random.default_rng(17)
+    dim = 16
+    base = rng.normal(size=dim)
+    base /= np.linalg.norm(base)
+    rows = []
+    n_total, hot = 2500, 500
+    for i in range(hot):
+        # tiny distinct perturbations: same label, same LSH bucket, not
+        # bitwise-equal (so the vector dup-collapse cannot remove them)
+        v = base + 1e-4 * rng.normal(size=dim)
+        rows.append((i, "hotlabel", [float(x) for x in v]))
+    for i in range(hot, n_total):
+        v = rng.normal(size=dim)
+        rows.append((i, f"label{i % 7}", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, label string, embedding array<float>")
+    t0 = time.monotonic()
+    pairs = dedup.cosine_dup_pairs(
+        df, vec_col="embedding", id_col="id", block_col="label", threshold=0.99
+    )
+    n = pairs.count()
+    dt = time.monotonic() - t0
+    caching.release_all()
+    assert n >= 0.9 * hot * (hot - 1) / 2
+    assert dt < 90.0, f"hot-bucket cosine took {dt:.1f}s — skew mitigation regressed"
