@@ -74,17 +74,44 @@ def main() -> None:
 
             release_all()
             spark.catalog.clearCache()
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
         "metric": "scanner_spark_query_suite_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if failures:
-        out["failures"] = failures
-    print(json.dumps(out))
+        full["failures"] = failures
+    # Full-precision per-query results go to a file (the driver's stdout
+    # capture keeps only the last ~2000 chars, which an 80+-query dict
+    # overflows — round 3's BENCH json recorded parsed=None for exactly
+    # this reason).  The printed line is the same JSON with the query dict
+    # greedily packed slowest-first until the line fits the capture window.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(_pack_for_stdout(full), separators=(",", ":")))
     spark.stop()
+
+
+def _pack_for_stdout(full: dict, limit: int = 1900) -> dict:
+    """Trim ``full['queries']`` (slowest first, 2-dec) so the compact JSON
+    line stays under ``limit`` chars; full data lives in BENCH_FULL.json."""
+    out = {k: v for k, v in full.items() if k != "queries"}
+    out["n_queries"] = len(full["queries"])
+    out["queries_full"] = "BENCH_FULL.json"
+    out["queries"] = {}
+    base = len(json.dumps(out, separators=(",", ":")))
+    for name, t in sorted(full["queries"].items(), key=lambda kv: -kv[1]):
+        entry = len(json.dumps({name: round(t, 2)}, separators=(",", ":")))
+        if base + entry > limit:
+            out["queries_omitted"] = out["n_queries"] - len(out["queries"])
+            break
+        out["queries"][name] = round(t, 2)
+        base += entry
+    return out
 
 
 if __name__ == "__main__":

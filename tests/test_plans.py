@@ -37,6 +37,13 @@ def test_q5_broadcasts_small_dims(spark, sf_dir):
 
 
 def test_narrow_samplers_have_no_shuffle(spark, sf_dir):
+    # A Dataset's QueryExecution is a frozen lazy val: a memoized
+    # events_stream frame explained while some equal plan was persisted
+    # (e.g. by the entry-parity suite) keeps rendering the InMemoryRelation
+    # substitution forever, while fresh sampler plans render under TODAY'S
+    # cache state.  Clear the memo so base and samplers are planned under
+    # the same cache state — this test compares plan shapes, not cache luck.
+    Q._STREAM_CACHE.clear()
     st = Q.events_stream(spark, sf_dir)
     base_exchanges = plan_of(st).count("Exchange")
     # single-branch samplers: exactly the base plan's exchanges, no more
