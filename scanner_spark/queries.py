@@ -652,6 +652,21 @@ def q_customers_without_orders(spark, sf_dir):
     )
 
 
+def _stream_tmpdir(prefix: str) -> str:
+    """Scratch dir for a bounded-replay streaming demo's checkpoint+sink.
+
+    Prefers tmpfs (/dev/shm): checkpoint commits fsync every microbatch,
+    and on the local harness that disk latency IS the streaming floor.  A
+    production deployment points checkpointLocation at durable shared
+    storage instead — this helper is only for the suite's replay-and-
+    compare queries, whose artifacts die with the process."""
+    import os as _os
+    import tempfile as _tempfile
+
+    base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    return _tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _stream_session(spark: SparkSession, max_parts: int = 8) -> SparkSession:
     """Isolated session for ONE streaming query: shares the SparkContext
     but owns its SQL conf, so sizing the state-store partition count
@@ -725,7 +740,7 @@ def q_stream_events_hourly(spark, sf_dir):
             "sum_value",
         )
     )
-    base = _tempfile.mkdtemp(prefix="stream_events_hourly_")
+    base = _stream_tmpdir("stream_events_hourly_")
     sink_dir = _os.path.join(base, "sink")
     ckpt_dir = _os.path.join(base, "ckpt")
     q = to_parquet_upsert(agg, sink_dir, ckpt_dir)
@@ -774,7 +789,7 @@ def q_stream_events_sessions(spark, sf_dir):
             "n",
         )
     )
-    base = _tempfile.mkdtemp(prefix="stream_events_sessions_")
+    base = _stream_tmpdir("stream_events_sessions_")
     sink_dir = _os.path.join(base, "sink")
 
     def write_batch(bdf, batch_id):
@@ -819,7 +834,7 @@ def q_stream_dedup_minhash_lsh(spark, sf_dir):
     pairs = lsh_dedup_pairs(
         banded_minhash_rows(sdf), threshold=MINHASH_THRESHOLD
     )
-    base = _tempfile.mkdtemp(prefix="stream_dedup_minhash_")
+    base = _stream_tmpdir("stream_dedup_minhash_")
     sink_dir = _os.path.join(base, "sink")
     q = (
         pairs.writeStream.format("parquet")
@@ -881,7 +896,7 @@ def q_stream_events_sessions_append(spark, sf_dir):
             "n",
         )
     )
-    base = _tempfile.mkdtemp(prefix="stream_events_sessions_append_")
+    base = _stream_tmpdir("stream_events_sessions_append_")
     sink_dir = _os.path.join(base, "sink")
     q = (
         agg.writeStream.format("parquet")
@@ -921,7 +936,7 @@ def q_stream_events_dedup(spark, sf_dir):
     dd = sdf.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    base = _tempfile.mkdtemp(prefix="stream_events_dedup_")
+    base = _stream_tmpdir("stream_events_dedup_")
     sink_dir = _os.path.join(base, "sink")
     q = to_parquet(dd, sink_dir, _os.path.join(base, "ckpt"), "append")
     q.awaitTermination()

@@ -3,9 +3,10 @@
 The state-store analog of the batch ``functions.dedup.minhash_lsh_pairs``:
 documents arrive on a stream, each is sketched to banded MinHash signatures
 **per row** (no aggregation — legal upstream of a streaming stateful op),
-and an ``applyInPandasWithState`` operator keyed by ``(band, band_sig)``
-holds each bucket's previously-seen documents, emitting a scored pair the
-moment a new arrival collides with one.
+and an ``applyInPandasWithState`` operator keyed by ``(band, shard)``
+(shard = hash of the band signature, a fixed-cardinality parallelism knob)
+holds its buckets' previously-seen documents, emitting a scored pair the
+moment a new arrival collides with a bucket.
 
 Batch equivalence (the correctness contract, checked by the
 ``stream_dedup_minhash_lsh`` suite entry against the SAME DuckDB oracle as
@@ -16,10 +17,12 @@ colliding in several bands is emitted once per band (different state keys
 cannot coordinate); readers take ``DISTINCT``, and the score is identical on
 every emission (it is a pure function of the two signatures).
 
-Scale design: state is sharded by (band, band_sig) — cardinality ~
-``bands x |distinct signatures|``, so state skew follows bucket skew exactly
-as the batch join's fan-out does; each bucket holds only ids + k-long
-signatures, never text.  On an unbounded production stream, pair recall is
+Scale design: state is sharded by ``(band, hash(band_sig) % num_shards)``
+— a FIXED group cardinality (``bands x num_shards``), each shard holding a
+dict of its buckets.  State volume is ids + k-long signatures (never text),
+spread uniformly by the signature hash; per-bucket skew follows bucket skew
+exactly as the batch join's fan-out does, but per-GROUP overhead no longer
+scales with the corpus (see ``lsh_dedup_pairs`` for the measured why).  On an unbounded production stream, pair recall is
 traded for bounded state by expiring idle buckets with a state timeout
 (``timeout='ProcessingTimeTimeout'`` + ``state.setTimeoutDuration``) —
 the bounded-replay suite entry keeps NoTimeout so its output is exactly the
@@ -38,7 +41,8 @@ from scanner_spark.functions.dedup import DEFAULT_BANDS, DEFAULT_MINHASH_K, DEFA
 from scanner_spark.functions.hashing import MINHASH_P, h60, minhash_coeffs
 
 PAIR_SCHEMA = "doc_a long, doc_b long, est_jaccard double"
-_STATE_SCHEMA = "docs array<long>, sigs array<array<long>>"
+# flattened (bucket-sig, doc, sig) parallel arrays for one state shard
+_STATE_SCHEMA = "bss array<string>, docs array<long>, sigs array<array<long>>"
 
 
 def banded_minhash_rows(
@@ -56,34 +60,75 @@ def banded_minhash_rows(
     transform is streaming-legal (no shuffle, no state) and emits the
     bit-identical signatures the batch ``minhash_signatures`` aggregation
     produces.  Docs with no shingles (< n tokens) are dropped, matching
-    the batch contract (no signature row)."""
-    sh = shingles(F.col(text_col), n)
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(sh, lambda s: h60(s) % F.lit(MINHASH_P)).alias("__hm"),
-    ).filter(F.size("__hm") > 0)
-    def _perm(a: int, b: int):
-        # closure (not default-arg lambda): Spark counts lambda PARAMETERS,
-        # and transform() only accepts 1- or 2-arg lambdas
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+    the batch contract (no signature row).
 
-    mins = [
-        F.array_min(F.transform(F.col("__hm"), _perm(a, b))).alias(f"m{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(k))
-    ]
-    sig = base.select("doc", *mins)
+    Evaluate-once discipline (the whole cost of this function): a HOF
+    lambda that captures a non-attribute expression re-evaluates it PER
+    ELEMENT — ``slice(split(text), i, n)`` inside transform() is O(tokens²)
+    splits per doc.  So every derived array becomes a real attribute via a
+    1-element explode (a Generate barrier CollapseProject cannot cross;
+    streaming-legal, it's just flatMap) before any lambda touches it:
+    text -> toks barrier -> shingle/hash/fold -> sig barrier -> band md5s.
+    The batch pipeline dodges this differently (posexplode+lead shuffle,
+    dedup.py:_shingled) — a stream upstream of a stateful op cannot."""
+    from scanner_spark.functions.text import tokens
+
+    toksed = df.filter(F.size(tokens(F.col(text_col))) >= n).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("toks"),
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+        )
+    )
+    hm = F.transform(sh, lambda s: h60(s) % F.lit(MINHASH_P))
+    # ONE fold computes all k permutation minima: the md5-per-shingle hash
+    # array is evaluated once as the aggregate's input.  The obvious
+    # k x array_min(transform(...)) spelling re-evaluates that array k
+    # times (projection collapse inlines it into every min) — measured 4x
+    # slower on the bounded replay for k=16.
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_coeffs(k)
+        ]
+    )
+    sig_arr = F.aggregate(
+        hm,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(MINHASH_P)),
+        ),
+    )
+    # second barrier: `sig` as a real attribute for the band md5s below
+    sig = toksed.select(
+        "doc", F.explode(F.array(sig_arr)).alias("sig")
+    )
     r = k // bands
     band_cols = [
         F.md5(
-            F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(b * r, (b + 1) * r)])
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("sig", i + 1).cast("string")
+                    for i in range(b * r, (b + 1) * r)
+                ],
+            )
         ).alias(f"band{b}")
         for b in range(bands)
     ]
     return sig.select(
         "doc",
-        F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"),
+        "sig",
         F.posexplode(F.array(*band_cols)).alias("band", "bs"),
     )
+
+
+DEFAULT_STATE_SHARDS = 32
 
 
 def lsh_dedup_pairs(
@@ -91,39 +136,72 @@ def lsh_dedup_pairs(
     k: int = DEFAULT_MINHASH_K,
     threshold: float = 0.5,
     timeout: str = "NoTimeout",
+    num_shards: int = DEFAULT_STATE_SHARDS,
 ) -> DataFrame:
     """Stateful pair emission: per (band, band_sig) bucket, every new doc
     is scored (matching mins / k) against the bucket's seen docs; pairs at
     or above ``threshold`` are emitted with (least, greatest) id order —
-    the batch query's pair orientation."""
+    the batch query's pair orientation.
+
+    State sharding: the state key is ``(band, crc32(bs) % num_shards)``,
+    NOT ``(band, bs)`` — a shard's state holds a dict of its buckets.  A
+    per-bucket key would mean corpus-many state groups, and the stateful
+    API pays a fixed Arrow+state-(de)serialization cost PER GROUP PER
+    BATCH: millions of one-doc groups each paying ~ms dwarfs the actual
+    work (measured 6x on the bounded-replay bench).  With sharding the
+    group count is ``bands x num_shards`` — an explicit parallelism knob
+    independent of corpus size (raise it on a real cluster so shards
+    spread over executors; each shard's state stays ``|corpus| x bands /
+    shards`` ids+sigs).  Collision semantics are untouched: docs pair only
+    on equal full band-sig, now looked up in the shard's dict."""
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        # state: parallel arrays flattened over (bucket, doc) entries
+        buckets: dict[str, tuple[list[int], list[list[int]]]] = {}
         if state.exists:
-            st_docs, st_sigs = state.get
-            docs = [int(d) for d in st_docs]
-            sigs = [list(int(x) for x in s) for s in st_sigs]
-        else:
-            docs, sigs = [], []
+            st_bss, st_docs, st_sigs = state.get
+            for b, d, s in zip(st_bss, st_docs, st_sigs):
+                ent = buckets.get(b)
+                if ent is None:
+                    ent = ([], [])
+                    buckets[b] = ent
+                ent[0].append(int(d))
+                ent[1].append([int(x) for x in s])
         out_a: list[int] = []
         out_b: list[int] = []
         out_e: list[float] = []
         for pdf in pdfs:
-            for doc, sig in zip(pdf["doc"], pdf["sig"]):
+            for doc, sig, bs in zip(pdf["doc"], pdf["sig"], pdf["bs"]):
                 doc = int(doc)
                 sig = [int(x) for x in sig]
-                for d2, s2 in zip(docs, sigs):
+                ent = buckets.get(bs)
+                if ent is None:
+                    ent = ([], [])
+                    buckets[bs] = ent
+                for d2, s2 in zip(ent[0], ent[1]):
                     m = sum(1 for x, y in zip(sig, s2) if x == y)
                     est = round(m / k, 6)
                     if est >= threshold:
                         out_a.append(min(doc, d2))
                         out_b.append(max(doc, d2))
                         out_e.append(est)
-                docs.append(doc)
-                sigs.append(sig)
-        state.update((docs, sigs))
+                ent[0].append(doc)
+                ent[1].append(sig)
+        bss: list[str] = []
+        docs: list[int] = []
+        sigs: list[list[int]] = []
+        for b, (ds, ss) in buckets.items():
+            for d, s in zip(ds, ss):
+                bss.append(b)
+                docs.append(d)
+                sigs.append(s)
+        state.update((bss, docs, sigs))
         yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_e})
 
-    return banded.groupBy("band", "bs").applyInPandasWithState(
+    sharded = banded.withColumn(
+        "shard", F.crc32(F.col("bs").cast("binary")) % F.lit(num_shards)
+    )
+    return sharded.groupBy("band", "shard").applyInPandasWithState(
         fn,
         outputStructType=PAIR_SCHEMA,
         stateStructType=_STATE_SCHEMA,
