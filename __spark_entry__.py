@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scanner_spark.functions.hashing import MINHASH_P, h60_sql, minhash_coeffs  # noqa: E402
 from scanner_spark.functions.text import LANG_STOPWORDS  # noqa: E402
+from scanner_spark.functions import pii as pii_fns  # noqa: E402
 from scanner_spark import queries as Q  # noqa: E402
 
 
@@ -49,6 +50,75 @@ st AS (
 """
 
 _TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _pii_seeded_sql() -> str:
+    """The oracle's deterministic PII seeding — mirrors q_doc_pii_scrub."""
+    return """
+seeded AS (
+  SELECT doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+    || CASE WHEN doc_id % 3 = 0 THEN ' ssn '
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN ' ip 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' tel +1 555 '
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS seeded
+  FROM documents
+)"""
+
+
+def _kmeans_sql(k: int, dim: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the same rounded-update
+    determinism contract as functions.cluster.kmeans (see its docstring)."""
+    dvec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    sq = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+    ).format(dim=dim)
+    parts = [
+        f"ev AS (SELECT vec_id, {dvec} AS v FROM embeddings)",
+        f"""cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""assign{it} AS (
+  SELECT e.vec_id, c.cid, {sq} AS dist
+  FROM ev e CROSS JOIN cents{it} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1
+)"""
+        )
+        parts.append(
+            f"""upd{it + 1} AS (
+  SELECT a.cid, g.i, round(avg(e.v[g.i]), 6) AS val
+  FROM assign{it} a JOIN ev e ON a.vec_id = e.vec_id
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) g
+  GROUP BY a.cid, g.i
+)"""
+        )
+        parts.append(
+            f"""cents{it + 1} AS (
+  SELECT c0.cid, COALESCE(u.c, c0.c) AS c
+  FROM cents{it} c0 LEFT JOIN
+    (SELECT cid, list(val ORDER BY i) AS c FROM upd{it + 1} GROUP BY cid) u
+  ON c0.cid = u.cid
+)"""
+        )
+    parts.append(
+        f"""final AS (
+  SELECT e.vec_id, c.cid, {sq} AS dist
+  FROM ev e CROSS JOIN cents{iters} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
 
 # money aggregation mirrors queries._dec: DECIMAL(12,2) facts, DECIMAL(4,2)
 # rate factors, exact decimal sums cast to DOUBLE at the end
@@ -958,6 +1028,77 @@ lab AS (
 )
 SELECT component, COUNT(*) AS n_members, MIN(doc) AS keep_id
 FROM lab GROUP BY component
+""",
+        "doc_pii_scrub": f"""
+WITH {_pii_seeded_sql()}
+SELECT doc_id,
+  {pii_fns.oracle_count_sql('seeded', pii_fns.EMAIL_RE)} AS n_email,
+  {pii_fns.oracle_count_sql('seeded', pii_fns.SSN_RE)} AS n_ssn,
+  {pii_fns.oracle_count_sql('seeded', pii_fns.IPV4_RE)} AS n_ipv4,
+  {pii_fns.oracle_count_sql('seeded', pii_fns.PHONE_RE)} AS n_phone,
+  md5({pii_fns.oracle_scrub_sql('seeded')}) AS scrub_md5,
+  length({pii_fns.oracle_scrub_sql('seeded')}) AS scrub_len
+FROM seeded
+""",
+        "docs_tfidf_topk": f"""
+WITH tf AS (
+  SELECT doc_id AS doc, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t
+  WHERE tok <> '' GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(*) AS df_count FROM tf GROUP BY term)
+SELECT doc, term, tf, df_count, score, rank FROM (
+  SELECT doc, term, tf, df_count,
+         CAST(tf AS DOUBLE) / df_count AS score,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY CAST(tf AS DOUBLE) / df_count DESC, term) AS rank
+  FROM tf JOIN dfq USING (term)
+) WHERE rank <= 3
+""",
+        "docs_search_topk": f"""
+WITH hits AS (
+  SELECT doc, COUNT(*) AS matched, CAST(SUM(tf) AS BIGINT) AS tf_sum FROM (
+    SELECT doc_id AS doc, tok AS term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) t
+    WHERE tok IN ({{terms}}) GROUP BY 1, 2
+  ) GROUP BY doc
+)
+SELECT doc, matched, tf_sum,
+       row_number() OVER (ORDER BY matched DESC, tf_sum DESC, doc) AS rank
+FROM hits
+ORDER BY rank LIMIT 20
+""".format(terms=", ".join(f"'{t}'" for t in Q.SEARCH_TERMS)),
+        "doc_lm_familiarity": f"""
+WITH tok AS (
+  SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
+),
+big AS (
+  SELECT doc_id AS doc, toks[i] || ' ' || toks[i + 1] AS bg, COUNT(*) AS n
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)
+  GROUP BY 1, 2
+),
+model AS (SELECT bg, CAST(SUM(n) AS BIGINT) AS global_n FROM big GROUP BY bg)
+SELECT doc, CAST(SUM(n * global_n) AS BIGINT) AS fam_total,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams
+FROM big JOIN model USING (bg) GROUP BY doc
+""",
+        "emb_kmeans_assign": f"""
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS c
+  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {Q.KMEANS_K})
+)
+SELECT e.vec_id, c.cid AS cluster,
+       list_sum(list_transform(generate_series(1, 64),
+                i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS dist
+FROM ev e CROSS JOIN cents c
+QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1
+""",
+        "emb_kmeans": _kmeans_sql(Q.KMEANS_K, 64, Q.KMEANS_ITERS)
+        + """
+SELECT cid AS cluster, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
+FROM final GROUP BY cid
 """,
         # doc_rolling_fingerprint / multimodal_decode / frame_* / ivf:
         # intentionally no oracle (LSH probing, modular-exponentiation rolling

@@ -7,4 +7,12 @@ work to client-side Python after load() (no joins/aggs in its engine —
 first-class, JVM-side Spark expressions designed for 100 TB.
 """
 
-from scanner_spark.functions import text, dedup, simsearch, multimodal  # noqa: F401
+from scanner_spark.functions import (  # noqa: F401
+    cluster,
+    dedup,
+    multimodal,
+    pii,
+    relevance,
+    simsearch,
+    text,
+)

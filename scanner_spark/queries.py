@@ -1611,6 +1611,108 @@ def q_events_value_histogram(spark, sf_dir):
     )
 
 
+SEARCH_TERMS = ["hash", "join", "vector", "stream"]
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails / SSNs / IPv4s / phones).
+
+    The driver corpus carries no organic PII, so the query SEEDS
+    deterministic PII derived from doc_id into each text (same seeding in
+    the oracle), then reports per-class counts and the md5 + length of the
+    scrubbed text — the hash match proves both engines' regex passes
+    edit the text identically, byte for byte.  All JVM regex, one
+    projection, narrow."""
+    from scanner_spark.functions import pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def _num(col):
+        return col.cast("string")
+
+    email = F.concat(F.lit(" contact u"), _num(d), F.lit("@ex.com"))
+    ssn = F.concat(
+        F.lit(" ssn "),
+        F.lpad(_num(d % 1000), 3, "0"),
+        F.lit("-"),
+        F.lpad(_num(d % 100), 2, "0"),
+        F.lit("-"),
+        F.lpad(_num(d % 10000), 4, "0"),
+    )
+    ip = F.concat(F.lit(" ip 10."), _num(d % 256), F.lit(".0."), _num(d % 100))
+    phone = F.concat(F.lit(" tel +1 555 "), F.lpad(_num(d % 10000), 4, "0"))
+    seeded = F.concat(
+        F.col("text"),
+        email,
+        F.when(d % 3 == 0, ssn).otherwise(F.lit("")),
+        F.when(d % 2 == 0, ip).otherwise(F.lit("")),
+        F.when(d % 5 == 0, phone).otherwise(F.lit("")),
+    )
+    sel = docs.select("doc_id", seeded.alias("seeded"))
+    return sel.select(
+        "doc_id",
+        *[
+            pii.pii_count(F.col("seeded"), pat).alias(f"n_{name}")
+            for name, pat, _repl in pii.PII_CLASSES
+        ],
+        F.md5(pii.pii_scrub(F.col("seeded"))).alias("scrub_md5"),
+        F.length(pii.pii_scrub(F.col("seeded"))).alias("scrub_len"),
+    )
+
+
+def q_docs_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf ranking (score =
+    tf/df: integer operands, one exact IEEE division — idf monotone)."""
+    from scanner_spark.functions import relevance
+
+    docs = read_table(spark, sf_dir, "documents")
+    return relevance.tfidf_topk(docs, k=3)
+
+
+def q_docs_search_topk(spark, sf_dir):
+    """Bag-of-terms retrieval: top 20 documents for a fixed query, scored
+    by (#terms matched, total tf), integer-exact."""
+    from scanner_spark.functions import relevance
+
+    docs = read_table(spark, sf_dir, "documents")
+    return relevance.search_topk(docs, SEARCH_TERMS, k=20)
+
+
+def q_doc_lm_familiarity(spark, sf_dir):
+    """Word-bigram LM familiarity per doc: sum of corpus-wide frequencies
+    of the doc's bigrams (integer-exact n-gram LM quality skeleton)."""
+    from scanner_spark.functions import relevance
+
+    docs = read_table(spark, sf_dir, "documents")
+    return relevance.bigram_familiarity(docs)
+
+
+def q_emb_kmeans_assign(spark, sf_dir):
+    """One Lloyd assignment step against the k lowest-id seed vectors —
+    narrow JVM argmin over literal centroids; the emitted distance is an
+    ordered fold, bit-equal to the oracle's sequential list_sum."""
+    from scanner_spark.functions import cluster
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = cluster.seed_centroids(emb, KMEANS_K)
+    return cluster.assign(emb, cents)
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Full distributed k-means (3 Lloyd iterations, deterministic seeds
+    and rounded centroid updates): per-cluster size and min member id."""
+    from scanner_spark.functions import cluster
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, _cents = cluster.kmeans(emb, KMEANS_K, KMEANS_ITERS)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
 QUERIES = {
     "scanner_stride": q_scanner_stride,
     "scanner_range": q_scanner_range,
@@ -1700,4 +1802,10 @@ QUERIES = {
     "stream_events_sessions_append": q_stream_events_sessions_append,  # finalized-only
     "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,  # stateful near-dup pairs
     "emb_knn_pq": q_emb_knn_pq,  # product-quantization ADC ANN (rows-only)
+    "doc_pii_scrub": q_doc_pii_scrub,  # PII detect+redact, byte-exact vs oracle
+    "docs_tfidf_topk": q_docs_tfidf_topk,  # tf-idf top terms per doc
+    "docs_search_topk": q_docs_search_topk,  # bag-of-terms retrieval
+    "doc_lm_familiarity": q_doc_lm_familiarity,  # n-gram LM quality skeleton
+    "emb_kmeans_assign": q_emb_kmeans_assign,  # Lloyd assignment vs SQL oracle
+    "emb_kmeans": q_emb_kmeans,  # full distributed k-means (unrolled oracle)
 }

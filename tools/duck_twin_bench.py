@@ -33,13 +33,53 @@ times = {}
 # applies the IDENTICAL policy to the Spark side, so per-query ratios always
 # compare min-of-2 with min-of-2 (or single-pass with single-pass).
 SECOND_PASS_BUDGET_S = 30.0
+# optional per-query wall cap (big-SF runs): interrupt from a timer thread
+# and record the query as capped instead of blocking the whole run.  With a
+# cap set, results are materialized into a dropped TEMP TABLE instead of
+# fetchall() — the engine computes every row (DuckDB's natural "noop sink"),
+# but a billion-pair result no longer round-trips into Python lists, which
+# would measure the client transfer, not the query (Spark's side writes a
+# noop sink for the same reason).
+CAP_S = float(sys.argv[2]) if len(sys.argv) > 2 else None
+capped = {}
+
+
+def run_once(sql):
+    if CAP_S is None:
+        con.execute(sql).fetchall()
+        return
+    import threading
+
+    timer = threading.Timer(CAP_S, con.interrupt)
+    timer.start()
+    try:
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _sink AS ({sql})")
+        con.execute("DROP TABLE _sink")
+    finally:
+        timer.cancel()
+
+
 for name, sql in e.oracle_sql().items():
     t0 = time.time()
-    con.execute(sql).fetchall()
+    try:
+        run_once(sql)
+    except duckdb.InterruptException:
+        capped[name] = True
+        times[name] = round(time.time() - t0, 3)
+        continue
+    except duckdb.Error as ex:  # interrupt surfaces differently by version
+        if "INTERRUPT" in str(ex).upper():
+            capped[name] = True
+            times[name] = round(time.time() - t0, 3)
+            continue
+        raise
     best = time.time() - t0
     if best < SECOND_PASS_BUDGET_S:
         t0 = time.time()
-        con.execute(sql).fetchall()
+        run_once(sql)
         best = min(best, time.time() - t0)
     times[name] = round(best, 3)
-print(json.dumps({"total": round(sum(times.values()), 2), "queries": times}))
+out = {"total": round(sum(times.values()), 2), "queries": times}
+if capped:
+    out["capped"] = sorted(capped)  # their times are ">= cap" lower bounds
+print(json.dumps(out))
