@@ -244,7 +244,7 @@ def _bucket_sql(vec: str, dim: int, bits: int) -> str:
     return " + ".join(terms)
 
 
-def _knn_lsh_sql(dim: int = 64, bits: int = 6, k: int = 5) -> str:
+def _knn_lsh_sql(dim: int = Q.EMB_DIM, bits: int = 6, k: int = 5) -> str:
     def bucket_expr(vec: str) -> str:
         return _bucket_sql(vec, dim, bits)
 
@@ -999,7 +999,7 @@ FROM e, q ORDER BY score DESC, id LIMIT {Q.KNN_K}
         "emb_cosine_pairs": f"""
 WITH e0 AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
-e AS (SELECT id, label, v, {_bucket_sql('v', 64, Q.EMB_LSH_BITS)} AS bucket FROM e0)
+e AS (SELECT id, label, v, {_bucket_sql('v', Q.EMB_DIM, Q.EMB_LSH_BITS)} AS bucket FROM e0)
 SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.id < b.id
 WHERE {cos} >= {Q.COSINE_THRESHOLD}
@@ -1008,7 +1008,7 @@ WHERE {cos} >= {Q.COSINE_THRESHOLD}
         "emb_dup_clusters": f"""
 WITH RECURSIVE e0 AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-e AS (SELECT id, label, v, {_bucket_sql('v', 64, Q.EMB_LSH_BITS)} AS bucket FROM e0),
+e AS (SELECT id, label, v, {_bucket_sql('v', Q.EMB_DIM, Q.EMB_LSH_BITS)} AS bucket FROM e0),
 pairs AS (
   SELECT a.id AS doc_a, b.id AS doc_b
   FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.id < b.id
@@ -1090,12 +1090,12 @@ cents AS (
   FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {Q.KMEANS_K})
 )
 SELECT e.vec_id, c.cid AS cluster,
-       list_sum(list_transform(generate_series(1, 64),
+       list_sum(list_transform(generate_series(1, {Q.EMB_DIM}),
                 i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS dist
 FROM ev e CROSS JOIN cents c
 QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1
 """,
-        "emb_kmeans": _kmeans_sql(Q.KMEANS_K, 64, Q.KMEANS_ITERS)
+        "emb_kmeans": _kmeans_sql(Q.KMEANS_K, Q.EMB_DIM, Q.KMEANS_ITERS)
         + """
 SELECT cid AS cluster, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
 FROM final GROUP BY cid

@@ -81,6 +81,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "env": _fingerprint(sf_dir),
     }
     if failures:
         full["failures"] = failures
@@ -96,10 +97,45 @@ def main() -> None:
     spark.stop()
 
 
+def _fingerprint(sf_dir: str) -> dict:
+    """Machine/testdata fingerprint so cross-round BENCH comparisons can be
+    normalized: testdata regeneration (mtime/rows drift) and machine speed
+    (cpu count + a ~1 s single-thread calibration loop) both shift absolute
+    times without any code change — round 4's recorded 'regression' was
+    exactly this (VERDICT r04, Performance)."""
+    import glob
+    import hashlib
+
+    tables = {}
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        ent = {"mtime": int(os.path.getmtime(p)), "bytes": os.path.getsize(p)}
+        try:
+            import pyarrow.parquet as pq
+
+            ent["rows"] = pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            pass
+        tables[os.path.basename(p).rsplit(".", 1)[0]] = ent
+    t0 = time.monotonic()
+    h, n = 0, 0
+    while time.monotonic() - t0 < 1.0:
+        h = int.from_bytes(
+            hashlib.sha256(h.to_bytes(32, "little")).digest(), "little"
+        )
+        n += 1
+    return {
+        "cpus": os.cpu_count(),
+        "calib_sha256_per_sec": n,
+        "testdata": tables,
+    }
+
+
 def _pack_for_stdout(full: dict, limit: int = 1900) -> dict:
     """Trim ``full['queries']`` (slowest first, 2-dec) so the compact JSON
     line stays under ``limit`` chars; full data lives in BENCH_FULL.json."""
-    out = {k: v for k, v in full.items() if k != "queries"}
+    # env fingerprint is file-only: it is comparison metadata, and its
+    # testdata dict alone would eat most of the stdout capture window
+    out = {k: v for k, v in full.items() if k not in ("queries", "env")}
     out["n_queries"] = len(full["queries"])
     out["queries_full"] = "BENCH_FULL.json"
     out["queries"] = {}

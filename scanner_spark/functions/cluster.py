@@ -141,6 +141,11 @@ def kmeans(
     all members keeps its previous centroid (no respawn heuristics — the
     deterministic choice)."""
     cents = seed_centroids(df, k, vec_col, id_col)
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans needs at least k={k} rows to seed centroids; "
+            f"input has only {len(cents)}"
+        )
     dim = len(cents[0][1])
     src = df.select(F.col(id_col), _dvec(vec_col).alias("__v"))
     for _ in range(iters):

@@ -150,11 +150,18 @@ def bigram_familiarity(
     everywhere).  Low = atypical/gibberish, high = corpus-fluent.
 
     Two shuffles: per-(doc,bigram) counts, then the global bigram model
-    (vocabulary-bigram-sized — AQE broadcasts it when small)."""
-    bg = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_bigrams(F.col(text_col))).alias("bg"),
-    ).groupBy("doc", "bg").agg(F.count("*").alias("n"))
+    (vocabulary-bigram-sized — AQE broadcasts it when small).  ``bg`` is
+    both the join's left side and the source of ``model``, so it is
+    ``track()``-persisted (the dedup-family shingle pattern) — without it
+    the explode+shuffle, the heaviest relation here, executes twice."""
+    from scanner_spark.caching import track
+
+    bg = track(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_bigrams(F.col(text_col))).alias("bg"),
+        ).groupBy("doc", "bg").agg(F.count("*").alias("n"))
+    )
     model = bg.groupBy("bg").agg(F.sum("n").alias("global_n"))
     return (
         bg.join(model, "bg")

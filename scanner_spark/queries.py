@@ -46,6 +46,10 @@ MINHASH_THRESHOLD = 0.5
 # LSH blocking for cosine dedup: candidates must share label AND 4-bit
 # hyperplane bucket, bounding the per-key quadratic fan-out (scale path)
 EMB_LSH_BITS = 4
+# embeddings.embedding dimensionality — the single place both the Spark
+# queries and the DuckDB oracles (hyperplane buckets, kmeans unroll) take
+# the dim from; test_entry_parity asserts the data actually matches it
+EMB_DIM = 64
 # candidate-join skew cap for n-gram Jaccard (see dedup.DEFAULT_MAX_SHINGLE_DF)
 JACCARD_MAX_SHINGLE_DF = 1000
 
@@ -54,7 +58,20 @@ JACCARD_MAX_SHINGLE_DF = 1000
 # cached per (session, sf_dir) so that when make_stream's auto-dispatch picks
 # the distributed layout (large inputs), its eager layout job runs once per
 # suite, not once per query.  Entries are lazy plans — cheap to hold.
-_STREAM_CACHE: dict = {}
+# The cache lives ON the session object itself (never a module dict keyed
+# by id(spark): a GC'd session's id can be reused by a new one, silently
+# serving a plan bound to dead relations).  A cached DataFrame strongly
+# references its session, so a module-level weak-key map would never
+# collect either; session→dict→DataFrame→session is a plain cycle the GC
+# reclaims as a unit when the session dies.
+_STREAM_CACHE_ATTR = "_scanner_spark_stream_cache"
+
+
+def clear_stream_cache(spark: SparkSession) -> None:
+    """Drop the session's memoized events-stream frames (tests use this to
+    compare plan shapes under a known cache state)."""
+    if hasattr(spark, _STREAM_CACHE_ATTR):
+        delattr(spark, _STREAM_CACHE_ATTR)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,14 +82,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the straggler threshold, the partition-bounded distributed layout above
     it — no query in the suite ever plans a whole-stream single-task window
     on a large input."""
-    key = (id(spark), sf_dir)
-    cached = _STREAM_CACHE.get(key)
+    per_session = getattr(spark, _STREAM_CACHE_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _STREAM_CACHE_ATTR, per_session)
+    cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
     ev = read_table(spark, sf_dir, "events")
     st = S.make_stream(ev, stream_col="event_type", order_col="event_id")
     out = st.select("stream_id", "idx", "event_id", "value")
-    _STREAM_CACHE[key] = out
+    per_session[sf_dir] = out
     return out
 
 
@@ -1714,6 +1734,69 @@ def q_emb_kmeans(spark, sf_dir):
 
 
 QUERIES = {
+    # ------------------------------------------------------------------
+    # Ordering = the driver's correctness window: it oracle-checks the
+    # first 50 oracle-bearing entries per round.  Round-5 rotation policy
+    # (VERDICT r04 "Next round" #2): the 29 entries never driver-checked
+    # in rounds 3-4 lead, then 21 rotated round-3/4-confirmed entries fill
+    # the window; everything already confirmed twice follows; no-oracle
+    # (rows-only) entries close the dict.  Every entry regardless of
+    # position stays hash-checked locally by tests/test_entry_parity.py.
+    # ------------------------------------------------------------------
+    # --- never driver-checked (rounds 3-4 window shadow): 29 entries
+    "multimodal_audio": q_multimodal_audio,  # WAV codec + features
+    "scanner_all_distributed": q_scanner_all_distributed,
+    "scanner_null_passthrough": q_scanner_null_passthrough,
+    "scanner_sparse_load": q_scanner_sparse_load,  # Column.load(rows=...)
+    "tpch_q5": q_tpch_q5,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
+    "part_brand_stats": q_part_brand_stats,
+    "events_hourly": q_events_hourly,
+    "orders_cube": q_orders_cube,
+    "dedup_simhash_sigs": q_dedup_simhash_sigs,
+    "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
+    "events_value_histogram": q_events_value_histogram,
+    "docs_domain_resample": q_docs_domain_resample,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "events_asof_join_op": q_events_asof_join_op,
+    "emb_quantize": q_emb_quantize,
+    "dedup_keep_best": q_dedup_keep_best,
+    "doc_pii_scrub": q_doc_pii_scrub,  # byte-exact redaction oracle
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "docs_search_topk": q_docs_search_topk,
+    "doc_lm_familiarity": q_doc_lm_familiarity,
+    "emb_kmeans_assign": q_emb_kmeans_assign,
+    "emb_kmeans": q_emb_kmeans,  # full distributed k-means
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_sessions": q_stream_events_sessions,
+    "stream_events_sessions_append": q_stream_events_sessions_append,
+    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
+    # --- rotation fill (round-3/4-confirmed; heaviest operators first
+    # so the independent signal keeps touching them): 21 entries
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_materialize": q_dedup_materialize,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "emb_knn_brute": q_emb_knn_brute,
+    "emb_knn_lsh": q_emb_knn_lsh,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "emb_dup_clusters": q_emb_dup_clusters,
+    "emb_label_centroids": q_emb_label_centroids,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "stream_events_hourly": q_stream_events_hourly,
+    "text_analyze": q_text_analyze,
+    "doc_quality": q_doc_quality,
+    "vocab_topk": q_vocab_topk,
+    "events_asof_signup": q_events_asof_signup,
+    # --- beyond-window: driver-confirmed in BOTH rounds 3 and 4
     "scanner_stride": q_scanner_stride,
     "scanner_range": q_scanner_range,
     "scanner_strided_ranges": q_scanner_strided_ranges,
@@ -1737,75 +1820,22 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "segment_intersect": q_segment_intersect,
     "events_user_counts": q_events_user_counts,
-    "events_asof_signup": q_events_asof_signup,
     "orders_percentiles": q_orders_percentiles,
     "orders_rollup": q_orders_rollup,
     "events_retention": q_events_retention,
     "customers_without_orders": q_customers_without_orders,
     "events_pivot": q_events_pivot,
     "events_sliding_daily": q_events_sliding_daily,
-    "stream_events_hourly": q_stream_events_hourly,
-    "text_analyze": q_text_analyze,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_materialize": q_dedup_materialize,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_clusters": q_dedup_minhash_clusters,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "vocab_topk": q_vocab_topk,
-    "emb_label_centroids": q_emb_label_centroids,
-    "doc_quality": q_doc_quality,
-    "emb_knn_brute": q_emb_knn_brute,
-    "emb_cosine_pairs": q_emb_cosine_pairs,
-    "emb_dup_clusters": q_emb_dup_clusters,
-    "emb_knn_lsh": q_emb_knn_lsh,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "doc_chunk_windows": q_doc_chunk_windows,
+    # --- no ANSI-SQL oracle (driver records rows-only): keep last so they
+    # never consume an oracle-window slot under either counting rule
     "emb_knn_ivf": q_emb_knn_ivf,
+    "emb_knn_pq": q_emb_knn_pq,
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
-    "multimodal_audio": q_multimodal_audio,  # WAV codec + features, oracle-checked
     "frame_histogram": q_frame_histogram,
     "frame_resize": q_frame_resize,
     "frame_blur": q_frame_blur,
     "frame_optical_flow": q_frame_optical_flow,
     "video_decode_pruned": q_video_decode_pruned,
     "frame_encode_png": q_frame_encode_png,
-    # --- rotation tail: the driver compares at most 50 oracle-bearing
-    # queries per round, in this dict's order.  Each entry below is a
-    # same-operator twin of an in-window query (identical oracle or same
-    # §2 row) and stays fully checked by tests/test_entry_parity.py.
-    "scanner_all_distributed": q_scanner_all_distributed,  # oracle == scanner_all
-    "scanner_null_passthrough": q_scanner_null_passthrough,  # RepeatNull, see scanner_repeat_null
-    "tpch_q5": q_tpch_q5,  # join+agg, see tpch_q3
-    "tpch_q14": q_tpch_q14,  # see tpch_q1/q6
-    "part_brand_stats": q_part_brand_stats,  # plain agg, see tpch_q1
-    "events_hourly": q_events_hourly,  # oracle == stream_events_hourly
-    "tpch_q10": q_tpch_q10,  # customer join+agg, see tpch_q3
-    "tpch_q18": q_tpch_q18,  # join+agg+having, see tpch_q3/q4
-    "orders_cube": q_orders_cube,  # grouping-sets family, see orders_rollup
-    "dedup_simhash_sigs": q_dedup_simhash_sigs,  # strict sub-plan of dedup_simhash_pairs
-    # --- beyond-window additions: oracle-checked by tests/test_entry_parity.py
-    "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
-    "events_value_histogram": q_events_value_histogram,  # equi-width histogram
-    "scanner_sparse_load": q_scanner_sparse_load,  # Column.load(rows=...) analog
-    "docs_domain_resample": q_docs_domain_resample,  # domain-mixture rebalancing
-    "docs_pack_sequences": q_docs_pack_sequences,  # sequence packing
-    "events_asof_join_op": q_events_asof_join_op,  # two-table as-of join operator
-    "emb_quantize": q_emb_quantize,  # int8 embedding quantization
-    "stream_events_dedup": q_stream_events_dedup,  # streaming exact dedup
-    "dedup_keep_best": q_dedup_keep_best,  # keep-best-quality per cluster
-    "stream_events_sessions": q_stream_events_sessions,  # streaming session windows
-    "stream_events_sessions_append": q_stream_events_sessions_append,  # finalized-only
-    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,  # stateful near-dup pairs
-    "emb_knn_pq": q_emb_knn_pq,  # product-quantization ADC ANN (rows-only)
-    "doc_pii_scrub": q_doc_pii_scrub,  # PII detect+redact, byte-exact vs oracle
-    "docs_tfidf_topk": q_docs_tfidf_topk,  # tf-idf top terms per doc
-    "docs_search_topk": q_docs_search_topk,  # bag-of-terms retrieval
-    "doc_lm_familiarity": q_doc_lm_familiarity,  # n-gram LM quality skeleton
-    "emb_kmeans_assign": q_emb_kmeans_assign,  # Lloyd assignment vs SQL oracle
-    "emb_kmeans": q_emb_kmeans,  # full distributed k-means (unrolled oracle)
 }

@@ -53,3 +53,36 @@ def test_track_evicts_oldest_beyond_cap(spark):
     assert caching._TRACKED[-1] is dfs[-1]
     caching.release_all()
     assert not caching._TRACKED
+
+
+def test_stream_cache_keyed_by_live_session(spark, sf_dir):
+    """The events-stream memo must live ON the session (never a module
+    dict keyed by id(spark): a GC'd session's id can be reused by a new
+    one, silently serving a plan bound to dead relations — VERDICT r04
+    finding #3).  Distinct sessions get distinct entries; a dropped
+    session's entries die with it."""
+    import gc
+    import weakref
+
+    from scanner_spark import queries as Q
+
+    a = Q.events_stream(spark, sf_dir)
+    assert Q.events_stream(spark, sf_dir) is a  # same-session cache hit
+    ns = spark.newSession()
+    b = Q.events_stream(ns, sf_dir)
+    assert b is not a  # no cross-session aliasing
+    assert Q.events_stream(spark, sf_dir) is a  # first entry undisturbed
+    # the memo lives on the session object, so it can never alias onto a
+    # different session — even one allocated at the recycled id() of a
+    # dropped one (which a module-level {id(spark): plan} dict would hit).
+    # NOTE: full collection of the dropped wrapper is NOT asserted; pyspark
+    # itself retains sessions in a closure cell, out of our control.
+    old_id = id(ns)
+    del ns, b
+    gc.collect()
+    fresh = spark.newSession()
+    assert not hasattr(fresh, Q._STREAM_CACHE_ATTR)  # born with no memo
+    c = Q.events_stream(fresh, sf_dir)
+    assert c is not a  # never the other session's plan, whatever id() says
+    del old_id, fresh, c
+    assert getattr(spark, Q._STREAM_CACHE_ATTR)[sf_dir] is a

@@ -494,3 +494,33 @@ def test_connected_components_paths_agree(spark):
     assert local == hybrid
     comp = dict(local)
     assert comp[17] == 10 and comp[33] == 30 and comp[99] == 42 and comp[50] == 42
+
+
+def test_kmeans_rejects_fewer_rows_than_k(spark):
+    """k-means raises loudly on empty / sub-k inputs instead of crashing
+    with IndexError or silently under-clustering (ADVICE r04)."""
+    import pytest as _pytest
+
+    from scanner_spark.functions import cluster
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="at least k=8"):
+        cluster.kmeans(df, k=8)
+    with _pytest.raises(ValueError, match="at least k=3"):
+        cluster.kmeans(df.limit(0), k=3)
+
+
+def test_embeddings_dim_matches_shared_constant(spark, sf_dir):
+    """Q.EMB_DIM is the single dim source for Spark queries AND the DuckDB
+    oracles (hyperplane buckets, kmeans unroll); a testdata dim change must
+    fail loudly here, not as a silent oracle mismatch (ADVICE r04)."""
+    from scanner_spark import queries as Q
+    from scanner_spark.io import read_table
+
+    row = read_table(spark, sf_dir, "embeddings").select(
+        F.size("embedding").alias("d")
+    ).first()
+    assert row["d"] == Q.EMB_DIM

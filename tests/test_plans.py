@@ -43,7 +43,7 @@ def test_narrow_samplers_have_no_shuffle(spark, sf_dir):
     # substitution forever, while fresh sampler plans render under TODAY'S
     # cache state.  Clear the memo so base and samplers are planned under
     # the same cache state — this test compares plan shapes, not cache luck.
-    Q._STREAM_CACHE.clear()
+    Q.clear_stream_cache(spark)
     st = Q.events_stream(spark, sf_dir)
     base_exchanges = plan_of(st).count("Exchange")
     # single-branch samplers: exactly the base plan's exchanges, no more

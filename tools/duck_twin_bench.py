@@ -50,34 +50,49 @@ def run_once(sql):
         return
     import threading
 
-    timer = threading.Timer(CAP_S, con.interrupt)
+    # done-flag guards the race where the CREATE finishes at ~CAP_S and the
+    # timer fires after completion but before cancel(), interrupting the
+    # DROP (or a later query) on the shared connection
+    done = threading.Event()
+    timer = threading.Timer(
+        CAP_S, lambda: None if done.is_set() else con.interrupt()
+    )
     timer.start()
     try:
         con.execute(f"CREATE OR REPLACE TEMP TABLE _sink AS ({sql})")
-        con.execute("DROP TABLE _sink")
     finally:
+        done.set()
         timer.cancel()
+    con.execute("DROP TABLE IF EXISTS _sink")
 
 
-for name, sql in e.oracle_sql().items():
+def timed(sql):
+    """(seconds, was_capped) for one execution; interrupt -> capped, not
+    fatal (versions surface it as InterruptException or a generic Error)."""
     t0 = time.time()
     try:
         run_once(sql)
     except duckdb.InterruptException:
-        capped[name] = True
-        times[name] = round(time.time() - t0, 3)
-        continue
-    except duckdb.Error as ex:  # interrupt surfaces differently by version
+        return time.time() - t0, True
+    except duckdb.Error as ex:
         if "INTERRUPT" in str(ex).upper():
-            capped[name] = True
-            times[name] = round(time.time() - t0, 3)
-            continue
+            return time.time() - t0, True
         raise
-    best = time.time() - t0
+    return time.time() - t0, False
+
+
+for name, sql in e.oracle_sql().items():
+    best, was_capped = timed(sql)
+    if was_capped:
+        capped[name] = True
+        times[name] = round(best, 3)
+        continue
     if best < SECOND_PASS_BUDGET_S:
-        t0 = time.time()
-        run_once(sql)
-        best = min(best, time.time() - t0)
+        # the repeat pass gets the SAME cap handling: a variance spike past
+        # the wall cap marks the query capped-on-repeat, keeping pass-1 time
+        t2, capped2 = timed(sql)
+        if not capped2:
+            best = min(best, t2)
     times[name] = round(best, 3)
 out = {"total": round(sum(times.values()), 2), "queries": times}
 if capped:
