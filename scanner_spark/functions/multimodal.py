@@ -6,14 +6,15 @@ feature extraction run as Arrow-batched ``mapInPandas`` so each Python
 worker sees a columnar batch of blobs — the right shape for handing to an
 image/audio library.
 
-``decode_image`` has REAL codec paths for the two dominant formats: PNG
+``decode_image`` has REAL codec paths for the three dominant formats: PNG
 payloads are decoded by the in-repo dependency-free decoder
-(``kernels.image.decode_png`` — inverse of ``encode_png``) and baseline
+(``kernels.image.decode_png`` — inverse of ``encode_png``), baseline
 JPEG payloads by the in-repo T.81 decoder (``kernels.jpeg.decode_jpeg``;
 the reference ingests real image format groups the same way,
-scanner/engine/ingest.cpp:1004) — both normalized to 3 channels and
-bilinearly resized to the requested output size.  Only formats neither
-codec covers (GIF/WebP/TIFF/...; this container ships no image libs) fall
+scanner/engine/ingest.cpp:1004), and GIF payloads by the in-repo LZW
+decoder (``kernels.gif.decode_gif``) — all normalized to 3 channels and
+bilinearly resized to the requested output size.  Only formats no
+codec covers (WebP/TIFF/...; this container ships no image libs) fall
 back to a deterministic md5-seeded fake, clearly marked, behind the same
 signature.  The Spark-side plumbing — schema, batch iteration,
 partitioning, output contracts — is identical on all paths.
@@ -57,11 +58,12 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
-    """One blob -> (out_h, out_w, 3) uint8.  PNG and baseline JPEG take
-    REAL in-repo decoders (+ bilinear resize); only formats neither codec
-    covers (GIF/WebP/TIFF/...) fall to the deterministic fake.  Raises on
+    """One blob -> (out_h, out_w, 3) uint8.  PNG, baseline JPEG, and GIF
+    take REAL in-repo decoders (+ bilinear resize); only formats no codec
+    covers (WebP/TIFF/...) fall to the deterministic fake.  Raises on
     a malformed payload with a recognized magic — callers choose the
     failure policy."""
+    from scanner_spark.kernels.gif import GIF_MAGICS, decode_gif
     from scanner_spark.kernels.image import PNG_MAGIC, decode_png, resize_bilinear
     from scanner_spark.kernels.jpeg import JPEG_MAGIC, decode_jpeg
 
@@ -69,6 +71,8 @@ def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
         img = _to_rgb(decode_png(bytes(payload)))
     elif payload and bytes(payload[:2]) == JPEG_MAGIC:
         img = decode_jpeg(bytes(payload))
+    elif payload and bytes(payload[:6]) in GIF_MAGICS:
+        img = decode_gif(bytes(payload))
     else:
         return _fake_decode(payload, out_h, out_w)
     if img.shape[:2] != (out_h, out_w):
@@ -167,6 +171,45 @@ def text_to_png(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
                     "payload": payloads,
                     "meta": [
                         {"width": w, "height": h, "duration_ms": 0, "codec": "png"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def text_to_gif(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
+                id_col: str = "doc_id") -> DataFrame:
+    """Render each document's utf-8 bytes into a deterministic GREYSCALE
+    (h, w, 3) image (grey because GIF is palettized: byte-per-pixel grey
+    keeps the palette ≤256 so the in-repo LZW encode is pixel-exact) and
+    REAL-encode it as GIF89a — the third genuine compressed image format
+    from driver-provided data.  Arrow-batched mapInPandas."""
+    from scanner_spark.kernels.gif import encode_gif
+
+    out_schema = (
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+    )
+    need = h * w
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                raw = (s or " ").encode("utf-8")
+                reps = -(-need // len(raw))  # ceil-div tile
+                grey = np.frombuffer((raw * reps)[:need], dtype=np.uint8)
+                img = np.repeat(grey.reshape(h, w, 1), 3, axis=2)
+                payloads.append(encode_gif(img))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"width": w, "height": h, "duration_ms": 0, "codec": "gif"}
                     ]
                     * len(pdf),
                 }

@@ -128,13 +128,22 @@ def search_topk(
     )
 
 
-def word_bigrams(col: Column) -> Column:
-    """Adjacent word pairs ``"a b"`` from a text column — JVM transform
-    over the tokens array (empty when fewer than 2 tokens)."""
-    toks = _toks(col)
-    return F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat(x, F.lit(" "), F.element_at(toks, i + F.lit(2))),
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word pairs ``"a b"`` from a tokens-array column (empty
+    when fewer than 2 tokens).
+
+    ``toks`` must be a real ATTRIBUTE (not an inline ``split()``
+    expression): each ``slice`` then evaluates the tokenizer once per row.
+    The previous spelling — a ``transform`` whose lambda captured the
+    token expression via ``element_at`` — let CollapseProject inline the
+    tokenizer PER ELEMENT, O(tokens²) splits per doc (the evaluate-once
+    trap ``streaming/dedup.banded_minhash_rows`` documents; fixing it here
+    took the sf0.1 query from 4.2 s to 1.7 s)."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, F.lit(1), n1),
+        F.slice(toks, F.lit(2), n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
 
 
@@ -153,13 +162,19 @@ def bigram_familiarity(
     (vocabulary-bigram-sized — AQE broadcasts it when small).  ``bg`` is
     both the join's left side and the source of ``model``, so it is
     ``track()``-persisted (the dedup-family shingle pattern) — without it
-    the explode+shuffle, the heaviest relation here, executes twice."""
+    the explode+shuffle, the heaviest relation here, executes twice.  The
+    tokens array crosses a 1-element-explode Generate barrier first so
+    ``word_bigrams``' slices see an attribute (evaluate-once; see its
+    docstring)."""
     from scanner_spark.caching import track
 
+    toksed = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(_toks(F.col(text_col)))).alias("toks"),
+    )
     bg = track(
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(word_bigrams(F.col(text_col))).alias("bg"),
+        toksed.select(
+            "doc", F.explode(word_bigrams(F.col("toks"))).alias("bg")
         ).groupBy("doc", "bg").agg(F.count("*").alias("n"))
     )
     model = bg.groupBy("bg").agg(F.sum("n").alias("global_n"))

@@ -131,12 +131,57 @@ def banded_minhash_rows(
 DEFAULT_STATE_SHARDS = 32
 
 
+def _advance_shard(
+    entries: list[tuple[str, int, list[int]]],
+    rows: Iterable[tuple[int, list[int], str]],
+    k: int,
+    threshold: float,
+    max_docs: int | None,
+) -> tuple[list[tuple[str, int, list[int]]], list[tuple[int, int, float]]]:
+    """One shard's state transition, pure and unit-testable: score each
+    arriving ``(doc, sig, band_sig)`` against its bucket's seen docs, append
+    it, then FIFO-evict down to ``max_docs`` entries (arrival order is
+    global per shard, so the evicted doc is the shard's OLDEST across all
+    its buckets — the recall-for-boundedness trade of an unbounded stream).
+    Returns (new_entries, emitted_pairs)."""
+    buckets: dict[str, tuple[list[int], list[list[int]]]] = {}
+    for b, d, s in entries:
+        ent = buckets.get(b)
+        if ent is None:
+            ent = ([], [])
+            buckets[b] = ent
+        ent[0].append(d)
+        ent[1].append(s)
+    entries = list(entries)
+    pairs: list[tuple[int, int, float]] = []
+    for doc, sig, bs in rows:
+        doc = int(doc)
+        sig = [int(x) for x in sig]
+        ent = buckets.get(bs)
+        if ent is None:
+            ent = ([], [])
+            buckets[bs] = ent
+        for d2, s2 in zip(ent[0], ent[1]):
+            m = sum(1 for x, y in zip(sig, s2) if x == y)
+            est = round(m / k, 6)
+            if est >= threshold:
+                pairs.append((min(doc, d2), max(doc, d2), est))
+        ent[0].append(doc)
+        ent[1].append(sig)
+        entries.append((bs, doc, sig))
+    if max_docs is not None and len(entries) > max_docs:
+        entries = entries[-max_docs:]
+    return entries, pairs
+
+
 def lsh_dedup_pairs(
     banded: DataFrame,
     k: int = DEFAULT_MINHASH_K,
     threshold: float = 0.5,
     timeout: str = "NoTimeout",
     num_shards: int = DEFAULT_STATE_SHARDS,
+    max_docs_per_shard: int | None = None,
+    timeout_ms: int = 600_000,
 ) -> DataFrame:
     """Stateful pair emission: per (band, band_sig) bucket, every new doc
     is scored (matching mins / k) against the bucket's seen docs; pairs at
@@ -153,50 +198,61 @@ def lsh_dedup_pairs(
     independent of corpus size (raise it on a real cluster so shards
     spread over executors; each shard's state stays ``|corpus| x bands /
     shards`` ids+sigs).  Collision semantics are untouched: docs pair only
-    on equal full band-sig, now looked up in the shard's dict."""
+    on equal full band-sig, now looked up in the shard's dict.
+
+    Bounded state on an UNBOUNDED stream (both knobs trade recall against
+    old docs for a hard state ceiling; the bounded-replay suite entry uses
+    neither, so its output is exactly the batch set):
+
+    - ``max_docs_per_shard``: each shard FIFO-evicts beyond this many
+      (doc, sig) entries, so total state is at most
+      ``bands x num_shards x max_docs_per_shard`` entries FOREVER — new
+      arrivals stop pairing with docs older than the shard's window.
+    - ``timeout='ProcessingTimeTimeout'`` + ``timeout_ms``: a shard that
+      receives NO rows for ``timeout_ms`` is dropped whole (idle-shard
+      expiry; with uniform signature hashing a shard goes idle only when
+      the stream itself does)."""
+    use_timeout = timeout == "ProcessingTimeTimeout"
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        # state: parallel arrays flattened over (bucket, doc) entries
-        buckets: dict[str, tuple[list[int], list[list[int]]]] = {}
+        if use_timeout and state.hasTimedOut:
+            # idle shard: drop its buckets entirely (bounded-state trade)
+            state.remove()
+            yield pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+            return
+        # state: parallel arrays flattened over (bucket, doc) entries,
+        # stored in ARRIVAL order so FIFO eviction is a slice
+        entries: list[tuple[str, int, list[int]]] = []
         if state.exists:
             st_bss, st_docs, st_sigs = state.get
-            for b, d, s in zip(st_bss, st_docs, st_sigs):
-                ent = buckets.get(b)
-                if ent is None:
-                    ent = ([], [])
-                    buckets[b] = ent
-                ent[0].append(int(d))
-                ent[1].append([int(x) for x in s])
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_e: list[float] = []
-        for pdf in pdfs:
-            for doc, sig, bs in zip(pdf["doc"], pdf["sig"], pdf["bs"]):
-                doc = int(doc)
-                sig = [int(x) for x in sig]
-                ent = buckets.get(bs)
-                if ent is None:
-                    ent = ([], [])
-                    buckets[bs] = ent
-                for d2, s2 in zip(ent[0], ent[1]):
-                    m = sum(1 for x, y in zip(sig, s2) if x == y)
-                    est = round(m / k, 6)
-                    if est >= threshold:
-                        out_a.append(min(doc, d2))
-                        out_b.append(max(doc, d2))
-                        out_e.append(est)
-                ent[0].append(doc)
-                ent[1].append(sig)
-        bss: list[str] = []
-        docs: list[int] = []
-        sigs: list[list[int]] = []
-        for b, (ds, ss) in buckets.items():
-            for d, s in zip(ds, ss):
-                bss.append(b)
-                docs.append(d)
-                sigs.append(s)
-        state.update((bss, docs, sigs))
-        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_e})
+            entries = [
+                (b, int(d), [int(x) for x in s])
+                for b, d, s in zip(st_bss, st_docs, st_sigs)
+            ]
+
+        def rows():
+            for pdf in pdfs:
+                yield from zip(pdf["doc"], pdf["sig"], pdf["bs"])
+
+        entries, pairs = _advance_shard(
+            entries, rows(), k, threshold, max_docs_per_shard
+        )
+        state.update(
+            (
+                [b for b, _, _ in entries],
+                [d for _, d, _ in entries],
+                [s for _, _, s in entries],
+            )
+        )
+        if use_timeout:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "doc_a": [p[0] for p in pairs],
+                "doc_b": [p[1] for p in pairs],
+                "est_jaccard": [p[2] for p in pairs],
+            }
+        )
 
     sharded = banded.withColumn(
         "shard", F.crc32(F.col("bs").cast("binary")) % F.lit(num_shards)

@@ -405,9 +405,13 @@ def test_decode_payload_jpeg_real_path_and_fake_scope():
     # corrupt JPEG body with intact magic: raises (caller picks policy)
     with pytest.raises(Exception):
         decode_payload(b"\xff\xd8garbage", 8, 8)
-    # unknown magic (GIF) -> the marked fake
-    gif = b"GIF89a" + b"\x00" * 16
-    assert np.array_equal(decode_payload(gif, 8, 8), _fake_decode(gif, 8, 8))
+    # GIF now has a real codec: a truncated GIF body with intact magic
+    # RAISES (caller picks policy) instead of falling to the fake
+    with pytest.raises(Exception):
+        decode_payload(b"GIF89a" + b"\x00" * 16, 8, 8)
+    # unknown magic (WebP) -> the marked fake
+    webp = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
+    assert np.array_equal(decode_payload(webp, 8, 8), _fake_decode(webp, 8, 8))
 
 
 # ---------------------------------------------------------------------------
@@ -499,3 +503,104 @@ def test_audio_features_integer_exact():
     # silence: zero everything, sign(0) = +1 so no crossings
     z = audio_features(np.zeros(10, dtype=np.int16))
     assert z == {"n_samples": 10, "rms": 0.0, "zcr": 0.0, "peak": 0}
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (kernels/gif.py)
+# ---------------------------------------------------------------------------
+
+def test_gif_round_trip_pixel_exact():
+    import numpy as np
+
+    from scanner_spark.kernels.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    # palette sizes crossing every LZW code-width boundary incl. 256
+    for h, w, ncol in [(1, 1, 1), (8, 8, 2), (16, 16, 5), (32, 32, 256), (64, 48, 129)]:
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, size=(h, w))]
+        out = decode_gif(encode_gif(img))
+        assert out.shape == (h, w, 3) and np.array_equal(out, img)
+    # large random 256-color image: forces dictionary reset at code 4096
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, size=(128, 128))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_golden_pixels():
+    """Golden pin: a hand-built 4x2 2-color GIF (spec-layout bytes written
+    field by field) decodes to exactly the expected pixels — decoder
+    correctness independent of our own encoder."""
+    import struct
+
+    import numpy as np
+
+    from scanner_spark.kernels.gif import _lzw_encode, decode_gif
+
+    # palette: red, white; pixels: checkerboard
+    idx = np.array([[0, 1, 0, 1], [1, 0, 1, 0]], dtype=np.int64)
+    lzw = _lzw_encode(idx.ravel(), 2)
+    raw = bytearray()
+    raw += b"GIF89a"
+    raw += struct.pack("<HHBBB", 4, 2, 0x80, 0, 0)  # GCT, 2 entries
+    raw += bytes([255, 0, 0, 255, 255, 255])
+    raw += struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 2, 0)
+    raw += bytes([2, len(lzw)]) + lzw + bytes([0, 0x3B])
+    out = decode_gif(bytes(raw))
+    expect = np.array(
+        [[[255, 0, 0], [255, 255, 255]] * 2,
+         [[255, 255, 255], [255, 0, 0]] * 2],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, expect)
+
+
+def test_gif_interlaced_and_local_table():
+    """Interlaced row ordering (4 passes) and a LOCAL color table override
+    both decode correctly — built by hand since the encoder writes
+    non-interlaced global-table files."""
+    import struct
+
+    import numpy as np
+
+    from scanner_spark.kernels.gif import _INTERLACE_PASSES, _lzw_encode, decode_gif
+
+    rng = np.random.default_rng(3)
+    h, w = 11, 6  # odd height exercises uneven pass lengths
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    img_idx = rng.integers(0, 4, size=(h, w))
+    # rows in interlace transmission order
+    order = [r for start, step in _INTERLACE_PASSES for r in range(start, h, step)]
+    transmitted = img_idx[order].ravel().astype(np.int64)
+    lzw = _lzw_encode(transmitted, 2)
+    raw = bytearray()
+    raw += b"GIF89a"
+    raw += struct.pack("<HHBBB", w, h, 0x80, 0, 0)  # bogus 2-entry GCT
+    raw += bytes([9, 9, 9, 1, 1, 1])
+    # image descriptor: interlace (0x40) + local table of 4 entries (0x81)
+    raw += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 | 0x80 | 0x01)
+    raw += pal.tobytes()
+    raw += bytes([2])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        raw += bytes([len(chunk)]) + chunk
+    raw += bytes([0, 0x3B])
+    out = decode_gif(bytes(raw))
+    assert np.array_equal(out, pal[img_idx])  # local table + de-interlace
+
+
+def test_gif_skips_extensions_and_honors_first_frame():
+    """Extension blocks (GCE/comment) before the image are skipped; only
+    the FIRST image of a multi-image stream is returned."""
+    import numpy as np
+
+    from scanner_spark.kernels.gif import decode_gif, encode_gif
+
+    img1 = np.full((4, 4, 3), 200, dtype=np.uint8)
+    base = bytearray(encode_gif(img1))
+    # splice a GCE + comment extension after the header+GCT (13 + 6 bytes)
+    hdr_end = 13 + 2 * 3
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    comment = bytes([0x21, 0xFE, 3]) + b"hey" + bytes([0])
+    spliced = bytes(base[:hdr_end]) + gce + comment + bytes(base[hdr_end:])
+    assert np.array_equal(decode_gif(spliced), img1)

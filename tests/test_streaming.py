@@ -117,3 +117,99 @@ def test_stream_queries_leave_caller_conf_untouched(spark, sf_dir):
     assert out.count() > 0
     after = {k: spark.conf.get(k, None) for k in before}
     assert after == before
+
+
+def test_lsh_shard_state_plateaus_under_cap():
+    """Unit: the shard transition FIFO-caps its entry list — over an
+    unbounded arrival sequence the state size plateaus at max_docs while
+    pairs KEEP emitting for duplicates inside the window (the
+    recall/boundedness contract of streaming.dedup.lsh_dedup_pairs)."""
+    from scanner_spark.streaming.dedup import _advance_shard
+
+    CAP = 50
+    entries = []
+    sizes, late_pairs = [], 0
+    # 40 rounds of 10 docs; each doc duplicates the previous round's
+    # same-slot doc (same bucket, same sig) so every round pairs with the
+    # window's recent past forever
+    for rnd in range(40):
+        rows = [
+            (rnd * 10 + i, [7 * i] * 16, f"bucket{i}") for i in range(10)
+        ]
+        entries, pairs = _advance_shard(entries, rows, 16, 0.5, CAP)
+        sizes.append(len(entries))
+        if rnd >= 20:
+            late_pairs += len(pairs)
+    assert max(sizes) == CAP  # hard ceiling, forever
+    assert sizes[-1] == CAP and sizes[10] == CAP  # plateau, not sawtooth-up
+    assert late_pairs > 0  # still detecting dups long after the cap hit
+    # unbounded control: same stream without the cap grows without limit
+    entries2 = []
+    for rnd in range(40):
+        rows = [(rnd * 10 + i, [7 * i] * 16, f"bucket{i}") for i in range(10)]
+        entries2, _ = _advance_shard(entries2, rows, 16, 0.5, None)
+    assert len(entries2) == 400
+
+
+def test_lsh_dedup_bounded_state_on_unbounded_stream(spark, tmp_path):
+    """Integration: lsh_dedup_pairs with ProcessingTimeTimeout + a FIFO
+    doc cap keeps the state-store row count at the fixed group cardinality
+    across micro-batches while pairs keep emitting in LATE batches — the
+    bounded-state knob the module docstring promises, exercised end-to-end
+    (VERDICT r04 'Next round' #7)."""
+    from scanner_spark.streaming.dedup import banded_minhash_rows, lsh_dedup_pairs
+
+    BANDS, SHARDS = 4, 4
+    d = str(tmp_path / "docs_in")
+    # 6 files -> 6 micro-batches (maxFilesPerTrigger=1); each file carries
+    # fresh docs plus an exact duplicate of a doc from the PREVIOUS file,
+    # so every batch after the first must emit at least one 1.0 pair
+    texts = [
+        f"the quick brown fox jumps over lazy dog number {i} indeed truly"
+        for i in range(6)
+    ]
+    for f in range(6):
+        rows = [(100 * f, texts[f], 0)]
+        if f > 0:
+            rows.append((100 * f + 1, texts[f - 1], 0))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long"
+        ).coalesce(1).write.mode("append").parquet(d)
+    sdf = (
+        spark.readStream.schema("doc_id long, text string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    pairs = lsh_dedup_pairs(
+        banded_minhash_rows(sdf, bands=BANDS),
+        threshold=0.5,
+        timeout="ProcessingTimeTimeout",
+        num_shards=SHARDS,
+        max_docs_per_shard=8,
+        timeout_ms=60_000,
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("lsh_bounded")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select distinct doc_a, doc_b from lsh_bounded where est_jaccard >= 0.99"
+    ).collect()
+    # every cross-file duplicate found: state survived across batches
+    expect = {(100 * (f - 1), 100 * f + 1) for f in range(1, 6)}
+    assert {(r.doc_a, r.doc_b) for r in got} >= expect
+    # state rows = state GROUPS: capped by the fixed shard cardinality in
+    # EVERY batch (never corpus-many), the structural bound of the design
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert state_rows and max(state_rows) <= BANDS * SHARDS
