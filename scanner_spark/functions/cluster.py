@@ -115,11 +115,17 @@ def _partial_sums(k: int, dim: int, vec_col: str):
                     counts[c] += int(m.sum())
                     sums[c] += vecs[m].sum(axis=0)
         nz = np.nonzero(counts)[0]
+        # explicit dtypes: an EMPTY partition must still yield an
+        # object-dtype vsum column — pandas would otherwise infer float64
+        # for the empty list and Arrow cannot cast that to list<double>
+        # (hit on sf1 where the scan plans empty input splits)
         yield pd.DataFrame(
             {
-                "cluster": nz.astype("int64"),
-                "n": counts[nz],
-                "vsum": [sums[c].tolist() for c in nz],
+                "cluster": pd.Series(nz.astype("int64"), dtype="int64"),
+                "n": pd.Series(counts[nz], dtype="int64"),
+                "vsum": pd.Series(
+                    [sums[c].tolist() for c in nz], dtype="object"
+                ),
             }
         )
 

@@ -1391,12 +1391,14 @@ def q_frame_encode_png(spark, sf_dir):
 def q_video_decode_pruned(spark, sf_dir):
     """The engine's one novel physical operator end-to-end: ingest two
     deterministic SVF videos (keyframe index, no transcode) PLUS a legal
-    raw-sample mp4 (standard ISO-BMFF container), then decode a sparse
-    frame set — the GOP-pruning join ensures only the GOPs containing
-    wanted frames are decoded, and mp4 frames decode straight off the
-    sample index.  Driver testdata has no video table, so the videos are
+    raw-sample mp4 PLUS a REAL compressed avc1 (H.264) mp4 encoded by the
+    in-repo intra-only baseline codec (kernels/h264.py), then decode a
+    sparse frame set — the GOP-pruning join ensures only the GOPs
+    containing wanted frames are decoded, mp4 frames decode straight off
+    the sample index, and avc1 keyframes run the full CAVLC+intra
+    pipeline.  Driver testdata has no video table, so the videos are
     synthesized deterministically per call (rows-only check; pixel
-    exactness is pinned by tests/test_video.py)."""
+    exactness is pinned by tests/test_video.py and tests/test_h264.py)."""
     import hashlib
     import tempfile
 
@@ -1424,8 +1426,21 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(mp4_path)
+    avc_path = f"{tmp}/vid3.mp4"
+    with open(avc_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(3, i, 16, 16, 3) for i in range(8)], qp=10
+            )
+        )
+    paths.append(avc_path)
     ingest_videos(spark, db, paths)
-    wanted = {paths[0]: VIDEO_WANTED, paths[1]: [25], mp4_path: [7, 31]}
+    wanted = {
+        paths[0]: VIDEO_WANTED,
+        paths[1]: [25],
+        mp4_path: [7, 31],
+        avc_path: [1, 6],
+    }
     out = load_frames(spark, db, wanted)
 
     @F.pandas_udf("string")

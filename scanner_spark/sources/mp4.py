@@ -66,15 +66,50 @@ def _u32s(buf: bytes, off: int, n: int) -> list[int]:
     return list(struct.unpack_from(f">{n}I", buf, off))
 
 
-def _parse_stsd(buf: bytes, start: int, end: int) -> tuple[int, int, str]:
-    """(width, height, codec) from the first sample entry."""
+def _parse_stsd(buf: bytes, start: int, end: int):
+    """(width, height, codec, avcc) from the first sample entry; ``avcc``
+    is (sps_list, pps_list, length_size) for avc1 tracks, else None."""
     # fullbox header + entry_count
     entry = start + _FULLBOX + 4
     size, fmt = struct.unpack_from(">I4s", buf, entry)
     # VisualSampleEntry: 6 reserved + 2 data_ref_index + 16 pre_defined/reserved
     # then u16 width, u16 height (ISO 14496-12 §12.1.3)
     w, h = struct.unpack_from(">HH", buf, entry + 8 + 6 + 2 + 16)
-    return w, h, fmt.decode("latin1")
+    avcc = None
+    # codec-private boxes follow the 78-byte VisualSampleEntry body
+    vse_end = min(entry + size, end)
+    try:
+        for btype, ps, be in _boxes(buf, entry + 8 + 78, vse_end):
+            if btype == "avcC":
+                avcc = _parse_avcc(buf[ps:be])
+                break
+    except Exception:
+        # index-only ingest must survive any codec-private garbage: a
+        # malformed avcC only disables DECODE, never the sample index
+        avcc = None
+    return w, h, fmt.decode("latin1"), avcc
+
+
+def _parse_avcc(cfg: bytes):
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1)."""
+    length_size = (cfg[4] & 3) + 1
+    n_sps = cfg[5] & 0x1F
+    off = 6
+    sps = []
+    for _ in range(n_sps):
+        (n,) = struct.unpack_from(">H", cfg, off)
+        off += 2
+        sps.append(cfg[off : off + n])
+        off += n
+    n_pps = cfg[off]
+    off += 1
+    pps = []
+    for _ in range(n_pps):
+        (n,) = struct.unpack_from(">H", cfg, off)
+        off += 2
+        pps.append(cfg[off : off + n])
+        off += n
+    return sps, pps, length_size
 
 
 def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
@@ -136,7 +171,7 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
             off += sizes[sample]
             sample += 1
 
-    w, h, codec = _parse_stsd(buf, *found["stsd"])
+    w, h, codec, avcc = _parse_stsd(buf, *found["stsd"])
     keys = [e.frame_no for e in entries if e.is_key]
     gop = max(
         (b - a for a, b in zip(keys, keys[1:])),
@@ -149,6 +184,8 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
         "gop": int(gop),
         "codec": codec,
     }
+    if avcc is not None:
+        meta["avcc"] = avcc
     return meta, entries
 
 
@@ -268,6 +305,125 @@ def encode_mp4_raw(frames, fps: int = 30) -> bytes:
     return ftyp + mdat + moov
 
 
+def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto") -> bytes:
+    """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
+    compressed avc1 (H.264) track: every frame an IDR keyframe from the
+    in-repo intra-only baseline encoder (kernels/h264.py), samples stored
+    as 4-byte length-prefixed NALs, SPS/PPS in the avcC box (ISO 14496-15).
+    All-IDR means every sample is sync (no stss box), so GOP pruning plans
+    one task per frame — exactly the keyframe-sampled access pattern the
+    reference's inplace ingest serves (ingest.cpp:310-365)."""
+    import numpy as np
+
+    from scanner_spark.kernels import h264
+
+    h, w, c = frames[0].shape
+    if c != 3:
+        raise ValueError("avc1 track input is RGB24: expected 3 channels")
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype.name != "uint8":
+            raise ValueError("all frames must be uint8 with identical shape")
+    sps = h264.write_sps(w, h)
+    pps = h264.write_pps(qp)
+    samples = []
+    for f in frames:
+        y, cb, cr = h264.yuv420_from_rgb(np.asarray(f))
+        nal = h264.encode_frame(y, cb, cr, qp=qp, mb_mode=mb_mode)
+        samples.append(len(nal).to_bytes(4, "big") + nal)
+    sps_nal = h264.rbsp_to_nal(3, 7, sps)
+    pps_nal = h264.rbsp_to_nal(3, 8, pps)
+    avcc = (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFC | 3, 0xE0 | 1])
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    n = len(samples)
+    ftyp = _wbox(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    mdat_data_off = len(ftyp) + 8
+    mdat = _wbox(b"mdat", b"".join(samples))
+    timescale, delta = fps * 1000, 1000
+    duration = n * delta
+    vse = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 24)
+        + struct.pack(">h", -1)
+        + _wbox(b"avcC", avcc)
+    )
+    stsd = _wfull(b"stsd", struct.pack(">I", 1) + _wbox(b"avc1", vse))
+    stts = _wfull(b"stts", struct.pack(">I", 1) + struct.pack(">II", n, delta))
+    stsc = _wfull(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, n, 1))
+    stsz = _wfull(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _wfull(b"stco", struct.pack(">II", 1, mdat_data_off))
+    # no stss: all-IDR -> every sample sync (ISO 14496-12 SS8.6.2)
+    stbl = _wbox(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _wfull(b"url ", b"", flags=1)
+    dref = _wfull(b"dref", struct.pack(">I", 1) + url)
+    dinf = _wbox(b"dinf", dref)
+    vmhd = _wfull(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    minf = _wbox(b"minf", vmhd + dinf + stbl)
+    hdlr = _wfull(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    mdhd = _wfull(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _wbox(b"mdia", mdhd + hdlr + minf)
+    tkhd = _wfull(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + _MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+        flags=7,
+    )
+    trak = _wbox(b"trak", tkhd + mdia)
+    mvhd = _wfull(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + _MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _wbox(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
+                        length_size: int):
+    """One avc1 sample (length-prefixed NALs) -> (H, W, 3) RGB frame."""
+    from scanner_spark.kernels import h264
+
+    sps = pps = None
+    for raw in sps_rbsp_list:
+        _, t, rbsp = h264.nal_to_rbsp(bytes(raw))
+        if t == 7:
+            sps = h264.parse_sps(rbsp)
+    for raw in pps_rbsp_list:
+        _, t, rbsp = h264.nal_to_rbsp(bytes(raw))
+        if t == 8:
+            pps = h264.parse_pps(rbsp)
+    if sps is None or pps is None:
+        raise ValueError("avc1 track missing SPS/PPS in avcC")
+    for nal in h264.split_length_prefixed(bytes(sample), length_size):
+        nal_type = nal[0] & 0x1F
+        if nal_type in (1, 5):
+            y, cb, cr = h264.decode_frame(nal, sps, pps)
+            return h264.rgb_from_yuv420(y, cb, cr)
+    raise ValueError("avc1 sample contains no slice NAL")
+
+
 def decode_range(
     buf: bytes, start_offset: int, meta: dict, wanted: set, index=None
 ) -> dict:
@@ -282,10 +438,32 @@ def decode_range(
 
     m, entries = index if index is not None else parse_index(buf)
     codec = m["codec"].strip()
+    if codec == "avc1":
+        if "avcc" not in m:
+            raise NotImplementedError(
+                "avc1 track has no parseable avcC configuration - cannot "
+                "decode without SPS/PPS (ingest stays index-only)"
+            )
+        sps_l, pps_l, ls = m["avcc"]
+        out, remaining = {}, set(wanted)
+        for e in entries:
+            if e.frame_no in remaining:
+                if not e.is_key:
+                    raise NotImplementedError(
+                        f"frame {e.frame_no} is not a sync sample: the "
+                        "in-repo H.264 decoder is intra-only (keyframes); "
+                        "plan keyframe-sampled loads for compressed video"
+                    )
+                sample = buf[e.offset : e.offset + e.size]
+                out[e.frame_no] = _decode_avc1_sample(sample, sps_l, pps_l, ls)
+                remaining.discard(e.frame_no)
+        if remaining:
+            raise ValueError(f"frames not found in container: {sorted(remaining)[:5]}")
+        return out
     if codec != "raw":
         raise NotImplementedError(
             f"no decoder for codec {m['codec']!r} in this environment; "
-            "mp4 ingest is index-only for compressed tracks"
+            "mp4 ingest is index-only for other compressed tracks"
         )
     h, w, c = m["height"], m["width"], 3
     out, remaining = {}, set(wanted)

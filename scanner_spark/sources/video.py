@@ -191,8 +191,12 @@ def write_video(
     writes a legal ISO-BMFF file with an uncompressed 'raw ' RGB24 track
     (every sample sync; ``gop`` is ignored) — the standard-container round
     trip: the file re-ingests through the mp4 box parser and decodes
-    pixel-exactly via ``mp4.decode_range``."""
-    if container not in ("svf", "mp4"):
+    pixel-exactly via ``mp4.decode_range``.  ``container='avc1'`` writes
+    REAL compressed H.264: an all-IDR avc1 track from the in-repo
+    intra-only baseline encoder (kernels/h264.py) — lossy (quantized
+    transform + 4:2:0 chroma), decodable by any H.264 decoder and by
+    ``mp4.decode_range``."""
+    if container not in ("svf", "mp4", "avc1"):
         raise ValueError(f"unknown container {container!r}")
     os.makedirs(out_dir, exist_ok=True)
     out_schema = "stream string, path string, n_frames long"
@@ -205,12 +209,14 @@ def write_video(
         ]
         stream = str(key[0])
         safe = stream.replace(os.sep, "_").replace(":", "_")
-        path = os.path.join(out_dir, f"{safe}.{container}")
-        data = (
-            mp4.encode_mp4_raw(frames, fps=fps)
-            if container == "mp4"
-            else svf.encode_svf(frames, gop=gop)
-        )
+        ext = "mp4" if container == "avc1" else container
+        path = os.path.join(out_dir, f"{safe}.{ext}")
+        if container == "mp4":
+            data = mp4.encode_mp4_raw(frames, fps=fps)
+        elif container == "avc1":
+            data = mp4.encode_mp4_avc1(frames, fps=fps)
+        else:
+            data = svf.encode_svf(frames, gop=gop)
         with open(path, "wb") as f:
             f.write(data)
         return pd.DataFrame({"stream": [stream], "path": [path], "n_frames": [len(frames)]})

@@ -211,7 +211,16 @@ def lsh_dedup_pairs(
     - ``timeout='ProcessingTimeTimeout'`` + ``timeout_ms``: a shard that
       receives NO rows for ``timeout_ms`` is dropped whole (idle-shard
       expiry; with uniform signature hashing a shard goes idle only when
-      the stream itself does)."""
+      the stream itself does).
+
+    Operational caveat (measured, not hypothetical): once a processing-time
+    timeout is configured, ``trigger(availableNow=True)`` never
+    self-terminates — Spark keeps scheduling empty micro-batches for
+    potential future timeouts even after the store drains to zero rows.
+    The timeout knob is for genuinely long-running streams (the production
+    shape); bounded replays should keep ``NoTimeout`` or stop the query
+    explicitly once progress shows the drain (see
+    ``test_lsh_dedup_bounded_state_on_unbounded_stream``)."""
     use_timeout = timeout == "ProcessingTimeTimeout"
 
     def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):

@@ -1,0 +1,310 @@
+"""H.264 intra-only baseline codec (kernels/h264.py): VLC table structure,
+residual CAVLC fuzz, transform properties, frame round trips across MB
+modes/QPs/crops, avc1 mp4 integration (reference pipeline analog:
+/root/reference/scanner/video/decoder_automata.cpp,
+h264_byte_stream_index_creator.cpp)."""
+
+import numpy as np
+import pytest
+
+from scanner_spark.kernels import h264 as H
+
+
+# ---------------------------------------------------------------------------
+# VLC table structure: a transcription slip in any table breaks
+# prefix-freeness or Kraft mass — checked exhaustively
+# ---------------------------------------------------------------------------
+
+
+def _check_prefix_free(codes):
+    codes = list(codes)
+    assert len(set(codes)) == len(codes)
+    for i, a in enumerate(codes):
+        for b in codes[i + 1 :]:
+            assert not (a.startswith(b) or b.startswith(a)), (a, b)
+
+
+def _kraft(codes):
+    from fractions import Fraction
+
+    return sum(Fraction(1, 2 ** len(c)) for c in codes)
+
+
+def test_coeff_token_tables_structurally_valid():
+    from fractions import Fraction
+
+    for tab, missing in (
+        (H._CT_A, Fraction(1, 2**15)),  # only the 15-zeros prefix unused
+        (H._CT_B, Fraction(3, 2**14)),
+        (H._CT_C, Fraction(1, 2**9)),
+        (H._CT_CHROMA, Fraction(0)),
+    ):
+        assert len(tab) == (14 if tab is H._CT_CHROMA else 62)
+        _check_prefix_free(tab.values())
+        assert _kraft(tab.values()) == 1 - missing
+    # every (tc, t1) combination present
+    for tab in (H._CT_A, H._CT_B, H._CT_C):
+        keys = {(tc, t1) for tc in range(17) for t1 in range(min(tc, 3) + 1)}
+        assert set(tab) == keys
+
+
+def test_total_zeros_and_run_before_tables_structurally_valid():
+    for tc, codes in H._TOTAL_ZEROS.items():
+        assert len(codes) == 17 - tc  # total_zeros in 0..16-tc
+        _check_prefix_free(codes)
+        assert _kraft(codes) <= 1
+    for tc, codes in H._TOTAL_ZEROS_CHROMA.items():
+        assert len(codes) == 5 - tc  # total_zeros in 0..4-tc
+        _check_prefix_free(codes)
+        assert _kraft(codes) == 1
+    for zl, codes in H._RUN_BEFORE.items():
+        _check_prefix_free(codes)
+        assert _kraft(codes) <= 1
+
+
+def test_cbp_table_is_permutation():
+    assert sorted(H._CBP_INTRA) == list(range(48))
+
+
+# ---------------------------------------------------------------------------
+# residual CAVLC: encode->decode identity across nC regimes, densities,
+# magnitudes (incl. the >= 15 escape prefixes)
+# ---------------------------------------------------------------------------
+
+
+def test_residual_cavlc_round_trip_fuzz():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(1500):
+        if rng.random() < 0.2:
+            n, nC = 4, -1
+        else:
+            n = rng.choice([15, 16])
+            nC = rng.choice([0, 1, 2, 3, 4, 7, 8, 20])
+        coeffs = [0] * n
+        density = rng.random()
+        for i in range(n):
+            if rng.random() < density:
+                mag = rng.choice([1, 1, 1, 2, 3, 5, 9, 17, 200, 2000, 4000])
+                coeffs[i] = mag * rng.choice([-1, 1])
+        w = H.BitWriter()
+        H.encode_residual(w, coeffs, nC)
+        w.rbsp_trailing()
+        got = H.decode_residual(H.BitReader(w.bytes()), nC, n)
+        assert got == coeffs
+
+
+def test_exp_golomb_and_emulation_prevention():
+    w = H.BitWriter()
+    for v in (0, 1, 2, 7, 255, 100000):
+        w.ue(v)
+    for v in (-5, 5, 0, -100000):
+        w.se(v)
+    w.rbsp_trailing()
+    r = H.BitReader(w.bytes())
+    assert [r.ue() for _ in range(6)] == [0, 1, 2, 7, 255, 100000]
+    assert [r.se() for _ in range(4)] == [-5, 5, 0, -100000]
+    # 00 00 0x sequences must grow an emulation byte and strip back
+    rbsp = bytes([0, 0, 1, 0, 0, 2, 0, 0, 3, 0, 0, 0])
+    nal = H.rbsp_to_nal(3, 5, rbsp)
+    assert b"\x00\x00\x01" not in nal[1:] and b"\x00\x00\x00" not in nal[1:]
+    _, t, back = H.nal_to_rbsp(nal)
+    assert t == 5 and back == rbsp
+
+
+# ---------------------------------------------------------------------------
+# transform layer: quantization floor at low QP
+# ---------------------------------------------------------------------------
+
+
+def test_transform_quant_loop_error_floor():
+    rng = np.random.default_rng(5)
+    for qp, lim in ((0, 1), (10, 2), (20, 8)):
+        for _ in range(30):
+            x = rng.integers(-200, 200, (4, 4))
+            y = H.idct4(H.dequant4(H.quant4(H.fdct4(x), qp), qp))
+            assert np.abs(y - x).max() <= lim
+
+
+def test_chroma_qp_mapping():
+    assert H.chroma_qp(20) == 20
+    assert H.chroma_qp(30) == 29
+    assert H.chroma_qp(51) == 39
+
+
+# ---------------------------------------------------------------------------
+# full frame codec
+# ---------------------------------------------------------------------------
+
+
+def _mk_frames(h, w):
+    rng = np.random.default_rng(11)
+    grad = (np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256).astype(np.uint8)
+    return {
+        "flat": (np.full((h, w), 77, np.uint8),
+                 np.full((h // 2, w // 2), 100, np.uint8),
+                 np.full((h // 2, w // 2), 200, np.uint8)),
+        "grad": (grad,
+                 (np.add.outer(np.arange(h // 2), np.arange(w // 2)) * 7 % 256).astype(np.uint8),
+                 (255 - np.add.outer(np.arange(h // 2), np.arange(w // 2)) * 7 % 256).astype(np.uint8)),
+        "noise": (rng.integers(0, 256, (h, w), dtype=np.uint8),
+                  rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+                  rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)),
+    }
+
+
+def test_ipcm_frame_bit_exact():
+    for h, w in ((32, 32), (18, 22)):
+        sps = H.parse_sps(H.write_sps(w, h))
+        pps = H.parse_pps(H.write_pps(26))
+        for y, cb, cr in _mk_frames(h, w).values():
+            nal = H.encode_frame(y, cb, cr, qp=26, mb_mode="pcm")
+            dy, dcb, dcr = H.decode_frame(nal, sps, pps)
+            assert np.array_equal(dy, y) and np.array_equal(dcb, cb)
+            assert np.array_equal(dcr, cr)
+
+
+@pytest.mark.parametrize("mode", ["i16", "i4", "auto"])
+def test_frame_round_trip_low_qp_near_exact(mode):
+    """At QP 4 the quantized transform reconstructs within the spec's
+    arithmetic floor on every content class, every MB path."""
+    for h, w in ((32, 32), (18, 22), (48, 64)):
+        sps = H.parse_sps(H.write_sps(w, h))
+        pps = H.parse_pps(H.write_pps(4))
+        for name, (y, cb, cr) in _mk_frames(h, w).items():
+            nal = H.encode_frame(y, cb, cr, qp=4, mb_mode=mode)
+            dy, dcb, dcr = H.decode_frame(nal, sps, pps)
+            assert dy.shape == (h, w)
+            assert np.abs(dy.astype(int) - y.astype(int)).max() <= 2, name
+            assert np.abs(dcb.astype(int) - cb.astype(int)).max() <= 2, name
+
+
+def test_frame_codec_consistent_across_qp():
+    """No desync at any QP: decode always terminates and reproduces the
+    ENCODER's own reconstruction (lossy vs source, lossless vs recon)."""
+    h, w = 34, 50
+    y, cb, cr = _mk_frames(h, w)["grad"]
+    sps = H.parse_sps(H.write_sps(w, h))
+    for qp in (0, 8, 16, 24, 32, 40, 48):
+        pps = H.parse_pps(H.write_pps(qp))
+        nal = H.encode_frame(y, cb, cr, qp=qp)
+        dy, _, _ = H.decode_frame(nal, sps, pps)
+        assert dy.shape == (h, w)
+        # quality decays smoothly with qstep = 2^(qp/6) * 0.625
+        assert np.abs(dy.astype(int) - y.astype(int)).max() <= 4 + (1 << (qp // 6 + 1))
+
+
+def test_sps_crop_round_trip():
+    sps = H.parse_sps(H.write_sps(50, 34))
+    assert (sps["width"], sps["height"]) == (50, 34)
+    assert sps["mb_width"] == 4 and sps["mb_height"] == 3
+
+
+def test_golden_pixels_pinned():
+    """Golden pin: a fixed frame at a fixed QP decodes to exactly these
+    bytes — any change to tables, transforms, or prediction breaks it."""
+    import hashlib
+
+    y, cb, cr = _mk_frames(32, 32)["grad"]
+    nal = H.encode_frame(y, cb, cr, qp=12, mb_mode="auto")
+    sps = H.parse_sps(H.write_sps(32, 32))
+    pps = H.parse_pps(H.write_pps(12))
+    dy, dcb, dcr = H.decode_frame(nal, sps, pps)
+    digest = hashlib.md5(
+        dy.tobytes() + dcb.tobytes() + dcr.tobytes() + nal
+    ).hexdigest()
+    assert np.abs(dy.astype(int) - y.astype(int)).max() <= 2
+    # pinned from the first verified build of this codec
+    assert digest == "c89f0fcae0dbecb4aaa1a0cef738665f"
+
+
+def test_decoder_refuses_deblocking_streams_in_strict_mode():
+    """A slice header demanding the in-loop filter must be refused, not
+    silently mis-decoded (strict=False opts into unfiltered output)."""
+    y, cb, cr = _mk_frames(16, 16)["flat"]
+    nal = bytearray(H.encode_frame(y, cb, cr, qp=20))
+    # re-write the slice header with disable_deblocking_filter_idc = 0
+    _, t, rbsp = H.nal_to_rbsp(bytes(nal))
+    r = H.BitReader(rbsp)
+    w = H.BitWriter()
+    for _ in range(3):
+        w.ue(r.ue())
+    w.u(r.u(4), 4)
+    w.ue(r.ue())
+    w.u(r.u(2), 2)
+    w.se(r.se())
+    assert r.ue() == 1  # original: deblocking disabled
+    w.ue(0)  # now: enabled, offsets follow
+    w.se(0)
+    w.se(0)
+    tail_bits = r.bits_left()
+    while r.bits_left() >= 8:
+        w.u(r.u(8), 8)
+    w.u(r.u(r.bits_left()), tail_bits % 8)
+    nal2 = H.rbsp_to_nal(3, 5, w.bytes())
+    sps = H.parse_sps(H.write_sps(16, 16))
+    pps = H.parse_pps(H.write_pps(20))
+    with pytest.raises(NotImplementedError, match="deblocking"):
+        H.decode_frame(nal2, sps, pps)
+    out = H.decode_frame(nal2, sps, pps, strict=False)  # opt-in accepted
+    assert out[0].shape == (16, 16)
+
+
+def test_p_slices_refused():
+    y, cb, cr = _mk_frames(16, 16)["flat"]
+    _, _, rbsp = H.nal_to_rbsp(H.encode_frame(y, cb, cr))
+    r = H.BitReader(rbsp)
+    w = H.BitWriter()
+    w.ue(r.ue())
+    assert r.ue() == 7
+    w.ue(5)  # P slice
+    while r.bits_left() > 0:
+        n = min(8, r.bits_left())
+        w.u(r.u(n), n)
+    w.byte_align_zero()  # exact payload irrelevant: decode stops at slice_type
+    sps = H.parse_sps(H.write_sps(16, 16))
+    pps = H.parse_pps(H.write_pps(26))
+    with pytest.raises(NotImplementedError, match="intra-only"):
+        H.decode_slice(w.bytes(), sps, pps)
+
+
+# ---------------------------------------------------------------------------
+# avc1 mp4 integration
+# ---------------------------------------------------------------------------
+
+
+def test_avc1_mp4_round_trip():
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(0, i, 24, 32, 3) for i in range(6)]
+    buf = mp4.encode_mp4_avc1(frames, qp=8)
+    meta, entries = mp4.parse_index(buf)
+    assert meta["codec"] == "avc1" and "avcc" in meta
+    assert (meta["width"], meta["height"]) == (32, 24)
+    assert len(entries) == 6 and all(e.is_key for e in entries)
+    out = mp4.decode_range(buf, 0, meta, {0, 3, 5}, index=(meta, entries))
+    assert set(out) == {0, 3, 5}
+    for k, img in out.items():
+        err = np.abs(img.astype(int) - frames[k].astype(int))
+        # lossy: quantization + 4:2:0 chroma; luma-dominated mean stays low
+        assert err.mean() < 5.0 and img.shape == (24, 32, 3)
+
+
+def test_avc1_yuv_domain_is_quantization_exact():
+    """In the YCbCr domain (no color/subsample loss) a flat frame at low
+    QP decodes exactly through the whole avcC/NAL path."""
+    y = np.full((32, 32), 60, np.uint8)
+    cb = np.full((16, 16), 90, np.uint8)
+    cr = np.full((16, 16), 180, np.uint8)
+    nal = H.encode_frame(y, cb, cr, qp=8)
+    sps_nal = H.rbsp_to_nal(3, 7, H.write_sps(32, 32))
+    pps_nal = H.rbsp_to_nal(3, 8, H.write_pps(8))
+    _, _, sps_rbsp = H.nal_to_rbsp(sps_nal)
+    _, _, pps_rbsp = H.nal_to_rbsp(pps_nal)
+    sps = H.parse_sps(sps_rbsp)
+    pps = H.parse_pps(pps_rbsp)
+    dy, dcb, dcr = H.decode_frame(nal, sps, pps)
+    assert np.array_equal(dy, y) and np.array_equal(dcb, cb)
+    assert np.array_equal(dcr, cr)

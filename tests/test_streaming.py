@@ -160,15 +160,16 @@ def test_lsh_dedup_bounded_state_on_unbounded_stream(spark, tmp_path):
     from scanner_spark.streaming.dedup import banded_minhash_rows, lsh_dedup_pairs
 
     BANDS, SHARDS = 4, 4
+    N_FILES = 4
     d = str(tmp_path / "docs_in")
-    # 6 files -> 6 micro-batches (maxFilesPerTrigger=1); each file carries
+    # 4 files -> 4 micro-batches (maxFilesPerTrigger=1); each file carries
     # fresh docs plus an exact duplicate of a doc from the PREVIOUS file,
     # so every batch after the first must emit at least one 1.0 pair
     texts = [
         f"the quick brown fox jumps over lazy dog number {i} indeed truly"
-        for i in range(6)
+        for i in range(N_FILES)
     ]
-    for f in range(6):
+    for f in range(N_FILES):
         rows = [(100 * f, texts[f], 0)]
         if f > 0:
             rows.append((100 * f + 1, texts[f - 1], 0))
@@ -180,14 +181,27 @@ def test_lsh_dedup_bounded_state_on_unbounded_stream(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
+    # SHORT idle timeout: under availableNow, after the data drains the
+    # query keeps running (empty) micro-batches until every shard's idle
+    # timeout fires and its state is REMOVED — only then does it
+    # terminate.  A long timeout here busy-loops for minutes (measured:
+    # 60 s -> ~5 min of empty batches); 1.5 s keeps the drain tight while
+    # still exercising the expiry path for real.
     pairs = lsh_dedup_pairs(
         banded_minhash_rows(sdf, bands=BANDS),
         threshold=0.5,
         timeout="ProcessingTimeTimeout",
         num_shards=SHARDS,
         max_docs_per_shard=8,
-        timeout_ms=60_000,
+        timeout_ms=1_500,
     )
+    # NOTE: availableNow never self-terminates once ProcessingTimeTimeout
+    # is configured (Spark keeps scheduling empty micro-batches in case
+    # future timeouts fire, even with zero state rows left) — so the test
+    # polls progress until the idle expiry has demonstrably DRAINED the
+    # store, then stops the query explicitly.
+    import time as _time
+
     q = (
         pairs.writeStream.format("memory")
         .queryName("lsh_bounded")
@@ -195,21 +209,36 @@ def test_lsh_dedup_bounded_state_on_unbounded_stream(spark, tmp_path):
             "checkpointLocation", str(tmp_path / "ckpt")
         )
         .outputMode("append")
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        state_rows = []
+        deadline = _time.monotonic() + 240
+        while _time.monotonic() < deadline:
+            state_rows = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ]
+            data_done = (
+                sum(p["numInputRows"] for p in q.recentProgress)
+                >= 2 * N_FILES - 1
+            )
+            if data_done and state_rows and state_rows[-1] == 0:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
     got = spark.sql(
         "select distinct doc_a, doc_b from lsh_bounded where est_jaccard >= 0.99"
     ).collect()
-    # every cross-file duplicate found: state survived across batches
-    expect = {(100 * (f - 1), 100 * f + 1) for f in range(1, 6)}
+    # every cross-file duplicate found: state survived across data batches
+    # (files land well inside the idle window)
+    expect = {(100 * (f - 1), 100 * f + 1) for f in range(1, N_FILES)}
     assert {(r.doc_a, r.doc_b) for r in got} >= expect
     # state rows = state GROUPS: capped by the fixed shard cardinality in
     # EVERY batch (never corpus-many), the structural bound of the design
-    state_rows = [
-        p["stateOperators"][0]["numRowsTotal"]
-        for p in q.recentProgress
-        if p.get("stateOperators")
-    ]
     assert state_rows and max(state_rows) <= BANDS * SHARDS
+    # the idle-timeout REMOVED all state while the stream stayed up: the
+    # store drained to zero rows (the bounded-state contract, observed)
+    assert state_rows[-1] == 0
