@@ -6,15 +6,16 @@ feature extraction run as Arrow-batched ``mapInPandas`` so each Python
 worker sees a columnar batch of blobs — the right shape for handing to an
 image/audio library.
 
-``decode_image`` has REAL codec paths for the three dominant formats: PNG
+``decode_image`` has REAL codec paths for the four dominant formats: PNG
 payloads are decoded by the in-repo dependency-free decoder
 (``kernels.image.decode_png`` — inverse of ``encode_png``), baseline
 JPEG payloads by the in-repo T.81 decoder (``kernels.jpeg.decode_jpeg``;
 the reference ingests real image format groups the same way,
-scanner/engine/ingest.cpp:1004), and GIF payloads by the in-repo LZW
-decoder (``kernels.gif.decode_gif``) — all normalized to 3 channels and
+scanner/engine/ingest.cpp:1004), GIF payloads by the in-repo LZW
+decoder (``kernels.gif.decode_gif``), and uncompressed baseline TIFF by
+``kernels.tiff.decode_tiff`` — all normalized to 3 channels and
 bilinearly resized to the requested output size.  Only formats no
-codec covers (WebP/TIFF/...; this container ships no image libs) fall
+codec covers (WebP-class; this container ships no image libs) fall
 back to a deterministic md5-seeded fake, clearly marked, behind the same
 signature.  The Spark-side plumbing — schema, batch iteration,
 partitioning, output contracts — is identical on all paths.
@@ -58,14 +59,15 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
-    """One blob -> (out_h, out_w, 3) uint8.  PNG, baseline JPEG, and GIF
-    take REAL in-repo decoders (+ bilinear resize); only formats no codec
-    covers (WebP/TIFF/...) fall to the deterministic fake.  Raises on
-    a malformed payload with a recognized magic — callers choose the
-    failure policy."""
+    """One blob -> (out_h, out_w, 3) uint8.  PNG, baseline JPEG, GIF, and
+    uncompressed TIFF take REAL in-repo decoders (+ bilinear resize); only
+    formats no codec covers (WebP-class) fall to the deterministic fake.
+    Raises on a malformed payload with a recognized magic — callers choose
+    the failure policy."""
     from scanner_spark.kernels.gif import GIF_MAGICS, decode_gif
     from scanner_spark.kernels.image import PNG_MAGIC, decode_png, resize_bilinear
     from scanner_spark.kernels.jpeg import JPEG_MAGIC, decode_jpeg
+    from scanner_spark.kernels.tiff import TIFF_MAGICS, decode_tiff
 
     if payload and bytes(payload[:8]) == PNG_MAGIC:
         img = _to_rgb(decode_png(bytes(payload)))
@@ -73,6 +75,8 @@ def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
         img = decode_jpeg(bytes(payload))
     elif payload and bytes(payload[:6]) in GIF_MAGICS:
         img = decode_gif(bytes(payload))
+    elif payload and bytes(payload[:4]) in TIFF_MAGICS:
+        img = _to_rgb(decode_tiff(bytes(payload)))
     else:
         return _fake_decode(payload, out_h, out_w)
     if img.shape[:2] != (out_h, out_w):

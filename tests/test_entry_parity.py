@@ -102,3 +102,29 @@ def test_parity_stock_session(name, stock_spark, ddb):
     rotation tail beyond the driver's 50-entry window — must hash-match the
     oracle under BOTH sessions (judge round-2 items #2 and #9)."""
     _assert_parity(name, stock_spark, ddb)
+
+
+def test_kmeans_centroids_agree_across_engines(spark, ddb):
+    """Early-warning for the kmeans determinism contract (ADVICE r04):
+    parity of the integer OUTPUTS rests on round(…, 6) collapsing float
+    noise, but the engines differ in summation order and half-rounding
+    mode, so a centroid mean within an ulp of a rounding boundary would
+    flip silently.  Compare the CENTROIDS themselves at decimal 4 —
+    coarser than the update's 6 — so boundary drift fails here loudly
+    before it ever reaches assignment outputs."""
+    from scanner_spark import queries as Q
+    from scanner_spark.functions import cluster
+    from scanner_spark.io import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    _, cents = cluster.kmeans(emb, Q.KMEANS_K, Q.KMEANS_ITERS)
+    sql = entrymod._kmeans_sql(Q.KMEANS_K, Q.EMB_DIM, Q.KMEANS_ITERS) + (
+        f"SELECT cid, c FROM cents{Q.KMEANS_ITERS} ORDER BY cid"
+    )
+    rows = ddb.execute(sql).fetchall()
+    assert len(rows) == len(cents) == Q.KMEANS_K
+    for (cid_o, c_o), (cid_s, c_s) in zip(rows, cents):
+        assert cid_o == cid_s
+        assert len(c_o) == len(c_s) == Q.EMB_DIM
+        for a, b in zip(c_o, c_s):
+            assert abs(a - b) < 5e-5, (cid_s, a, b)

@@ -604,3 +604,86 @@ def test_gif_skips_extensions_and_honors_first_frame():
     comment = bytes([0x21, 0xFE, 3]) + b"hey" + bytes([0])
     spliced = bytes(base[:hdr_end]) + gce + comment + bytes(base[hdr_end:])
     assert np.array_equal(decode_gif(spliced), img1)
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec (kernels/tiff.py)
+# ---------------------------------------------------------------------------
+
+def test_tiff_round_trip_and_variants():
+    import numpy as np
+
+    from scanner_spark.kernels.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(4)
+    for shape in [(7, 9), (16, 16, 1), (13, 21, 3), (8, 8, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_tiff(encode_tiff(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert np.array_equal(out, want)
+
+
+def test_tiff_foreign_layout_big_endian_multistrip():
+    """Decoder handles what OUR encoder never writes: big-endian byte
+    order and a multi-strip layout — built field by field."""
+    import struct
+
+    import numpy as np
+
+    from scanner_spark.kernels.tiff import decode_tiff
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    px = img.tobytes()
+    half = 3 * 5 * 3
+    out = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+    offs = []
+    for s in (px[:half], px[half:]):
+        offs.append(len(out))
+        out += s
+    bps_off = len(out); out += struct.pack(">3H", 8, 8, 8)
+    so_off = len(out); out += struct.pack(">2I", *offs)
+    sc_off = len(out); out += struct.pack(">2I", half, half)
+    out[4:8] = struct.pack(">I", len(out))
+
+    def tag(t, typ, count, value):
+        return struct.pack(">HHI", t, typ, count) + struct.pack(">I", value)
+
+    def tshort(t, v):
+        return struct.pack(">HHI", t, 3, 1) + struct.pack(">HH", v, 0)
+
+    tags = [tag(256, 4, 1, 5), tag(257, 4, 1, 6), tag(258, 3, 3, bps_off),
+            tshort(259, 1), tshort(262, 2), tag(273, 4, 2, so_off),
+            tshort(277, 3), tag(278, 4, 1, 3), tag(279, 4, 2, sc_off),
+            tshort(284, 1)]
+    out += struct.pack(">H", len(tags)) + b"".join(tags) + struct.pack(">I", 0)
+    assert np.array_equal(decode_tiff(bytes(out)), img)
+
+
+def test_tiff_compressed_variants_refused_payload_fake_only_for_webp():
+    import numpy as np
+    import pytest as _pytest
+
+    from scanner_spark.functions.multimodal import _fake_decode, decode_payload
+    from scanner_spark.kernels.tiff import decode_tiff, encode_tiff
+
+    # LZW-compressed TIFF: explicit refusal, not silent garbage —
+    # walk the IFD and patch the Compression (259) entry to 5 (LZW)
+    import struct as _s
+
+    img = np.full((4, 4, 3), 9, np.uint8)
+    buf = bytearray(encode_tiff(img))
+    (ifd,) = _s.unpack_from("<I", buf, 4)
+    (n,) = _s.unpack_from("<H", buf, ifd)
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        t, typ, cnt = _s.unpack_from("<HHI", buf, off)
+        if t == 259:
+            _s.pack_into("<H", buf, off + 8, 5)
+    with _pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(buf))
+    # decode_payload: real TIFF path end-to-end, fake only for WebP magic
+    out = decode_payload(encode_tiff(img), 4, 4)
+    assert np.array_equal(out, img)
+    webp = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
+    assert np.array_equal(decode_payload(webp, 8, 8), _fake_decode(webp, 8, 8))
