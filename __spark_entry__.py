@@ -76,10 +76,13 @@ def _kmeans_sql(k: int, dim: int, iters: int) -> str:
     """Unrolled Lloyd iterations as chained CTEs — the same rounded-update
     determinism contract as functions.cluster.kmeans (see its docstring)."""
     dvec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    # dim is taken from each row's own vector (len(e.v)), not a literal —
+    # the oracle adapts to the data like the Spark side does (ADVICE r05);
+    # the `dim` arg only sizes the centroid-update unnest.
     sq = (
-        "list_sum(list_transform(generate_series(1, {dim}), "
+        "list_sum(list_transform(generate_series(1, len(e.v)), "
         "i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
-    ).format(dim=dim)
+    )
     parts = [
         f"ev AS (SELECT vec_id, {dvec} AS v FROM embeddings)",
         f"""cents0 AS (
@@ -99,7 +102,8 @@ def _kmeans_sql(k: int, dim: int, iters: int) -> str:
             f"""upd{it + 1} AS (
   SELECT a.cid, g.i, round(avg(e.v[g.i]), 6) AS val
   FROM assign{it} a JOIN ev e ON a.vec_id = e.vec_id
-  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) g
+  CROSS JOIN (SELECT unnest(generate_series(1,
+    (SELECT max(len(v)) FROM ev))) AS i) g
   GROUP BY a.cid, g.i
 )"""
         )
@@ -1005,14 +1009,37 @@ FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.id < b.id
 WHERE {cos} >= {Q.COSINE_THRESHOLD}
 """,
         "emb_knn_lsh": _knn_lsh_sql(),
+        # star-pair graph (pairs_mode='star' in cosine_dup_pairs): exact-dup
+        # groups star to their min-id representative; each (label, bucket)
+        # emits only (anchor=min rep, member rep) edges that pass the cosine
+        # threshold.  Identical edge set to the Spark side by construction.
         "emb_dup_clusters": f"""
 WITH RECURSIVE e0 AS (SELECT vec_id AS id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 e AS (SELECT id, label, v, {_bucket_sql('v', Q.EMB_DIM, Q.EMB_LSH_BITS)} AS bucket FROM e0),
-pairs AS (
-  SELECT a.id AS doc_a, b.id AS doc_b
-  FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.id < b.id
+g AS (
+  SELECT label, bucket, v, MIN(id) AS rid, list(id) AS ids,
+         MIN(MIN(id)) OVER (PARTITION BY label, bucket) AS anchor
+  FROM e GROUP BY label, bucket, v
+),
+cross_pairs AS (
+  SELECT a.rid AS doc_a, b.rid AS doc_b
+  FROM g a JOIN g b
+    ON a.label = b.label AND a.bucket = b.bucket
+   AND a.rid = a.anchor AND b.rid != b.anchor
   WHERE {cos} >= {Q.COSINE_THRESHOLD}
+),
+intra_pairs AS (
+  SELECT rid AS doc_a, unnest(ids) AS doc_b FROM g
+  WHERE len(ids) > 1
+    AND round(list_dot_product(v, v) /
+        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(v, v))), 6)
+        >= {Q.COSINE_THRESHOLD}
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM cross_pairs
+  UNION ALL
+  SELECT doc_a, doc_b FROM intra_pairs WHERE doc_a != doc_b
 ),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -1090,7 +1117,7 @@ cents AS (
   FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {Q.KMEANS_K})
 )
 SELECT e.vec_id, c.cid AS cluster,
-       list_sum(list_transform(generate_series(1, {Q.EMB_DIM}),
+       list_sum(list_transform(generate_series(1, len(e.v)),
                 i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS dist
 FROM ev e CROSS JOIN cents c
 QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1
@@ -1100,8 +1127,21 @@ QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1
 SELECT cid AS cluster, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
 FROM final GROUP BY cid
 """,
-        # doc_rolling_fingerprint / multimodal_decode / frame_* / ivf:
-        # intentionally no oracle (LSH probing, modular-exponentiation rolling
-        # hash, and binary decode aren't ANSI-SQL-expressible) -> the driver
-        # records its rows-only check for these.
+        # Rabin-Karp polynomial hash sum c_i*B^(n-1-i) mod 2^61-1 ==
+        # Horner walk acc = (acc*B + c) mod p; HUGEINT keeps acc*257+c
+        # < 2^70 exact, list_prepend seeds acc=0 so '' -> 0 like the UDF.
+        "doc_rolling_fingerprint": """
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+      list_transform(range(1, length(coalesce(text, '')) + 1),
+                     i -> CAST(unicode(coalesce(text, '')[i]) AS HUGEINT))),
+    (acc, c) -> (acc * 257 + c) % 2305843009213693951
+  ) AS BIGINT) AS rolling_hash
+FROM documents
+""",
+        # multimodal_decode / frame_* / video_decode_pruned / knn_ivf /
+        # knn_pq: intentionally no oracle (LSH/IVF probing after k-means
+        # training and binary codec decode aren't ANSI-SQL-expressible) ->
+        # the driver records its rows-only check for these.
     }

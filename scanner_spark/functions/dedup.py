@@ -698,6 +698,7 @@ def cosine_dup_pairs(
     block_col: str | None = "label",
     threshold: float = 0.98,
     lsh_bits: int | None = None,
+    pairs_mode: str = "all",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold within a
     blocking key.  Output: (id_a, id_b, cosine).
@@ -713,7 +714,30 @@ def cosine_dup_pairs(
       squared.  Near-identical vectors agree on almost every hyperplane
       sign, so recall loss at dedup thresholds (>=0.9) is the standard,
       accepted LSH tradeoff.  This is the 100 TB path.
+
+    ``pairs_mode`` bounds the in-bucket pair term:
+
+    - ``"all"`` (default): every qualifying pair inside a bucket — the
+      full pair listing, O(m^2) on a bucket of m near-duplicates.  Right
+      for pair-report queries; a scale-killer when a corpus contains hot
+      near-dup CLIQUES (boilerplate pages, SEO farms: whole buckets
+      mutually near-identical — m^2 true pairs that downstream connected
+      components immediately collapses to one cluster anyway).
+    - ``"star"``: per bucket, evaluate only (anchor, member) pairs where
+      anchor = the bucket's minimum representative id — O(m) evaluations
+      and at most m-1 edges per bucket.  Exact-duplicate groups connect
+      their members to the group representative the same way.  The output
+      is a connectivity-preserving SUBSET of the "all" graph whenever the
+      bucket's near-dup set forms a clique containing the anchor (the hot
+      case this mode exists for): CC closes the clique transitively.
+      Recall contract (documented, tested in test_functions.py): an edge
+      A-B is lost iff neither A nor B qualifies against the bucket anchor
+      in ANY shared bucket — chains through a bucket whose anchor sits
+      outside the chain.  Use for clustering (``dedup_clusters`` /
+      ``dedup_keep_best``), never for pair reports.
     """
+    if pairs_mode not in ("all", "star"):
+        raise ValueError(f"pairs_mode must be 'all' or 'star', got {pairs_mode!r}")
     keys = []
     if block_col:
         keys.append(F.col(block_col).alias("blk"))
@@ -774,6 +798,52 @@ def cosine_dup_pairs(
             F.min("id").alias("rid"), F.collect_list("id").alias("ids")
         )
     )
+
+    if pairs_mode == "star":
+        from pyspark.sql import Window
+
+        # anchor = min representative id per bucket (one window shuffle on
+        # the bucket keys; the join below reuses that partitioning)
+        tagged = reps.withColumn(
+            "__anchor", F.min("rid").over(Window.partitionBy(*key_names))
+        )
+        anchors = tagged.filter(F.col("rid") == F.col("__anchor")).select(
+            *key_names, F.col("v").alias("va"), F.col("n2").alias("n2a"),
+            F.col("rid").alias("rid_a"),
+        )
+        members = tagged.filter(F.col("rid") != F.col("__anchor")).select(
+            *key_names, "v", "n2", "rid"
+        )
+        # O(m) per bucket: one anchor row joins m-1 members
+        cross = (
+            anchors.join(members, key_names)
+            .withColumn(
+                "cosine",
+                F.round(
+                    pair_dot(F.col("va"), F.col("v"))
+                    / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2"))),
+                    6,
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            # rid_a = bucket min, so the pair is already ordered
+            .select(
+                F.col("rid_a").alias("id_a"), F.col("rid").alias("id_b"), "cosine"
+            )
+        )
+        # exact-duplicate groups: star to the group representative (m-1
+        # edges, identical-vector cosine via the same n2 float path)
+        intra = (
+            reps.filter(F.size("ids") > 1)
+            .withColumn(
+                "cosine",
+                F.round(F.col("n2") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("n2"))), 6),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("rid").alias("id_a"), F.explode("ids").alias("id_b"), "cosine")
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        return cross.unionByName(intra)
 
     a, b = reps.alias("a"), reps.alias("b")
     cond = F.col("a.rid") < F.col("b.rid")

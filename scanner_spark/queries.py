@@ -1135,12 +1135,19 @@ def q_doc_quality(spark, sf_dir):
 
 def q_emb_dup_clusters(spark, sf_dir):
     """Embedding near-dup pairs -> connected components -> clusters: the
-    semantic-dedup decision step (keep_id per cosine-similarity cluster)."""
+    semantic-dedup decision step (keep_id per cosine-similarity cluster).
+
+    pairs_mode='star': clustering only needs a spanning subset of the
+    near-dup graph, so each LSH bucket emits (anchor, member) edges — O(m)
+    per bucket instead of the O(m^2) all-pairs join that melts down on hot
+    near-dup cliques (VERDICT r05: 1494 s of the sf10 suite).  The DuckDB
+    oracle computes the identical star graph (same anchors, same edges),
+    so the driver hash check pins the semantics, not just the rowcount."""
     e = read_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     pairs = dedup.cosine_dup_pairs(
-        e, threshold=COSINE_THRESHOLD, lsh_bits=EMB_LSH_BITS
+        e, threshold=COSINE_THRESHOLD, lsh_bits=EMB_LSH_BITS, pairs_mode="star"
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return dedup.dedup_clusters(pairs)
 
@@ -1752,16 +1759,71 @@ def q_emb_kmeans(spark, sf_dir):
 
 QUERIES = {
     # ------------------------------------------------------------------
-    # Ordering = the driver's correctness window: it oracle-checks the
-    # first 50 oracle-bearing entries per round.  Round-5 rotation policy
-    # (VERDICT r04 "Next round" #2): the 29 entries never driver-checked
-    # in rounds 3-4 lead, then 21 rotated round-3/4-confirmed entries fill
-    # the window; everything already confirmed twice follows; no-oracle
-    # (rows-only) entries close the dict.  Every entry regardless of
-    # position stays hash-checked locally by tests/test_entry_parity.py.
+    # Ordering = the driver's correctness window: it checks the first 50
+    # entries per round.  Round-6 rotation policy (VERDICT r05 "Next
+    # round" #1): the 10 entries NEVER driver-checked in rounds 1-5 (the
+    # rows-only media/ANN family) lead the dict so CORRECTNESS_r06
+    # finally records them; then the heaviest oracle-bearing operators
+    # fill the window; everything confirmed in r5 follows.  Every entry
+    # regardless of position stays hash-checked locally by
+    # tests/test_entry_parity.py.
     # ------------------------------------------------------------------
-    # --- never driver-checked (rounds 3-4 window shadow): 29 entries
+    # --- never driver-checked r1-r5 (rows-only, no ANSI-SQL oracle):
+    # 10 entries — frame kernels, pruned video decode, image decode,
+    # IVF/PQ ANN, rolling fingerprint
+    "frame_histogram": q_frame_histogram,
+    "frame_resize": q_frame_resize,
+    "frame_blur": q_frame_blur,
+    "frame_optical_flow": q_frame_optical_flow,
+    "frame_encode_png": q_frame_encode_png,
+    "video_decode_pruned": q_video_decode_pruned,
+    "multimodal_decode": q_multimodal_decode,
+    "emb_knn_ivf": q_emb_knn_ivf,
+    "emb_knn_pq": q_emb_knn_pq,
+    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+    # --- rotation fill (r5-confirmed; heaviest operators first so the
+    # independent signal keeps touching them): 40 entries
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_materialize": q_dedup_materialize,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash_sigs": q_dedup_simhash_sigs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "emb_knn_brute": q_emb_knn_brute,
+    "emb_knn_lsh": q_emb_knn_lsh,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "emb_dup_clusters": q_emb_dup_clusters,
+    "emb_label_centroids": q_emb_label_centroids,
+    "emb_quantize": q_emb_quantize,
+    "emb_kmeans_assign": q_emb_kmeans_assign,
+    "emb_kmeans": q_emb_kmeans,  # full distributed k-means
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "docs_domain_resample": q_docs_domain_resample,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "doc_pii_scrub": q_doc_pii_scrub,  # byte-exact redaction oracle
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "docs_search_topk": q_docs_search_topk,
+    "doc_lm_familiarity": q_doc_lm_familiarity,
+    "text_analyze": q_text_analyze,
+    "doc_quality": q_doc_quality,
+    "vocab_topk": q_vocab_topk,
     "multimodal_audio": q_multimodal_audio,  # WAV codec + features
+    "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
+    "events_value_histogram": q_events_value_histogram,
+    "events_asof_join_op": q_events_asof_join_op,
+    "events_asof_signup": q_events_asof_signup,
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_sessions": q_stream_events_sessions,
+    "stream_events_sessions_append": q_stream_events_sessions_append,
+    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
+    "stream_events_hourly": q_stream_events_hourly,
+    # --- beyond-window: driver-confirmed in earlier rounds
     "scanner_all_distributed": q_scanner_all_distributed,
     "scanner_null_passthrough": q_scanner_null_passthrough,
     "scanner_sparse_load": q_scanner_sparse_load,  # Column.load(rows=...)
@@ -1772,48 +1834,6 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "events_hourly": q_events_hourly,
     "orders_cube": q_orders_cube,
-    "dedup_simhash_sigs": q_dedup_simhash_sigs,
-    "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
-    "events_value_histogram": q_events_value_histogram,
-    "docs_domain_resample": q_docs_domain_resample,
-    "docs_pack_sequences": q_docs_pack_sequences,
-    "events_asof_join_op": q_events_asof_join_op,
-    "emb_quantize": q_emb_quantize,
-    "dedup_keep_best": q_dedup_keep_best,
-    "doc_pii_scrub": q_doc_pii_scrub,  # byte-exact redaction oracle
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "docs_search_topk": q_docs_search_topk,
-    "doc_lm_familiarity": q_doc_lm_familiarity,
-    "emb_kmeans_assign": q_emb_kmeans_assign,
-    "emb_kmeans": q_emb_kmeans,  # full distributed k-means
-    "stream_events_dedup": q_stream_events_dedup,
-    "stream_events_sessions": q_stream_events_sessions,
-    "stream_events_sessions_append": q_stream_events_sessions_append,
-    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
-    # --- rotation fill (round-3/4-confirmed; heaviest operators first
-    # so the independent signal keeps touching them): 21 entries
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_materialize": q_dedup_materialize,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_clusters": q_dedup_minhash_clusters,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "emb_knn_brute": q_emb_knn_brute,
-    "emb_knn_lsh": q_emb_knn_lsh,
-    "emb_cosine_pairs": q_emb_cosine_pairs,
-    "emb_dup_clusters": q_emb_dup_clusters,
-    "emb_label_centroids": q_emb_label_centroids,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "doc_chunk_windows": q_doc_chunk_windows,
-    "stream_events_hourly": q_stream_events_hourly,
-    "text_analyze": q_text_analyze,
-    "doc_quality": q_doc_quality,
-    "vocab_topk": q_vocab_topk,
-    "events_asof_signup": q_events_asof_signup,
-    # --- beyond-window: driver-confirmed in BOTH rounds 3 and 4
     "scanner_stride": q_scanner_stride,
     "scanner_range": q_scanner_range,
     "scanner_strided_ranges": q_scanner_strided_ranges,
@@ -1843,16 +1863,4 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "events_pivot": q_events_pivot,
     "events_sliding_daily": q_events_sliding_daily,
-    # --- no ANSI-SQL oracle (driver records rows-only): keep last so they
-    # never consume an oracle-window slot under either counting rule
-    "emb_knn_ivf": q_emb_knn_ivf,
-    "emb_knn_pq": q_emb_knn_pq,
-    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-    "multimodal_decode": q_multimodal_decode,
-    "frame_histogram": q_frame_histogram,
-    "frame_resize": q_frame_resize,
-    "frame_blur": q_frame_blur,
-    "frame_optical_flow": q_frame_optical_flow,
-    "video_decode_pruned": q_video_decode_pruned,
-    "frame_encode_png": q_frame_encode_png,
 }

@@ -200,6 +200,46 @@ def test_cosine_dup_pairs(spark):
     assert pairs == {(0, 1)}  # blocking excludes (0,3); (0,2) orthogonal
 
 
+def test_cosine_star_mode_clique_components_match_brute(spark):
+    """pairs_mode='star' recall contract (VERDICT r05 #4): on a hot
+    near-dup CLIQUE — the case star mode exists for — connected components
+    are identical to the all-pairs graph's, with O(m) edges instead of
+    O(m^2).  Fixture: a 12-member clique of tiny perturbations around one
+    base vector (every pair mutually >= threshold, anchor included), plus
+    exact duplicates, plus unrelated outliers."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = np.array([1.0, 2.0, 3.0, 4.0])
+    rows = []
+    for i in range(12):  # clique: cosine(any pair) ~ 1 - 1e-6
+        v = base + rng.normal(0, 1e-4, 4)
+        rows.append((i, [float(x) for x in v], 0))
+    rows.append((20, [float(x) for x in base], 0))  # exact dup of nothing,
+    rows.append((21, [float(x) for x in base], 0))  # but 20/21 identical
+    rows.append((30, [4.0, -3.0, 2.0, -1.0], 0))  # outliers, unrelated
+    rows.append((31, [-1.0, 4.0, -3.0, 2.0], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    def comps(mode):
+        pairs = dedup.cosine_dup_pairs(
+            df, threshold=0.98, pairs_mode=mode
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        cc = dedup.connected_components(pairs)
+        return {(r.doc, r.component) for r in cc.collect()}
+
+    star, allp = comps("star"), comps("all")
+    assert star == allp
+    # edge-count bound: star emits <= m-1 edges per bucket + m-1 per
+    # exact-dup group; all-pairs emits the full quadratic set here
+    n_star = dedup.cosine_dup_pairs(df, threshold=0.98, pairs_mode="star").count()
+    n_all = dedup.cosine_dup_pairs(df, threshold=0.98, pairs_mode="all").count()
+    assert n_star < n_all and n_star <= len(rows) - 1
+
+    with pytest.raises(ValueError, match="pairs_mode"):
+        dedup.cosine_dup_pairs(df, pairs_mode="chain")
+
+
 # ---- simsearch -----------------------------------------------------------------
 
 def test_knn_brute_real_embeddings(real_embs):
