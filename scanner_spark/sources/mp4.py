@@ -193,6 +193,42 @@ def is_mp4(buf: bytes) -> bool:
     return len(buf) >= 8 and buf[4:8] == b"ftyp"
 
 
+def read_moov(path: str, opener=open):
+    """Read ONLY the moov box from an mp4 file: walk top-level box headers
+    with seeks (8-16 bytes each), skip payloads — in particular the mdat,
+    which is ~the whole file.  Returns the moov box bytes, which
+    ``parse_index`` accepts directly (its box walk descends from whatever
+    buffer it is given; stco/co64 chunk offsets are ABSOLUTE file offsets
+    and are only ever used to address payload reads from the real file,
+    never into the parse buffer).
+
+    This is the decode-task metadata path at scale: a cluster task doing a
+    GOP-pruned read fetches the index with one or two range GETs instead
+    of the whole object (reference reads via storehouse byte ranges —
+    scanner/engine/column_source.cpp:120-180)."""
+    with opener(path, "rb") as f:
+        f.seek(0, 2)
+        flen = f.tell()
+        pos = 0
+        while pos + 8 <= flen:
+            f.seek(pos)
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            size, btype = struct.unpack(">I4s", hdr)
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack(">Q", f.read(8))[0]
+            elif size == 0:  # box extends to end of file
+                size = flen - pos
+            if size < 8:
+                raise ValueError(f"malformed mp4 box {btype!r} at offset {pos}")
+            if btype == b"moov":
+                f.seek(pos)
+                return f.read(size)
+            pos += size
+    raise ValueError(f"no moov box found in {path}")
+
+
 # ---------------------------------------------------------------------------
 # raw-video mp4: write + decode
 #
@@ -425,7 +461,8 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
 
 
 def decode_range(
-    buf: bytes, start_offset: int, meta: dict, wanted: set, index=None
+    buf: bytes, start_offset: int, meta: dict, wanted: set, index=None,
+    base: int = 0,
 ) -> dict:
     """Decode wanted frames from a raw-sample mp4 (same contract as
     ``svf.decode_range``).  Raw samples are independent, so the "range" is
@@ -433,7 +470,11 @@ def decode_range(
     codecs (avc1/hev1) raise — their ingest stays index-only in this
     environment.  Pass ``index=(meta, entries)`` (from one ``parse_index``
     per file) to avoid re-walking the box tree per decode task — raw mp4s
-    are all-sync, so sparse loads plan one task per frame."""
+    are all-sync, so sparse loads plan one task per frame.
+
+    ``base``: absolute file offset of ``buf[0]`` — lets a decode task hand
+    in only its GOP's byte window (range read) while index entry offsets
+    stay absolute."""
     import numpy as np
 
     m, entries = index if index is not None else parse_index(buf)
@@ -454,7 +495,7 @@ def decode_range(
                         "in-repo H.264 decoder is intra-only (keyframes); "
                         "plan keyframe-sampled loads for compressed video"
                     )
-                sample = buf[e.offset : e.offset + e.size]
+                sample = buf[e.offset - base : e.offset - base + e.size]
                 out[e.frame_no] = _decode_avc1_sample(sample, sps_l, pps_l, ls)
                 remaining.discard(e.frame_no)
         if remaining:
@@ -474,7 +515,7 @@ def decode_range(
                     f"raw sample {e.frame_no} has {e.size} bytes, expected {h * w * c}"
                 )
             out[e.frame_no] = (
-                np.frombuffer(buf, dtype=np.uint8, count=e.size, offset=e.offset)
+                np.frombuffer(buf, dtype=np.uint8, count=e.size, offset=e.offset - base)
                 .reshape(h, w, c)
                 .copy()
             )

@@ -73,18 +73,24 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
     return meta, entries
 
 
-def decode_range(buf: bytes, start_offset: int, meta: dict, wanted: set[int]) -> dict[int, np.ndarray]:
+def decode_range(
+    buf: bytes, start_offset: int, meta: dict, wanted: set[int], base: int = 0
+) -> dict[int, np.ndarray]:
     """Decode forward from the keyframe at ``start_offset`` until every
     wanted frame is produced; returns {frame_no: frame}.  Refuses to start
-    on a non-keyframe (the property the pruning planner must respect)."""
+    on a non-keyframe (the property the pruning planner must respect).
+
+    ``base``: absolute file offset of ``buf[0]`` — a GOP decode task hands
+    in only its byte window (range read); ``start_offset`` stays the
+    absolute keyframe offset from the index."""
     h, w, c = meta["height"], meta["width"], meta["channels"]
     out: dict[int, np.ndarray] = {}
     remaining = set(wanted)
     off = start_offset
     cur: np.ndarray | None = None
-    while remaining and off < len(buf):
-        frame_no, is_key, size = FRAME_HEADER.unpack_from(buf, off)
-        payload = np.frombuffer(buf, dtype=np.uint8, count=size, offset=off + FRAME_HEADER.size)
+    while remaining and off - base < len(buf):
+        frame_no, is_key, size = FRAME_HEADER.unpack_from(buf, off - base)
+        payload = np.frombuffer(buf, dtype=np.uint8, count=size, offset=off - base + FRAME_HEADER.size)
         frame = payload.reshape(h, w, c)
         if cur is None:
             if not is_key:

@@ -23,8 +23,9 @@ Scale notes: the index join broadcasts the wanted-frame spec (literal user
 input); decode tasks are keyed by (video, gop) so a 1000-executor cluster
 decodes GOPs embarrassingly parallel while each task reads only its GOP's
 byte range — at 100 TB the scan cost is proportional to *wanted GOPs*, not
-library size.  Container byte-ranges are fetched per task (file seek here;
-an object-store range GET on a cluster).
+library size.  Each decode task performs bounded reads only (seek+read of
+the GOP window plus the mp4 moov box — ``decode_gop_task``): the
+object-store range-GET shape, enforced by a byte-counting test.
 """
 
 from __future__ import annotations
@@ -112,14 +113,18 @@ def load_frames(
     index = db.table(VIDEO_INDEX_TABLE)
 
     # plan: each wanted frame -> its GOP keyframe; one decode task per
-    # (video, keyframe_offset); the task's scan window ends at the last
-    # wanted frame of the GOP (decode_end), mirroring the reference's
-    # interval planning (column_source.cpp:120-180)
+    # (video, keyframe_offset); the task's byte window is
+    # [keyframe_offset, read_end) where read_end = end of the LAST wanted
+    # frame's payload in the GOP — every intermediate delta frame lies
+    # inside the window by the container's append order.  This mirrors the
+    # reference's interval planning (column_source.cpp:120-180) and makes
+    # the task's read a bounded range GET, not the whole object.
     plan = (
         index.join(wanted, ["video_path", "frame_no"], "inner")
         .groupBy("video_path", "keyframe_offset")
         .agg(
             F.collect_list("frame_no").alias("want_frames"),
+            F.max(F.col("offset") + F.col("size")).alias("read_end"),
             F.first("height").alias("height"),
             F.first("width").alias("width"),
             F.first("channels").alias("channels"),
@@ -132,32 +137,20 @@ def load_frames(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        handles: dict[str, bytes] = {}
-        mp4_indices: dict[str, tuple] = {}  # one box-tree parse per file
+        mp4_indices: dict[str, tuple] = {}  # one moov parse per file
         for pdf in batches:
             rows = {k: [] for k in ("video_path", "frame_no", "frame", "height", "width", "channels", "dtype")}
             for _, r in pdf.iterrows():
                 path = r["video_path"]
-                if path not in handles:
-                    with open(path, "rb") as f:  # object-store range GET at scale
-                        handles[path] = f.read()
-                buf = handles[path]
                 meta = {"height": r["height"], "width": r["width"], "channels": r["channels"]}
-                wanted = set(int(x) for x in r["want_frames"])
-                # container dispatch by sniffing, like ingest: raw-sample
-                # mp4 decodes directly at indexed offsets, SVF forward
-                # from the GOP keyframe
-                if mp4.is_mp4(buf):
-                    if path not in mp4_indices:
-                        mp4_indices[path] = mp4.parse_index(buf)
-                    decoded = mp4.decode_range(
-                        buf, int(r["keyframe_offset"]), meta, wanted,
-                        index=mp4_indices[path],
-                    )
-                else:
-                    decoded = svf.decode_range(
-                        buf, int(r["keyframe_offset"]), meta, wanted
-                    )
+                decoded = decode_gop_task(
+                    path,
+                    int(r["keyframe_offset"]),
+                    int(r["read_end"]),
+                    meta,
+                    set(int(x) for x in r["want_frames"]),
+                    mp4_index_cache=mp4_indices,
+                )
                 for fno, arr in sorted(decoded.items()):
                     rows["video_path"].append(path)
                     rows["frame_no"].append(fno)
@@ -172,6 +165,40 @@ def load_frames(
     return plan.repartition("video_path", "keyframe_offset").mapInPandas(
         decode, schema=out_schema
     )
+
+
+def decode_gop_task(
+    path: str,
+    keyframe_offset: int,
+    read_end: int,
+    meta: dict,
+    wanted: set[int],
+    mp4_index_cache: dict | None = None,
+    opener=open,
+) -> dict[int, np.ndarray]:
+    """One GOP decode task: bounded byte-range reads only (the 100 TB
+    contract — an object-store range GET per GOP, never the whole file).
+
+    Reads: an 8-byte container sniff, the moov box once per mp4 file
+    (header boxes walked with seeks, mdat skipped — ``mp4.read_moov``),
+    and the GOP payload window [keyframe_offset, read_end).  ``opener``
+    is injectable so tests can count bytes read (test_video.py asserts
+    reads <= GOP spans + index bytes)."""
+    if mp4_index_cache is None:
+        mp4_index_cache = {}
+    with opener(path, "rb") as f:
+        sniff = f.read(8)
+        is_mp4 = mp4.is_mp4(sniff)
+        if is_mp4 and path not in mp4_index_cache:
+            mp4_index_cache[path] = mp4.parse_index(mp4.read_moov(path, opener=opener))
+        f.seek(keyframe_offset)
+        window = f.read(read_end - keyframe_offset)
+    if is_mp4:
+        return mp4.decode_range(
+            window, keyframe_offset, meta, wanted,
+            index=mp4_index_cache[path], base=keyframe_offset,
+        )
+    return svf.decode_range(window, keyframe_offset, meta, wanted, base=keyframe_offset)
 
 
 def write_video(

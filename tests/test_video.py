@@ -356,3 +356,91 @@ def test_avc1_load_frames_end_to_end(spark, tmp_path):
     for fno, img in got.items():
         err = np.abs(img.astype(int) - frames[fno].astype(int))
         assert err.mean() < 6.0  # lossy codec, faithful reconstruction
+
+
+class _CountingOpener:
+    """open() wrapper that counts the bytes actually read per file —
+    instruments decode_gop_task's range-read contract (VERDICT r05 #3)."""
+
+    def __init__(self):
+        self.bytes_read = 0
+
+    def __call__(self, path, mode="rb"):
+        counter = self
+
+        class F:
+            def __init__(self):
+                self.f = open(path, mode)
+
+            def read(self, n=-1):
+                data = self.f.read(n)
+                counter.bytes_read += len(data)
+                return data
+
+            def seek(self, *a):
+                return self.f.seek(*a)
+
+            def tell(self):
+                return self.f.tell()
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                self.f.close()
+
+        return F()
+
+
+def test_decode_gop_task_reads_only_gop_span_svf(tmp_path):
+    """The decode task must read <= sniff + GOP byte window, not the whole
+    file: a 10k-GOP object must cost one range GET per wanted GOP."""
+    from scanner_spark.sources.video import decode_gop_task
+
+    p = str(tmp_path / "v.svf")
+    frames = make_video(p, 0)
+    buf = open(p, "rb").read()
+    meta, entries = svf.parse_index(buf)
+    # GOP starting at frame 8; want frames 9 and 11 -> window ends at 11
+    kf = entries[8]
+    read_end = entries[11].offset + entries[11].size
+    opener = _CountingOpener()
+    out = decode_gop_task(
+        p, kf.offset, read_end,
+        {"height": H, "width": W, "channels": C}, {9, 11}, opener=opener,
+    )
+    assert set(out) == {9, 11}
+    for fno in (9, 11):
+        assert (out[fno] == frames[fno]).all()
+    window = read_end - kf.offset
+    assert opener.bytes_read <= 8 + window, (
+        f"read {opener.bytes_read} bytes; GOP window is {window}"
+    )
+    assert opener.bytes_read < len(buf) // 2  # nowhere near the whole file
+
+
+def test_decode_gop_task_reads_only_sample_span_mp4(tmp_path):
+    """mp4 range-read contract: sniff + moov (header boxes walked with
+    seeks, mdat skipped) + the wanted sample's byte window."""
+    from scanner_spark.sources import mp4
+    from scanner_spark.sources.video import decode_gop_task
+
+    frames = [synthetic_frame(3, i, H, W, C) for i in range(N_FRAMES)]
+    p = str(tmp_path / "v.mp4")
+    with open(p, "wb") as f:
+        f.write(mp4.encode_mp4_raw(frames))
+    whole = open(p, "rb").read()
+    meta, entries = mp4.parse_index(whole)
+    moov_size = len(mp4.read_moov(p))
+    e = entries[31]
+    opener = _CountingOpener()
+    out = decode_gop_task(
+        p, e.offset, e.offset + e.size,
+        {"height": H, "width": W, "channels": C}, {31}, opener=opener,
+    )
+    assert (out[31] == frames[31]).all()
+    # sniff (8) + top-level box headers (few dozen) + moov + sample window
+    assert opener.bytes_read <= 8 + 64 + moov_size + e.size, (
+        f"read {opener.bytes_read}; moov={moov_size} sample={e.size}"
+    )
+    assert opener.bytes_read < len(whole) // 2
