@@ -10,9 +10,11 @@ libraries.
 Scope: still images — the FIRST image of an animation is decoded (the
 multimodal image column contract is one frame per payload; animations are
 FrameColumn/video territory).  Both global and local color tables,
-interlaced images, and the GCE transparency flag (transparent pixels
-resolve to the palette color; no compositing without a prior frame) are
-handled.  The encoder writes non-interlaced GIF89a with a power-of-two
+interlaced images, image-descriptor placement (the first frame is
+composited onto the logical-screen canvas at its (x0, y0), background
+color filling the rest — output dims are always the header's sw x sh),
+and the GCE transparency flag (transparent pixels show the background
+canvas) are handled.  The encoder writes non-interlaced GIF89a with a power-of-two
 global color table and REAL variable-width LZW (with dictionary resets at
 code 4096 per spec), so encode→decode round-trips are byte-exact for any
 image of ≤256 distinct colors — the property the tests pin.
@@ -167,7 +169,7 @@ def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes -> (H, W, 3) uint8 RGB of the first image."""
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, flags, bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -176,11 +178,15 @@ def decode_gif(data: bytes) -> np.ndarray:
             n, 3
         )
         pos += 3 * n
+    transparent = None  # GCE transparent color index, if flagged
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: label + sub-blocks (GCE/comment/app...)
+            label = data[pos + 1] if pos + 1 < len(data) else 0
             pos += 2
-            _, pos = _read_blocks(data, pos)
+            blocks, pos = _read_blocks(data, pos)
+            if label == 0xF9 and len(blocks) >= 4 and (blocks[0] & 0x01):
+                transparent = blocks[3]
         elif b == 0x2C:  # image descriptor
             x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
@@ -213,7 +219,33 @@ def decode_gif(data: bytes) -> np.ndarray:
                         deinter[r] = idx[src]
                         src += 1
                 idx = deinter
-            return ct[np.clip(idx, 0, len(ct) - 1)]
+            rgb = ct[np.clip(idx, 0, len(ct) - 1)]
+            if x0 == 0 and y0 == 0 and w == sw and h == sh and transparent is None:
+                return rgb  # full-screen opaque image: no compositing
+            # composite the first frame onto the logical screen at its
+            # (x0, y0) placement: canvas = background color (GCT entry of
+            # the header's bg index; black without a GCT), transparent
+            # pixels (GCE flag) leave the canvas showing through.  Output
+            # dims always == the header's logical screen (sw, sh).
+            bg_rgb = (
+                ct[min(bg, len(ct) - 1)]
+                if gct is not None
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+            ch = min(h, max(sh - y0, 0))
+            cw = min(w, max(sw - x0, 0))
+            if ch > 0 and cw > 0:
+                patch = rgb[:ch, :cw]
+                if transparent is not None:
+                    mask = idx[:ch, :cw] != transparent
+                    region = canvas[y0 : y0 + ch, x0 : x0 + cw]
+                    canvas[y0 : y0 + ch, x0 : x0 + cw] = np.where(
+                        mask[:, :, None], patch, region
+                    )
+                else:
+                    canvas[y0 : y0 + ch, x0 : x0 + cw] = patch
+            return canvas
         elif b == 0x3B:  # trailer before any image
             break
         else:

@@ -71,6 +71,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF bits-per-sample {bps}: 8-bit only")
     if tags.get(_PLANAR, [1])[0] != 1:
         raise NotImplementedError("TIFF planar configuration 2 not supported")
+    # PhotometricInterpretation (tag 262): 0 = WhiteIsZero (greyscale,
+    # inverted — common in fax/scanner output), 1 = BlackIsZero, 2 = RGB.
+    # Anything else (palette=3, CMYK=5, YCbCr=6) is out of baseline scope.
+    photo = tags.get(_PHOTO, [1])[0]
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric interpretation {photo} not supported "
+            "(WhiteIsZero/BlackIsZero/RGB only)"
+        )
     strips = b"".join(
         bytes(data[o : o + n])
         for o, n in zip(tags[_STRIP_OFF], tags[_STRIP_CNT])
@@ -79,6 +88,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if len(strips) < need:
         raise ValueError(f"TIFF strip data truncated: {len(strips)} < {need}")
     img = np.frombuffer(strips[:need], dtype=np.uint8).reshape(h, w, spp)
+    if photo == 0:  # WhiteIsZero: 0 = white -> invert to BlackIsZero
+        img = 255 - img
     return img
 
 

@@ -687,3 +687,63 @@ def test_tiff_compressed_variants_refused_payload_fake_only_for_webp():
     assert np.array_equal(out, img)
     webp = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
     assert np.array_equal(decode_payload(webp, 8, 8), _fake_decode(webp, 8, 8))
+
+
+def test_tiff_white_is_zero_inverted():
+    """PhotometricInterpretation 0 (WhiteIsZero) greyscale decodes
+    inverted to BlackIsZero sample space; unknown photo values are
+    refused loudly (ADVICE r05)."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pytest
+
+    from scanner_spark.kernels.tiff import decode_tiff, encode_tiff
+
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+
+    def patch_photo(buf: bytes, value: int) -> bytes:
+        buf = bytearray(buf)
+        (ifd,) = _s.unpack_from("<I", buf, 4)
+        (n,) = _s.unpack_from("<H", buf, ifd)
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            t, typ, cnt = _s.unpack_from("<HHI", buf, off)
+            if t == 262:
+                _s.pack_into("<HH", buf, off + 8, value, 0)
+        return bytes(buf)
+
+    wiz = patch_photo(encode_tiff(img), 0)
+    assert np.array_equal(decode_tiff(wiz)[:, :, 0], 255 - img)
+    with _pytest.raises(NotImplementedError, match="photometric"):
+        decode_tiff(patch_photo(encode_tiff(img), 3))  # palette
+
+
+def test_gif_composites_placement_and_transparency():
+    """A first frame smaller than the logical screen composites onto the
+    background canvas at its (x0, y0); GCE-transparent pixels show the
+    background (ADVICE r05).  Output dims == the header's screen."""
+    import struct as _s
+
+    import numpy as np
+
+    from scanner_spark.kernels.gif import _lzw_encode, decode_gif
+
+    # screen 8x6, bg = palette[1] (blue-ish); 3x2 patch at (x0=2, y0=1)
+    pal = np.array([[250, 0, 0], [0, 0, 200], [0, 255, 0], [9, 9, 9]], np.uint8)
+    patch_idx = np.array([[0, 2, 0], [3, 0, 3]])  # color 3 marked transparent
+    raw = bytearray()
+    raw += b"GIF89a"
+    raw += _s.pack("<HHBBB", 8, 6, 0x80 | 0x01, 1, 0)  # 4-entry GCT, bg=1
+    raw += pal.tobytes()
+    raw += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 3, 0])  # GCE: transparent idx 3
+    raw += _s.pack("<BHHHHB", 0x2C, 2, 1, 3, 2, 0)  # descriptor at (2,1) 3x2
+    lzw = _lzw_encode(patch_idx.ravel().astype(np.int64), 2)
+    raw += bytes([2, len(lzw)]) + lzw + bytes([0, 0x3B])
+    out = decode_gif(bytes(raw))
+    assert out.shape == (6, 8, 3)
+    bg = pal[1]
+    assert np.array_equal(out[0, 0], bg) and np.array_equal(out[5, 7], bg)
+    assert np.array_equal(out[1, 2], pal[0]) and np.array_equal(out[1, 3], pal[2])
+    assert np.array_equal(out[2, 2], bg)  # transparent -> background
+    assert np.array_equal(out[2, 3], pal[0])
