@@ -1,42 +1,54 @@
-"""Pure-Python/numpy H.264 (ITU-T Rec. H.264 / MPEG-4 AVC) intra-only
-baseline codec: I_PCM, I_16x16 and I_4x4 macroblocks, CAVLC entropy
-coding, 4:2:0 chroma.
+"""Pure-Python/numpy H.264 (ITU-T Rec. H.264 / MPEG-4 AVC) baseline
+codec: I_PCM, I_16x16, I_4x4, and P_L0_16x16 / P_Skip macroblocks, CAVLC
+entropy coding, 4:2:0 chroma.
 
 This is the engine's answer to the reference's core asset — its
 decode-on-demand H.264 pipeline (scanner/video/decoder_automata.cpp,
 scanner/video/h264_byte_stream_index_creator.cpp, interval planning in
 scanner/engine/column_source.cpp:120-180).  The reference wraps ffmpeg /
 NVDEC for the pixel work; this container ships neither, so the DSP lives
-in-repo like the PNG/JPEG/GIF codecs.  Scope is the part the engine's
-GOP-pruned sparse loads actually need: KEYFRAMES (IDR, intra-only).
-Inter prediction (P/B) is out of scope — a keyframe-sampled query plan
-touches only sync samples by construction.
+in-repo like the PNG/JPEG/GIF codecs.  Scope now covers the reference's
+decode model end to end: IDR keyframes plus forward P-frame decode
+through a GOP, so GOP-pruned sparse loads decode keyframe-forward like
+decoder_automata does.
 
 What is implemented, per the spec's clause numbers:
 - NAL units (§7.3.1) with emulation-prevention, SPS (§7.3.2.1) and PPS
-  (§7.3.2.2) covering the baseline-intra feature set, IDR slice headers
-  (§7.3.3) for I slices.
+  (§7.3.2.2) covering the baseline feature set, IDR and non-IDR slice
+  headers (§7.3.3) for I and P slices.
 - Macroblock layer (§7.3.5): I_PCM, I_16x16 (4 pred modes x CBP packed
-  into mb_type), I_4x4 with prev_intra4x4_pred_mode signalling.
+  into mb_type), I_4x4 with prev_intra4x4_pred_mode signalling,
+  P_L0_16x16 with mvd + median MV prediction (§8.4.1.3), P_Skip with the
+  §8.4.1.1 skip-MV derivation, mb_skip_run, intra types inside P slices
+  (offset 5), CBP via both Table 9-4 columns.
 - Intra prediction (§8.3): all four 16x16 luma modes (V/H/DC/Plane), all
   nine 4x4 luma modes, all four 8x8 chroma modes.
+- Inter prediction (§8.4.2): single-reference (num_ref_frames=1) motion
+  compensation; luma at INTEGER pel (the in-repo encoder only emits
+  integer-pel vectors — a documented constraint; fractional luma
+  positions raise NotImplementedError instead of interpolating with the
+  6-tap filter), chroma at full 1/8-pel bilinear per §8.4.2.2.2 (integer
+  luma vectors land chroma on 0 or 1/2 positions).
 - CAVLC residual (§9.2): coeff_token (Table 9-5 incl. the chroma-DC nC=-1
   column), trailing-one signs, adaptive-suffix level decoding,
   total_zeros (Tables 9-7/9-8/9-9a) and run_before (Table 9-10).
 - Transforms (§8.5): 4x4 integer core transform, 4x4 luma-DC Hadamard,
   2x2 chroma-DC Hadamard, with the standard V/MF scale tables.
-- The encoder (non-normative side) emits IDR-only streams at a fixed QP
-  with ``disable_deblocking_filter_idc=1``; the decoder therefore skips
-  the in-loop filter CONFORMANTLY for in-repo streams and refuses
-  (strict mode) streams that require it rather than emit wrong pixels.
+- The encoder (non-normative side) emits streams at a fixed QP with
+  ``disable_deblocking_filter_idc=1``; the decoder therefore skips the
+  in-loop filter CONFORMANTLY for in-repo streams and refuses (strict
+  mode) streams that require it rather than emit wrong pixels.
 
 Conformance posture: the VLC tables are transcribed from the spec and
-checked structurally in tests (prefix-freeness, completeness); encoder
-and decoder share no state beyond those tables, so round-trip tests pin
-real bitstream compatibility of every layer.  No third-party H.264
-implementation exists in this environment to co-test against; streams
-this module writes are legal Annex-B/avcC H.264 to the best of the
-transcription.
+checked structurally in tests (prefix-freeness, Kraft completeness); no
+third-party H.264 implementation exists in this environment to co-test
+against.  The coeff_token long tail (Table 9-5 columns 2<=nC<4 rows
+TotalCoeff>=8 and 4<=nC<8 rows >=13) could NOT be transcribed with
+confidence: those decode-table rows are canonical placeholders, the
+ENCODER NEVER EMITS THEM (macroblocks that would need one are re-encoded
+as I_PCM, which is always conformant), and the DECODER REFUSES them with
+NotImplementedError instead of misparsing an external stream.  Every
+stream this module writes therefore uses only spec-verbatim codes.
 """
 
 from __future__ import annotations
@@ -197,11 +209,13 @@ _CT_A = {
     (16, 0): "0000000000000100", (16, 1): "0000000000000110", (16, 2): "0000000000000101", (16, 3): "0000000000001000",
 }
 
-# Column B: 2 <= nC < 4.  Rows TotalCoeff <= 7 are spec-verbatim; rows
-# 8-16 are a CANONICAL PREFIX-CODE RECONSTRUCTION (see module
-# docstring: no third-party decoder in this environment to transcribe
-# against for the long tail — the code is valid, complete-minus-the-
-# all-zeros-region, and shared by encoder and decoder)
+# Column B: 2 <= nC < 4.  Rows TotalCoeff <= _CT_B_VERBATIM_MAX are
+# spec-verbatim; rows 8-16 are canonical PLACEHOLDERS (no authoritative
+# source in this environment to transcribe the long tail).  The encoder
+# NEVER emits placeholder rows (encode_residual raises _NonVerbatimCode
+# and the macroblock falls back to I_PCM) and the decoder REFUSES them
+# (decode_residual raises NotImplementedError on resolving one) — see
+# the module docstring's conformance posture.
 _CT_B = {
     (0, 0): "11",
     (1, 0): "001011", (1, 1): "10",
@@ -222,8 +236,8 @@ _CT_B = {
     (16, 0): "00000000000110", (16, 1): "00000000000101", (16, 2): "00000000000100", (16, 3): "00000000000011",
 }
 
-# Column C: 4 <= nC < 8.  Rows TotalCoeff <= 12 spec-verbatim; rows
-# 13-16 canonical reconstruction (same caveat as _CT_B)
+# Column C: 4 <= nC < 8.  Rows TotalCoeff <= _CT_C_VERBATIM_MAX
+# spec-verbatim; rows 13-16 placeholders (same contract as _CT_B)
 _CT_C = {
     (0, 0): "1111",
     (1, 0): "001111", (1, 1): "1110",
@@ -302,17 +316,31 @@ _RUN_BEFORE = {
 }
 
 
-def _decode_table(table: dict | list) -> dict[str, object]:
-    """code-string -> value map for VLC decoding."""
+_CT_B_VERBATIM_MAX = 7  # TotalCoeff rows above these are placeholders
+_CT_C_VERBATIM_MAX = 12
+
+
+class _NonVerbatimCode(Exception):
+    """Encoder-internal: the residual needs a placeholder coeff_token row
+    (Table 9-5 long tail not transcribed) — caller re-encodes as I_PCM."""
+
+
+def _decode_table(table: dict | list, verbatim_max: int | None = None) -> dict[str, object]:
+    """code-string -> value map for VLC decoding.  Entries whose
+    TotalCoeff exceeds ``verbatim_max`` map to a refusal sentinel."""
     if isinstance(table, dict):
-        return {code: key for key, code in table.items()}
+        return {
+            code: (key if verbatim_max is None or key[0] <= verbatim_max
+                   else ("nonverbatim", *key))
+            for key, code in table.items()
+        }
     return {code: i for i, code in enumerate(table)}
 
 
 _CT_DECODE = {
     0: _decode_table(_CT_A),
-    2: _decode_table(_CT_B),
-    4: _decode_table(_CT_C),
+    2: _decode_table(_CT_B, _CT_B_VERBATIM_MAX),
+    4: _decode_table(_CT_C, _CT_C_VERBATIM_MAX),
     -1: _decode_table(_CT_CHROMA),
 }
 _TZ_DECODE = {k: _decode_table(v) for k, v in _TOTAL_ZEROS.items()}
@@ -370,7 +398,16 @@ def decode_residual(r: BitReader, nC: int, max_coeffs: int) -> list[int]:
         else:
             tc, t1 = (code >> 2) + 1, code & 3
     else:
-        tc, t1 = _read_vlc(r, dec, "coeff_token")
+        val = _read_vlc(r, dec, "coeff_token")
+        if isinstance(val, tuple) and val[0] == "nonverbatim":
+            raise NotImplementedError(
+                f"coeff_token (TotalCoeff={val[1]}, T1={val[2]}, nC={nC}) "
+                "is beyond the spec-verbatim Table 9-5 transcription — "
+                "refusing to decode an external stream with a placeholder "
+                "code (in-repo streams never emit these; see module "
+                "docstring)"
+            )
+        tc, t1 = val
     coeffs = [0] * max_coeffs
     if tc == 0:
         return coeffs
@@ -487,6 +524,12 @@ def encode_residual(w: BitWriter, coeffs: list[int], nC: int) -> int:
     if enc is None:
         w.u(0b000011 if tc == 0 else ((tc - 1) << 2) | t1, 6)
     else:
+        # never emit a placeholder row (module docstring): the caller
+        # re-encodes the macroblock as I_PCM, which is always conformant
+        if (enc is _CT_B and tc > _CT_B_VERBATIM_MAX) or (
+            enc is _CT_C and tc > _CT_C_VERBATIM_MAX
+        ):
+            raise _NonVerbatimCode(f"TotalCoeff={tc} nC={nC}")
         code = enc[(tc, t1)]
         w.u(int(code, 2), len(code))
     if tc == 0:
@@ -895,6 +938,15 @@ _CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
               8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
 _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
 
+# Table 9-4, Inter column: codeNum -> coded_block_pattern for P/B
+# macroblocks.  Structural property (pinned in tests): a permutation of
+# 0..47, favouring single-8x8 and chroma-only patterns at short codes.
+_CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+              14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45,
+              46, 17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22,
+              25, 38, 41]
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+
 # luma 4x4 block scan order within a MB: blkIdx -> (x, y) pixel offsets
 _BLK4_POS = [(0, 0), (4, 0), (0, 4), (4, 4), (8, 0), (12, 0), (8, 4), (12, 4),
              (0, 8), (4, 8), (0, 12), (4, 12), (8, 8), (12, 8), (8, 12), (12, 12)]
@@ -904,9 +956,10 @@ _NO_UPRIGHT = {3, 7, 11, 13, 15}
 _CBLK_POS = [(0, 0), (4, 0), (0, 4), (4, 4)]
 
 
-def write_sps(w_pix: int, h_pix: int) -> bytes:
-    """Baseline (66) SPS for a frame_mbs_only, poc-type-2, IDR-only
-    stream; crops encode non-multiple-of-16 sizes (even dims, 4:2:0)."""
+def write_sps(w_pix: int, h_pix: int, num_ref_frames: int = 1) -> bytes:
+    """Baseline (66) SPS for a frame_mbs_only, poc-type-2 stream with
+    ``num_ref_frames`` references (1 covers the P-GOP encoder; 0 is legal
+    for all-IDR); crops encode non-multiple-of-16 sizes (even, 4:2:0)."""
     if w_pix % 2 or h_pix % 2:
         raise ValueError("4:2:0 needs even dimensions")
     mbw, mbh = (w_pix + 15) // 16, (h_pix + 15) // 16
@@ -919,7 +972,7 @@ def write_sps(w_pix: int, h_pix: int) -> bytes:
     w.ue(0)  # sps_id
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(2)  # pic_order_cnt_type: 2 (display order == decode order)
-    w.ue(0)  # max_num_ref_frames (IDR-only)
+    w.ue(num_ref_frames)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed
     w.ue(mbw - 1)
     w.ue(mbh - 1)
@@ -955,8 +1008,12 @@ def parse_sps(rbsp: bytes) -> dict:
             raise NotImplementedError("scaling matrices not supported")
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 4
     if poc_type == 0:
-        r.ue()
+        # ADVICE r05: MUST be stored — decode_slice reads this many bits
+        # of pic_order_cnt_lsb; discarding it misaligns every poc-type-0
+        # slice header with minus4 != 0
+        log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
         r.u(1)
         r.se()
@@ -977,6 +1034,7 @@ def parse_sps(rbsp: bytes) -> dict:
     return {
         "profile": profile, "level": level, "sps_id": sps_id,
         "log2_max_frame_num": log2_mfn, "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
         "mb_width": mbw, "mb_height": mbh_units,
         "width": mbw * 16 - 2 * (crop[0] + crop[1]),
         "height": mbh_units * 16 - 2 * (crop[2] + crop[3]),
@@ -1043,6 +1101,7 @@ class _FrameState:
     CAVLC nC context (§9.2.1) — identical in encoder and decoder."""
 
     def __init__(self, mbw: int, mbh: int):
+        self.mbw, self.mbh = mbw, mbh
         self.W, self.H = mbw * 16, mbh * 16
         self.y = np.zeros((self.H, self.W), dtype=np.int64)
         self.cb = np.zeros((self.H // 2, self.W // 2), dtype=np.int64)
@@ -1053,6 +1112,57 @@ class _FrameState:
         # Intra4x4PredMode per 4x4 block; -1 = unavailable, DC (2) for
         # non-I4x4 macroblocks (§8.3.1.1)
         self.modes4 = np.full((self.H // 4, self.W // 4), -1, dtype=np.int64)
+        # per-MB inter state (16x16 partitions only): coded-inter flag and
+        # quarter-pel (mvx, mvy) — the §8.4.1.3 prediction context
+        self.mb_inter = np.zeros((mbh, mbw), dtype=bool)
+        self.mv = np.zeros((mbh, mbw, 2), dtype=np.int64)
+
+    def _mv_neighbor(self, mbx: int, mby: int):
+        """(available_inter, mv) for a neighbour MB; unavailable or intra
+        neighbours contribute mv (0,0) with ref -1 (§8.4.1.3.2)."""
+        if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
+            return False, np.zeros(2, dtype=np.int64)
+        if not self.mb_inter[mby, mbx]:
+            return False, np.zeros(2, dtype=np.int64)
+        return True, self.mv[mby, mbx]
+
+    def mv_pred(self, mbx: int, mby: int) -> np.ndarray:
+        """Median MV predictor for a 16x16 partition, single ref
+        (§8.4.1.3): C = above-right, replaced by D = above-left when
+        unavailable; exactly-one-inter-neighbour shortcut; top-row
+        fallback to A."""
+        availA, mvA = self._mv_neighbor(mbx - 1, mby)
+        availB, mvB = self._mv_neighbor(mbx, mby - 1)
+        # C exists (decoded) iff above-right is inside the frame; at the
+        # right edge substitute D = above-left
+        if mby > 0 and mbx + 1 < self.mbw:
+            availC, mvC = self._mv_neighbor(mbx + 1, mby - 1)
+        else:
+            availC, mvC = self._mv_neighbor(mbx - 1, mby - 1)
+        b_edge = mby == 0  # B, C, D all outside the frame
+        if b_edge and availA:
+            return mvA.copy()
+        n_avail = int(availA) + int(availB) + int(availC)
+        if n_avail == 1:
+            return (mvA if availA else mvB if availB else mvC).copy()
+        stacked = np.stack([mvA, mvB, mvC])
+        return np.median(stacked, axis=0).astype(np.int64)
+
+    def skip_mv(self, mbx: int, mby: int) -> np.ndarray:
+        """P_Skip motion vector (§8.4.1.1): zero when at the left/top
+        edge or when either A or B is a zero-MV ref-0 inter block, else
+        the median predictor."""
+        availA, mvA = self._mv_neighbor(mbx - 1, mby)
+        availB, mvB = self._mv_neighbor(mbx, mby - 1)
+        edgeA = mbx == 0
+        edgeB = mby == 0
+        if edgeA or edgeB:
+            return np.zeros(2, dtype=np.int64)
+        if availA and mvA[0] == 0 and mvA[1] == 0:
+            return np.zeros(2, dtype=np.int64)
+        if availB and mvB[0] == 0 and mvB[1] == 0:
+            return np.zeros(2, dtype=np.int64)
+        return self.mv_pred(mbx, mby)
 
     def nC(self, grid: np.ndarray, by: int, bx: int) -> int:
         nA = grid[by, bx - 1] if bx > 0 else -1
@@ -1075,6 +1185,46 @@ class _FrameState:
         return int(min(a, b))
 
 
+def mc_luma(ref_y: np.ndarray, oy: int, ox: int, mv) -> np.ndarray:
+    """16x16 luma motion compensation at INTEGER pel (§8.4.2.2.1 with
+    zero fraction; reference coords edge-clamped per spec).  Fractional
+    luma vectors raise — the in-repo encoder never emits them (documented
+    constraint, module docstring)."""
+    mvx, mvy = int(mv[0]), int(mv[1])
+    if mvx % 4 or mvy % 4:
+        raise NotImplementedError(
+            f"fractional-pel luma motion vector ({mvx}, {mvy})/4: the "
+            "6-tap half/quarter-pel interpolator is not implemented "
+            "(in-repo streams are integer-pel by encoder constraint)"
+        )
+    H_, W_ = ref_y.shape
+    rows = np.clip(np.arange(oy + mvy // 4, oy + mvy // 4 + 16), 0, H_ - 1)
+    cols = np.clip(np.arange(ox + mvx // 4, ox + mvx // 4 + 16), 0, W_ - 1)
+    return ref_y[np.ix_(rows, cols)]
+
+
+def mc_chroma(ref_c: np.ndarray, cy: int, cx: int, mv) -> np.ndarray:
+    """8x8 chroma motion compensation, full 1/8-pel bilinear
+    (§8.4.2.2.2): the chroma vector IS the luma vector reinterpreted in
+    eighth-pel chroma units, so integer-pel luma lands chroma on 0 or
+    1/2 positions.  Reference coords edge-clamped."""
+    mvx, mvy = int(mv[0]), int(mv[1])
+    xi, xf = mvx >> 3, mvx & 7
+    yi, yf = mvy >> 3, mvy & 7
+    H_, W_ = ref_c.shape
+    rows = np.clip(np.arange(cy + yi, cy + yi + 9), 0, H_ - 1)
+    cols = np.clip(np.arange(cx + xi, cx + xi + 9), 0, W_ - 1)
+    blk = ref_c[np.ix_(rows, cols)]
+    a = blk[:8, :8]
+    b = blk[:8, 1:9]
+    c = blk[1:9, :8]
+    d = blk[1:9, 1:9]
+    return (
+        (8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
+        + (8 - xf) * yf * c + xf * yf * d + 32
+    ) >> 6
+
+
 def _zz_to_mat(coeffs: list[int]) -> np.ndarray:
     m = np.zeros(16, dtype=np.int64)
     for i, pos in enumerate(ZIGZAG_4x4):
@@ -1093,32 +1243,70 @@ def hadamard2(m: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# slice decode (§7.3.3 header + §7.3.5 macroblock layer, I slices)
+# slice decode (§7.3.3 header + §7.3.5 macroblock layer, I and P slices)
 # ---------------------------------------------------------------------------
 
 
+def _crop_planes(st: _FrameState, sps: dict):
+    crop = sps["crop"]
+    H_, W_ = sps["height"], sps["width"]
+    y0, x0 = 2 * crop[2], 2 * crop[0]
+    y = st.y[y0 : y0 + H_, x0 : x0 + W_]
+    cb = st.cb[y0 // 2 : y0 // 2 + H_ // 2, x0 // 2 : x0 // 2 + W_ // 2]
+    cr = st.cr[y0 // 2 : y0 // 2 + H_ // 2, x0 // 2 : x0 // 2 + W_ // 2]
+    return (y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8))
+
+
 def decode_slice(
-    rbsp: bytes, sps: dict, pps: dict, strict: bool = True
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One IDR I-slice -> (y, cb, cr) uint8 planes (SPS crop applied)."""
+    rbsp: bytes, sps: dict, pps: dict, strict: bool = True,
+    idr: bool = True, nal_ref_idc: int = 3, ref: "_FrameState | None" = None,
+    return_state: bool = False,
+):
+    """One slice -> (y, cb, cr) uint8 planes (SPS crop applied).
+
+    I slices decode standalone.  P slices additionally need ``ref``, the
+    PADDED reconstruction state of the previous decoded frame
+    (``return_state=True`` returns it alongside the planes so a GOP
+    decode loop can chain).  ``idr``/``nal_ref_idc`` come from the NAL
+    header and select the §7.3.3 header layout (idr_pic_id and the
+    dec_ref_pic_marking form differ — ADVICE r05: non-IDR slices
+    previously misparsed against the IDR layout)."""
     r = BitReader(rbsp)
     first_mb = r.ue()
     if first_mb != 0:
         raise NotImplementedError("multi-slice frames not supported")
     slice_type = r.ue()
-    if slice_type % 5 != 2:
+    st_mod = slice_type % 5
+    if st_mod not in (0, 2):
         raise NotImplementedError(
-            f"slice_type {slice_type}: only I slices (intra-only decoder; "
-            "P/B need inter prediction, out of scope per SURVEY §2.4)"
+            f"slice_type {slice_type}: only I and P slices (B slices need "
+            "two reference lists, out of scope per SURVEY §2.4)"
         )
+    is_p = st_mod == 0
+    if is_p and ref is None:
+        raise ValueError("P slice needs the previous frame's state (ref=)")
     r.ue()  # pps_id
     r.u(sps["log2_max_frame_num"])  # frame_num
-    r.ue()  # idr_pic_id
+    if idr:
+        r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
-        r.u(sps.get("log2_max_poc_lsb", 4))
-    # dec_ref_pic_marking (IDR)
-    r.u(1)
-    r.u(1)
+        r.u(sps.get("log2_max_poc_lsb", 4))  # pic_order_cnt_lsb
+    if is_p:
+        if r.u(1):  # num_ref_idx_active_override_flag
+            if r.ue() != 0:  # num_ref_idx_l0_active_minus1
+                raise NotImplementedError(
+                    "multiple reference frames not supported (single-ref "
+                    "P decode)"
+                )
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError("ref_pic_list_modification not supported")
+    # dec_ref_pic_marking (§7.3.3.3)
+    if idr:
+        r.u(1)  # no_output_of_prior_pics
+        r.u(1)  # long_term_reference
+    elif nal_ref_idc != 0:
+        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise NotImplementedError("adaptive ref-pic marking not supported")
     qp = pps["init_qp"] + r.se()
     if pps["deblocking_control_present"]:
         idc = r.ue()
@@ -1135,22 +1323,101 @@ def decode_slice(
     mbw, mbh = sps["mb_width"], sps["mb_height"]
     st = _FrameState(mbw, mbh)
     st.nzy[:] = -1
-    for mb in range(mbw * mbh):
-        _decode_mb(r, st, mb % mbw, mb // mbw, qp, pps)
-    crop = sps["crop"]
-    H_, W_ = sps["height"], sps["width"]
-    y0, x0 = 2 * crop[2], 2 * crop[0]
-    y = st.y[y0 : y0 + H_, x0 : x0 + W_]
-    cb = st.cb[y0 // 2 : y0 // 2 + H_ // 2, x0 // 2 : x0 // 2 + W_ // 2]
-    cr = st.cr[y0 // 2 : y0 // 2 + H_ // 2, x0 // 2 : x0 // 2 + W_ // 2]
-    return (y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8))
+    n_mbs = mbw * mbh
+    if not is_p:
+        for mb in range(n_mbs):
+            _decode_mb(r, st, mb % mbw, mb // mbw, qp, pps)
+    else:
+        mb = 0
+        while mb < n_mbs:
+            skip_run = r.ue()
+            for _ in range(skip_run):
+                if mb >= n_mbs:
+                    raise ValueError("mb_skip_run past end of slice")
+                _reconstruct_skip(st, ref, mb % mbw, mb // mbw)
+                mb += 1
+            if mb >= n_mbs:
+                break
+            qp = _decode_mb_p(r, st, ref, mb % mbw, mb // mbw, qp, pps)
+            mb += 1
+    planes = _crop_planes(st, sps)
+    return (planes, st) if return_state else planes
+
+
+def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int) -> None:
+    """P_Skip: motion-compensate with the §8.4.1.1 vector, no residual."""
+    ox, oy = mbx * 16, mby * 16
+    mv = st.skip_mv(mbx, mby)
+    st.y[oy : oy + 16, ox : ox + 16] = mc_luma(ref.y, oy, ox, mv)
+    cy, cx = oy // 2, ox // 2
+    st.cb[cy : cy + 8, cx : cx + 8] = mc_chroma(ref.cb, cy, cx, mv)
+    st.cr[cy : cy + 8, cx : cx + 8] = mc_chroma(ref.cr, cy, cx, mv)
+    by0, bx0 = oy // 4, ox // 4
+    st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+    st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
+    st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+    st.mb_inter[mby, mbx] = True
+    st.mv[mby, mbx] = mv
+
+
+def _decode_mb_p(r: BitReader, st: _FrameState, ref: _FrameState,
+                 mbx: int, mby: int, qp: int, pps: dict) -> int:
+    """One coded P-slice macroblock: P_L0_16x16 (type 0) or an intra type
+    (offset 5, Table 7-13)."""
+    mb_type = r.ue()
+    if mb_type >= 5:
+        return _decode_mb_intra(r, st, mbx, mby, qp, pps, mb_type - 5)
+    if mb_type != 0:
+        raise NotImplementedError(
+            f"P mb_type {mb_type}: only P_L0_16x16 partitions are "
+            "supported (8x16/16x8/8x8 sub-partitions out of scope)"
+        )
+    ox, oy = mbx * 16, mby * 16
+    by0, bx0 = oy // 4, ox // 4
+    # single ref (num_ref_idx_l0_active_minus1 == 0): no ref_idx_l0 coded
+    mvd = np.array([r.se(), r.se()], dtype=np.int64)
+    mv = st.mv_pred(mbx, mby) + mvd
+    p16 = mc_luma(ref.y, oy, ox, mv)
+    cbp = _CBP_INTER[r.ue()]
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
+    if cbp:
+        qp += r.se()
+    for blk in range(16):
+        x, yb = _BLK4_POS[blk]
+        gy, gx = oy + yb, ox + x
+        by, bx = gy // 4, gx // 4
+        if cbp_l & (1 << (blk // 4)):
+            nC = st.nC(st.nzy, by, bx)
+            coeffs = decode_residual(r, nC, 16)
+            st.nzy[by, bx] = sum(1 for c in coeffs if c)
+            d = dequant4(_zz_to_mat(coeffs), qp)
+            rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
+        else:
+            st.nzy[by, bx] = 0
+            rec = p16[yb : yb + 4, x : x + 4]
+        st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
+    cy, cx = oy // 2, ox // 2
+    preds = {
+        0: mc_chroma(ref.cb, cy, cx, mv),
+        1: mc_chroma(ref.cr, cy, cx, mv),
+    }
+    _decode_chroma(r, st, ox, oy, 0, cbp_c, qp, pps,
+                   pred_fn=lambda comp: preds[comp])
+    st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+    st.mb_inter[mby, mbx] = True
+    st.mv[mby, mbx] = mv
+    return qp
 
 
 def _decode_mb(r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
                pps: dict) -> int:
+    return _decode_mb_intra(r, st, mbx, mby, qp, pps, r.ue())
+
+
+def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
+                     qp: int, pps: dict, mb_type: int) -> int:
     ox, oy = mbx * 16, mby * 16
     bx0, by0 = ox // 4, oy // 4
-    mb_type = r.ue()
     if mb_type == 25:  # I_PCM
         r.byte_align()
         lum = np.array([r.u(8) for _ in range(256)], dtype=np.int64).reshape(16, 16)
@@ -1231,7 +1498,10 @@ def _decode_mb(r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
 
 
 def _decode_chroma(r: BitReader, st: _FrameState, ox: int, oy: int,
-                   mode: int, cbp_c: int, qp: int, pps: dict) -> None:
+                   mode: int, cbp_c: int, qp: int, pps: dict,
+                   pred_fn=None) -> None:
+    """``pred_fn(comp) -> 8x8 prediction`` overrides intra chroma
+    prediction — the inter path supplies motion-compensated blocks."""
     qpc = chroma_qp(qp + pps.get("chroma_qp_offset", 0))
     cx, cy = ox // 2, oy // 2
     dcs = []
@@ -1243,7 +1513,7 @@ def _decode_chroma(r: BitReader, st: _FrameState, ox: int, oy: int,
         else:
             dcs.append(np.zeros((2, 2), dtype=np.int64))
     for comp, plane in ((0, st.cb), (1, st.cr)):
-        p8 = pred_chroma(plane, cy, cx, mode)
+        p8 = pred_fn(comp) if pred_fn is not None else pred_chroma(plane, cy, cx, mode)
         for blk, (x, yb) in enumerate(_CBLK_POS):
             cby, cbx = (cy + yb) // 4, (cx + x) // 4
             d = np.zeros((4, 4), dtype=np.int64)
@@ -1308,21 +1578,22 @@ def _avail_modes4(gy: int, gx: int, upright: bool) -> list[int]:
 
 def _encode_chroma(w: BitWriter, st: _FrameState, ox: int, oy: int,
                    src_cb: np.ndarray, src_cr: np.ndarray, qp: int,
-                   mode: int) -> tuple[int, list]:
+                   mode: int, pred_fn=None, intra: bool = True) -> tuple[int, list]:
     """Transform+quant both chroma components; returns (cbp_chroma,
-    emission list).  Reconstruction is applied to the state planes."""
+    emission list).  Reconstruction is applied to the state planes.
+    ``pred_fn(comp) -> 8x8`` overrides intra prediction (inter MC)."""
     qpc = chroma_qp(qp)
     cx, cy = ox // 2, oy // 2
     comps = []
     any_dc = any_ac = False
-    for src, plane in ((src_cb, st.cb), (src_cr, st.cr)):
-        p8 = pred_chroma(plane, cy, cx, mode)
+    for comp, (src, plane) in enumerate(((src_cb, st.cb), (src_cr, st.cr))):
+        p8 = pred_fn(comp) if pred_fn is not None else pred_chroma(plane, cy, cx, mode)
         resid = src[cy : cy + 8, cx : cx + 8].astype(np.int64) - p8
         dcm = np.zeros((2, 2), dtype=np.int64)
         acs = []
         for blk, (x, yb) in enumerate(_CBLK_POS):
             wv = fdct4(resid[yb : yb + 4, x : x + 4])
-            z = quant4(wv, qpc)
+            z = quant4(wv, qpc, intra=intra)
             dcm[yb // 4, x // 4] = wv[0, 0]
             z[0, 0] = 0
             acs.append(z)
@@ -1377,6 +1648,63 @@ def _flush_chroma(w: BitWriter, st: _FrameState, emit: list, cbp_c: int) -> None
         pass
 
 
+def _mb_snapshot(st: _FrameState, mbx: int, mby: int):
+    """Copy the MB-local slices of every state field (cheap rollback for
+    the I_PCM fallback — full-plane copies would be per-MB quadratic)."""
+    ox, oy = mbx * 16, mby * 16
+    return (
+        st.y[oy : oy + 16, ox : ox + 16].copy(),
+        st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8].copy(),
+        st.cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8].copy(),
+        st.nzy[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4].copy(),
+        st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2].copy(),
+        st.modes4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4].copy(),
+        bool(st.mb_inter[mby, mbx]),
+        st.mv[mby, mbx].copy(),
+    )
+
+
+def _mb_restore(st: _FrameState, mbx: int, mby: int, snap) -> None:
+    ox, oy = mbx * 16, mby * 16
+    y, cb, cr, nzy, nzc, modes4, inter, mv = snap
+    st.y[oy : oy + 16, ox : ox + 16] = y
+    st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cb
+    st.cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cr
+    st.nzy[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4] = nzy
+    st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = nzc
+    st.modes4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4] = modes4
+    st.mb_inter[mby, mbx] = inter
+    st.mv[mby, mbx] = mv
+
+
+def _encode_mb_pcm(w: BitWriter, st: _FrameState, mbx: int, mby: int,
+                   src_y: np.ndarray, src_cb: np.ndarray, src_cr: np.ndarray,
+                   type_offset: int = 0) -> None:
+    """I_PCM (mb_type 25, +5 inside P slices): raw samples, always
+    conformant — the universal fallback when a residual would need a
+    placeholder coeff_token row."""
+    ox, oy = mbx * 16, mby * 16
+    bx0, by0 = ox // 4, oy // 4
+    w.ue(25 + type_offset)
+    w.byte_align_zero()
+    lum = src_y[oy : oy + 16, ox : ox + 16]
+    cbs = src_cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8]
+    crs = src_cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8]
+    for v in lum.reshape(-1):
+        w.u(int(v), 8)
+    for v in cbs.reshape(-1):
+        w.u(int(v), 8)
+    for v in crs.reshape(-1):
+        w.u(int(v), 8)
+    st.y[oy : oy + 16, ox : ox + 16] = lum
+    st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cbs
+    st.cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = crs
+    st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+    st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 16
+    st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+    st.mb_inter[mby, mbx] = False
+
+
 def _encode_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
                src_y: np.ndarray, src_cb: np.ndarray, src_cr: np.ndarray,
                qp: int, mb_mode: str) -> None:
@@ -1385,25 +1713,27 @@ def _encode_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     src = src_y[oy : oy + 16, ox : ox + 16].astype(np.int64)
 
     if mb_mode == "pcm":
-        w.ue(25)
-        w.byte_align_zero()
-        lum = src_y[oy : oy + 16, ox : ox + 16]
-        cbs = src_cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8]
-        crs = src_cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8]
-        for v in lum.reshape(-1):
-            w.u(int(v), 8)
-        for v in cbs.reshape(-1):
-            w.u(int(v), 8)
-        for v in crs.reshape(-1):
-            w.u(int(v), 8)
-        st.y[oy : oy + 16, ox : ox + 16] = lum
-        st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cbs
-        st.cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = crs
-        st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 16
-        st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 16
-        st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        _encode_mb_pcm(w, st, mbx, mby, src_y, src_cb, src_cr)
         return
 
+    snap = _mb_snapshot(st, mbx, mby)
+    wpos = (len(w.buf), w.acc, w.nbits)
+    try:
+        _encode_mb_coded(w, st, mbx, mby, src, src_y, src_cb, src_cr,
+                         qp, mb_mode)
+    except _NonVerbatimCode:
+        del w.buf[wpos[0]:]
+        w.acc, w.nbits = wpos[1], wpos[2]
+        _mb_restore(st, mbx, mby, snap)
+        _encode_mb_pcm(w, st, mbx, mby, src_y, src_cb, src_cr)
+
+
+def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
+                     src: np.ndarray, src_y: np.ndarray,
+                     src_cb: np.ndarray, src_cr: np.ndarray,
+                     qp: int, mb_mode: str) -> None:
+    ox, oy = mbx * 16, mby * 16
+    bx0, by0 = ox // 4, oy // 4
     # pick the luma strategy
     m16 = min(_avail_modes16(mbx, mby),
               key=lambda m: _sad(src, pred16(st.y, oy, ox, m)))
@@ -1533,9 +1863,10 @@ def _encode_mb_i4(w: BitWriter, st: _FrameState, mbx: int, mby: int,
 
 
 def encode_slice(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                 qp: int = 26, mb_mode: str = "auto") -> bytes:
+                 qp: int = 26, mb_mode: str = "auto") -> tuple[bytes, _FrameState]:
     """(y, cb, cr) uint8 planes (padded to MB multiples by the caller via
-    :func:`pad_planes`) -> IDR slice RBSP."""
+    :func:`pad_planes`) -> (IDR slice RBSP, reconstruction state) — the
+    state seeds P-frame encoding of the following GOP frames."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
@@ -1553,7 +1884,205 @@ def encode_slice(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     for mb in range(mbw * mbh):
         _encode_mb(w, st, mb % mbw, mb // mbw, y, cb, cr, qp, mb_mode)
     w.rbsp_trailing()
-    return w.bytes()
+    return w.bytes(), st
+
+
+def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
+                   search: int) -> np.ndarray:
+    """Integer-pel full search +-search px; returns quarter-pel mv.
+    Ties break toward (0,0)-closest then raster order — deterministic."""
+    H_, W_ = ref_y.shape
+    best = (1 << 60, 0, np.zeros(2, dtype=np.int64))
+    for dy in range(-search, search + 1):
+        ry = oy + dy
+        if ry < -15 or ry + 16 > H_ + 15:
+            continue
+        for dx in range(-search, search + 1):
+            rx = ox + dx
+            if rx < -15 or rx + 16 > W_ + 15:
+                continue
+            rows = np.clip(np.arange(ry, ry + 16), 0, H_ - 1)
+            cols = np.clip(np.arange(rx, rx + 16), 0, W_ - 1)
+            sad = int(np.abs(src - ref_y[np.ix_(rows, cols)]).sum())
+            bias = abs(dx) + abs(dy)
+            if (sad, bias) < (best[0], best[1]):
+                best = (sad, bias, np.array([4 * dx, 4 * dy], dtype=np.int64))
+    return best[2]
+
+
+def _inter_residuals(ref: _FrameState, src: np.ndarray,
+                     src_cb: np.ndarray, src_cr: np.ndarray,
+                     oy: int, ox: int, mv, qp: int):
+    """Quantized inter residuals for one MB at ``mv``: returns
+    (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16)."""
+    qpc = chroma_qp(qp)
+    p16 = mc_luma(ref.y, oy, ox, mv)
+    resid = src - p16
+    luma_z = []
+    for blk in range(16):
+        x, yb = _BLK4_POS[blk]
+        luma_z.append(quant4(fdct4(resid[yb : yb + 4, x : x + 4]), qp, intra=False))
+    cbp_l = 0
+    for i8 in range(4):
+        if any(luma_z[i8 * 4 + k].any() for k in range(4)):
+            cbp_l |= 1 << i8
+    cy, cx = oy // 2, ox // 2
+    comps = []
+    any_dc = any_ac = False
+    for comp, srcc in ((0, src_cb), (1, src_cr)):
+        p8 = mc_chroma((ref.cb, ref.cr)[comp], cy, cx, mv)
+        residc = srcc[cy : cy + 8, cx : cx + 8].astype(np.int64) - p8
+        dcm = np.zeros((2, 2), dtype=np.int64)
+        acs = []
+        for blk, (x, yb) in enumerate(_CBLK_POS):
+            wv = fdct4(residc[yb : yb + 4, x : x + 4])
+            z = quant4(wv, qpc, intra=False)
+            dcm[yb // 4, x // 4] = wv[0, 0]
+            z[0, 0] = 0
+            acs.append(z)
+        zdc = quant_dc2(hadamard2(dcm), qpc)
+        if zdc.any():
+            any_dc = True
+        if any(a.any() for a in acs):
+            any_ac = True
+        comps.append((zdc, acs, p8))
+    cbp_c = 2 if any_ac else (1 if any_dc else 0)
+    return cbp_l | (cbp_c << 4), luma_z, comps, p16
+
+
+def _reconstruct_inter(st: _FrameState, oy: int, ox: int, cbp: int,
+                       luma_z, comps, p16, qp: int) -> None:
+    """Apply the decoder's reconstruction for an inter MB (bit-identical
+    contexts; also updates nzy/nzc for uncoded blocks)."""
+    qpc = chroma_qp(qp)
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
+    for blk in range(16):
+        x, yb = _BLK4_POS[blk]
+        gy, gx = oy + yb, ox + x
+        if cbp_l & (1 << (blk // 4)):
+            rec = p16[yb : yb + 4, x : x + 4] + idct4(dequant4(luma_z[blk], qp))
+        else:
+            rec = p16[yb : yb + 4, x : x + 4]
+        st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
+    cy, cx = oy // 2, ox // 2
+    for comp, (zdc, acs, p8) in enumerate(comps):
+        plane = (st.cb, st.cr)[comp]
+        dc = (
+            dequant_dc2(hadamard2(zdc), qpc)
+            if cbp_c
+            else np.zeros((2, 2), dtype=np.int64)
+        )
+        for blk, (x, yb) in enumerate(_CBLK_POS):
+            z = acs[blk] if cbp_c == 2 else np.zeros((4, 4), dtype=np.int64)
+            d = dequant4(z, qpc)
+            d[0, 0] = dc[yb // 4, x // 4]
+            rec = p8[yb : yb + 4, x : x + 4] + idct4(d)
+            plane[cy + yb : cy + yb + 4, cx + x : cx + x + 4] = np.clip(rec, 0, 255)
+
+
+def _write_inter_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
+                    mv, mvd, cbp: int, luma_z, comps, qp: int) -> None:
+    """Bitstream emission for P_L0_16x16 (mb_type 0) + nzy/nzc updates."""
+    oy, ox = mby * 16, mbx * 16
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
+    w.ue(0)  # mb_type P_L0_16x16
+    w.se(int(mvd[0]))
+    w.se(int(mvd[1]))
+    w.ue(_CBP_INTER_INV[cbp])
+    if cbp:
+        w.se(0)  # mb_qp_delta
+    for blk in range(16):
+        x, yb = _BLK4_POS[blk]
+        by, bx = (oy + yb) // 4, (ox + x) // 4
+        if cbp_l & (1 << (blk // 4)):
+            nC = st.nC(st.nzy, by, bx)
+            tc = encode_residual(w, _mat_to_zz(luma_z[blk]), nC)
+            st.nzy[by, bx] = tc
+        else:
+            st.nzy[by, bx] = 0
+    # chroma: both DCs, then Cb ACs, then Cr ACs (§7.3.5.3.2)
+    if cbp_c:
+        for zdc, _acs, _p8 in comps:
+            zz = [int(zdc[0, 0]), int(zdc[0, 1]), int(zdc[1, 0]), int(zdc[1, 1])]
+            encode_residual(w, zz, -1)
+    for comp, (_zdc, acs, _p8) in enumerate(comps):
+        for blk, (x, yb) in enumerate(_CBLK_POS):
+            cby, cbx = (oy // 2 + yb) // 4, (ox // 2 + x) // 4
+            if cbp_c == 2:
+                nC = st.nC(st.nzc[comp], cby, cbx)
+                tc = encode_residual(w, _mat_to_zz(acs[blk])[1:], nC)
+                st.nzc[comp, cby, cbx] = tc
+            else:
+                st.nzc[comp, cby, cbx] = 0
+
+
+def encode_slice_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                   ref: _FrameState, qp: int = 26, frame_num: int = 1,
+                   search: int = 4) -> tuple[bytes, _FrameState]:
+    """P slice: per-MB integer-pel motion search against the previous
+    reconstruction, P_Skip where the compensated residual quantizes to
+    zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
+    macroblocks.  Returns (RBSP, reconstruction state)."""
+    H_, W_ = y.shape
+    assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
+    mbw, mbh = W_ // 16, H_ // 16
+    assert (ref.H, ref.W) == (H_, W_), "reference dims mismatch"
+    st = _FrameState(mbw, mbh)
+    w = BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(5)  # slice_type: P (all slices in picture)
+    w.ue(0)  # pps_id
+    w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc: OFF
+    skip_run = 0
+    ysrc = y.astype(np.int64)
+    for mb in range(mbw * mbh):
+        mbx, mby = mb % mbw, mb // mbw
+        oy, ox = mby * 16, mbx * 16
+        src = ysrc[oy : oy + 16, ox : ox + 16]
+        # P_Skip trial: the skip vector is a median of integer-pel
+        # vectors, hence integer-pel itself
+        mv_skip = st.skip_mv(mbx, mby)
+        cbp_s, lz_s, comps_s, p16_s = _inter_residuals(
+            ref, src, cb, cr, oy, ox, mv_skip, qp
+        )
+        if cbp_s == 0:
+            _reconstruct_inter(st, oy, ox, 0, lz_s, comps_s, p16_s, qp)
+            by0, bx0 = oy // 4, ox // 4
+            st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+            st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
+            st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+            st.mb_inter[mby, mbx] = True
+            st.mv[mby, mbx] = mv_skip
+            skip_run += 1
+            continue
+        w.ue(skip_run)
+        skip_run = 0
+        mv = _motion_search(ref.y, src, oy, ox, search)
+        mvp = st.mv_pred(mbx, mby)
+        cbp, luma_z, comps, p16 = _inter_residuals(ref, src, cb, cr, oy, ox, mv, qp)
+        snap = _mb_snapshot(st, mbx, mby)
+        wpos = (len(w.buf), w.acc, w.nbits)
+        try:
+            _write_inter_mb(w, st, mbx, mby, mv, mv - mvp, cbp, luma_z, comps, qp)
+            _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+            by0, bx0 = oy // 4, ox // 4
+            st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+            st.mb_inter[mby, mbx] = True
+            st.mv[mby, mbx] = mv
+        except _NonVerbatimCode:
+            del w.buf[wpos[0]:]
+            w.acc, w.nbits = wpos[1], wpos[2]
+            _mb_restore(st, mbx, mby, snap)
+            _encode_mb_pcm(w, st, mbx, mby, y, cb, cr, type_offset=5)
+    if skip_run:
+        w.ue(skip_run)
+    w.rbsp_trailing()
+    return w.bytes(), st
 
 
 def pad_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
@@ -1571,16 +2100,49 @@ def encode_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                  qp: int = 26, mb_mode: str = "auto") -> bytes:
     """One frame -> IDR slice NAL (no start code / length prefix)."""
     yp, cbp_, crp = pad_planes(y, cb, cr)
-    rbsp = encode_slice(yp, cbp_, crp, qp=qp, mb_mode=mb_mode)
+    rbsp, _st = encode_slice(yp, cbp_, crp, qp=qp, mb_mode=mb_mode)
     return rbsp_to_nal(3, 5, rbsp)
 
 
-def decode_frame(nal: bytes, sps: dict, pps: dict, strict: bool = True):
-    """IDR slice NAL -> (y, cb, cr) uint8 planes (cropped)."""
-    _, nal_type, rbsp = nal_to_rbsp(nal)
+def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
+                  mb_mode: str = "auto", search: int = 4) -> list[tuple[bytes, bool]]:
+    """[(y, cb, cr)] -> [(slice NAL, is_idr)]: every ``gop``-th frame an
+    IDR, the rest P frames predicted from the previous RECONSTRUCTION
+    (so decode drift is zero by construction) — the GOP structure the
+    engine's pruned loads plan against (decoder_automata's keyframe ->
+    forward model)."""
+    out: list[tuple[bytes, bool]] = []
+    ref: _FrameState | None = None
+    fnum = 0
+    for i, (y, cb, cr) in enumerate(frames_yuv):
+        yp, cbp_, crp = pad_planes(y, cb, cr)
+        if ref is None or i % gop == 0:
+            rbsp, st = encode_slice(yp, cbp_, crp, qp=qp, mb_mode=mb_mode)
+            out.append((rbsp_to_nal(3, 5, rbsp), True))
+            fnum = 1
+        else:
+            rbsp, st = encode_slice_p(
+                yp, cbp_, crp, ref, qp=qp, frame_num=fnum, search=search
+            )
+            out.append((rbsp_to_nal(2, 1, rbsp), False))
+            fnum = (fnum + 1) & 15
+        ref = st
+    return out
+
+
+def decode_frame(nal: bytes, sps: dict, pps: dict, strict: bool = True,
+                 ref: _FrameState | None = None, return_state: bool = False):
+    """Slice NAL -> (y, cb, cr) uint8 planes (cropped).  IDR/non-IDR and
+    the ref-marking form are selected from the NAL header (ADVICE r05);
+    P slices need ``ref`` (previous frame's state) and a GOP decode loop
+    passes ``return_state=True`` to chain."""
+    ref_idc, nal_type, rbsp = nal_to_rbsp(nal)
     if nal_type not in (1, 5):
         raise ValueError(f"not a slice NAL (type {nal_type})")
-    return decode_slice(rbsp, sps, pps, strict=strict)
+    return decode_slice(
+        rbsp, sps, pps, strict=strict, idr=nal_type == 5,
+        nal_ref_idc=ref_idc, ref=ref, return_state=return_state,
+    )
 
 
 # ---------------------------------------------------------------------------

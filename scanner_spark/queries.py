@@ -1398,14 +1398,16 @@ def q_frame_encode_png(spark, sf_dir):
 def q_video_decode_pruned(spark, sf_dir):
     """The engine's one novel physical operator end-to-end: ingest two
     deterministic SVF videos (keyframe index, no transcode) PLUS a legal
-    raw-sample mp4 PLUS a REAL compressed avc1 (H.264) mp4 encoded by the
-    in-repo intra-only baseline codec (kernels/h264.py), then decode a
-    sparse frame set — the GOP-pruning join ensures only the GOPs
-    containing wanted frames are decoded, mp4 frames decode straight off
-    the sample index, and avc1 keyframes run the full CAVLC+intra
-    pipeline.  Driver testdata has no video table, so the videos are
-    synthesized deterministically per call (rows-only check; pixel
-    exactness is pinned by tests/test_video.py and tests/test_h264.py)."""
+    raw-sample mp4 PLUS a REAL compressed avc1 (H.264) mp4 with GOP
+    structure (IDR + P frames, in-repo baseline codec kernels/h264.py),
+    then decode a sparse frame set — the GOP-pruning join ensures only
+    the GOPs containing wanted frames are decoded via bounded byte-range
+    reads, mp4 frames decode straight off the sample index, and the avc1
+    wanted set includes a NON-IDR GOP member (frame 6 = P), exercising
+    keyframe-forward inter decode (CAVLC + intra + motion compensation).
+    Driver testdata has no video table, so the videos are synthesized
+    deterministically per call (rows-only check; pixel exactness is
+    pinned by tests/test_video.py and tests/test_h264.py)."""
     import hashlib
     import tempfile
 
@@ -1437,7 +1439,8 @@ def q_video_decode_pruned(spark, sf_dir):
     with open(avc_path, "wb") as f:
         f.write(
             mp4mod.encode_mp4_avc1(
-                [synthetic_frame(3, i, 16, 16, 3) for i in range(8)], qp=10
+                [synthetic_frame(3, i, 16, 16, 3) for i in range(8)],
+                qp=10, gop=4,
             )
         )
     paths.append(avc_path)

@@ -341,14 +341,19 @@ def encode_mp4_raw(frames, fps: int = 30) -> bytes:
     return ftyp + mdat + moov
 
 
-def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto") -> bytes:
+def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
+                    gop: int | None = None) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
-    compressed avc1 (H.264) track: every frame an IDR keyframe from the
-    in-repo intra-only baseline encoder (kernels/h264.py), samples stored
-    as 4-byte length-prefixed NALs, SPS/PPS in the avcC box (ISO 14496-15).
-    All-IDR means every sample is sync (no stss box), so GOP pruning plans
-    one task per frame — exactly the keyframe-sampled access pattern the
-    reference's inplace ingest serves (ingest.cpp:310-365)."""
+    compressed avc1 (H.264) track from the in-repo baseline encoder
+    (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
+    SPS/PPS in the avcC box (ISO 14496-15).
+
+    ``gop=None`` (default) writes every frame as an IDR keyframe — every
+    sample sync (no stss box), one decode task per frame.  ``gop=N``
+    writes real GOP structure: an IDR every N frames with P frames
+    between (stss lists the sync samples), so the engine's pruned loads
+    decode keyframe-forward exactly like the reference's decode model
+    (decoder_automata.cpp; inplace ingest ingest.cpp:310-365)."""
     import numpy as np
 
     from scanner_spark.kernels import h264
@@ -361,11 +366,17 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto") 
             raise ValueError("all frames must be uint8 with identical shape")
     sps = h264.write_sps(w, h)
     pps = h264.write_pps(qp)
-    samples = []
-    for f in frames:
-        y, cb, cr = h264.yuv420_from_rgb(np.asarray(f))
-        nal = h264.encode_frame(y, cb, cr, qp=qp, mb_mode=mb_mode)
-        samples.append(len(nal).to_bytes(4, "big") + nal)
+    yuv = [h264.yuv420_from_rgb(np.asarray(f)) for f in frames]
+    if gop is None:
+        nals = [
+            (h264.encode_frame(y, cb, cr, qp=qp, mb_mode=mb_mode), True)
+            for y, cb, cr in yuv
+        ]
+    else:
+        nals = h264.encode_stream(yuv, gop=gop, qp=qp, mb_mode=mb_mode)
+    samples = [len(nal).to_bytes(4, "big") + nal for nal, _ in nals]
+    sync_nos = [i + 1 for i, (_, is_idr) in enumerate(nals) if is_idr]  # 1-based
+    all_sync = len(sync_nos) == len(samples)
     sps_nal = h264.rbsp_to_nal(3, 7, sps)
     pps_nal = h264.rbsp_to_nal(3, 8, pps)
     avcc = (
@@ -400,8 +411,14 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto") 
         struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
     )
     stco = _wfull(b"stco", struct.pack(">II", 1, mdat_data_off))
-    # no stss: all-IDR -> every sample sync (ISO 14496-12 SS8.6.2)
-    stbl = _wbox(b"stbl", stsd + stts + stsc + stsz + stco)
+    # stss only when NOT all-sync (absent stss = every sample sync,
+    # ISO 14496-12 SS8.6.2)
+    stss = b"" if all_sync else _wfull(
+        b"stss",
+        struct.pack(">I", len(sync_nos))
+        + b"".join(struct.pack(">I", s) for s in sync_nos),
+    )
+    stbl = _wbox(b"stbl", stsd + stts + stsc + stsz + stco + stss)
     url = _wfull(b"url ", b"", flags=1)
     dref = _wfull(b"dref", struct.pack(">I", 1) + url)
     dinf = _wbox(b"dinf", dref)
@@ -436,9 +453,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto") 
     return ftyp + mdat + moov
 
 
-def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
-                        length_size: int):
-    """One avc1 sample (length-prefixed NALs) -> (H, W, 3) RGB frame."""
+def _parse_avcc_params(sps_rbsp_list, pps_rbsp_list):
     from scanner_spark.kernels import h264
 
     sps = pps = None
@@ -452,11 +467,23 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
             pps = h264.parse_pps(rbsp)
     if sps is None or pps is None:
         raise ValueError("avc1 track missing SPS/PPS in avcC")
+    return sps, pps
+
+
+def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
+                        length_size: int, sps_pps=None, ref=None):
+    """One avc1 sample (length-prefixed NALs) -> ((H, W, 3) RGB frame,
+    reconstruction state).  ``ref`` chains P-frame decode through a GOP."""
+    from scanner_spark.kernels import h264
+
+    sps, pps = sps_pps if sps_pps else _parse_avcc_params(sps_rbsp_list, pps_rbsp_list)
     for nal in h264.split_length_prefixed(bytes(sample), length_size):
         nal_type = nal[0] & 0x1F
         if nal_type in (1, 5):
-            y, cb, cr = h264.decode_frame(nal, sps, pps)
-            return h264.rgb_from_yuv420(y, cb, cr)
+            (y, cb, cr), st = h264.decode_frame(
+                nal, sps, pps, ref=ref, return_state=True
+            )
+            return h264.rgb_from_yuv420(y, cb, cr), st
     raise ValueError("avc1 sample contains no slice NAL")
 
 
@@ -486,20 +513,38 @@ def decode_range(
                 "decode without SPS/PPS (ingest stays index-only)"
             )
         sps_l, pps_l, ls = m["avcc"]
-        out, remaining = {}, set(wanted)
-        for e in entries:
-            if e.frame_no in remaining:
-                if not e.is_key:
-                    raise NotImplementedError(
-                        f"frame {e.frame_no} is not a sync sample: the "
-                        "in-repo H.264 decoder is intra-only (keyframes); "
-                        "plan keyframe-sampled loads for compressed video"
-                    )
+        sps_pps = _parse_avcc_params(sps_l, pps_l)
+        out = {}
+        by_no = {e.frame_no: e for e in entries}
+        missing = [no for no in wanted if no not in by_no]
+        if missing:
+            raise ValueError(f"frames not found in container: {sorted(missing)[:5]}")
+        # keyframe-forward GOP decode (decoder_automata's model): each
+        # wanted frame decodes from its governing sync sample forward,
+        # chaining the reconstruction state; consecutive wanted frames in
+        # the same GOP reuse the chain instead of re-entering it.  For
+        # all-sync tracks this degenerates to one direct decode per frame.
+        keys = sorted(e.frame_no for e in entries if e.is_key)
+        import bisect
+
+        ref, cur = None, None
+        for target in sorted(set(wanted)):
+            ki = bisect.bisect_right(keys, target) - 1
+            if ki < 0:
+                raise ValueError(f"frame {target} precedes the first sync sample")
+            k = keys[ki]
+            if cur is None or k > cur:
+                cur, ref = k, None  # enter the GOP at its keyframe
+            for no in range(cur, target + 1):
+                e = by_no.get(no)
+                if e is None:
+                    raise ValueError(f"sample {no} missing from index")
                 sample = buf[e.offset - base : e.offset - base + e.size]
-                out[e.frame_no] = _decode_avc1_sample(sample, sps_l, pps_l, ls)
-                remaining.discard(e.frame_no)
-        if remaining:
-            raise ValueError(f"frames not found in container: {sorted(remaining)[:5]}")
+                rgb, ref = _decode_avc1_sample(
+                    sample, sps_l, pps_l, ls, sps_pps=sps_pps, ref=ref
+                )
+            out[target] = rgb
+            cur = target + 1
         return out
     if codec != "raw":
         raise NotImplementedError(

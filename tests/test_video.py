@@ -320,9 +320,10 @@ def test_mp4_ingest_into_video_index(spark, tmp_path):
 
 def test_avc1_load_frames_end_to_end(spark, tmp_path):
     """REAL compressed video through the full pipeline: frames -> avc1
-    (in-repo intra-only H.264 encoder) -> ingest (keyframe index off the
-    sample tables + avcC) -> sparse load -> CAVLC+intra decode.  Lossy
-    bound: quantized transform + 4:2:0 chroma."""
+    GOP structure (IDR every 4, P frames between — in-repo H.264 encoder)
+    -> ingest (keyframe index off the sample tables + stss + avcC) ->
+    sparse load -> keyframe-forward CAVLC decode through non-IDR GOP
+    members.  Lossy bound: quantized transform + 4:2:0 chroma."""
     import numpy as np
 
     from scanner_spark.sources import mp4
@@ -337,22 +338,26 @@ def test_avc1_load_frames_end_to_end(spark, tmp_path):
         rows, f"video_path string, frame_no long, {FRAME_SCHEMA}"
     )
     man = write_video(
-        df, str(tmp_path / "avc"), container="avc1"
+        df, str(tmp_path / "avc"), container="avc1", gop=4
     ).collect()
     assert man[0].n_frames == 8
     path = man[0].path
     meta, entries = mp4.parse_index(open(path, "rb").read())
-    assert meta["codec"] == "avc1" and all(e.is_key for e in entries)
+    assert meta["codec"] == "avc1"
+    assert [e.frame_no for e in entries if e.is_key] == [0, 4]  # real GOPs
+    assert meta["gop"] == 4
     db = Database(spark, str(tmp_path / "db"))
     ingest_videos(spark, db, [path])
-    out = load_frames(spark, db, {path: [0, 5]}).collect()
+    # 0 = IDR, 2 = P inside GOP 0, 5 = P inside GOP 1 (forward decode
+    # through a non-IDR GOP member — VERDICT r05 task #2's "done" bar)
+    out = load_frames(spark, db, {path: [0, 2, 5]}).collect()
     got = {
         r.frame_no: np.frombuffer(bytes(r.frame), dtype=np.uint8).reshape(
             r.height, r.width, 3
         )
         for r in out
     }
-    assert set(got) == {0, 5}
+    assert set(got) == {0, 2, 5}
     for fno, img in got.items():
         err = np.abs(img.astype(int) - frames[fno].astype(int))
         assert err.mean() < 6.0  # lossy codec, faithful reconstruction
