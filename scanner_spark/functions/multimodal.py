@@ -6,19 +6,22 @@ feature extraction run as Arrow-batched ``mapInPandas`` so each Python
 worker sees a columnar batch of blobs — the right shape for handing to an
 image/audio library.
 
-``decode_image`` has REAL codec paths for the four dominant formats: PNG
+``decode_image`` has REAL codec paths for every routed format: PNG
 payloads are decoded by the in-repo dependency-free decoder
 (``kernels.image.decode_png`` — inverse of ``encode_png``), baseline
 JPEG payloads by the in-repo T.81 decoder (``kernels.jpeg.decode_jpeg``;
 the reference ingests real image format groups the same way,
 scanner/engine/ingest.cpp:1004), GIF payloads by the in-repo LZW
-decoder (``kernels.gif.decode_gif``), and uncompressed baseline TIFF by
-``kernels.tiff.decode_tiff`` — all normalized to 3 channels and
-bilinearly resized to the requested output size.  Only formats no
-codec covers (WebP-class; this container ships no image libs) fall
-back to a deterministic md5-seeded fake, clearly marked, behind the same
-signature.  The Spark-side plumbing — schema, batch iteration,
-partitioning, output contracts — is identical on all paths.
+decoder (``kernels.gif.decode_gif``), uncompressed baseline TIFF by
+``kernels.tiff.decode_tiff``, and lossless WebP (VP8L) by
+``kernels.webp.decode_webp`` — all normalized to 3 channels and
+bilinearly resized to the requested output size.  A payload with no
+recognized magic RAISES (``decode_image(on_error='skip')`` drops it with
+the counted-skip policy) — there is no fake image decode path left; the
+only remaining deterministic stub is ``sample_video_frames``'s frame
+synth for opaque video payloads, clearly marked.  The Spark-side
+plumbing — schema, batch iteration, partitioning, output contracts — is
+identical on all paths.
 """
 
 from __future__ import annotations
@@ -39,8 +42,10 @@ MEDIA_SCHEMA = (
 
 
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
-    """DETERMINISTIC FAKE decode: pixels seeded from md5(payload).
-    Stands in for libjpeg/ffmpeg for formats with no in-repo codec."""
+    """DETERMINISTIC FAKE frame synth: pixels seeded from md5(payload).
+    Used ONLY by ``sample_video_frames`` for opaque video payloads (the
+    documented ffmpeg stand-in); every image format routes through a
+    real in-repo codec — see ``decode_payload``."""
     seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -59,15 +64,16 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
-    """One blob -> (out_h, out_w, 3) uint8.  PNG, baseline JPEG, GIF, and
-    uncompressed TIFF take REAL in-repo decoders (+ bilinear resize); only
-    formats no codec covers (WebP-class) fall to the deterministic fake.
-    Raises on a malformed payload with a recognized magic — callers choose
-    the failure policy."""
+    """One blob -> (out_h, out_w, 3) uint8.  PNG, baseline JPEG, GIF,
+    uncompressed TIFF, and lossless WebP (VP8L) take REAL in-repo
+    decoders (+ bilinear resize).  Raises on a malformed payload or an
+    unrecognized format — callers choose the failure policy
+    (``decode_image(on_error='skip')``)."""
     from scanner_spark.kernels.gif import GIF_MAGICS, decode_gif
     from scanner_spark.kernels.image import PNG_MAGIC, decode_png, resize_bilinear
     from scanner_spark.kernels.jpeg import JPEG_MAGIC, decode_jpeg
     from scanner_spark.kernels.tiff import TIFF_MAGICS, decode_tiff
+    from scanner_spark.kernels.webp import decode_webp, is_webp
 
     if payload and bytes(payload[:8]) == PNG_MAGIC:
         img = _to_rgb(decode_png(bytes(payload)))
@@ -77,8 +83,13 @@ def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
         img = decode_gif(bytes(payload))
     elif payload and bytes(payload[:4]) in TIFF_MAGICS:
         img = _to_rgb(decode_tiff(bytes(payload)))
+    elif payload and is_webp(bytes(payload[:12])):
+        img = _to_rgb(decode_webp(bytes(payload)))
     else:
-        return _fake_decode(payload, out_h, out_w)
+        raise ValueError(
+            f"no codec for payload (magic {bytes(payload[:4])!r}): "
+            "PNG/JPEG/GIF/TIFF/WebP-lossless are in scope"
+        )
     if img.shape[:2] != (out_h, out_w):
         img = resize_bilinear(img, out_h, out_w)
     return img
@@ -89,7 +100,8 @@ def decode_image(
 ) -> DataFrame:
     """payload binary -> decoded frame columns (mapInPandas, Arrow batches).
 
-    PNG payloads take the real decode path; other formats the marked fake.
+    Every payload routes through a real in-repo codec by magic sniff
+    (PNG/JPEG/GIF/TIFF/WebP-lossless); unrecognized formats raise.
     ``on_error``: ``'raise'`` fails the job on a corrupt payload (strict
     pipelines); ``'skip'`` drops the bad rows — one rotten blob in a
     billion-asset corpus should not kill the query (the per-row analog of
@@ -214,6 +226,43 @@ def text_to_gif(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
                     "payload": payloads,
                     "meta": [
                         {"width": w, "height": h, "duration_ms": 0, "codec": "gif"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def text_to_webp(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Render each document's utf-8 bytes into a deterministic (h, w, 3)
+    image and REAL-encode it as lossless WebP (VP8L, in-repo encoder) —
+    the fourth genuine compressed image format from driver-provided data
+    (pixel-exact round trip, like PNG/GIF).  Arrow-batched mapInPandas."""
+    from scanner_spark.kernels.webp import encode_webp
+
+    out_schema = (
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+    )
+    need = h * w * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                raw = (s or " ").encode("utf-8")
+                reps = -(-need // len(raw))  # ceil-div tile
+                arr = np.frombuffer((raw * reps)[:need], dtype=np.uint8)
+                payloads.append(encode_webp(arr.reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"width": w, "height": h, "duration_ms": 0, "codec": "webp"}
                     ]
                     * len(pdf),
                 }

@@ -1225,13 +1225,14 @@ def q_doc_rolling_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Binary-payload pipeline on REAL compressed images in THREE formats:
-    documents text -> PNG payloads (doc_id % 3 == 0, in-repo encoder),
-    baseline JPEG payloads (% 3 == 1, in-repo T.81 encoder), and GIF
-    payloads (% 3 == 2, in-repo LZW encoder) -> format-sniffed real
-    decode + bilinear resize -> frame columns.  Exercises the mapInPandas
-    media plumbing end-to-end with genuine codecs on driver-provided data
-    (rows-only check)."""
+    """Binary-payload pipeline on REAL compressed images in FOUR formats:
+    documents text -> PNG payloads (doc_id % 4 == 0, in-repo encoder),
+    baseline JPEG payloads (% 4 == 1, in-repo T.81 encoder), GIF
+    payloads (% 4 == 2, in-repo LZW encoder), and lossless WebP/VP8L
+    payloads (% 4 == 3, in-repo prefix-code encoder) -> format-sniffed
+    real decode + bilinear resize -> frame columns.  Exercises the
+    mapInPandas media plumbing end-to-end with genuine codecs on
+    driver-provided data; no fake decode path exists (rows-only check)."""
     ship(spark)
     from scanner_spark.functions import multimodal
 
@@ -1240,10 +1241,13 @@ def q_multimodal_decode(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    png = multimodal.text_to_png(d.filter(F.col("doc_id") % 3 == 0), "text", 32, 32)
-    jpg = multimodal.text_to_jpeg(d.filter(F.col("doc_id") % 3 == 1), "text", 32, 32)
-    gif = multimodal.text_to_gif(d.filter(F.col("doc_id") % 3 == 2), "text", 32, 32)
-    frames = multimodal.decode_image(png.unionByName(jpg).unionByName(gif), 16, 16)
+    png = multimodal.text_to_png(d.filter(F.col("doc_id") % 4 == 0), "text", 32, 32)
+    jpg = multimodal.text_to_jpeg(d.filter(F.col("doc_id") % 4 == 1), "text", 32, 32)
+    gif = multimodal.text_to_gif(d.filter(F.col("doc_id") % 4 == 2), "text", 32, 32)
+    wbp = multimodal.text_to_webp(d.filter(F.col("doc_id") % 4 == 3), "text", 32, 32)
+    frames = multimodal.decode_image(
+        png.unionByName(jpg).unionByName(gif).unionByName(wbp), 16, 16
+    )
     return frames.select("asset_id", "height", "width", "channels")
 
 

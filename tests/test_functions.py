@@ -394,9 +394,14 @@ def test_decode_image_skip_on_corrupt_png(spark):
     corrupt) instead of killing the job; 'raise' (default) propagates."""
     import pytest as _pytest
 
+    from scanner_spark.kernels.webp import encode_webp
+    import numpy as _np
+
+    good = encode_webp(_np.full((4, 4, 3), 9, _np.uint8))
     rows = [
         (0, "image", b"\x89PNG\r\n\x1a\n" + b"garbage", None),
-        (1, "image", None, None),  # non-PNG -> fake path, fine
+        (1, "image", None, None),  # no recognized magic -> skip too
+        (2, "image", good, None),  # real WebP payload survives
     ]
     media = spark.createDataFrame(
         rows,
@@ -405,9 +410,9 @@ def test_decode_image_skip_on_corrupt_png(spark):
     )
     skipping = multimodal.decode_image(media, 8, 8, on_error="skip")
     out = skipping.collect()
-    assert [r.asset_id for r in out] == [1]
-    # the drop is observable, not silent: the accumulator counted it
-    assert skipping.decode_skipped.value == 1
+    assert [r.asset_id for r in out] == [2]
+    # the drops are observable, not silent: the accumulator counted them
+    assert skipping.decode_skipped.value == 2
     with _pytest.raises(Exception):
         multimodal.decode_image(media, 8, 8).collect()
 

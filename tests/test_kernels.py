@@ -388,13 +388,14 @@ def test_jpeg_rejects_non_baseline():
         decode_jpeg(bytes(enc))
 
 
-def test_decode_payload_jpeg_real_path_and_fake_scope():
-    """decode_payload routes JPEG magic through the REAL decoder; the fake
-    is reachable only for formats neither codec covers."""
+def test_decode_payload_jpeg_real_path_and_no_fake():
+    """decode_payload routes JPEG magic through the REAL decoder; a
+    payload with no recognized magic RAISES — there is no fake image
+    decode path (VERDICT r05 #8)."""
     import numpy as np
     import pytest
 
-    from scanner_spark.functions.multimodal import _fake_decode, decode_payload
+    from scanner_spark.functions.multimodal import decode_payload
     from scanner_spark.kernels.jpeg import encode_jpeg
 
     img = _grad_img(32)
@@ -406,12 +407,12 @@ def test_decode_payload_jpeg_real_path_and_fake_scope():
     with pytest.raises(Exception):
         decode_payload(b"\xff\xd8garbage", 8, 8)
     # GIF now has a real codec: a truncated GIF body with intact magic
-    # RAISES (caller picks policy) instead of falling to the fake
+    # RAISES (caller picks policy) instead of falling to a fake
     with pytest.raises(Exception):
         decode_payload(b"GIF89a" + b"\x00" * 16, 8, 8)
-    # unknown magic (WebP) -> the marked fake
-    webp = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
-    assert np.array_equal(decode_payload(webp, 8, 8), _fake_decode(webp, 8, 8))
+    # unrecognized magic: loud refusal, not fabricated pixels
+    with pytest.raises(ValueError, match="no codec"):
+        decode_payload(b"BM" + b"\x00" * 16, 8, 8)  # BMP out of scope
 
 
 # ---------------------------------------------------------------------------
@@ -682,11 +683,13 @@ def test_tiff_compressed_variants_refused_payload_fake_only_for_webp():
             _s.pack_into("<H", buf, off + 8, 5)
     with _pytest.raises(NotImplementedError, match="compression 5"):
         decode_tiff(bytes(buf))
-    # decode_payload: real TIFF path end-to-end, fake only for WebP magic
+    # decode_payload: real TIFF path end-to-end; real WebP path too
     out = decode_payload(encode_tiff(img), 4, 4)
     assert np.array_equal(out, img)
-    webp = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
-    assert np.array_equal(decode_payload(webp, 8, 8), _fake_decode(webp, 8, 8))
+    from scanner_spark.kernels.webp import encode_webp
+
+    out = decode_payload(encode_webp(img), 4, 4)
+    assert np.array_equal(out, img)
 
 
 def test_tiff_white_is_zero_inverted():
@@ -747,3 +750,305 @@ def test_gif_composites_placement_and_transparency():
     assert np.array_equal(out[1, 2], pal[0]) and np.array_equal(out[1, 3], pal[2])
     assert np.array_equal(out[2, 2], bg)  # transparent -> background
     assert np.array_equal(out[2, 3], pal[0])
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless / VP8L codec (kernels/webp.py)
+# ---------------------------------------------------------------------------
+
+def test_webp_round_trip_pixel_exact():
+    import numpy as np
+
+    from scanner_spark.kernels import webp as W
+
+    rng = np.random.default_rng(8)
+    for shape in [(7, 9, 3), (16, 16, 4), (1, 1, 3), (33, 5, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = W.decode_webp(W.encode_webp(img))
+        want = img if shape[2] == 4 else np.dstack(
+            [img, np.full(shape[:2], 255, np.uint8)]
+        )
+        assert np.array_equal(out, want), shape
+    # grey input replicates to RGB
+    g = rng.integers(0, 256, (6, 6), dtype=np.uint8)
+    out = W.decode_webp(W.encode_webp(g))
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 1], g)
+
+
+def test_webp_distance_map_matches_spec_prefix():
+    """The generated 120-entry LZ77 neighbourhood map must reproduce the
+    spec's explicit list — the first 40 entries are pinned verbatim."""
+    from scanner_spark.kernels.webp import _DIST_MAP
+
+    exp = [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+           (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+           (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+           (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+           (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0)]
+    assert _DIST_MAP[:40] == exp
+    assert len(_DIST_MAP) == 120 and len(set(_DIST_MAP)) == 120
+
+
+def _vp8l_container(payload: bytes) -> bytes:
+    import struct
+
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        vp8l += b"\x00"
+    riff = b"WEBP" + vp8l
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _emit_code(wtr, codebook, sym):
+    code, n = codebook[sym]
+    for i in range(n - 1, -1, -1):
+        wtr.u((code >> i) & 1, 1)
+
+
+def test_webp_decodes_subtract_green_and_lz77():
+    """Hand-built stream using decoder-only features: SUBTRACT_GREEN
+    transform + an LZ77 backward reference copying the first row into the
+    second (2D distance code 1 = (0, 1) = one row up)."""
+    import numpy as np
+
+    from scanner_spark.kernels import webp as W
+
+    w, h = 4, 2
+    row = np.array([[30, 90, 10], [200, 40, 250], [90, 90, 90], [0, 255, 0]],
+                   dtype=np.uint8)
+    # forward subtract-green on the literals
+    res = row.astype(np.int64).copy()
+    res[:, 0] = (res[:, 0] - res[:, 1]) % 256
+    res[:, 2] = (res[:, 2] - res[:, 1]) % 256
+    wtr = W._LsbWriter()
+    wtr.u(w - 1, 14); wtr.u(h - 1, 14); wtr.u(0, 1); wtr.u(0, 3)
+    wtr.u(1, 1); wtr.u(2, 2)  # one transform: SUBTRACT_GREEN
+    wtr.u(0, 1)  # no more transforms
+    wtr.u(0, 1)  # no color cache
+    wtr.u(0, 1)  # no entropy image
+    # green alphabet: literals + symbol 256 (lz77 len code 0)
+    greens = sorted(set(res[:, 1].tolist()) | {256})
+    glen = [0] * 280
+    for s in greens:
+        glen[s] = max(1, (len(greens) - 1).bit_length())
+    # make it a valid complete-enough code: use equal lengths via padding
+    L = (len(greens) - 1).bit_length() or 1
+    glen = [0] * 280
+    for s in greens:
+        glen[s] = L
+    W._write_code_lengths(wtr, glen)
+    gcode = W._canonical_codes(glen)
+    chans = []
+    for col in (0, 2):  # red, blue
+        vals = sorted(set(res[:, col].tolist()))
+        ln = [0] * 256
+        Lc = (len(vals) - 1).bit_length() or 1
+        if len(vals) == 1:
+            ln[vals[0]] = 1
+            W._write_code_lengths(wtr, ln)
+            chans.append({vals[0]: (0, 0)})
+            continue
+        for v in vals:
+            ln[v] = Lc
+        W._write_code_lengths(wtr, ln)
+        chans.append(W._canonical_codes(ln))
+    rcode, bcode = chans
+    alen = [0] * 256
+    alen[255] = 1
+    W._write_code_lengths(wtr, alen)
+    acode = {255: (0, 0)}
+    dlen = [0] * 40
+    dlen[0] = 1  # distance prefix symbol 0 -> value 1 -> plane code 1
+    W._write_code_lengths(wtr, dlen)
+    dcode = {0: (0, 0)}
+    for i in range(w):  # first row literals
+        _emit_code(wtr, gcode, int(res[i, 1]))
+        _emit_code(wtr, rcode, int(res[i, 0]))
+        _emit_code(wtr, bcode, int(res[i, 2]))
+        _emit_code(wtr, acode, 255)
+    # second row: one LZ77 ref, length 4, distance plane-code 1 -> (0,1)
+    _emit_code(wtr, gcode, 256)  # length prefix symbol 0 -> length 1? no:
+    # symbol 256 = length code 0 -> value 1.  Emit 4 refs of length 1 is
+    # also fine, but use one length-4 ref: length code for 4 is symbol 3
+    # (sym<4 -> value sym+1).  Rebuild: emit three more singles instead.
+    _emit_code(wtr, dcode, 0)
+    for _ in range(3):
+        _emit_code(wtr, gcode, 256)
+        _emit_code(wtr, dcode, 0)
+    data = _vp8l_container(bytes([0x2F]) + wtr.bytes())
+    out = W.decode_webp(data)
+    assert out.shape == (2, 4, 4)
+    for y in range(2):
+        assert np.array_equal(out[y, :, :3], row), y
+
+
+def test_webp_decodes_color_cache():
+    """Hand-built stream using the color cache: one literal pixel, then a
+    cache hit reproducing it."""
+    import numpy as np
+
+    from scanner_spark.kernels import webp as W
+
+    wtr = W._LsbWriter()
+    wtr.u(1, 14); wtr.u(1, 14); wtr.u(0, 1); wtr.u(0, 3)  # 2x2
+    wtr.u(0, 1)  # no transforms
+    wtr.u(1, 1); wtr.u(2, 4)  # color cache, 2 bits (size 4)
+    wtr.u(0, 1)  # no entropy image
+    cache_size = 4
+    px = (255 << 24) | (17 << 16) | (99 << 8) | 203  # a,r,g,b
+    slot = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - 2)
+    # green alphabet 256+24+4: literal 99 + cache symbol 280+slot
+    glen = [0] * (256 + 24 + cache_size)
+    glen[99] = 1
+    glen[256 + 24 + slot] = 1
+    W._write_code_lengths(wtr, glen)
+    gcode = W._canonical_codes(glen)
+    for ln_arr, sym in (([0] * 256, 17), ([0] * 256, 203), ([0] * 256, 255)):
+        ln_arr[sym] = 1
+        W._write_code_lengths(wtr, ln_arr)
+    dlen = [0] * 40
+    dlen[0] = 1
+    W._write_code_lengths(wtr, dlen)
+    # 4 pixels: literal, cache, cache, cache
+    _emit_code(wtr, gcode, 99)  # r/b/a channels are single-symbol: 0 bits
+    for _ in range(3):
+        _emit_code(wtr, gcode, 256 + 24 + slot)
+    out = W.decode_webp(_vp8l_container(bytes([0x2F]) + wtr.bytes()))
+    assert np.array_equal(out.reshape(-1, 4), np.tile([17, 99, 203, 255], (4, 1)))
+
+
+def test_webp_decodes_palette_with_bundling():
+    """Hand-built COLOR_INDEXING stream: a 3-color palette (bundled 2
+    pixels per green byte) over an 8x1 image."""
+    import numpy as np
+
+    from scanner_spark.kernels import webp as W
+
+    w, h = 8, 1
+    palette = np.array([[255, 10, 20, 30], [255, 200, 100, 50], [255, 0, 0, 0]],
+                       dtype=np.int64)  # ARGB
+    idx = [0, 1, 2, 1, 0, 0, 2, 2]
+    wtr = W._LsbWriter()
+    wtr.u(w - 1, 14); wtr.u(h - 1, 14); wtr.u(0, 1); wtr.u(0, 3)
+    wtr.u(1, 1); wtr.u(3, 2)  # COLOR_INDEXING
+    wtr.u(len(palette) - 1, 8)
+    # palette image (n_colors x 1), delta-coded per component
+    deltas = palette.copy()
+    deltas[1:] = (palette[1:] - palette[:-1]) % 256
+    # palette sub-image: no cache, (meta not allowed)
+    wtr.u(0, 1)  # no color cache
+    def emit_image(pixels_argb):
+        # one prefix-code group, per-channel equal-length codes
+        chans = {"g": [p[2] for p in pixels_argb], "r": [p[1] for p in pixels_argb],
+                 "b": [p[3] for p in pixels_argb], "a": [p[0] for p in pixels_argb]}
+        books = {}
+        for key, size in (("g", 280), ("r", 256), ("b", 256), ("a", 256)):
+            vals = sorted(set(chans[key]))
+            ln = [0] * size
+            if len(vals) == 1:
+                ln[vals[0]] = 1
+                W._write_code_lengths(wtr, ln)
+                books[key] = {vals[0]: (0, 0)}
+            else:
+                L = (len(vals) - 1).bit_length()
+                for v in vals:
+                    ln[v] = L
+                W._write_code_lengths(wtr, ln)
+                books[key] = W._canonical_codes(ln)
+        dlen = [0] * 40
+        dlen[0] = 1
+        W._write_code_lengths(wtr, dlen)
+        for p in pixels_argb:
+            _emit_code(wtr, books["g"], p[2])
+            _emit_code(wtr, books["r"], p[1])
+            _emit_code(wtr, books["b"], p[3])
+            _emit_code(wtr, books["a"], p[0])
+    emit_image([tuple(int(x) for x in d) for d in deltas])
+    wtr.u(0, 1)  # no more transforms
+    # main image: 3 colors -> 2 bits/px, 4 px/byte -> width ceil(8/4) = 2
+    wtr.u(0, 1)  # no cache
+    wtr.u(0, 1)  # no entropy image
+    bundled = []
+    for i in range(0, 8, 4):
+        b = idx[i] | (idx[i + 1] << 2) | (idx[i + 2] << 4) | (idx[i + 3] << 6)
+        bundled.append((255, 0, b, 0))
+    emit_image(bundled)
+    out = W.decode_webp(_vp8l_container(bytes([0x2F]) + wtr.bytes()))
+    want = palette[idx][:, [1, 2, 3, 0]]  # ARGB -> RGBA
+    assert np.array_equal(out.reshape(-1, 4), want)
+
+
+def test_webp_refuses_lossy_and_junk():
+    import pytest
+
+    from scanner_spark.kernels import webp as W
+
+    with pytest.raises(NotImplementedError, match="VP8 "):
+        W.decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
+    with pytest.raises(ValueError):
+        W.decode_webp(b"nope")
+
+
+def test_webp_decodes_predictor_transform():
+    """Hand-built PREDICTOR-transform stream (one 4x4 block, mode 2 =
+    predict-from-top): residuals + T must reconstruct the column ramp.
+    First row/column use the spec's fixed L/T edge predictors."""
+    import numpy as np
+
+    from scanner_spark.kernels import webp as W
+
+    w, h = 4, 4
+    img = np.zeros((h, w, 4), dtype=np.int64)  # target ARGB
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (255, 10 * y + x, 20 + y, 5 * x)
+    # forward predictor: mode 2 (T) for interior; spec edge rules
+    res = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0])
+            elif y == 0:
+                pred = img[0, x - 1]
+            elif x == 0:
+                pred = img[y - 1, 0]
+            else:
+                pred = img[y - 1, x]
+            res[y, x] = (img[y, x] - pred) % 256
+    wtr = W._LsbWriter()
+    wtr.u(w - 1, 14); wtr.u(h - 1, 14); wtr.u(0, 1); wtr.u(0, 3)
+    wtr.u(1, 1); wtr.u(0, 2)  # PREDICTOR transform
+    wtr.u(0, 3)  # size_bits - 2 = 0 -> 4x4 blocks -> 1x1 sub-image
+    # sub-image pixel: green channel = mode 2
+    def emit_image(pixels_argb):
+        books = {}
+        for key, size, comp in (("g", 280, 2), ("r", 256, 1), ("b", 256, 3), ("a", 256, 0)):
+            vals = sorted({p[comp] for p in pixels_argb})
+            ln = [0] * size
+            if len(vals) == 1:
+                ln[vals[0]] = 1
+                W._write_code_lengths(wtr, ln)
+                books[key] = {vals[0]: (0, 0)}
+            else:
+                L = (len(vals) - 1).bit_length()
+                for v in vals:
+                    ln[v] = L
+                W._write_code_lengths(wtr, ln)
+                books[key] = W._canonical_codes(ln)
+        dlen = [0] * 40
+        dlen[0] = 1
+        W._write_code_lengths(wtr, dlen)
+        for p in pixels_argb:
+            _emit_code(wtr, books["g"], p[2])
+            _emit_code(wtr, books["r"], p[1])
+            _emit_code(wtr, books["b"], p[3])
+            _emit_code(wtr, books["a"], p[0])
+    wtr.u(0, 1)  # sub-image: no color cache
+    emit_image([(255, 0, 2, 0)])  # mode 2
+    wtr.u(0, 1)  # no more transforms
+    wtr.u(0, 1)  # main: no cache
+    wtr.u(0, 1)  # no entropy image
+    emit_image([tuple(int(v) for v in res[y, x]) for y in range(h) for x in range(w)])
+    out = W.decode_webp(_vp8l_container(bytes([0x2F]) + wtr.bytes()))
+    want = img[:, :, [1, 2, 3, 0]].astype(np.uint8)  # ARGB -> RGBA
+    assert np.array_equal(out, want)
