@@ -20,9 +20,15 @@ Decoder scope (WebP Lossless Bitstream Specification, public):
 
 Encoder scope (non-normative side): a deliberately simple but LEGAL
 subset — no transforms, no entropy image, no color cache, literal-only
-(no LZ77), one prefix-code group built from per-channel histograms.  Any
-conformant VP8L decoder reads it; the in-repo decoder round-trips it
-byte-exactly (pinned in tests/test_kernels.py).
+(no LZ77), one prefix-code group per image with FLAT (equal-length,
+complete) canonical codes per channel.  Any conformant VP8L decoder
+reads it; the in-repo decoder round-trips it byte-exactly (pinned in
+tests/test_kernels.py).  Flat codes make both directions vectorizable:
+the encoder packs all pixel codes with numpy bit scatter, and the
+decoder takes a numpy fast path whenever a stream has uniform-length
+channel codes and no transforms/cache/meta (every in-repo payload; a
+decoded LZ77/cache symbol falls back to the general per-symbol loop,
+which handles arbitrary external streams).
 
 Conformance posture (same as kernels/h264.py): no third-party WebP
 implementation exists in this environment to co-test against; the
@@ -82,6 +88,24 @@ class _LsbWriter:
             self.buf.append(self.acc & 0xFF)
             self.acc >>= 8
             self.nbits -= 8
+
+    def bits(self, arr: "np.ndarray") -> None:
+        """Append a uint8 0/1 bit array (stream order) — vectorized via
+        packbits; used by the flat-code literal emitter."""
+        if self.nbits:
+            pre = np.array(
+                [(self.acc >> i) & 1 for i in range(self.nbits)], dtype=np.uint8
+            )
+            arr = np.concatenate([pre, arr])
+            self.acc = 0
+            self.nbits = 0
+        packed = np.packbits(arr, bitorder="little")
+        nfull = len(arr) // 8
+        self.buf.extend(packed[:nfull].tobytes())
+        rem = len(arr) - nfull * 8
+        if rem:
+            self.acc = int(packed[nfull])
+            self.nbits = rem
 
     def bytes(self) -> bytes:
         out = bytearray(self.buf)
@@ -270,6 +294,10 @@ def _read_argb_image(br: _LsbReader, w: int, h: int,
         a = _read_prefix_code(br, 256)
         d = _read_prefix_code(br, 40)
         groups.append((g, r, b, a, d))
+    if cache_size == 0 and meta is None and n_groups == 1:
+        fast = _flat_literal_decode(br, groups[0], w, h)
+        if fast is not None:
+            return fast
     out = np.zeros(w * h, dtype=np.uint32)
     cache = [0] * cache_size
     pos = 0
@@ -314,6 +342,68 @@ def _read_argb_image(br: _LsbReader, w: int, h: int,
     img[:, :, 1] = (flat >> 16) & 0xFF
     img[:, :, 2] = (flat >> 8) & 0xFF
     img[:, :, 3] = flat & 0xFF
+    return img
+
+
+def _flat_dims(dec: _PrefixDecoder):
+    """(length, lut) for a decoder whose codes are ALL the same length
+    (lut maps code -> symbol), (0, sym) for single-symbol, None else."""
+    if dec.table is None:
+        return 0, dec.single
+    lens = {ln for ln, _ in dec.table}
+    if len(lens) != 1:
+        return None
+    L = lens.pop()
+    lut = np.full(1 << L, -1, dtype=np.int64)
+    for (_ln, code), sym in dec.table.items():
+        lut[code] = sym
+    return L, lut
+
+
+def _flat_literal_decode(br: _LsbReader, group, w: int, h: int):
+    """Vectorized decode of a literal-only stream with uniform-length
+    channel codes (the in-repo encoder's shape).  Returns None (without
+    consuming bits) when the stream doesn't fit — the general per-symbol
+    loop then handles it."""
+    gc, rc, bc, ac, _dc = group
+    dims = [_flat_dims(d) for d in (gc, rc, bc, ac)]
+    if any(d is None for d in dims):
+        return None
+    stride = sum(L for L, _ in dims)
+    npix = w * h
+    need = stride * npix
+    if stride == 0:
+        chans = [np.full(npix, lut, dtype=np.int64) for _L, lut in dims]
+    else:
+        if br.pos + need > len(br.data) * 8:
+            return None
+        bits = np.unpackbits(
+            np.frombuffer(br.data, dtype=np.uint8), bitorder="little"
+        )[br.pos : br.pos + need]
+        chans = []
+        base = 0
+        for L, lut in dims:
+            if L == 0:
+                chans.append(np.full(npix, lut, dtype=np.int64))
+                continue
+            codes = np.zeros(npix, dtype=np.int64)
+            for j in range(L):
+                codes = (codes << 1) | bits[base + j :: stride][:npix]
+            vals = lut[codes]
+            if (vals < 0).any():
+                return None
+            chans.append(vals)
+            base += L
+    g, r, b, a = chans
+    if (g >= 256).any():
+        return None  # LZ77/cache symbols present: general path
+    if stride:
+        br.pos += need
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[:, :, 0] = a.reshape(h, w)
+    img[:, :, 1] = r.reshape(h, w)
+    img[:, :, 2] = g.reshape(h, w)
+    img[:, :, 3] = b.reshape(h, w)
     return img
 
 
@@ -579,6 +669,8 @@ def _write_code_lengths(wtr: _LsbWriter, lengths: list[int]) -> None:
     for s in _KORDER:
         wtr.u(cl_lengths[s], 3)
     wtr.u(0, 1)  # no max_symbol shortcut
+    if sum(1 for c in cl_lengths if c) == 1:
+        return  # single-symbol code-length code: zero bits per length
     cl_codes = _canonical_codes(cl_lengths)
     for ln in lengths:
         code, n = cl_codes[ln]
@@ -657,42 +749,51 @@ def encode_webp(img: np.ndarray) -> bytes:
     b = rgba[:, :, 2].reshape(-1)
     a = rgba[:, :, 3].reshape(-1)
     green_size = 256 + 24  # no cache
-    codes = []
+    # FLAT complete canonical codes per channel: every used symbol (plus
+    # unused padding symbols up to 2^L, keeping the code COMPLETE for
+    # strict decoders) gets length L = ceil(log2(n_used)).  Uniform
+    # lengths are what makes both directions vectorizable.
+    per_chan = []  # (L, codemap array) per channel
     for chan, size in ((g, green_size), (r, 256), (b, 256), (a, 256)):
-        hist = [0] * size
-        vals, counts = np.unique(chan, return_counts=True)
-        for v, cnt in zip(vals.tolist(), counts.tolist()):
-            hist[v] = cnt
-        used = [s for s, cnt in enumerate(hist) if cnt]
+        used = np.unique(chan)
         if len(used) == 1:
-            # 1-symbol simple code: ZERO bits per literal (spec) — the
-            # codebook maps the symbol to an empty emission
+            # 1-symbol simple code: ZERO bits per literal (spec)
             lengths = [0] * size
-            lengths[used[0]] = 1
+            lengths[int(used[0])] = 1
             _write_code_lengths(wtr, lengths)
-            codes.append({used[0]: (0, 0)})
+            per_chan.append((0, None))
             continue
-        lengths = _build_lengths(hist, 15)
+        L = max(1, int(np.ceil(np.log2(len(used)))))
+        pad_needed = (1 << L) - len(used)
+        used_set = set(used.tolist())
+        pads = [s for s in range(size) if s not in used_set][:pad_needed]
+        lengths = [0] * size
+        for s in used.tolist() + pads:
+            lengths[s] = L
         _write_code_lengths(wtr, lengths)
-        codes.append(_canonical_codes(lengths))
+        codebook = _canonical_codes(lengths)
+        codemap = np.zeros(size, dtype=np.int64)
+        for s, (code, _n) in codebook.items():
+            codemap[s] = code
+        per_chan.append((L, codemap))
     # distance code: unused -> single-symbol simple code
     wtr.u(1, 1)
     wtr.u(0, 1)
     wtr.u(0, 1)
     wtr.u(0, 1)  # symbol 0, 1-bit form
-    dist_code = None
-    gcodes, rcodes, bcodes, acodes = codes
-
-    def emit(codebook, sym):
-        code, n = codebook[sym]
-        for i in range(n - 1, -1, -1):
-            wtr.u((code >> i) & 1, 1)
-
-    for i in range(w * h):
-        emit(gcodes, int(g[i]))
-        emit(rcodes, int(r[i]))
-        emit(bcodes, int(b[i]))
-        emit(acodes, int(a[i]))
+    stride = sum(L for L, _ in per_chan)
+    if stride:
+        npix = w * h
+        bitarr = np.zeros(npix * stride, dtype=np.uint8)
+        base = 0
+        for chan, (L, codemap) in zip((g, r, b, a), per_chan):
+            if L == 0:
+                continue
+            codes_px = codemap[chan.astype(np.int64)]
+            for j in range(L):
+                bitarr[base + j :: stride] = (codes_px >> (L - 1 - j)) & 1
+            base += L
+        wtr.bits(bitarr)
     payload = bytes([0x2F]) + wtr.bytes()
     vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
