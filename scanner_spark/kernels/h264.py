@@ -24,11 +24,11 @@ What is implemented, per the spec's clause numbers:
 - Intra prediction (§8.3): all four 16x16 luma modes (V/H/DC/Plane), all
   nine 4x4 luma modes, all four 8x8 chroma modes.
 - Inter prediction (§8.4.2): single-reference (num_ref_frames=1) motion
-  compensation; luma at INTEGER pel (the in-repo encoder only emits
-  integer-pel vectors — a documented constraint; fractional luma
-  positions raise NotImplementedError instead of interpolating with the
-  6-tap filter), chroma at full 1/8-pel bilinear per §8.4.2.2.2 (integer
-  luma vectors land chroma on 0 or 1/2 positions).
+  compensation at FULL QUARTER-pel luma precision — 6-tap half-pel FIR
+  with the (+16)>>5 / two-stage (+512)>>10 rounding and the Table 8-12
+  quarter-pel averages — and full 1/8-pel bilinear chroma per
+  §8.4.2.2.2.  The encoder refines its integer search to half then
+  quarter pel through the same interpolator.
 - CAVLC residual (§9.2): coeff_token (Table 9-5 incl. the chroma-DC nC=-1
   column), trailing-one signs, adaptive-suffix level decoding,
   total_zeros (Tables 9-7/9-8/9-9a) and run_before (Table 9-10).
@@ -1185,29 +1185,89 @@ class _FrameState:
         return int(min(a, b))
 
 
+def _tap6(p0, p1, p2, p3, p4, p5):
+    """The spec's 6-tap FIR (1, -5, 20, 20, -5, 1) — unrounded."""
+    return p0 - 5 * p1 + 20 * p2 + 20 * p3 - 5 * p4 + p5
+
+
 def mc_luma(ref_y: np.ndarray, oy: int, ox: int, mv) -> np.ndarray:
-    """16x16 luma motion compensation at INTEGER pel (§8.4.2.2.1 with
-    zero fraction; reference coords edge-clamped per spec).  Fractional
-    luma vectors raise — the in-repo encoder never emits them (documented
-    constraint, module docstring)."""
+    """16x16 luma motion compensation at full QUARTER-pel precision
+    (§8.4.2.2.1): integer fast path; half-pel via the 6-tap FIR with
+    (+16)>>5 rounding (center position j via the two-stage unrounded
+    filter and (+512)>>10); quarter positions as the spec's +1>>1
+    averages (Table 8-12).  Reference coords edge-clamped per spec."""
     mvx, mvy = int(mv[0]), int(mv[1])
-    if mvx % 4 or mvy % 4:
-        raise NotImplementedError(
-            f"fractional-pel luma motion vector ({mvx}, {mvy})/4: the "
-            "6-tap half/quarter-pel interpolator is not implemented "
-            "(in-repo streams are integer-pel by encoder constraint)"
-        )
+    xi, xf = mvx >> 2, mvx & 3
+    yi, yf = mvy >> 2, mvy & 3
     H_, W_ = ref_y.shape
-    rows = np.clip(np.arange(oy + mvy // 4, oy + mvy // 4 + 16), 0, H_ - 1)
-    cols = np.clip(np.arange(ox + mvx // 4, ox + mvx // 4 + 16), 0, W_ - 1)
-    return ref_y[np.ix_(rows, cols)]
+    if xf == 0 and yf == 0:
+        rows = np.clip(np.arange(oy + yi, oy + yi + 16), 0, H_ - 1)
+        cols = np.clip(np.arange(ox + xi, ox + xi + 16), 0, W_ - 1)
+        return ref_y[np.ix_(rows, cols)]
+    # padded window: integer grid from -2 to +18 around the target block
+    rows = np.clip(np.arange(oy + yi - 2, oy + yi + 19), 0, H_ - 1)
+    cols = np.clip(np.arange(ox + xi - 2, ox + xi + 19), 0, W_ - 1)
+    P = ref_y[np.ix_(rows, cols)].astype(np.int64)  # 21 x 21; G(y,x)=P[y+2,x+2]
+
+    def clip1(v):
+        return np.clip(v, 0, 255)
+
+    G = P[2:18, 2:18]
+    Hn = P[2:18, 3:19]   # integer right neighbour
+    M = P[3:19, 2:18]    # integer below neighbour
+    # horizontal 6-tap, unrounded: b1[r, x] over all 21 window rows
+    b1 = _tap6(P[:, 0:16], P[:, 1:17], P[:, 2:18], P[:, 3:19],
+               P[:, 4:20], P[:, 5:21])  # b1[r, x], x in 0..15
+    b = clip1((b1[2:18, :] + 16) >> 5)          # half right of G
+    s = clip1((b1[3:19, :] + 16) >> 5)          # b shifted one row down
+    # vertical 6-tap, unrounded: h1[y, c] over all 21 window cols
+    h1 = _tap6(P[0:16, :], P[1:17, :], P[2:18, :], P[3:19, :],
+               P[4:20, :], P[5:21, :])  # h1[y, c], y in 0..15
+    h = clip1((h1[:, 2:18] + 16) >> 5)          # half below G
+    m = clip1((h1[:, 3:19] + 16) >> 5)          # h shifted one col right
+    # center j: vertical 6-tap over unrounded horizontal values
+    j1 = _tap6(b1[0:16, :], b1[1:17, :], b1[2:18, :], b1[3:19, :],
+               b1[4:20, :], b1[5:21, :])
+    j = clip1((j1 + 512) >> 10)
+    pos = (xf, yf)
+    if pos == (2, 0):
+        return b
+    if pos == (0, 2):
+        return h
+    if pos == (2, 2):
+        return j
+    if pos == (1, 0):
+        return (G + b + 1) >> 1
+    if pos == (3, 0):
+        return (Hn + b + 1) >> 1
+    if pos == (0, 1):
+        return (G + h + 1) >> 1
+    if pos == (0, 3):
+        return (M + h + 1) >> 1
+    if pos == (1, 1):
+        return (b + h + 1) >> 1
+    if pos == (3, 1):
+        return (b + m + 1) >> 1
+    if pos == (1, 3):
+        return (h + s + 1) >> 1
+    if pos == (3, 3):
+        return (m + s + 1) >> 1
+    if pos == (2, 1):
+        return (b + j + 1) >> 1
+    if pos == (1, 2):
+        return (h + j + 1) >> 1
+    if pos == (2, 3):
+        return (j + s + 1) >> 1
+    if pos == (3, 2):
+        return (j + m + 1) >> 1
+    raise AssertionError(f"unreachable fraction {pos}")
 
 
 def mc_chroma(ref_c: np.ndarray, cy: int, cx: int, mv) -> np.ndarray:
     """8x8 chroma motion compensation, full 1/8-pel bilinear
     (§8.4.2.2.2): the chroma vector IS the luma vector reinterpreted in
-    eighth-pel chroma units, so integer-pel luma lands chroma on 0 or
-    1/2 positions.  Reference coords edge-clamped."""
+    eighth-pel chroma units (any luma fraction maps to a legal 1/8
+    chroma position).  Reference coords edge-clamped."""
     mvx, mvy = int(mv[0]), int(mv[1])
     xi, xf = mvx >> 3, mvx & 7
     yi, yf = mvy >> 3, mvy & 7
@@ -1888,9 +1948,10 @@ def encode_slice(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 
 
 def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
-                   search: int) -> np.ndarray:
-    """Integer-pel full search +-search px; returns quarter-pel mv.
-    Ties break toward (0,0)-closest then raster order — deterministic."""
+                   search: int, subpel: bool = True) -> np.ndarray:
+    """Integer-pel full search +-search px, then half- and quarter-pel
+    refinement through the normative interpolator; returns quarter-pel
+    mv.  Ties break toward (0,0)-closest then raster order."""
     H_, W_ = ref_y.shape
     best = (1 << 60, 0, np.zeros(2, dtype=np.int64))
     for dy in range(-search, search + 1):
@@ -1907,7 +1968,24 @@ def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
             bias = abs(dx) + abs(dy)
             if (sad, bias) < (best[0], best[1]):
                 best = (sad, bias, np.array([4 * dx, 4 * dy], dtype=np.int64))
-    return best[2]
+    if not subpel:
+        return best[2]
+    # half- then quarter-pel refinement around the integer winner, SAD
+    # through the same §8.4.2.2.1 interpolation the decoder runs
+    sad_best, _, mv = best[0], best[1], best[2].copy()
+    for step in (2, 1):
+        improved = True
+        while improved:
+            improved = False
+            for dy in (-step, 0, step):
+                for dx in (-step, 0, step):
+                    if dx == 0 and dy == 0:
+                        continue
+                    cand = mv + (dx, dy)
+                    sad = int(np.abs(src - mc_luma(ref_y, oy, ox, cand)).sum())
+                    if sad < sad_best:
+                        sad_best, mv, improved = sad, cand, True
+    return mv
 
 
 def _inter_residuals(ref: _FrameState, src: np.ndarray,
@@ -2044,8 +2122,8 @@ def encode_slice_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         mbx, mby = mb % mbw, mb // mbw
         oy, ox = mby * 16, mbx * 16
         src = ysrc[oy : oy + 16, ox : ox + 16]
-        # P_Skip trial: the skip vector is a median of integer-pel
-        # vectors, hence integer-pel itself
+        # P_Skip trial: motion-compensate at the derived skip vector
+        # (quarter-pel; the interpolator handles any fraction)
         mv_skip = st.skip_mv(mbx, mby)
         cbp_s, lz_s, comps_s, p16_s = _inter_residuals(
             ref, src, cb, cr, oy, ox, mv_skip, qp

@@ -48,6 +48,39 @@ INDEX_SCHEMA = (
     "height int, width int, channels int, gop int"
 )
 
+# ---------------------------------------------------------------------------
+# storage openers: scheme -> open(path, "rb") factory.  The reference
+# reads via storehouse's posix/GCS/S3 backends (python/scannerpy/
+# source.py:24-37); here every read in ingest and decode goes through
+# this registry, so an object-store client slots in per scheme without
+# touching the planner.  The contract is the minimal seekable reader the
+# byte-counting tests pin: .read(n), .seek(pos[, whence]), .tell(),
+# context manager.  For s3://-style stores, implement read(n) as a
+# range GET from the current position — decode tasks only ever do
+# (sniff, moov walk, one GOP window) reads, so each task costs a handful
+# of range requests regardless of object size.
+# ---------------------------------------------------------------------------
+
+_OPENERS: dict[str, object] = {"": open, "file": open}
+
+
+def register_opener(scheme: str, opener) -> None:
+    """Register ``opener(path, mode)`` for ``scheme://`` paths (executors
+    must also register it — do so at module import in your job, or ship
+    it via a broadcast-friendly module)."""
+    _OPENERS[scheme] = opener
+
+
+def opener_for(path: str):
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    try:
+        return _OPENERS[scheme]
+    except KeyError:
+        raise ValueError(
+            f"no storage opener registered for scheme {scheme!r} "
+            f"(register_opener); known: {sorted(_OPENERS)}"
+        ) from None
+
 
 def ingest_videos(
     spark: SparkSession, db: Database, paths: Sequence[str]
@@ -65,7 +98,7 @@ def ingest_videos(
         for pdf in batches:
             rows = []
             for path in pdf["video_path"]:
-                with open(path, "rb") as f:
+                with opener_for(path)(path, "rb") as f:
                     buf = f.read()
                 container = mp4 if mp4.is_mp4(buf) else svf
                 meta, entries = container.parse_index(buf)
@@ -174,7 +207,7 @@ def decode_gop_task(
     meta: dict,
     wanted: set[int],
     mp4_index_cache: dict | None = None,
-    opener=open,
+    opener=None,
 ) -> dict[int, np.ndarray]:
     """One GOP decode task: bounded byte-range reads only (the 100 TB
     contract — an object-store range GET per GOP, never the whole file).
@@ -182,8 +215,12 @@ def decode_gop_task(
     Reads: an 8-byte container sniff, the moov box once per mp4 file
     (header boxes walked with seeks, mdat skipped — ``mp4.read_moov``),
     and the GOP payload window [keyframe_offset, read_end).  ``opener``
-    is injectable so tests can count bytes read (test_video.py asserts
-    reads <= GOP spans + index bytes)."""
+    defaults to the scheme registry (``register_opener`` — the
+    storehouse-analog cloud hook) and is injectable so tests can count
+    bytes read (test_video.py asserts reads <= GOP spans + index
+    bytes)."""
+    if opener is None:
+        opener = opener_for(path)
     if mp4_index_cache is None:
         mp4_index_cache = {}
     with opener(path, "rb") as f:

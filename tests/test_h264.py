@@ -456,3 +456,61 @@ def test_mv_pred_and_skip_rules():
     st.mb_inter[0, 2] = True  # above-right of (1,1)
     st.mv[0, 2] = (16, 8)
     assert (st.mv_pred(1, 1) == (8, 8)).all()  # median(8,4,16),(4,12,8)
+
+
+def test_mc_luma_quarter_pel_exact_on_affine_ramp():
+    """The 6-tap (1,-5,20,20,-5,1)/32 interpolator reproduces affine
+    functions exactly, so half- and quarter-pel MC of a ramp must equal
+    the analytically shifted ramp (away from the clamped borders)."""
+    h, w = 32, 32
+    ref = (np.add.outer(np.arange(h) * 4, np.arange(w) * 2)).astype(np.int64)
+    for mvx, mvy in [(2, 0), (0, 2), (2, 2), (1, 0), (3, 0), (0, 1), (0, 3),
+                     (1, 1), (3, 3), (2, 1), (1, 2), (6, 2), (-2, 4)]:
+        out = H.mc_luma(ref, 8, 8, (mvx, mvy))
+        # expected: ramp evaluated at x + mvx/4, y + mvy/4 (interior)
+        ys = np.arange(8, 24)[:, None] + mvy / 4.0
+        xs = np.arange(8, 24)[None, :] + mvx / 4.0
+        expect = 4 * ys + 2 * xs
+        interior = np.s_[2:14, 2:14]
+        got = np.asarray(out, dtype=np.float64)[interior]
+        # quarter averages add at most 0.5 of rounding; halves are exact
+        assert np.abs(got - expect[interior]).max() <= 0.5, (mvx, mvy)
+
+
+def test_p_half_pel_scene_uses_subpel_and_round_trips():
+    """A true half-pel horizontal shift: the encoder's sub-pel refinement
+    must beat integer search (smaller NAL than integer-only) and the
+    decode must reproduce the encoder reconstruction chain."""
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (32, 48), dtype=np.uint8).astype(np.float64)
+    # low-pass the noise so half-pel interpolation can model the shift
+    k = np.array([1, 4, 6, 4, 1], dtype=np.float64) / 16
+    for ax in (0, 1):
+        base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), ax, base)
+    f0 = np.clip(np.round(base), 0, 255).astype(np.uint8)
+    shifted = 0.5 * (base + np.roll(base, 1, axis=1))
+    f1 = np.clip(np.round(shifted), 0, 255).astype(np.uint8)
+    cbp = np.full((16, 24), 128, np.uint8)
+    yuv = [(f0, cbp, cbp), (f1, cbp, cbp)]
+    nals = H.encode_stream(yuv, gop=8, qp=10)
+    sps = H.parse_sps(H.write_sps(48, 32))
+    pps = H.parse_pps(H.write_pps(10))
+    (y0, _, _), st0 = H.decode_frame(nals[0][0], sps, pps, return_state=True)
+    (y1, _, _), _ = H.decode_frame(nals[1][0], sps, pps, ref=st0, return_state=True)
+    assert np.abs(y1[4:-4, 4:-4].astype(int) - f1[4:-4, 4:-4].astype(int)).mean() < 3.0
+    # integer-only encoder on the same pair must need more bits
+    int_nals = []
+    yp, cbp_, crp = H.pad_planes(*yuv[0])
+    _rb, st = H.encode_slice(yp, cbp_, crp, qp=10)
+    yp, cbp_, crp = H.pad_planes(*yuv[1])
+    import scanner_spark.kernels.h264 as h264mod
+    orig = h264mod._motion_search
+    try:
+        h264mod._motion_search = lambda r, s, oy, ox, se, subpel=True: orig(
+            r, s, oy, ox, se, subpel=False
+        )
+        rb_int, _ = H.encode_slice_p(yp, cbp_, crp, st, qp=10)
+    finally:
+        h264mod._motion_search = orig
+    rb_sub = nals[1][0]
+    assert len(rb_sub) < len(rb_int)

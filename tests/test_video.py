@@ -449,3 +449,47 @@ def test_decode_gop_task_reads_only_sample_span_mp4(tmp_path):
         f"read {opener.bytes_read}; moov={moov_size} sample={e.size}"
     )
     assert opener.bytes_read < len(whole) // 2
+
+
+def test_storage_opener_registry(tmp_path):
+    """Scheme-keyed openers (the storehouse-analog cloud hook): a custom
+    scheme serves decode_gop_task through the same bounded-read contract;
+    unknown schemes fail loudly."""
+    import io
+
+    import pytest as _pytest
+
+    from scanner_spark.sources.video import (
+        decode_gop_task, opener_for, register_opener,
+    )
+
+    p = str(tmp_path / "v.svf")
+    frames = make_video(p, 1)
+    blob = open(p, "rb").read()
+    reads = []
+
+    class MemFile(io.BytesIO):
+        def read(self, n=-1):
+            data = super().read(n)
+            reads.append(len(data))
+            return data
+
+    def mem_opener(path, mode="rb"):
+        assert path.startswith("mem://")
+        return MemFile(blob)
+
+    register_opener("mem", mem_opener)
+    assert opener_for("mem://bucket/v.svf") is mem_opener
+    assert opener_for(p) is open  # schemeless -> local
+    with _pytest.raises(ValueError, match="no storage opener"):
+        opener_for("s3://bucket/key")
+
+    meta, entries = svf.parse_index(blob)
+    kf = entries[8]
+    read_end = entries[10].offset + entries[10].size
+    out = decode_gop_task(
+        "mem://bucket/v.svf", kf.offset, read_end,
+        {"height": H, "width": W, "channels": C}, {10},
+    )
+    assert (out[10] == frames[10]).all()
+    assert sum(reads) <= 8 + (read_end - kf.offset)  # still bounded
