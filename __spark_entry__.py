@@ -1009,6 +1009,26 @@ FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.id < b.id
 WHERE {cos} >= {Q.COSINE_THRESHOLD}
 """,
         "emb_knn_lsh": _knn_lsh_sql(),
+        # IVF ANN: the coarse quantizer is the SAME deterministic rounded
+        # Lloyd contract as cluster.kmeans (simsearch.ivf_index docstring),
+        # so its unroll reuses _kmeans_sql (nlist=8 cells, 2 iterations);
+        # probes = the 3 cells nearest the query, candidates brute-scored.
+        "emb_knn_ivf": _kmeans_sql(8, Q.EMB_DIM, 2) + f""",
+q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+probes AS (
+  SELECT c.cid
+  FROM cents2 c CROSS JOIN q
+  ORDER BY list_sum(list_transform(generate_series(1, len(q.qv)),
+           i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))), c.cid
+  LIMIT 3
+)
+SELECT e.vec_id AS id,
+       round(list_dot_product(e.v, q.qv) /
+             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM ev e JOIN final f ON e.vec_id = f.vec_id CROSS JOIN q
+WHERE f.cid IN (SELECT cid FROM probes)
+ORDER BY score DESC, id LIMIT {Q.KNN_K}
+""",
         # star-pair graph (pairs_mode='star' in cosine_dup_pairs): exact-dup
         # groups star to their min-id representative; each (label, bucket)
         # emits only (anchor=min rep, member rep) edges that pass the cosine

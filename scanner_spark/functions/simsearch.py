@@ -139,6 +139,22 @@ def assign_cells(vec_col, centroids: list[list[float]]):
     return cell(vec_col)
 
 
+def _cell_expr(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid id as a JVM expression: lexicographic struct min
+    over (sequential-fold sqdist, cid) — bit-reproducible by any engine
+    that sums the term list left-to-right (the contract
+    ``cluster.assign`` and its DuckDB oracle already share)."""
+    from scanner_spark.functions.cluster import sqdist_to
+
+    cands = F.array(
+        *[
+            F.struct(sqdist_to(vec_col, c).alias("dist"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(cands)["cid"]
+
+
 def ivf_index(
     df: DataFrame,
     nlist: int = 16,
@@ -150,10 +166,15 @@ def ivf_index(
     assignment — the inverted-file ANN scale path (write parquet
     partitioned by ``cell`` and probes prune partitions).
 
-    Deterministic: seeds are the ``nlist`` lowest-id vectors; each Lloyd
-    iteration reassigns (vectorized matmul UDF) and recomputes means via
-    one groupBy on (cell, dim) — only nlist x dim floats ever reach the
-    driver.  Returns (df + ``cell`` column, centroids)."""
+    Deterministic, cross-engine-reproducible (the same contract as
+    ``cluster.kmeans``): seeds are the ``nlist`` lowest-id vectors,
+    assignment is the sequential-fold sqdist argmin (``_cell_expr``), and
+    each Lloyd iteration recomputes means via one groupBy on (cell, dim)
+    ROUNDED to 6 decimals — so a SQL twin unrolling the same iterations
+    hash-matches bit for bit.  Only nlist x dim floats ever reach the
+    driver.  (``assign_cells``' matmul UDF remains the thousands-of-cells
+    path where a literal struct array would bloat the plan.)  Returns
+    (df + ``cell`` column, centroids)."""
     seeds = (
         df.orderBy(id_col)
         .limit(nlist)
@@ -162,11 +183,11 @@ def ivf_index(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
     for _ in range(iters):
-        assigned = df.withColumn("cell", assign_cells(F.col(vec_col), centroids))
+        assigned = df.withColumn("cell", _cell_expr(F.col(vec_col), centroids))
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("ms"))
             .collect()
@@ -175,7 +196,7 @@ def ivf_index(
         for r in means:
             new_c[r["cell"]] = [float(s["m"]) for s in r["ms"]]
         centroids = new_c
-    return df.withColumn("cell", assign_cells(F.col(vec_col), centroids)), centroids
+    return df.withColumn("cell", _cell_expr(F.col(vec_col), centroids)), centroids
 
 
 def knn_ivf(

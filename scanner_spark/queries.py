@@ -1207,8 +1207,10 @@ def q_frame_optical_flow(spark, sf_dir):
 
 def q_emb_knn_ivf(spark, sf_dir):
     """IVF-style ANN: probe the nearest coarse-quantizer cells only (the
-    inverted-file scale path; rows-only check — k-means training isn't
-    ANSI-SQL).  Recall vs knn_brute is pinned by tests."""
+    inverted-file scale path).  The coarse quantizer follows the same
+    rounded-Lloyd determinism contract as cluster.kmeans, so the DuckDB
+    oracle unrolls the identical 2-iteration training and hash-matches
+    the probed top-k.  Recall vs knn_brute is pinned by tests."""
     ship(spark)
     e = read_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1775,9 +1777,12 @@ QUERIES = {
     # regardless of position stays hash-checked locally by
     # tests/test_entry_parity.py.
     # ------------------------------------------------------------------
-    # --- never driver-checked r1-r5 (rows-only, no ANSI-SQL oracle):
-    # 10 entries — frame kernels, pruned video decode, image decode,
-    # IVF/PQ ANN, rolling fingerprint
+    # --- never driver-checked r1-r5: 10 entries — frame kernels, pruned
+    # video decode, image decode, IVF/PQ ANN, rolling fingerprint.
+    # Round 6 upgraded two of them to full value-hash oracles
+    # (doc_rolling_fingerprint: HUGEINT Horner; emb_knn_ivf: rounded-
+    # Lloyd unroll); the rest stay rows-only (codec/PQ training not
+    # ANSI-SQL-expressible).
     "frame_histogram": q_frame_histogram,
     "frame_resize": q_frame_resize,
     "frame_blur": q_frame_blur,
