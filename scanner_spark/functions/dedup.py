@@ -793,19 +793,21 @@ def cosine_dup_pairs(
     # persist (not eager localCheckpoint): materialization happens on first
     # action, and partitions stay recomputable from lineage if an executor
     # dies — checkpointed blocks would not be
-    reps = track(
-        base.groupBy(*key_names, "v", "n2").agg(
-            F.min("id").alias("rid"), F.collect_list("id").alias("ids")
-        )
+    reps = base.groupBy(*key_names, "v", "n2").agg(
+        F.min("id").alias("rid"), F.collect_list("id").alias("ids")
     )
 
     if pairs_mode == "star":
         from pyspark.sql import Window
 
-        # anchor = min representative id per bucket (one window shuffle on
-        # the bucket keys; the join below reuses that partitioning)
-        tagged = reps.withColumn(
-            "__anchor", F.min("rid").over(Window.partitionBy(*key_names))
+        # anchor = min representative id per bucket; persist AFTER the
+        # window so the anchors and members branches share one computed
+        # result instead of re-running the groupBy+window each (.explain
+        # showed the un-persisted form shuffling reps twice)
+        tagged = track(
+            reps.withColumn(
+                "__anchor", F.min("rid").over(Window.partitionBy(*key_names))
+            )
         )
         anchors = tagged.filter(F.col("rid") == F.col("__anchor")).select(
             *key_names, F.col("v").alias("va"), F.col("n2").alias("n2a"),
@@ -832,9 +834,10 @@ def cosine_dup_pairs(
             )
         )
         # exact-duplicate groups: star to the group representative (m-1
-        # edges, identical-vector cosine via the same n2 float path)
+        # edges, identical-vector cosine via the same n2 float path) —
+        # reads the SAME persisted tagged result as the join branches
         intra = (
-            reps.filter(F.size("ids") > 1)
+            tagged.filter(F.size("ids") > 1)
             .withColumn(
                 "cosine",
                 F.round(F.col("n2") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("n2"))), 6),
@@ -845,6 +848,7 @@ def cosine_dup_pairs(
         )
         return cross.unionByName(intra)
 
+    reps = track(reps)
     a, b = reps.alias("a"), reps.alias("b")
     cond = F.col("a.rid") < F.col("b.rid")
     for kcol in key_names:
