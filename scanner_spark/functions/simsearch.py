@@ -212,10 +212,17 @@ def knn_ivf(
     centroids are nearest the query, brute-force only inside them.
     Output: (id, score)."""
     indexed, centroids = ivf_index(df, nlist, vec_col=vec_col, id_col=id_col)
-    q = np.asarray(query, dtype="float64")
-    C = np.asarray(centroids, dtype="float64")
-    d2 = ((C - q[None, :]) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    # probe ranking uses the same sequential left-to-right fold as the SQL
+    # twin's list_sum(list_transform(...)) — numpy's pairwise summation can
+    # pick a different probe set on near-tied cell distances (ADVICE r06)
+    qf = [float(x) for x in query]
+    d2 = []
+    for c in centroids:
+        acc = 0.0
+        for qi, ci in zip(qf, c):
+            acc += (qi - ci) * (qi - ci)
+        d2.append(acc)
+    probes = sorted(range(len(d2)), key=lambda i: (d2[i], i))[:nprobe]
     cand = indexed.filter(F.col("cell").isin(probes))
     return knn_brute(cand, query, k, vec_col, id_col)
 

@@ -227,8 +227,11 @@ def decode_gif(data: bytes) -> np.ndarray:
             # the header's bg index; black without a GCT), transparent
             # pixels (GCE flag) leave the canvas showing through.  Output
             # dims always == the header's logical screen (sw, sh).
+            # the logical-screen background_color_index refers to the GLOBAL
+            # color table (GIF89a §18) — not the frame's active (possibly
+            # local) table
             bg_rgb = (
-                ct[min(bg, len(ct) - 1)]
+                gct[min(bg, len(gct) - 1)]
                 if gct is not None
                 else np.zeros(3, dtype=np.uint8)
             )

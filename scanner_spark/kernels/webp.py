@@ -470,7 +470,11 @@ def _inv_predictor(img: np.ndarray, pred_img: np.ndarray, sb: int) -> np.ndarray
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:  # ClampAddSubtractHalf
                     ave = _avg2(L, T)
-                    pred = np.clip(ave + (ave - TL) // 2, 0, 255)
+                    # the spec's correction is C division (truncate toward
+                    # zero), not floor division — they differ for ave < TL
+                    # with an odd gap
+                    d = ave - TL
+                    pred = np.clip(ave + np.sign(d) * (np.abs(d) // 2), 0, 255)
                 else:
                     raise ValueError(f"invalid predictor mode {mode}")
             out[y, x] = (out[y, x] + pred) & 0xFF
@@ -532,8 +536,12 @@ def _inv_color_indexing(img: np.ndarray, palette: np.ndarray, w_full: int) -> np
         for k in range(ppb):
             idx[:, k::ppb] = (packed >> (k * bits)) & ((1 << bits) - 1)
         idx = idx[:, :w_full]
-    idx = np.clip(idx, 0, n_colors - 1)
-    return palette[idx]
+    # spec: indices >= color_table_size decode as 0x00000000 (transparent
+    # black), not a clamp to the last entry
+    oob = idx >= n_colors
+    out = palette[np.clip(idx, 0, n_colors - 1)]
+    out[oob] = 0
+    return out
 
 
 # ---------------------------------------------------------------------------

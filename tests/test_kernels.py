@@ -1052,3 +1052,126 @@ def test_webp_decodes_predictor_transform():
     out = W.decode_webp(_vp8l_container(bytes([0x2F]) + wtr.bytes()))
     want = img[:, :, [1, 2, 3, 0]].astype(np.uint8)  # ARGB -> RGBA
     assert np.array_equal(out, want)
+
+
+def test_webp_color_indexing_oob_decodes_transparent_black():
+    """VP8L spec: a palette index >= color_table_size decodes as
+    0x00000000 (transparent black), not a clamp to the last entry
+    (ADVICE r06)."""
+    import numpy as np
+
+    from scanner_spark.kernels import webp as W
+
+    rng = np.random.default_rng(7)
+    palette = rng.integers(0, 256, size=(20, 4), dtype=np.int64)  # ARGB rows
+    img = np.zeros((1, 3, 4), dtype=np.int64)  # green channel carries idx
+    img[0, 0, 2] = 5
+    img[0, 1, 2] = 25  # out of range -> transparent black
+    img[0, 2, 2] = 19
+    out = W._inv_color_indexing(img, palette, w_full=3)
+    assert np.array_equal(out[0, 0], palette[5])
+    assert np.array_equal(out[0, 1], np.zeros(4, dtype=np.int64))
+    assert np.array_equal(out[0, 2], palette[19])
+
+
+def test_webp_predictor_clamp_half_truncates_toward_zero():
+    """Predictor mode 13 (ClampAddSubtractHalf) must apply the spec's C
+    division (truncate toward zero) to the (ave - TL) correction; floor
+    division is off by one whenever ave < TL with an odd gap (ADVICE
+    r06).  2x2 stream: the (1,1) pixel has ave=10, TL=13 -> pred must be
+    10 + trunc(-3/2) = 9, not 8."""
+    import numpy as np
+
+    from scanner_spark.kernels import webp as W
+
+    w, h = 2, 2
+    img = np.zeros((h, w, 4), dtype=np.int64)  # ARGB targets
+    img[0, 0] = (255, 13, 13, 13)  # TL
+    img[0, 1] = (255, 11, 11, 11)  # T
+    img[1, 0] = (255, 10, 10, 10)  # L
+    img[1, 1] = (255, 9, 9, 9)  # == mode-13 pred under truncation
+    res = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0])
+            elif y == 0:
+                pred = img[0, x - 1]
+            elif x == 0:
+                pred = img[y - 1, 0]
+            else:  # mode 13 with truncate-toward-zero
+                L, T, TL = img[y, x - 1], img[y - 1, x], img[y - 1, x - 1]
+                ave = (L + T) // 2
+                d = ave - TL
+                pred = np.clip(ave + np.sign(d) * (np.abs(d) // 2), 0, 255)
+            res[y, x] = (img[y, x] - pred) % 256
+    wtr = W._LsbWriter()
+    wtr.u(w - 1, 14); wtr.u(h - 1, 14); wtr.u(0, 1); wtr.u(0, 3)
+    wtr.u(1, 1); wtr.u(0, 2)  # PREDICTOR transform
+    wtr.u(0, 3)  # 4x4 blocks -> 1x1 sub-image
+
+    def emit_image(pixels_argb):
+        books = {}
+        for key, size, comp in (
+            ("g", 280, 2), ("r", 256, 1), ("b", 256, 3), ("a", 256, 0)
+        ):
+            vals = sorted({p[comp] for p in pixels_argb})
+            ln = [0] * size
+            if len(vals) == 1:
+                ln[vals[0]] = 1
+                W._write_code_lengths(wtr, ln)
+                books[key] = {vals[0]: (0, 0)}
+            else:
+                L = (len(vals) - 1).bit_length()
+                for v in vals:
+                    ln[v] = L
+                W._write_code_lengths(wtr, ln)
+                books[key] = W._canonical_codes(ln)
+        dlen = [0] * 40
+        dlen[0] = 1
+        W._write_code_lengths(wtr, dlen)
+        for p in pixels_argb:
+            _emit_code(wtr, books["g"], p[2])
+            _emit_code(wtr, books["r"], p[1])
+            _emit_code(wtr, books["b"], p[3])
+            _emit_code(wtr, books["a"], p[0])
+
+    wtr.u(0, 1)  # sub-image: no color cache
+    emit_image([(255, 0, 13, 0)])  # predictor mode 13
+    wtr.u(0, 1)  # no more transforms
+    wtr.u(0, 1)  # main: no cache
+    wtr.u(0, 1)  # no entropy image
+    emit_image([tuple(int(v) for v in res[y, x]) for y in range(h) for x in range(w)])
+    out = W.decode_webp(_vp8l_container(bytes([0x2F]) + wtr.bytes()))
+    want = img[:, :, [1, 2, 3, 0]].astype(np.uint8)  # ARGB -> RGBA
+    assert np.array_equal(out, want)
+
+
+def test_gif_background_uses_global_table_with_local_frame_table():
+    """The logical-screen background_color_index indexes the GLOBAL color
+    table even when the composited frame carries a LOCAL table (ADVICE
+    r06): the canvas outside the patch must be GCT[bg], not LCT[bg]."""
+    import struct as _s
+
+    import numpy as np
+
+    from scanner_spark.kernels.gif import _lzw_encode, decode_gif
+
+    gct = np.array([[1, 2, 3], [0, 0, 200], [7, 7, 7], [8, 8, 8]], np.uint8)
+    lct = np.array([[90, 0, 0], [0, 90, 0], [0, 0, 90], [90, 90, 90]], np.uint8)
+    patch_idx = np.array([[0, 2], [3, 1]])
+    raw = bytearray()
+    raw += b"GIF89a"
+    raw += _s.pack("<HHBBB", 6, 4, 0x80 | 0x01, 1, 0)  # 4-entry GCT, bg=1
+    raw += gct.tobytes()
+    # frame at (1,1) 2x2 with its own 4-entry LOCAL table
+    raw += _s.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0x80 | 0x01)
+    raw += lct.tobytes()
+    lzw = _lzw_encode(patch_idx.ravel().astype(np.int64), 2)
+    raw += bytes([2, len(lzw)]) + lzw + bytes([0, 0x3B])
+    out = decode_gif(bytes(raw))
+    assert out.shape == (4, 6, 3)
+    assert np.array_equal(out[0, 0], gct[1])  # background from the GCT
+    assert np.array_equal(out[3, 5], gct[1])
+    assert np.array_equal(out[1, 1], lct[0])  # patch from the local table
+    assert np.array_equal(out[2, 2], lct[1])
