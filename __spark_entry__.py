@@ -124,6 +124,128 @@ def _kmeans_sql(k: int, dim: int, iters: int) -> str:
     )
     return "WITH " + ",\n".join(parts)
 
+# --- frame-kernel oracles --------------------------------------------------
+# queries._doc_frames tiles each document's utf-8 bytes into a 16x16x3 pixel
+# grid and PNG round-trips pixel-exact, so decoded frame pixels ARE the tiled
+# text bytes: p[i] = byte(text)[(i mod len)] for i in 0..767.  Testdata text
+# is ASCII by construction (verified at all SFs), so ascii(substr(...)) is
+# the byte value.  Every kernel below stays on exact dyadic rationals before
+# its floor(+0.5) requantize, so the twins are exact integer arithmetic.
+
+_FRAME_H, _FRAME_W, _FRAME_C = 16, 16, 3
+_FRAME_N = _FRAME_H * _FRAME_W * _FRAME_C  # 768
+
+
+def _doc_pixels_sql() -> str:
+    """CTEs d (asset_id, tiled-source text) and pix (asset_id, p = the 768
+    tiled pixel bytes as a list) — the shared front of every frame-kernel
+    oracle."""
+    return f"""d AS (
+  SELECT doc_id AS asset_id, coalesce(nullif(text, ''), ' ') AS t FROM documents
+),
+pix AS (
+  SELECT asset_id,
+         list_transform(range(0, {_FRAME_N}),
+           i -> ascii(substr(t, CAST((i % length(t)) + 1 AS INTEGER), 1))) AS p
+  FROM d
+)"""
+
+
+def _wsum_sql(lst: str, n: int) -> str:
+    """Position-weighted byte sum sum((j+1) * lst[j]) as BIGINT."""
+    return (
+        f"CAST(list_sum(list_transform(range(0, {n}), "
+        f"j -> (j + 1) * {lst}[j + 1])) AS BIGINT)"
+    )
+
+
+def _blur_sql() -> str:
+    """3x3 [1,2,1]⊗[1,2,1]/16 Gaussian with BORDER_REFLECT_101 over the
+    tiled 16x16x3 grid; every output byte is (S+8)//16 exactly (the
+    separable float passes stay on exact sixteenths)."""
+    y, x, c = "(j // 48)", "((j // 3) % 16)", "(j % 3)"
+
+    def refl(e: str) -> str:  # reflect-101: -1 -> 1, 16 -> 14
+        return f"(CASE WHEN {e} < 0 THEN -({e}) WHEN {e} > 15 THEN 30 - ({e}) ELSE {e} END)"
+
+    terms = []
+    for dy, wy in ((-1, 1), (0, 2), (1, 1)):
+        for dx, wx in ((-1, 1), (0, 2), (1, 1)):
+            ry = refl(f"{y} + {dy}") if dy else y
+            rx = refl(f"{x} + {dx}") if dx else x
+            terms.append(f"{wy * wx} * p[({ry} * 16 + {rx}) * 3 + {c} + 1]")
+    s = " + ".join(terms)
+    return f"""WITH {_doc_pixels_sql()},
+bl AS (
+  SELECT asset_id,
+         list_transform(range(0, {_FRAME_N}), j -> ({s} + 8) // 16) AS b
+  FROM pix
+)
+SELECT asset_id, {_FRAME_H} AS height, {_FRAME_W} AS width,
+       CAST(list_sum(b) AS BIGINT) AS pix_sum,
+       {_wsum_sql('b', _FRAME_N)} AS pix_wsum
+FROM bl
+"""
+
+
+def _resize_sql() -> str:
+    """16x16 -> 8x4 bilinear with cv2 half-pixel centers: at these scale
+    factors both axis fracs are exactly 0.5, so each output byte is the
+    floor(+0.5) of a 4-neighbor average — (S+2)//4 in integers.  Source
+    rows are 2*dy, 2*dy+1; source cols are 4*dx+1, 4*dx+2."""
+    nh, nw = 8, 4
+    n = nh * nw * 3  # 96 output bytes; row stride nw*3 = 12
+    def src(yoff: int, xoff: int) -> str:
+        return (
+            f"p[(((j // 12) * 2 + {yoff}) * 16 + ((j // 3) % 4) * 4 + {xoff}) * 3"
+            f" + (j % 3) + 1]"
+        )
+    s = " + ".join(src(dy, dx) for dy in (0, 1) for dx in (1, 2))
+    return f"""WITH {_doc_pixels_sql()},
+rs AS (
+  SELECT asset_id,
+         list_transform(range(0, {n}), j -> ({s} + 2) // 4) AS rp
+  FROM pix
+)
+SELECT asset_id, {nh} AS height, {nw} AS width, {n} AS nbytes,
+       CAST(list_sum(rp) AS BIGINT) AS pix_sum,
+       {_wsum_sql('rp', n)} AS pix_wsum
+FROM rs
+"""
+
+
+def _histogram_sql() -> str:
+    """Per-channel 16-bin histogram of the tiled bytes: channel = i mod 3,
+    bin = byte // 16; a (channel, bin) grid left-join keeps the zero bins
+    the Spark side emits."""
+    return f"""WITH {_doc_pixels_sql()},
+hx AS (
+  SELECT asset_id, CAST(i % 3 AS INTEGER) AS channel,
+         CAST(p[CAST(i AS INTEGER) + 1] // 16 AS INTEGER) AS bin
+  FROM pix, range(0, {_FRAME_N}) r(i)
+),
+cnt AS (SELECT asset_id, channel, bin, COUNT(*) AS n FROM hx GROUP BY 1, 2, 3),
+grid AS (
+  SELECT asset_id, CAST(cc.c AS INTEGER) AS channel, CAST(bb.b AS INTEGER) AS bin
+  FROM d, range(0, 3) cc(c), range(0, 16) bb(b)
+)
+SELECT g.asset_id, g.channel, g.bin, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN cnt
+  ON g.asset_id = cnt.asset_id AND g.channel = cnt.channel AND g.bin = cnt.bin
+"""
+
+
+def _encode_png_sql() -> str:
+    """Round-trip twin: the Spark side re-decodes its own PNG and emits
+    checksums of the decoded pixels, which must equal the tiled bytes."""
+    return f"""WITH {_doc_pixels_sql()}
+SELECT asset_id, TRUE AS roundtrip_ok,
+       CAST(list_sum(p) AS BIGINT) AS pix_sum,
+       {_wsum_sql('p', _FRAME_N)} AS pix_wsum
+FROM pix
+"""
+
+
 # money aggregation mirrors queries._dec: DECIMAL(12,2) facts, DECIMAL(4,2)
 # rate factors, exact decimal sums cast to DOUBLE at the end
 _DP = (
@@ -1160,8 +1282,14 @@ SELECT doc_id,
   ) AS BIGINT) AS rolling_hash
 FROM documents
 """,
-        # multimodal_decode / frame_* / video_decode_pruned / knn_ivf /
-        # knn_pq: intentionally no oracle (LSH/IVF probing after k-means
-        # training and binary codec decode aren't ANSI-SQL-expressible) ->
+        # frame kernels: the tiled-text-byte construction (see the helper
+        # block above) makes the whole family exact-integer SQL
+        "frame_histogram": _histogram_sql(),
+        "frame_resize": _resize_sql(),
+        "frame_blur": _blur_sql(),
+        "frame_encode_png": _encode_png_sql(),
+        # multimodal_decode / frame_optical_flow / video_decode_pruned:
+        # intentionally no oracle (lossy JPEG + dense float optical-flow
+        # numerics and the mp4/avc1 decode path aren't ANSI-SQL-expressible) ->
         # the driver records its rows-only check for these.
     }

@@ -1277,6 +1277,26 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
+def _frame_checksum_udf():
+    """Integer checksums of a packed uint8 frame: plain and
+    position-weighted byte sums.  The frame-kernel numerics (bilinear
+    half-pixel resize, [1,2,1] separable Gaussian) land on exact dyadic
+    rationals before the floor(+0.5) requantize, so the DuckDB oracles
+    recompute both sums bit-exactly from closed-form integer formulas
+    over the tiled document bytes."""
+
+    @F.pandas_udf("struct<pix_sum:bigint,pix_wsum:bigint>")
+    def cks(frames: pd.Series) -> pd.DataFrame:
+        sums, wsums = [], []
+        for b in frames:
+            a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+            sums.append(int(a.sum()))
+            wsums.append(int((a * (np.arange(a.size) + 1)).sum()))
+        return pd.DataFrame({"pix_sum": sums, "pix_wsum": wsums})
+
+    return cks
+
+
 def _doc_frames(spark, sf_dir, h=16, w=16):
     """documents -> real PNG payloads -> really-decoded frames (shared by
     the frame kernel queries; every downstream kernel consumes genuinely
@@ -1291,7 +1311,14 @@ def _doc_frames(spark, sf_dir, h=16, w=16):
 def q_frame_histogram(spark, sf_dir):
     """Reference Histogram kernel (tests/test_ops.cpp:13-56) over decoded
     frames: per-channel 16-bin histograms via the op compiler's
-    elementwise path (rows-only check: fake codec upstream)."""
+    elementwise path, exploded to scalar (asset, channel, bin, n) rows.
+
+    Fully oracle-checked: ``text_to_png`` tiles the document's utf-8
+    bytes into the pixel grid and PNG round-trips pixel-exact, so the
+    DuckDB twin recomputes every bin count from the tiled bytes (ascii()
+    per position; testdata text is ASCII by construction).  The r6 driver
+    run showed array columns break the canonicalizer's sort/hash —
+    exploding to scalars is both the fix and what enables the oracle."""
     ship(spark)
     from scanner_spark.kernels.image import histogram_op
 
@@ -1303,17 +1330,18 @@ def q_frame_histogram(spark, sf_dir):
         "array<array<bigint>>",
     )
     return out.select(
-        "asset_id",
-        F.col("hist")[0].alias("hist_r"),
-        F.col("hist")[1].alias("hist_g"),
-        F.col("hist")[2].alias("hist_b"),
-    )
+        "asset_id", F.posexplode("hist").alias("channel", "bins")
+    ).select("asset_id", "channel", F.posexplode("bins").alias("bin", "n"))
 
 
 def q_frame_resize(spark, sf_dir):
     """Reference Resize kernel (tests/test_ops.cpp:114-170): 16x16 -> 8x4
     bilinear (cv2 half-pixel-center map), returning the packed frame
-    struct (rows-only)."""
+    struct.  Fully oracle-checked: the half-pixel map at these exact
+    scale factors makes every output pixel the floor(+0.5) of a
+    4-neighbor average — (S+2)//4 in integers — over the tiled document
+    bytes, so the DuckDB twin recomputes the byte-sum checksums
+    exactly."""
     ship(spark)
     from scanner_spark.kernels.image import make_resize_op
 
@@ -1325,18 +1353,31 @@ def q_frame_resize(spark, sf_dir):
         "resized",
         "struct<frame:binary,height:int,width:int,channels:int,dtype:string>",
     )
+    cks = _frame_checksum_udf()
     return out.select(
         "asset_id",
         F.col("resized.height").alias("height"),
         F.col("resized.width").alias("width"),
         F.length(F.col("resized.frame")).alias("nbytes"),
+        cks(F.col("resized.frame")).alias("c"),
+    ).select(
+        "asset_id",
+        "height",
+        "width",
+        "nbytes",
+        F.col("c.pix_sum").alias("pix_sum"),
+        F.col("c.pix_wsum").alias("pix_wsum"),
     )
 
 
 def q_frame_blur(spark, sf_dir):
     """Reference Blur kernel (tests/test_ops.cpp:239-310): 3x3 separable
-    Gaussian (cv2 tap table) over decoded frames; emits a per-frame md5 of
-    the blurred pixels so the rows-only check pins the numerics."""
+    Gaussian (cv2 tap table, BORDER_REFLECT_101) over decoded frames.
+    Fully oracle-checked: the [1,2,1]⊗[1,2,1]/16 convolution over uint8
+    stays on exact sixteenths, so every output byte is (S+8)//16 of the
+    9-neighbor weighted sum of tiled document bytes — the DuckDB twin
+    recomputes the checksums exactly (per-frame md5 stays pinned in
+    tests/test_kernels.py)."""
     ship(spark)
     from scanner_spark.kernels.image import make_blur_op
 
@@ -1348,11 +1389,18 @@ def q_frame_blur(spark, sf_dir):
         "blurred",
         "struct<frame:binary,height:int,width:int,channels:int,dtype:string>",
     )
+    cks = _frame_checksum_udf()
     return out.select(
         "asset_id",
         F.col("blurred.height").alias("height"),
         F.col("blurred.width").alias("width"),
-        F.md5(F.col("blurred.frame")).alias("frame_md5"),
+        cks(F.col("blurred.frame")).alias("c"),
+    ).select(
+        "asset_id",
+        "height",
+        "width",
+        F.col("c.pix_sum").alias("pix_sum"),
+        F.col("c.pix_wsum").alias("pix_wsum"),
     )
 
 
@@ -1386,7 +1434,15 @@ VIDEO_WANTED = [0, 13, 14, 39]
 def q_frame_encode_png(spark, sf_dir):
     """Reference ImageEncoder (util/image_encoder.cpp:112-117): frame ->
     PNG bytes (pure-numpy encoder; zlib is deterministic).  The shape
-    `Column.load()` uses to surface video frames as images (rows-only)."""
+    `Column.load()` uses to surface video frames as images.
+
+    Fully oracle-checked via round trip: the emitted PNG is decoded back
+    on the executor and compared byte-exactly to the input frame, and the
+    checksums are computed over the DECODED pixels — which must equal the
+    tiled document bytes the DuckDB twin recomputes.  Any encoder or
+    decoder defect flips ``roundtrip_ok`` or shifts a checksum, hash-
+    mismatching the oracle.  (Exact PNG byte lengths/md5 stay pinned in
+    tests/test_kernels.py — zlib output is not SQL-expressible.)"""
     ship(spark)
     from scanner_spark.kernels.image import image_encoder_op
 
@@ -1394,10 +1450,29 @@ def q_frame_encode_png(spark, sf_dir):
     out = image_encoder_op(
         frames, ["frame", "height", "width", "channels", "dtype"], "png", "binary"
     )
+
+    @F.pandas_udf("struct<roundtrip_ok:boolean,pix_sum:bigint,pix_wsum:bigint>")
+    def rt(png: pd.Series, orig: pd.Series) -> pd.DataFrame:
+        from scanner_spark.kernels.image import decode_png
+
+        oks, sums, wsums = [], [], []
+        for p, o in zip(png, orig):
+            img = decode_png(bytes(p))
+            a = img.reshape(-1).astype(np.int64)
+            oks.append(img.tobytes() == bytes(o))
+            sums.append(int(a.sum()))
+            wsums.append(int((a * (np.arange(a.size) + 1)).sum()))
+        return pd.DataFrame(
+            {"roundtrip_ok": oks, "pix_sum": sums, "pix_wsum": wsums}
+        )
+
     return out.select(
+        "asset_id", rt(F.col("png"), F.col("frame")).alias("c")
+    ).select(
         "asset_id",
-        F.length(F.col("png")).alias("png_bytes"),
-        F.md5(F.col("png")).alias("png_md5"),
+        F.col("c.roundtrip_ok").alias("roundtrip_ok"),
+        F.col("c.pix_sum").alias("pix_sum"),
+        F.col("c.pix_wsum").alias("pix_wsum"),
     )
 
 
