@@ -124,6 +124,100 @@ def _kmeans_sql(k: int, dim: int, iters: int) -> str:
     )
     return "WITH " + ",\n".join(parts)
 
+def _pq_sql(m: int = 8, ksub: int = 16, iters: int = 5, sample: int = 2048,
+            k: int = 5) -> str:
+    """Unrolled product-quantization ANN twin (simsearch.pq_train /
+    pq_encode / knn_pq_adc): per-subspace rounded-Lloyd codebook training
+    on the ``sample`` lowest-id vectors, nearest-code encoding of the
+    corpus, ADC table-lookup scoring for the vec_id=0 query.  The
+    subspace index j is ordinary data, so all m codebooks train in ONE
+    unrolled iteration chain.  Distances are the same sequential
+    left-to-right fold the Spark side now uses; means round to 6 decimals
+    HALF_UP; the final ADC sum folds subspaces in j order via
+    list_sum(list(d ORDER BY j)) — bit-identical to the Python j-loop."""
+    sd = (
+        "list_sum(list_transform(generate_series(1, len({s})), "
+        "i -> ({s}[i] - {c}[i]) * ({s}[i] - {c}[i])))"
+    )
+    parts = [
+        "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        f"samp AS (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT {sample})",
+        f"dims AS (SELECT CAST(max(len(v)) // {m} AS INTEGER) AS dsub FROM ev)",
+        f"""sv AS (
+  SELECT s.vec_id, r.j, list_slice(s.v, r.j * d.dsub + 1, (r.j + 1) * d.dsub) AS s
+  FROM samp s, range(0, {m}) r(j), dims d
+)""",
+        f"""pc0 AS (
+  SELECT j, CAST(rn - 1 AS INTEGER) AS cid, s AS c FROM (
+    SELECT j, s, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn FROM sv
+  ) WHERE rn <= {ksub}
+)""",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""pa{it} AS (
+  SELECT s.vec_id, s.j, c.cid, {sd.format(s='s.s', c='c.c')} AS dist
+  FROM sv s JOIN pc{it} c ON s.j = c.j
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY dist, c.cid) = 1
+)"""
+        )
+        parts.append(
+            f"""pu{it + 1} AS (
+  SELECT a.j, a.cid, g.i, round(avg(s.s[g.i]), 6) AS val
+  FROM pa{it} a JOIN sv s ON a.vec_id = s.vec_id AND a.j = s.j
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT dsub FROM dims))) AS i) g
+  GROUP BY a.j, a.cid, g.i
+)"""
+        )
+        parts.append(
+            f"""pc{it + 1} AS (
+  SELECT c0.j, c0.cid, COALESCE(u.c, c0.c) AS c
+  FROM pc{it} c0 LEFT JOIN
+    (SELECT j, cid, list(val ORDER BY i) AS c FROM pu{it + 1} GROUP BY j, cid) u
+  ON c0.j = u.j AND c0.cid = u.cid
+)"""
+        )
+    parts.append(
+        f"""av AS (
+  SELECT e.vec_id, r.j, list_slice(e.v, r.j * d.dsub + 1, (r.j + 1) * d.dsub) AS s
+  FROM ev e, range(0, {m}) r(j), dims d
+)"""
+    )
+    parts.append(
+        f"""enc AS (
+  SELECT a.vec_id, a.j, c.cid, {sd.format(s='a.s', c='c.c')} AS dist
+  FROM av a JOIN pc{iters} c ON a.j = c.j
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id, a.j ORDER BY dist, c.cid) = 1
+)"""
+    )
+    parts.append("q AS (SELECT v AS qv FROM ev WHERE vec_id = 0)")
+    parts.append(
+        f"""qs AS (
+  SELECT r.j, list_slice(q.qv, r.j * d.dsub + 1, (r.j + 1) * d.dsub) AS s
+  FROM q, range(0, {m}) r(j), dims d
+)"""
+    )
+    parts.append(
+        f"""tab AS (
+  SELECT c.j, c.cid, {sd.format(s='qs.s', c='c.c')} AS d2
+  FROM pc{iters} c JOIN qs ON c.j = qs.j
+)"""
+    )
+    parts.append(
+        """adc AS (
+  SELECT e.vec_id AS id, round(list_sum(list(t.d2 ORDER BY t.j)), 6) AS adc_dist
+  FROM enc e JOIN tab t ON e.j = t.j AND e.cid = t.cid
+  GROUP BY e.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, adc_dist FROM adc ORDER BY adc_dist, id LIMIT {k}"
+    )
+
+
 # --- frame-kernel oracles --------------------------------------------------
 # queries._doc_frames tiles each document's utf-8 bytes into a 16x16x3 pixel
 # grid and PNG round-trips pixel-exact, so decoded frame pixels ARE the tiled
@@ -1282,6 +1376,11 @@ SELECT doc_id,
   ) AS BIGINT) AS rolling_hash
 FROM documents
 """,
+        # PQ ANN: the codebooks follow the same rounded-Lloyd determinism
+        # contract as cluster.kmeans / ivf_index (simsearch.pq_train
+        # docstring), so the twin unrolls all m sub-quantizers in one
+        # chain and hash-matches the ADC top-k
+        "emb_knn_pq": _pq_sql(m=8, ksub=16, iters=5, sample=2048, k=Q.KNN_K),
         # frame kernels: the tiled-text-byte construction (see the helper
         # block above) makes the whole family exact-integer SQL
         "frame_histogram": _histogram_sql(),

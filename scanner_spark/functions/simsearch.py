@@ -302,10 +302,18 @@ def pq_train(
 
     Training runs on a bounded DETERMINISTIC sample (the ``sample``
     lowest-id vectors) on the driver — the faiss practice; codebook
-    training needs thousands of examples, not the corpus.  Seeds are the
-    first ``ksub`` subvectors; Lloyd iterations are exact numpy.  Only
-    sample x dim floats ever reach the driver.  Returns (m, ksub, dsub)
-    nested lists."""
+    training needs thousands of examples, not the corpus.  Only sample x
+    dim floats ever reach the driver.  Returns (m, ksub, dsub) nested
+    lists.
+
+    Cross-engine determinism contract (same as ``cluster.kmeans`` /
+    ``ivf_index``): seeds are the first ``ksub`` subvectors in id order,
+    distances accumulate dimension-by-dimension left to right (the SQL
+    twin's ``list_sum(list_transform(...))`` fold), argmin breaks ties
+    toward the lowest centroid id, and each Lloyd update rounds the mean
+    to 6 decimals HALF_UP — so the unrolled DuckDB twin in
+    ``__spark_entry__`` hash-matches the trained codebooks bit for
+    bit."""
     rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
     dim = X.shape[1]
@@ -317,14 +325,33 @@ def pq_train(
         S = X[:, j * dsub : (j + 1) * dsub]
         C = S[: min(ksub, len(S))].copy()
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = d2.argmin(axis=1)
+            a = _seq_sqdist_matrix(S, C).argmin(axis=1)  # first-min ties
             for c in range(len(C)):
                 mask = a == c
                 if mask.any():
-                    C[c] = S[mask].mean(axis=0)
+                    C[c] = [_round_half_up6(v) for v in S[mask].mean(axis=0)]
         books.append(C.tolist())
     return books
+
+
+def _seq_sqdist_matrix(S: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 distances accumulated dimension-by-dimension in a
+    left-to-right fold — bit-identical to the SQL twin's
+    ``list_sum(list_transform(...))`` (numpy's pairwise summation is
+    not)."""
+    d2 = np.zeros((S.shape[0], C.shape[0]), dtype="float64")
+    for d in range(S.shape[1]):
+        diff = S[:, d, None] - C[None, :, d]
+        d2 += diff * diff
+    return d2
+
+
+def _round_half_up6(v: float) -> float:
+    """round(v, 6) with HALF_UP decimal semantics — what Spark's F.round
+    and DuckDB's round() implement; Python/numpy round are banker's."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(float(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
 def pq_encode(
@@ -345,8 +372,11 @@ def pq_encode(
         codes = np.empty((len(X), len(CB)), dtype="int32")
         for j, C in enumerate(CB):
             S = X[:, j * dsub : (j + 1) * dsub]
-            c_sq = (C * C).sum(axis=1)
-            codes[:, j] = np.argmin(c_sq[None, :] - 2.0 * (S @ C.T), axis=1)
+            # sequential-fold distances + first-min argmin: the exact
+            # assignment the SQL twin's (dist, cid) ordering produces —
+            # the matmul trick (|c|^2 - 2 s.c) rounds differently and can
+            # flip near-tied codes across engines
+            codes[:, j] = np.argmin(_seq_sqdist_matrix(S, C), axis=1)
         return pd.Series(list(codes))
 
     return df.select(F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("codes"))
@@ -372,18 +402,23 @@ def knn_pq_adc(
     CB = [np.asarray(b, dtype="float64") for b in codebooks]
     dsub = CB[0].shape[1]
     q = np.asarray([float(x) for x in query], dtype="float64")
+    # (m, ksub) subspace distance table, sequential per-dim fold (contract)
     table = np.stack(
         [
-            ((C - q[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+            _seq_sqdist_matrix(q[j * dsub : (j + 1) * dsub][None, :], C)[0]
             for j, C in enumerate(CB)
         ]
-    )  # (m, ksub)
+    )
 
     @F.pandas_udf("double")
     def adc(codes: pd.Series) -> pd.Series:
         M = np.stack(codes.to_numpy()).astype("int64")  # (batch, m)
-        rows = np.arange(table.shape[0])[None, :]
-        return pd.Series(table[rows, M].sum(axis=1))
+        # left-to-right fold over subspaces matches the twin's ordered
+        # list_sum(list(d ORDER BY j))
+        acc = np.zeros(len(M), dtype="float64")
+        for j in range(table.shape[0]):
+            acc += table[j, M[:, j]]
+        return pd.Series(acc)
 
     codes = pq_encode(df, codebooks, vec_col, id_col)
     return (
