@@ -329,6 +329,91 @@ FROM grid g LEFT JOIN cnt
 """
 
 
+def _multimodal_decode_sql() -> str:
+    """Twin for the four-format media pipeline: payload pixels are tiled
+    text bytes (32x32x3 RGB for PNG/WebP, 32x32 grey replicated for GIF),
+    the 32->16 half-pixel resize is a 4-neighbor (S+2)//4, and JPEG rows
+    (doc_id % 4 == 1, lossy) carry NULL checksums in both engines."""
+
+    def byte(i: str) -> str:  # tiled text byte at 0-based index expr i
+        return f"ascii(substr(t, CAST((({i}) % length(t)) + 1 AS INTEGER), 1))"
+
+    # RGB source pixel at 32-grid (y, x, c) -> tiled index (y*32+x)*3+c
+    def rgb(yoff: int, xoff: int) -> str:
+        return byte(
+            f"(((j // 48) * 2 + {yoff}) * 32 + ((j // 3) % 16) * 2 + {xoff}) * 3"
+            f" + (j % 3)"
+        )
+
+    # grey source pixel at 32-grid (y, x) -> tiled index y*32+x
+    def grey(yoff: int, xoff: int) -> str:
+        return byte(
+            f"((j // 48) * 2 + {yoff}) * 32 + ((j // 3) % 16) * 2 + {xoff}"
+        )
+
+    rgb4 = " + ".join(rgb(dy, dx) for dy in (0, 1) for dx in (0, 1))
+    grey4 = " + ".join(grey(dy, dx) for dy in (0, 1) for dx in (0, 1))
+    return f"""WITH d AS (
+  SELECT doc_id AS asset_id, doc_id % 4 AS md4,
+         coalesce(nullif(text, ''), ' ') AS t
+  FROM documents
+),
+res AS (
+  SELECT asset_id, md4,
+    CASE WHEN md4 = 1 THEN NULL ELSE
+      list_transform(range(0, 768), j ->
+        CASE WHEN md4 = 2 THEN ({grey4} + 2) // 4
+             ELSE ({rgb4} + 2) // 4 END)
+    END AS rp
+  FROM d
+)
+SELECT asset_id, 16 AS height, 16 AS width, 3 AS channels,
+       CAST(list_sum(rp) AS BIGINT) AS pix_sum,
+       {_wsum_sql('rp', 768)} AS pix_wsum
+FROM res
+"""
+
+
+def _video_decode_sql() -> str:
+    """Twin for the GOP-pruned video decode: the SVF / raw-mp4 frames are
+    pixel-exact synthetic_frame grids — value (7s + 13f + 3x + 5y + 11c)
+    mod 256 (scanner_spark.frames.synthetic_frame / FIXTURES.md) — so
+    their checksums come from pure VALUES + range SQL; the lossy avc1
+    rows carry NULL checksums in both engines."""
+    rows = []
+    for video, s, frames, h, w, lossless in (
+        ("vid0.svf", 0, [0, 13, 14, 39], 12, 16, True),
+        ("vid1.svf", 1, [25], 12, 16, True),
+        ("vid2.mp4", 2, [7, 31], 12, 16, True),
+        ("vid3.mp4", 3, [1, 6], 16, 16, False),
+    ):
+        for f in frames:
+            rows.append(
+                f"('{video}', {s}, {f}, {h}, {w}, {'TRUE' if lossless else 'FALSE'})"
+            )
+    vals = ",\n  ".join(rows)
+    pixel = (
+        "(s * 7 + frame_no * 13 + ((i // 3) % w) * 3 + (i // (w * 3)) * 5"
+        " + (i % 3) * 11) % 256"
+    )
+    return f"""WITH wanted(video, s, frame_no, h, w, lossless) AS (VALUES
+  {vals}
+),
+px AS (
+  SELECT video, CAST(frame_no AS BIGINT) AS frame_no, h, w,
+    CASE WHEN lossless THEN
+      list_transform(range(0, h * w * 3), i -> {pixel})
+    ELSE NULL END AS p
+  FROM wanted
+)
+SELECT video, frame_no,
+       CAST(list_sum(p) AS BIGINT) AS pix_sum,
+       CAST(list_sum(list_transform(range(0, h * w * 3),
+            j -> (j + 1) * p[j + 1])) AS BIGINT) AS pix_wsum
+FROM px
+"""
+
+
 def _encode_png_sql() -> str:
     """Round-trip twin: the Spark side re-decodes its own PNG and emits
     checksums of the decoded pixels, which must equal the tiled bytes."""
@@ -1387,8 +1472,19 @@ FROM documents
         "frame_resize": _resize_sql(),
         "frame_blur": _blur_sql(),
         "frame_encode_png": _encode_png_sql(),
-        # multimodal_decode / frame_optical_flow / video_decode_pruned:
-        # intentionally no oracle (lossy JPEG + dense float optical-flow
-        # numerics and the mp4/avc1 decode path aren't ANSI-SQL-expressible) ->
+        "multimodal_decode": _multimodal_decode_sql(),
+        "video_decode_pruned": _video_decode_sql(),
+        # optical flow: the dense float LK numerics aren't SQL, but the
+        # stream mapping, stencil alignment, dims, and the REPEAT_EDGE
+        # zero-flow boundary contract are — interior flow values stay
+        # pinned by the translation-recovery test in tests/test_kernels.py
+        "frame_optical_flow": """
+SELECT CAST(doc_id % 5 AS VARCHAR) AS stream_id,
+       CAST(doc_id // 5 AS BIGINT) AS idx,
+       16 AS height, 16 AS width, 2 AS channels, 2048 AS nbytes,
+       CASE WHEN doc_id // 5 = 0 THEN 1 ELSE NULL END AS edge_zero_flow
+FROM documents
+""",
+        # (every declared query now has an oracle entry) ->
         # the driver records its rows-only check for these.
     }

@@ -1181,7 +1181,12 @@ def q_frame_optical_flow(spark, sf_dir):
     """Reference OpticalFlow kernel (tests/test_ops.cpp:63-109): stencil
     [-1,0] over a frame stream — Scanner's flagship temporal-window shape.
     Documents become 5 parallel frame streams (dense idx); flow(0) is zero
-    by REPEAT_EDGE.  Rows-only (dense Lucas-Kanade numerics)."""
+    by REPEAT_EDGE.  Oracle-checked for everything SQL can see: stream
+    mapping, stencil row alignment, output dims, and the REPEAT_EDGE
+    boundary contract (flow at idx=0 compares a frame against itself, so
+    it must be exactly zero — ``edge_zero_flow``); interior rows carry
+    NULL there (dense Lucas-Kanade float numerics, pinned by
+    tests/test_kernels.py)."""
     ship(spark)
     from scanner_spark.frames import FRAME_SCHEMA
     from scanner_spark.kernels.image import optical_flow_op
@@ -1195,6 +1200,16 @@ def q_frame_optical_flow(spark, sf_dir):
         ),
     )
     out = optical_flow_op(st, ["frame_struct"], "flow", f"struct<{FRAME_SCHEMA}>")
+
+    @F.pandas_udf("boolean")
+    def all_zero(b: pd.Series) -> pd.Series:
+        # float-level zero test: the closed-form LK solve can emit -0.0
+        # (sign bit set) from products with negative gradients, which is
+        # still zero flow
+        return pd.Series(
+            [not np.frombuffer(bytes(x), dtype=np.float32).any() for x in b]
+        )
+
     return out.select(
         "stream_id",
         "idx",
@@ -1202,6 +1217,12 @@ def q_frame_optical_flow(spark, sf_dir):
         F.col("flow.width").alias("width"),
         F.col("flow.channels").alias("channels"),
         F.length(F.col("flow.frame")).alias("nbytes"),
+        # int 1/0 rather than boolean: NULL booleans canonicalize
+        # differently across engine->pandas paths (None vs NaN); NULL
+        # ints uniformly become NaN floats on both sides
+        F.when(F.col("idx") == 0, all_zero(F.col("flow.frame")).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("edge_zero_flow"),
     )
 
 
@@ -1234,7 +1255,8 @@ def q_multimodal_decode(spark, sf_dir):
     payloads (% 4 == 3, in-repo prefix-code encoder) -> format-sniffed
     real decode + bilinear resize -> frame columns.  Exercises the
     mapInPandas media plumbing end-to-end with genuine codecs on
-    driver-provided data; no fake decode path exists (rows-only check)."""
+    driver-provided data; no fake decode path exists.  Oracle-checked:
+    lossless formats get exact pixel checksums, JPEG rows NULL + dims."""
     ship(spark)
     from scanner_spark.functions import multimodal
 
@@ -1250,7 +1272,27 @@ def q_multimodal_decode(spark, sf_dir):
     frames = multimodal.decode_image(
         png.unionByName(jpg).unionByName(gif).unionByName(wbp), 16, 16
     )
-    return frames.select("asset_id", "height", "width", "channels")
+    # the three lossless formats decode + half-pixel-resize to exact
+    # integer pixel values the DuckDB twin recomputes from the tiled text
+    # bytes; JPEG is lossy (DCT quantization) so its checksum columns are
+    # NULL in both engines and only dims are value-checked for it
+    cks = _frame_checksum_udf()
+    lossy = F.col("asset_id") % 4 == 1
+    out = frames.select(
+        "asset_id", "height", "width", "channels", cks(F.col("frame")).alias("c")
+    )
+    return out.select(
+        "asset_id",
+        "height",
+        "width",
+        "channels",
+        F.when(lossy, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c.pix_sum"))
+        .alias("pix_sum"),
+        F.when(lossy, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c.pix_wsum"))
+        .alias("pix_wsum"),
+    )
 
 
 def q_multimodal_audio(spark, sf_dir):
@@ -1487,9 +1529,9 @@ def q_video_decode_pruned(spark, sf_dir):
     wanted set includes a NON-IDR GOP member (frame 6 = P), exercising
     keyframe-forward inter decode (CAVLC + intra + motion compensation).
     Driver testdata has no video table, so the videos are synthesized
-    deterministically per call (rows-only check; pixel exactness is
+    deterministically per call.  Oracle-checked: lossless (SVF/raw-mp4)
+    frames get exact closed-form checksums; avc1 rows NULL (pixel bounds
     pinned by tests/test_video.py and tests/test_h264.py)."""
-    import hashlib
     import tempfile
 
     from scanner_spark.catalog import Database
@@ -1534,14 +1576,28 @@ def q_video_decode_pruned(spark, sf_dir):
     }
     out = load_frames(spark, db, wanted)
 
-    @F.pandas_udf("string")
-    def frame_md5(frames: pd.Series) -> pd.Series:
-        return pd.Series([hashlib.md5(bytes(b)).hexdigest() for b in frames])
-
-    return out.select(
+    # SVF and raw-mp4 decode pixel-exact, and synthetic_frame is closed
+    # form — (7s + 13f + 3x + 5y + 11c) mod 256 — so the DuckDB twin
+    # recomputes their checksums from pure VALUES/range SQL; the avc1
+    # video is lossy (qp=10) so its rows carry NULL checksums in both
+    # engines (pixel bounds pinned by tests/test_video.py, per-frame md5
+    # by test_h264.py)
+    cks = _frame_checksum_udf()
+    out2 = out.select(
         F.element_at(F.split("video_path", "/"), -1).alias("video"),
+        F.col("frame_no").cast("long").alias("frame_no"),
+        cks(F.col("frame")).alias("c"),
+    )
+    lossy = F.col("video") == "vid3.mp4"
+    return out2.select(
+        "video",
         "frame_no",
-        frame_md5(F.col("frame")).alias("frame_md5"),
+        F.when(lossy, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c.pix_sum"))
+        .alias("pix_sum"),
+        F.when(lossy, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c.pix_wsum"))
+        .alias("pix_wsum"),
     )
 
 
