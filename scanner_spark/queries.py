@@ -1900,73 +1900,17 @@ def q_emb_kmeans(spark, sf_dir):
 QUERIES = {
     # ------------------------------------------------------------------
     # Ordering = the driver's correctness window: it checks the first 50
-    # entries per round.  Round-6 rotation policy (VERDICT r05 "Next
-    # round" #1): the 10 entries NEVER driver-checked in rounds 1-5 (the
-    # rows-only media/ANN family) lead the dict so CORRECTNESS_r06
-    # finally records them; then the heaviest oracle-bearing operators
-    # fill the window; everything confirmed in r5 follows.  Every entry
-    # regardless of position stays hash-checked locally by
-    # tests/test_entry_parity.py.
+    # entries per round.  Round-7 rotation: the 39 entries NOT in the
+    # round-6 window lead (their last driver check is r1-r4 — oldest
+    # evidence first), then the 11 slots that remain go to queries whose
+    # code or oracle changed this round (the whole frame/media family
+    # gained exact-integer oracles, emb_knn_pq gained the rounded-Lloyd
+    # unroll, emb_knn_ivf's probe fold changed) plus their nearest ANN
+    # neighbors.  Every entry regardless of position stays hash-checked
+    # locally by tests/test_entry_parity.py; as of this round ALL 89
+    # queries carry a value-hash oracle (none are rows-only).
     # ------------------------------------------------------------------
-    # --- never driver-checked r1-r5: 10 entries — frame kernels, pruned
-    # video decode, image decode, IVF/PQ ANN, rolling fingerprint.
-    # Round 6 upgraded two of them to full value-hash oracles
-    # (doc_rolling_fingerprint: HUGEINT Horner; emb_knn_ivf: rounded-
-    # Lloyd unroll); the rest stay rows-only (codec/PQ training not
-    # ANSI-SQL-expressible).
-    "frame_histogram": q_frame_histogram,
-    "frame_resize": q_frame_resize,
-    "frame_blur": q_frame_blur,
-    "frame_optical_flow": q_frame_optical_flow,
-    "frame_encode_png": q_frame_encode_png,
-    "video_decode_pruned": q_video_decode_pruned,
-    "multimodal_decode": q_multimodal_decode,
-    "emb_knn_ivf": q_emb_knn_ivf,
-    "emb_knn_pq": q_emb_knn_pq,
-    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-    # --- rotation fill (r5-confirmed; heaviest operators first so the
-    # independent signal keeps touching them): 40 entries
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_materialize": q_dedup_materialize,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_clusters": q_dedup_minhash_clusters,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_simhash_sigs": q_dedup_simhash_sigs,
-    "dedup_keep_best": q_dedup_keep_best,
-    "emb_knn_brute": q_emb_knn_brute,
-    "emb_knn_lsh": q_emb_knn_lsh,
-    "emb_cosine_pairs": q_emb_cosine_pairs,
-    "emb_dup_clusters": q_emb_dup_clusters,
-    "emb_label_centroids": q_emb_label_centroids,
-    "emb_quantize": q_emb_quantize,
-    "emb_kmeans_assign": q_emb_kmeans_assign,
-    "emb_kmeans": q_emb_kmeans,  # full distributed k-means
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "doc_chunk_windows": q_doc_chunk_windows,
-    "docs_domain_resample": q_docs_domain_resample,
-    "docs_pack_sequences": q_docs_pack_sequences,
-    "doc_pii_scrub": q_doc_pii_scrub,  # byte-exact redaction oracle
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "docs_search_topk": q_docs_search_topk,
-    "doc_lm_familiarity": q_doc_lm_familiarity,
-    "text_analyze": q_text_analyze,
-    "doc_quality": q_doc_quality,
-    "vocab_topk": q_vocab_topk,
-    "multimodal_audio": q_multimodal_audio,  # WAV codec + features
-    "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
-    "events_value_histogram": q_events_value_histogram,
-    "events_asof_join_op": q_events_asof_join_op,
-    "events_asof_signup": q_events_asof_signup,
-    "stream_events_dedup": q_stream_events_dedup,
-    "stream_events_sessions": q_stream_events_sessions,
-    "stream_events_sessions_append": q_stream_events_sessions_append,
-    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
-    "stream_events_hourly": q_stream_events_hourly,
-    # --- beyond-window: driver-confirmed in earlier rounds
+    # --- last checked r1-r4: 39 entries
     "scanner_all_distributed": q_scanner_all_distributed,
     "scanner_null_passthrough": q_scanner_null_passthrough,
     "scanner_sparse_load": q_scanner_sparse_load,  # Column.load(rows=...)
@@ -2006,4 +1950,56 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "events_pivot": q_events_pivot,
     "events_sliding_daily": q_events_sliding_daily,
+    # --- changed this round (new/changed oracles or numerics): 11 entries
+    "frame_histogram": q_frame_histogram,
+    "frame_resize": q_frame_resize,
+    "frame_blur": q_frame_blur,
+    "frame_optical_flow": q_frame_optical_flow,
+    "frame_encode_png": q_frame_encode_png,
+    "video_decode_pruned": q_video_decode_pruned,
+    "multimodal_decode": q_multimodal_decode,
+    "emb_knn_pq": q_emb_knn_pq,
+    "emb_knn_ivf": q_emb_knn_ivf,  # probe-fold determinism fix
+    "emb_knn_brute": q_emb_knn_brute,
+    "emb_knn_lsh": q_emb_knn_lsh,
+    # --- beyond-window: driver-confirmed r6 (green in CORRECTNESS_r06)
+    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_materialize": q_dedup_materialize,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash_sigs": q_dedup_simhash_sigs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "emb_dup_clusters": q_emb_dup_clusters,
+    "emb_label_centroids": q_emb_label_centroids,
+    "emb_quantize": q_emb_quantize,
+    "emb_kmeans_assign": q_emb_kmeans_assign,
+    "emb_kmeans": q_emb_kmeans,  # full distributed k-means
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "docs_domain_resample": q_docs_domain_resample,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "doc_pii_scrub": q_doc_pii_scrub,  # byte-exact redaction oracle
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "docs_search_topk": q_docs_search_topk,
+    "doc_lm_familiarity": q_doc_lm_familiarity,
+    "text_analyze": q_text_analyze,
+    "doc_quality": q_doc_quality,
+    "vocab_topk": q_vocab_topk,
+    "multimodal_audio": q_multimodal_audio,  # WAV codec + features
+    "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
+    "events_value_histogram": q_events_value_histogram,
+    "events_asof_join_op": q_events_asof_join_op,
+    "events_asof_signup": q_events_asof_signup,
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_sessions": q_stream_events_sessions,
+    "stream_events_sessions_append": q_stream_events_sessions_append,
+    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
+    "stream_events_hourly": q_stream_events_hourly,
 }
