@@ -1,6 +1,6 @@
-"""Pure-Python/numpy H.264 (ITU-T Rec. H.264 / MPEG-4 AVC) baseline
-codec: I_PCM, I_16x16, I_4x4, and P_L0_16x16 / P_Skip macroblocks, CAVLC
-entropy coding, 4:2:0 chroma.
+"""Pure-Python/numpy H.264 (ITU-T Rec. H.264 / MPEG-4 AVC) codec:
+I_PCM, I_16x16, I_4x4, P_L0_16x16 / P_Skip, and B_L0 / B_L1 / B_Bi
+16x16 macroblocks, CAVLC entropy coding, 4:2:0 chroma.
 
 This is the engine's answer to the reference's core asset — its
 decode-on-demand H.264 pipeline (scanner/video/decoder_automata.cpp,
@@ -23,12 +23,21 @@ What is implemented, per the spec's clause numbers:
   (offset 5), CBP via both Table 9-4 columns.
 - Intra prediction (§8.3): all four 16x16 luma modes (V/H/DC/Plane), all
   nine 4x4 luma modes, all four 8x8 chroma modes.
-- Inter prediction (§8.4.2): single-reference (num_ref_frames=1) motion
-  compensation at FULL QUARTER-pel luma precision — 6-tap half-pel FIR
-  with the (+16)>>5 / two-stage (+512)>>10 rounding and the Table 8-12
-  quarter-pel averages — and full 1/8-pel bilinear chroma per
-  §8.4.2.2.2.  The encoder refines its integer search to half then
-  quarter pel through the same interpolator.
+- Inter prediction (§8.4.2): motion compensation at FULL QUARTER-pel
+  luma precision — 6-tap half-pel FIR with the (+16)>>5 / two-stage
+  (+512)>>10 rounding and the Table 8-12 quarter-pel averages — and full
+  1/8-pel bilinear chroma per §8.4.2.2.2.  The encoder refines its
+  integer search to half then quarter pel through the same interpolator.
+- B slices (§7.3.5, Table 7-14): B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
+  with one reference per list (RefPicList0[0] = nearest past,
+  RefPicList1[0] = nearest future, §8.2.4.2.3), per-list median MV
+  prediction, and the default unweighted bi-prediction (p0+p1+1)>>1
+  (§8.4.2.3.1).  B pictures are non-reference (nal_ref_idc 0) and
+  B-bearing streams are poc-type-0 / Main profile (poc type 2 forbids
+  reordering).  B_Skip, B_Direct, sub-partitions, and weighted
+  prediction are REFUSED with NotImplementedError — the in-repo encoder
+  never emits them, and misparsing a foreign stream is worse than
+  refusing it.
 - CAVLC residual (§9.2): coeff_token (Table 9-5 incl. the chroma-DC nC=-1
   column), trailing-one signs, adaptive-suffix level decoding,
   total_zeros (Tables 9-7/9-8/9-9a) and run_before (Table 9-10).
@@ -956,22 +965,31 @@ _NO_UPRIGHT = {3, 7, 11, 13, 15}
 _CBLK_POS = [(0, 0), (4, 0), (0, 4), (4, 4)]
 
 
-def write_sps(w_pix: int, h_pix: int, num_ref_frames: int = 1) -> bytes:
-    """Baseline (66) SPS for a frame_mbs_only, poc-type-2 stream with
-    ``num_ref_frames`` references (1 covers the P-GOP encoder; 0 is legal
-    for all-IDR); crops encode non-multiple-of-16 sizes (even, 4:2:0)."""
+def write_sps(w_pix: int, h_pix: int, num_ref_frames: int = 1,
+              poc_type: int = 2) -> bytes:
+    """SPS for a frame_mbs_only stream with ``num_ref_frames`` references
+    (1 covers the P-GOP encoder; 0 is legal for all-IDR); crops encode
+    non-multiple-of-16 sizes (even, 4:2:0).  ``poc_type=2`` (display ==
+    decode order) for I/P streams; B-frame streams need ``poc_type=0``
+    (explicit pic_order_cnt_lsb carries display order) and profile Main —
+    poc type 2 forbids reordering (§7.4.2.1) and Baseline forbids B
+    slices (A.2.1)."""
     if w_pix % 2 or h_pix % 2:
         raise ValueError("4:2:0 needs even dimensions")
+    if poc_type not in (0, 2):
+        raise ValueError("writer supports poc_type 0 and 2 only")
     mbw, mbh = (w_pix + 15) // 16, (h_pix + 15) // 16
     crop_r = (mbw * 16 - w_pix) // 2  # crop units: 2 luma px (4:2:0)
     crop_b = (mbh * 16 - h_pix) // 2
     w = BitWriter()
-    w.u(66, 8)  # profile_idc: Baseline
+    w.u(66 if poc_type == 2 else 77, 8)  # profile_idc: Baseline / Main
     w.u(0, 8)  # constraint flags + reserved
     w.u(30, 8)  # level_idc 3.0
     w.ue(0)  # sps_id
     w.ue(0)  # log2_max_frame_num_minus4
-    w.ue(2)  # pic_order_cnt_type: 2 (display order == decode order)
+    w.ue(poc_type)  # pic_order_cnt_type
+    if poc_type == 0:
+        w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4 -> 8-bit poc_lsb
     w.ue(num_ref_frames)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed
     w.ue(mbw - 1)
@@ -1073,10 +1091,10 @@ def parse_pps(rbsp: bytes) -> dict:
     r.u(1)
     if r.ue() != 0:
         raise NotImplementedError("slice groups not supported")
-    r.ue()
-    r.ue()
-    r.u(1)
-    r.u(2)
+    num_ref_l0 = r.ue()
+    num_ref_l1 = r.ue()
+    weighted_pred = r.u(1)
+    weighted_bipred_idc = r.u(2)
     init_qp = r.se() + 26
     r.se()
     chroma_qp_off = r.se()
@@ -1088,6 +1106,9 @@ def parse_pps(rbsp: bytes) -> dict:
         "chroma_qp_offset": chroma_qp_off,
         "deblocking_control_present": bool(deblock_ctrl),
         "constrained_intra": bool(constrained_intra),
+        "num_ref_l0": num_ref_l0, "num_ref_l1": num_ref_l1,
+        "weighted_pred": bool(weighted_pred),
+        "weighted_bipred_idc": weighted_bipred_idc,
     }
 
 
@@ -1116,29 +1137,41 @@ class _FrameState:
         # quarter-pel (mvx, mvy) — the §8.4.1.3 prediction context
         self.mb_inter = np.zeros((mbh, mbw), dtype=bool)
         self.mv = np.zeros((mbh, mbw, 2), dtype=np.int64)
+        # B-slice per-list context: (mvx, mvy) per list + uses-list flags
+        # (a B_L0 MB uses only list 0, B_L1 only list 1, B_Bi both)
+        self.mv_l = np.zeros((mbh, mbw, 2, 2), dtype=np.int64)
+        self.use_l = np.zeros((mbh, mbw, 2), dtype=bool)
 
-    def _mv_neighbor(self, mbx: int, mby: int):
+    def _mv_neighbor(self, mbx: int, mby: int, lst: int | None = None):
         """(available_inter, mv) for a neighbour MB; unavailable or intra
-        neighbours contribute mv (0,0) with ref -1 (§8.4.1.3.2)."""
+        neighbours contribute mv (0,0) with ref -1 (§8.4.1.3.2).  With
+        ``lst`` the availability additionally requires the neighbour to
+        predict from that reference list (B slices)."""
         if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
             return False, np.zeros(2, dtype=np.int64)
-        if not self.mb_inter[mby, mbx]:
+        if lst is None:
+            if not self.mb_inter[mby, mbx]:
+                return False, np.zeros(2, dtype=np.int64)
+            return True, self.mv[mby, mbx]
+        if not self.use_l[mby, mbx, lst]:
             return False, np.zeros(2, dtype=np.int64)
-        return True, self.mv[mby, mbx]
+        return True, self.mv_l[mby, mbx, lst]
 
-    def mv_pred(self, mbx: int, mby: int) -> np.ndarray:
-        """Median MV predictor for a 16x16 partition, single ref
+    def mv_pred(self, mbx: int, mby: int, lst: int | None = None) -> np.ndarray:
+        """Median MV predictor for a 16x16 partition, single ref per list
         (§8.4.1.3): C = above-right, replaced by D = above-left when
         unavailable; exactly-one-inter-neighbour shortcut; top-row
-        fallback to A."""
-        availA, mvA = self._mv_neighbor(mbx - 1, mby)
-        availB, mvB = self._mv_neighbor(mbx, mby - 1)
+        fallback to A.  ``lst`` selects the B-slice reference list
+        (neighbours not predicting from it count as unavailable,
+        §8.4.1.3.2's refIdxLXN test at our single-ref-per-list scope)."""
+        availA, mvA = self._mv_neighbor(mbx - 1, mby, lst)
+        availB, mvB = self._mv_neighbor(mbx, mby - 1, lst)
         # C exists (decoded) iff above-right is inside the frame; at the
         # right edge substitute D = above-left
         if mby > 0 and mbx + 1 < self.mbw:
-            availC, mvC = self._mv_neighbor(mbx + 1, mby - 1)
+            availC, mvC = self._mv_neighbor(mbx + 1, mby - 1, lst)
         else:
-            availC, mvC = self._mv_neighbor(mbx - 1, mby - 1)
+            availC, mvC = self._mv_neighbor(mbx - 1, mby - 1, lst)
         b_edge = mby == 0  # B, C, D all outside the frame
         if b_edge and availA:
             return mvA.copy()
@@ -1320,14 +1353,17 @@ def _crop_planes(st: _FrameState, sps: dict):
 def decode_slice(
     rbsp: bytes, sps: dict, pps: dict, strict: bool = True,
     idr: bool = True, nal_ref_idc: int = 3, ref: "_FrameState | None" = None,
-    return_state: bool = False,
+    return_state: bool = False, ref1: "_FrameState | None" = None,
 ):
     """One slice -> (y, cb, cr) uint8 planes (SPS crop applied).
 
     I slices decode standalone.  P slices additionally need ``ref``, the
-    PADDED reconstruction state of the previous decoded frame
+    PADDED reconstruction state of the previous decoded reference frame
     (``return_state=True`` returns it alongside the planes so a GOP
-    decode loop can chain).  ``idr``/``nal_ref_idc`` come from the NAL
+    decode loop can chain).  B slices need both ``ref`` (RefPicList0[0],
+    the nearest past reference) and ``ref1`` (RefPicList1[0], the nearest
+    future reference — §8.2.4.2.3 list initialization at our
+    one-ref-per-list scope).  ``idr``/``nal_ref_idc`` come from the NAL
     header and select the §7.3.3 header layout (idr_pic_id and the
     dec_ref_pic_marking form differ — ADVICE r05: non-IDR slices
     previously misparsed against the IDR layout)."""
@@ -1337,29 +1373,49 @@ def decode_slice(
         raise NotImplementedError("multi-slice frames not supported")
     slice_type = r.ue()
     st_mod = slice_type % 5
-    if st_mod not in (0, 2):
+    if st_mod not in (0, 1, 2):
         raise NotImplementedError(
-            f"slice_type {slice_type}: only I and P slices (B slices need "
-            "two reference lists, out of scope per SURVEY §2.4)"
+            f"slice_type {slice_type}: only I, P, and B slices (SP/SI out "
+            "of scope)"
         )
     is_p = st_mod == 0
+    is_b = st_mod == 1
     if is_p and ref is None:
         raise ValueError("P slice needs the previous frame's state (ref=)")
+    if is_b and (ref is None or ref1 is None):
+        raise ValueError(
+            "B slice needs both reference states (ref= past, ref1= future)"
+        )
+    if is_b and pps.get("weighted_bipred_idc", 0) != 0:
+        raise NotImplementedError(
+            "weighted bi-prediction not supported (default (p0+p1+1)>>1 only)"
+        )
     r.ue()  # pps_id
     r.u(sps["log2_max_frame_num"])  # frame_num
     if idr:
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         r.u(sps.get("log2_max_poc_lsb", 4))  # pic_order_cnt_lsb
-    if is_p:
+    if is_b:
+        r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs decoded)
+    if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override_flag
             if r.ue() != 0:  # num_ref_idx_l0_active_minus1
                 raise NotImplementedError(
                     "multiple reference frames not supported (single-ref "
-                    "P decode)"
+                    "decode)"
+                )
+            if is_b and r.ue() != 0:  # num_ref_idx_l1_active_minus1
+                raise NotImplementedError(
+                    "multiple reference frames not supported (single-ref "
+                    "decode)"
                 )
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError("ref_pic_list_modification not supported")
+        if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
+            raise NotImplementedError("ref_pic_list_modification not supported")
+    if pps.get("weighted_pred") and is_p:
+        raise NotImplementedError("weighted prediction not supported")
     # dec_ref_pic_marking (§7.3.3.3)
     if idr:
         r.u(1)  # no_output_of_prior_pics
@@ -1384,10 +1440,10 @@ def decode_slice(
     st = _FrameState(mbw, mbh)
     st.nzy[:] = -1
     n_mbs = mbw * mbh
-    if not is_p:
+    if st_mod == 2:
         for mb in range(n_mbs):
             _decode_mb(r, st, mb % mbw, mb // mbw, qp, pps)
-    else:
+    elif is_p:
         mb = 0
         while mb < n_mbs:
             skip_run = r.ue()
@@ -1399,6 +1455,17 @@ def decode_slice(
             if mb >= n_mbs:
                 break
             qp = _decode_mb_p(r, st, ref, mb % mbw, mb // mbw, qp, pps)
+            mb += 1
+    else:  # B
+        mb = 0
+        while mb < n_mbs:
+            skip_run = r.ue()
+            if skip_run:
+                raise NotImplementedError(
+                    "B_Skip macroblocks (direct-mode derivation) not "
+                    "supported — in-repo streams never emit them"
+                )
+            qp = _decode_mb_b(r, st, ref, ref1, mb % mbw, mb // mbw, qp, pps)
             mb += 1
     planes = _crop_planes(st, sps)
     return (planes, st) if return_state else planes
@@ -1467,6 +1534,86 @@ def _decode_mb_p(r: BitReader, st: _FrameState, ref: _FrameState,
     st.mb_inter[mby, mbx] = True
     st.mv[mby, mbx] = mv
     return qp
+
+
+def _decode_mb_b(r: BitReader, st: _FrameState, ref0: _FrameState,
+                 ref1: _FrameState, mbx: int, mby: int, qp: int,
+                 pps: dict) -> int:
+    """One coded B-slice macroblock (Table 7-14): B_L0_16x16 (1),
+    B_L1_16x16 (2), B_Bi_16x16 (3) with default bi-prediction
+    (p0 + p1 + 1) >> 1, or an intra type (offset 23).  B_Direct (0),
+    partitioned types (4..22), and weighted prediction are refused."""
+    mb_type = r.ue()
+    if mb_type >= 23:
+        return _decode_mb_intra(r, st, mbx, mby, qp, pps, mb_type - 23)
+    if mb_type == 0:
+        raise NotImplementedError(
+            "B_Direct_16x16 not supported (no direct-mode MV derivation)"
+        )
+    if mb_type not in (1, 2, 3):
+        raise NotImplementedError(
+            f"B mb_type {mb_type}: only B_L0/B_L1/B_Bi 16x16 partitions "
+            "are supported (sub-partitions out of scope)"
+        )
+    use0 = mb_type in (1, 3)
+    use1 = mb_type in (2, 3)
+    ox, oy = mbx * 16, mby * 16
+    by0, bx0 = oy // 4, ox // 4
+    # mvd_l0 then mvd_l1 (§7.3.5.1), single ref per list -> no ref_idx
+    mvs = [None, None]
+    if use0:
+        mvd0 = np.array([r.se(), r.se()], dtype=np.int64)
+        mvs[0] = st.mv_pred(mbx, mby, 0) + mvd0
+    if use1:
+        mvd1 = np.array([r.se(), r.se()], dtype=np.int64)
+        mvs[1] = st.mv_pred(mbx, mby, 1) + mvd1
+    p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma)
+    cbp = _CBP_INTER[r.ue()]
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
+    if cbp:
+        qp += r.se()
+    for blk in range(16):
+        x, yb = _BLK4_POS[blk]
+        gy, gx = oy + yb, ox + x
+        by, bx = gy // 4, gx // 4
+        if cbp_l & (1 << (blk // 4)):
+            nC = st.nC(st.nzy, by, bx)
+            coeffs = decode_residual(r, nC, 16)
+            st.nzy[by, bx] = sum(1 for c in coeffs if c)
+            d = dequant4(_zz_to_mat(coeffs), qp)
+            rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
+        else:
+            st.nzy[by, bx] = 0
+            rec = p16[yb : yb + 4, x : x + 4]
+        st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
+    cy, cx = oy // 2, ox // 2
+    preds = {
+        0: _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma),
+        1: _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma),
+    }
+    _decode_chroma(r, st, ox, oy, 0, cbp_c, qp, pps,
+                   pred_fn=lambda comp: preds[comp])
+    st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+    st.mb_inter[mby, mbx] = True
+    for lst in (0, 1):
+        if mvs[lst] is not None:
+            st.use_l[mby, mbx, lst] = True
+            st.mv_l[mby, mbx, lst] = mvs[lst]
+    st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
+    return qp
+
+
+def _bipred(plane0: np.ndarray, plane1: np.ndarray, oy: int, ox: int,
+            mvs, mc_fn) -> np.ndarray:
+    """List prediction for one B partition: single-list MC, or the
+    default (§8.4.2.3.1, no weighting) rounded average for B_Bi."""
+    p0 = mc_fn(plane0, oy, ox, mvs[0]) if mvs[0] is not None else None
+    p1 = mc_fn(plane1, oy, ox, mvs[1]) if mvs[1] is not None else None
+    if p0 is None:
+        return p1
+    if p1 is None:
+        return p0
+    return (p0 + p1 + 1) >> 1
 
 
 def _decode_mb(r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
@@ -1923,10 +2070,12 @@ def _encode_mb_i4(w: BitWriter, st: _FrameState, mbx: int, mby: int,
 
 
 def encode_slice(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                 qp: int = 26, mb_mode: str = "auto") -> tuple[bytes, _FrameState]:
+                 qp: int = 26, mb_mode: str = "auto",
+                 poc_lsb: int | None = None) -> tuple[bytes, _FrameState]:
     """(y, cb, cr) uint8 planes (padded to MB multiples by the caller via
     :func:`pad_planes`) -> (IDR slice RBSP, reconstruction state) — the
-    state seeds P-frame encoding of the following GOP frames."""
+    state seeds P-frame encoding of the following GOP frames.
+    ``poc_lsb`` is written for poc-type-0 streams (B GOPs)."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
@@ -1937,6 +2086,8 @@ def encode_slice(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     w.ue(0)  # pps_id
     w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
     w.ue(0)  # idr_pic_id
+    if poc_lsb is not None:
+        w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
     w.u(0, 1)  # no_output_of_prior_pics
     w.u(0, 1)  # long_term_reference
     w.se(0)  # slice_qp_delta (QP == pic_init_qp)
@@ -1993,8 +2144,19 @@ def _inter_residuals(ref: _FrameState, src: np.ndarray,
                      oy: int, ox: int, mv, qp: int):
     """Quantized inter residuals for one MB at ``mv``: returns
     (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16)."""
-    qpc = chroma_qp(qp)
+    cy, cx = oy // 2, ox // 2
     p16 = mc_luma(ref.y, oy, ox, mv)
+    p8s = (mc_chroma(ref.cb, cy, cx, mv), mc_chroma(ref.cr, cy, cx, mv))
+    return _inter_residuals_from_pred(src, src_cb, src_cr, oy, ox, p16, p8s, qp)
+
+
+def _inter_residuals_from_pred(src: np.ndarray, src_cb: np.ndarray,
+                               src_cr: np.ndarray, oy: int, ox: int,
+                               p16: np.ndarray, p8s, qp: int):
+    """Quantized inter residuals against a caller-supplied prediction
+    (single-list MC or B bi-prediction): returns
+    (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16)."""
+    qpc = chroma_qp(qp)
     resid = src - p16
     luma_z = []
     for blk in range(16):
@@ -2008,7 +2170,7 @@ def _inter_residuals(ref: _FrameState, src: np.ndarray,
     comps = []
     any_dc = any_ac = False
     for comp, srcc in ((0, src_cb), (1, src_cr)):
-        p8 = mc_chroma((ref.cb, ref.cr)[comp], cy, cx, mv)
+        p8 = p8s[comp]
         residc = srcc[cy : cy + 8, cx : cx + 8].astype(np.int64) - p8
         dcm = np.zeros((2, 2), dtype=np.int64)
         acs = []
@@ -2059,13 +2221,20 @@ def _reconstruct_inter(st: _FrameState, oy: int, ox: int, cbp: int,
 
 
 def _write_inter_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
-                    mv, mvd, cbp: int, luma_z, comps, qp: int) -> None:
-    """Bitstream emission for P_L0_16x16 (mb_type 0) + nzy/nzc updates."""
+                    mv, mvd, cbp: int, luma_z, comps, qp: int,
+                    mb_type: int = 0, mvd2=None) -> None:
+    """Bitstream emission for a 16x16 inter MB + nzy/nzc updates:
+    P_L0_16x16 (mb_type 0) or a B 16x16 type (1/2/3) with ``mvd`` for the
+    first coded list and ``mvd2`` for list 1 of B_Bi."""
     oy, ox = mby * 16, mbx * 16
     cbp_l, cbp_c = cbp & 15, cbp >> 4
-    w.ue(0)  # mb_type P_L0_16x16
-    w.se(int(mvd[0]))
-    w.se(int(mvd[1]))
+    w.ue(mb_type)
+    if mvd is not None:
+        w.se(int(mvd[0]))
+        w.se(int(mvd[1]))
+    if mvd2 is not None:
+        w.se(int(mvd2[0]))
+        w.se(int(mvd2[1]))
     w.ue(_CBP_INTER_INV[cbp])
     if cbp:
         w.se(0)  # mb_qp_delta
@@ -2096,7 +2265,8 @@ def _write_inter_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
 
 def encode_slice_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                    ref: _FrameState, qp: int = 26, frame_num: int = 1,
-                   search: int = 4) -> tuple[bytes, _FrameState]:
+                   search: int = 4,
+                   poc_lsb: int | None = None) -> tuple[bytes, _FrameState]:
     """P slice: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
     zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
@@ -2111,6 +2281,8 @@ def encode_slice_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     w.ue(5)  # slice_type: P (all slices in picture)
     w.ue(0)  # pps_id
     w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
+    if poc_lsb is not None:
+        w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
     w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
@@ -2163,6 +2335,93 @@ def encode_slice_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return w.bytes(), st
 
 
+def encode_slice_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                   ref0: _FrameState, ref1: _FrameState, qp: int = 26,
+                   frame_num: int = 1, search: int = 4,
+                   poc_lsb: int = 0) -> tuple[bytes, _FrameState]:
+    """B slice (non-reference): per-MB motion search against BOTH the
+    past (list 0) and future (list 1) reference reconstructions, choosing
+    the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
+    SAD, I_PCM fallback for placeholder-code macroblocks.  No B_Skip /
+    B_Direct is ever emitted (the decoder refuses them).  Returns
+    (RBSP, reconstruction state) — the state is NOT a reference (B
+    frames don't enter the DPB at this scope)."""
+    H_, W_ = y.shape
+    assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
+    mbw, mbh = W_ // 16, H_ // 16
+    assert (ref0.H, ref0.W) == (H_, W_) == (ref1.H, ref1.W), "ref dims mismatch"
+    st = _FrameState(mbw, mbh)
+    w = BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(6)  # slice_type: B (all slices in picture)
+    w.ue(0)  # pps_id
+    w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
+    w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0 required)
+    w.u(0, 1)  # direct_spatial_mv_pred_flag
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # ref_pic_list_modification_flag_l1
+    # nal_ref_idc == 0 (non-ref): no dec_ref_pic_marking
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc: OFF
+    ysrc = y.astype(np.int64)
+    for mb in range(mbw * mbh):
+        mbx, mby = mb % mbw, mb // mbw
+        oy, ox = mby * 16, mbx * 16
+        src = ysrc[oy : oy + 16, ox : ox + 16]
+        mv0 = _motion_search(ref0.y, src, oy, ox, search)
+        mv1 = _motion_search(ref1.y, src, oy, ox, search)
+        p0 = mc_luma(ref0.y, oy, ox, mv0)
+        p1 = mc_luma(ref1.y, oy, ox, mv1)
+        pbi = (p0 + p1 + 1) >> 1
+        cands = [
+            (1, [mv0, None], p0),
+            (2, [None, mv1], p1),
+            (3, [mv0, mv1], pbi),
+        ]
+        mb_type, mvs, p16 = min(
+            cands, key=lambda c: int(np.abs(src - c[2]).sum())
+        )
+        cy, cx = oy // 2, ox // 2
+        p8s = tuple(
+            _bipred(getattr(ref0, pl), getattr(ref1, pl), cy, cx, mvs, mc_chroma)
+            for pl in ("cb", "cr")
+        )
+        cbp, luma_z, comps, _ = _inter_residuals_from_pred(
+            src, cb, cr, oy, ox, p16, p8s, qp
+        )
+        mvd0 = (mvs[0] - st.mv_pred(mbx, mby, 0)) if mvs[0] is not None else None
+        mvd1 = (mvs[1] - st.mv_pred(mbx, mby, 1)) if mvs[1] is not None else None
+        snap = _mb_snapshot(st, mbx, mby)
+        use_snap = (st.use_l[mby, mbx].copy(), st.mv_l[mby, mbx].copy())
+        wpos = (len(w.buf), w.acc, w.nbits)
+        w.ue(0)  # mb_skip_run (never B_Skip)
+        try:
+            _write_inter_mb(
+                w, st, mbx, mby, mvs[0], mvd0 if mvd0 is not None else mvd1,
+                cbp, luma_z, comps, qp, mb_type=mb_type,
+                mvd2=mvd1 if (mvd0 is not None and mvd1 is not None) else None,
+            )
+            _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+            by0, bx0 = oy // 4, ox // 4
+            st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+            st.mb_inter[mby, mbx] = True
+            for lst in (0, 1):
+                if mvs[lst] is not None:
+                    st.use_l[mby, mbx, lst] = True
+                    st.mv_l[mby, mbx, lst] = mvs[lst]
+            st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
+        except _NonVerbatimCode:
+            del w.buf[wpos[0]:]
+            w.acc, w.nbits = wpos[1], wpos[2]
+            _mb_restore(st, mbx, mby, snap)
+            st.use_l[mby, mbx], st.mv_l[mby, mbx] = use_snap
+            w.ue(0)  # mb_skip_run before the replacement MB
+            _encode_mb_pcm(w, st, mbx, mby, y, cb, cr, type_offset=23)
+    w.rbsp_trailing()
+    return w.bytes(), st
+
+
 def pad_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
     """Edge-replicate planes to MB multiples (SPS crop undoes it)."""
     H_, W_ = y.shape
@@ -2183,44 +2442,84 @@ def encode_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 
 
 def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
-                  mb_mode: str = "auto", search: int = 4) -> list[tuple[bytes, bool]]:
-    """[(y, cb, cr)] -> [(slice NAL, is_idr)]: every ``gop``-th frame an
-    IDR, the rest P frames predicted from the previous RECONSTRUCTION
-    (so decode drift is zero by construction) — the GOP structure the
-    engine's pruned loads plan against (decoder_automata's keyframe ->
-    forward model)."""
-    out: list[tuple[bytes, bool]] = []
-    ref: _FrameState | None = None
-    fnum = 0
-    for i, (y, cb, cr) in enumerate(frames_yuv):
-        yp, cbp_, crp = pad_planes(y, cb, cr)
-        if ref is None or i % gop == 0:
-            rbsp, st = encode_slice(yp, cbp_, crp, qp=qp, mb_mode=mb_mode)
-            out.append((rbsp_to_nal(3, 5, rbsp), True))
-            fnum = 1
-        else:
-            rbsp, st = encode_slice_p(
-                yp, cbp_, crp, ref, qp=qp, frame_num=fnum, search=search
+                  mb_mode: str = "auto", search: int = 4,
+                  b_frames: int = 0) -> list[tuple[bytes, bool, int]]:
+    """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
+    display_index)] in DECODE order: every ``gop``-th display frame an
+    IDR, reference P frames every ``b_frames + 1`` display positions
+    inside the GOP, non-reference B frames between consecutive
+    references (bi-predicted from both RECONSTRUCTIONS, so decode drift
+    is zero by construction) — the GOP structure the engine's pruned
+    loads plan against (decoder_automata's keyframe -> forward model).
+    With ``b_frames > 0`` the stream is poc-type-0 (pair it with
+    ``write_sps(..., num_ref_frames=2, poc_type=0)``) and each
+    reference P is emitted BEFORE the B frames it back-predicts; with
+    ``b_frames = 0`` this reduces to the classic I-P chain (decode ==
+    display order, poc-type-2 SPS)."""
+    frames = [pad_planes(y, cb, cr) for y, cb, cr in frames_yuv]
+    out: list[tuple[bytes, bool, int]] = []
+    poc0 = b_frames > 0  # poc-type-0 headers carry display order
+    step = b_frames + 1
+    for g0 in range(0, len(frames), gop):
+        gL = min(gop, len(frames) - g0)  # this GOP's display length
+        yp, cbp_, crp = frames[g0]
+        rbsp, prev_st = encode_slice(
+            yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
+            poc_lsb=0 if poc0 else None,
+        )
+        out.append((rbsp_to_nal(3, 5, rbsp), True, g0))
+        fnum, prev_d = 1, 0
+        while prev_d < gL - 1:
+            nxt_d = min(prev_d + step, gL - 1)
+            yp, cbp_, crp = frames[g0 + nxt_d]
+            rbsp, nxt_st = encode_slice_p(
+                yp, cbp_, crp, prev_st, qp=qp, frame_num=fnum, search=search,
+                poc_lsb=2 * nxt_d if poc0 else None,
             )
-            out.append((rbsp_to_nal(2, 1, rbsp), False))
+            out.append((rbsp_to_nal(2, 1, rbsp), False, g0 + nxt_d))
             fnum = (fnum + 1) & 15
-        ref = st
+            for d in range(prev_d + 1, nxt_d):
+                yp, cbp_, crp = frames[g0 + d]
+                rbsp, _ = encode_slice_b(
+                    yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
+                    search=search, poc_lsb=2 * d,
+                )
+                out.append((rbsp_to_nal(0, 1, rbsp), False, g0 + d))
+            prev_st, prev_d = nxt_st, nxt_d
     return out
 
 
 def decode_frame(nal: bytes, sps: dict, pps: dict, strict: bool = True,
-                 ref: _FrameState | None = None, return_state: bool = False):
+                 ref: _FrameState | None = None, return_state: bool = False,
+                 ref1: _FrameState | None = None):
     """Slice NAL -> (y, cb, cr) uint8 planes (cropped).  IDR/non-IDR and
     the ref-marking form are selected from the NAL header (ADVICE r05);
-    P slices need ``ref`` (previous frame's state) and a GOP decode loop
-    passes ``return_state=True`` to chain."""
+    P slices need ``ref`` (previous reference's state), B slices ``ref``
+    + ``ref1`` (past + future references); a GOP decode loop passes
+    ``return_state=True`` to chain."""
     ref_idc, nal_type, rbsp = nal_to_rbsp(nal)
     if nal_type not in (1, 5):
         raise ValueError(f"not a slice NAL (type {nal_type})")
     return decode_slice(
         rbsp, sps, pps, strict=strict, idr=nal_type == 5,
-        nal_ref_idc=ref_idc, ref=ref, return_state=return_state,
+        nal_ref_idc=ref_idc, ref=ref, return_state=return_state, ref1=ref1,
     )
+
+
+def slice_kind(nal: bytes) -> tuple[str, bool]:
+    """Peek a slice NAL's type without decoding it: returns
+    ('I'|'P'|'B', is_reference) from the first two ue(v) fields of the
+    header — what a GOP decode walk needs to maintain its two-slot DPB."""
+    ref_idc, nal_type, rbsp = nal_to_rbsp(nal)
+    if nal_type not in (1, 5):
+        raise ValueError(f"not a slice NAL (type {nal_type})")
+    r = BitReader(rbsp)
+    r.ue()  # first_mb_in_slice
+    st_mod = r.ue() % 5
+    kind = {0: "P", 1: "B", 2: "I"}.get(st_mod)
+    if kind is None:
+        raise NotImplementedError(f"slice_type mod 5 == {st_mod} unsupported")
+    return kind, ref_idc != 0
 
 
 # ---------------------------------------------------------------------------

@@ -1526,8 +1526,11 @@ def q_video_decode_pruned(spark, sf_dir):
     then decode a sparse frame set — the GOP-pruning join ensures only
     the GOPs containing wanted frames are decoded via bounded byte-range
     reads, mp4 frames decode straight off the sample index, and the avc1
-    wanted set includes a NON-IDR GOP member (frame 6 = P), exercising
-    keyframe-forward inter decode (CAVLC + intra + motion compensation).
+    track has full I/P/B GOP structure (gop=4, b_frames=1: decode-order
+    samples + ctts reordering) with the wanted set hitting BOTH a
+    bi-predicted B frame (display 1) and a non-IDR P (display 6) —
+    keyframe-forward inter decode with a two-slot DPB (CAVLC + intra +
+    quarter-pel MC + bi-prediction).
     Driver testdata has no video table, so the videos are synthesized
     deterministically per call.  Oracle-checked: lossless (SVF/raw-mp4)
     frames get exact closed-form checksums; avc1 rows NULL (pixel bounds
@@ -1563,7 +1566,7 @@ def q_video_decode_pruned(spark, sf_dir):
         f.write(
             mp4mod.encode_mp4_avc1(
                 [synthetic_frame(3, i, 16, 16, 3) for i in range(8)],
-                qp=10, gop=4,
+                qp=10, gop=4, b_frames=1,
             )
         )
     paths.append(avc_path)

@@ -158,6 +158,42 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
     else:
         sync = None  # absent stss = every sample is sync (ISO 14496-12 §8.6.2)
 
+    # --- composition reordering (B frames) --------------------------------
+    # display rank comes from composition times: CT = DT (stts cumsum) +
+    # ctts offset.  Without a ctts box, display order == sample (decode)
+    # order and frame_no is just the sample index.
+    disp_of: list[int] | None = None
+    if "ctts" in found:
+        s, bend = found["ctts"]
+        version = buf[s]
+        (n_runs_c,) = struct.unpack_from(">I", buf, s + _FULLBOX)
+        cts_off: list[int] = []
+        fmt = ">Ii" if version == 1 else ">II"
+        for i in range(n_runs_c):
+            cnt, off_v = struct.unpack_from(fmt, buf, s + _FULLBOX + 4 + 8 * i)
+            cts_off.extend([off_v] * cnt)
+        # decode times from stts runs
+        dts: list[int] = []
+        if "stts" in found:
+            s2, _ = found["stts"]
+            (n_runs_t,) = struct.unpack_from(">I", buf, s2 + _FULLBOX)
+            t = 0
+            for i in range(n_runs_t):
+                cnt, delta = struct.unpack_from(
+                    ">II", buf, s2 + _FULLBOX + 4 + 8 * i
+                )
+                for _ in range(cnt):
+                    dts.append(t)
+                    t += delta
+        else:
+            dts = list(range(len(cts_off)))
+        n = min(len(cts_off), len(dts), len(sizes))
+        ct = [dts[i] + cts_off[i] for i in range(n)]
+        order = sorted(range(n), key=lambda i: (ct[i], i))
+        disp_of = [0] * n
+        for rank, i in enumerate(order):
+            disp_of[i] = rank
+
     # --- per-sample absolute offsets --------------------------------------
     entries: list[FrameIndexEntry] = []
     sample = 0
@@ -167,7 +203,12 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
             if sample >= len(sizes):
                 break
             is_key = (sync is None) or ((sample + 1) in sync)
-            entries.append(FrameIndexEntry(sample, bool(is_key), off, sizes[sample]))
+            frame_no = (
+                disp_of[sample]
+                if disp_of is not None and sample < len(disp_of)
+                else sample
+            )
+            entries.append(FrameIndexEntry(frame_no, bool(is_key), off, sizes[sample]))
             off += sizes[sample]
             sample += 1
 
@@ -183,6 +224,7 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
         "channels": 3,
         "gop": int(gop),
         "codec": codec,
+        "reordered": disp_of is not None,
     }
     if avcc is not None:
         meta["avcc"] = avcc
@@ -342,7 +384,7 @@ def encode_mp4_raw(frames, fps: int = 30) -> bytes:
 
 
 def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
-                    gop: int | None = None) -> bytes:
+                    gop: int | None = None, b_frames: int = 0) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -353,7 +395,10 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     writes real GOP structure: an IDR every N frames with P frames
     between (stss lists the sync samples), so the engine's pruned loads
     decode keyframe-forward exactly like the reference's decode model
-    (decoder_automata.cpp; inplace ingest ingest.cpp:310-365)."""
+    (decoder_automata.cpp; inplace ingest ingest.cpp:310-365).
+    ``b_frames=n`` additionally inserts n non-reference B frames between
+    consecutive references; samples are then stored in DECODE order with
+    a ctts box carrying the display (composition) reordering."""
     import numpy as np
 
     from scanner_spark.kernels import h264
@@ -364,19 +409,28 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     for f in frames:
         if f.shape != (h, w, 3) or f.dtype.name != "uint8":
             raise ValueError("all frames must be uint8 with identical shape")
-    sps = h264.write_sps(w, h)
+    if b_frames and gop is None:
+        raise ValueError("b_frames needs a GOP structure (pass gop=N)")
+    sps = h264.write_sps(
+        w, h, num_ref_frames=2 if b_frames else 1,
+        poc_type=0 if b_frames else 2,
+    )
     pps = h264.write_pps(qp)
     yuv = [h264.yuv420_from_rgb(np.asarray(f)) for f in frames]
     if gop is None:
         nals = [
-            (h264.encode_frame(y, cb, cr, qp=qp, mb_mode=mb_mode), True)
-            for y, cb, cr in yuv
+            (h264.encode_frame(y, cb, cr, qp=qp, mb_mode=mb_mode), True, i)
+            for i, (y, cb, cr) in enumerate(yuv)
         ]
     else:
-        nals = h264.encode_stream(yuv, gop=gop, qp=qp, mb_mode=mb_mode)
-    samples = [len(nal).to_bytes(4, "big") + nal for nal, _ in nals]
-    sync_nos = [i + 1 for i, (_, is_idr) in enumerate(nals) if is_idr]  # 1-based
+        nals = h264.encode_stream(
+            yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames
+        )
+    samples = [len(nal).to_bytes(4, "big") + nal for nal, _, _ in nals]
+    sync_nos = [i + 1 for i, (_, is_idr, _) in enumerate(nals) if is_idr]  # 1-based
     all_sync = len(sync_nos) == len(samples)
+    disp_nos = [d for _, _, d in nals]
+    reordered = disp_nos != list(range(len(nals)))
     sps_nal = h264.rbsp_to_nal(3, 7, sps)
     pps_nal = h264.rbsp_to_nal(3, 8, pps)
     avcc = (
@@ -418,7 +472,19 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
         struct.pack(">I", len(sync_nos))
         + b"".join(struct.pack(">I", s) for s in sync_nos),
     )
-    stbl = _wbox(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    # ctts only when decode order != display order (B frames): version-0
+    # unsigned offsets via a constant composition delay so
+    # CT = (disp - idx + shift) * delta >= 0 for every sample
+    ctts = b""
+    if reordered:
+        shift = max(i - d for i, d in enumerate(disp_nos))
+        offs = [(d - i + shift) * delta for i, d in enumerate(disp_nos)]
+        ctts = _wfull(
+            b"ctts",
+            struct.pack(">I", len(offs))
+            + b"".join(struct.pack(">II", 1, o) for o in offs),
+        )
+    stbl = _wbox(b"stbl", stsd + stts + stsc + stsz + stco + stss + ctts)
     url = _wfull(b"url ", b"", flags=1)
     dref = _wfull(b"dref", struct.pack(">I", 1) + url)
     dinf = _wbox(b"dinf", dref)
@@ -471,9 +537,10 @@ def _parse_avcc_params(sps_rbsp_list, pps_rbsp_list):
 
 
 def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
-                        length_size: int, sps_pps=None, ref=None):
+                        length_size: int, sps_pps=None, ref=None, ref1=None):
     """One avc1 sample (length-prefixed NALs) -> ((H, W, 3) RGB frame,
-    reconstruction state).  ``ref`` chains P-frame decode through a GOP."""
+    reconstruction state).  ``ref`` chains P-frame decode through a GOP;
+    B samples additionally take ``ref1`` (the future reference)."""
     from scanner_spark.kernels import h264
 
     sps, pps = sps_pps if sps_pps else _parse_avcc_params(sps_rbsp_list, pps_rbsp_list)
@@ -481,9 +548,21 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
         nal_type = nal[0] & 0x1F
         if nal_type in (1, 5):
             (y, cb, cr), st = h264.decode_frame(
-                nal, sps, pps, ref=ref, return_state=True
+                nal, sps, pps, ref=ref, return_state=True, ref1=ref1
             )
             return h264.rgb_from_yuv420(y, cb, cr), st
+    raise ValueError("avc1 sample contains no slice NAL")
+
+
+def _avc1_sample_kind(sample: bytes, length_size: int) -> tuple[str, bool]:
+    """Peek ('I'|'P'|'B', is_reference) from a sample's first slice NAL
+    without decoding pixels — drives the GOP walk's two-slot DPB and
+    lets unwanted non-reference B samples be skipped entirely."""
+    from scanner_spark.kernels import h264
+
+    for nal in h264.split_length_prefixed(bytes(sample), length_size):
+        if nal and nal[0] & 0x1F in (1, 5):
+            return h264.slice_kind(nal)
     raise ValueError("avc1 sample contains no slice NAL")
 
 
@@ -515,36 +594,75 @@ def decode_range(
         sps_l, pps_l, ls = m["avcc"]
         sps_pps = _parse_avcc_params(sps_l, pps_l)
         out = {}
-        by_no = {e.frame_no: e for e in entries}
-        missing = [no for no in wanted if no not in by_no]
+        known = {e.frame_no for e in entries}
+        missing = [no for no in wanted if no not in known]
         if missing:
             raise ValueError(f"frames not found in container: {sorted(missing)[:5]}")
         # keyframe-forward GOP decode (decoder_automata's model): each
-        # wanted frame decodes from its governing sync sample forward,
-        # chaining the reconstruction state; consecutive wanted frames in
-        # the same GOP reuse the chain instead of re-entering it.  For
-        # all-sync tracks this degenerates to one direct decode per frame.
-        keys = sorted(e.frame_no for e in entries if e.is_key)
+        # wanted DISPLAY frame decodes from its governing sync sample
+        # forward in SAMPLE (decode) order, maintaining a two-slot DPB —
+        # I/P references slide through (prev, cur), B samples read both
+        # and never enter it.  Unwanted non-reference B samples are
+        # skipped without decoding (closed GOPs: nothing depends on
+        # them).  For all-sync tracks this degenerates to one direct
+        # decode per frame.
         import bisect
 
-        ref, cur = None, None
-        for target in sorted(set(wanted)):
-            ki = bisect.bisect_right(keys, target) - 1
+        # governing keyframe of display d = sync sample with the greatest
+        # display number <= d (closed GOPs: display ranges don't straddle)
+        key_pairs = sorted(
+            (e.frame_no, i) for i, e in enumerate(entries) if e.is_key
+        )
+        key_disps = [d for d, _ in key_pairs]
+        targets = sorted(set(wanted))
+        t_i = 0
+        while t_i < len(targets):
+            ki = bisect.bisect_right(key_disps, targets[t_i]) - 1
             if ki < 0:
-                raise ValueError(f"frame {target} precedes the first sync sample")
-            k = keys[ki]
-            if cur is None or k > cur:
-                cur, ref = k, None  # enter the GOP at its keyframe
-            for no in range(cur, target + 1):
-                e = by_no.get(no)
-                if e is None:
-                    raise ValueError(f"sample {no} missing from index")
-                sample = buf[e.offset - base : e.offset - base + e.size]
-                rgb, ref = _decode_avc1_sample(
-                    sample, sps_l, pps_l, ls, sps_pps=sps_pps, ref=ref
+                raise ValueError(
+                    f"frame {targets[t_i]} precedes the first sync sample"
                 )
-            out[target] = rgb
-            cur = target + 1
+            k_disp, k_sample = key_pairs[ki]
+            gop_end = key_pairs[ki + 1][0] if ki + 1 < len(key_pairs) else None
+            remaining = set()
+            while t_i < len(targets) and (
+                gop_end is None or targets[t_i] < gop_end
+            ):
+                remaining.add(targets[t_i])
+                t_i += 1
+            ref_prev = ref_cur = None
+            s = k_sample
+            while remaining and s < len(entries):
+                e = entries[s]
+                sample = buf[e.offset - base : e.offset - base + e.size]
+                kind, _is_ref = _avc1_sample_kind(sample, ls)
+                if kind == "B" and e.frame_no not in remaining:
+                    s += 1
+                    continue  # non-ref sample nobody needs
+                if kind == "I":
+                    rgb, st = _decode_avc1_sample(
+                        sample, sps_l, pps_l, ls, sps_pps=sps_pps
+                    )
+                    ref_prev, ref_cur = None, st
+                elif kind == "P":
+                    rgb, st = _decode_avc1_sample(
+                        sample, sps_l, pps_l, ls, sps_pps=sps_pps, ref=ref_cur
+                    )
+                    ref_prev, ref_cur = ref_cur, st
+                else:  # B: past + future references, no DPB update
+                    rgb, _ = _decode_avc1_sample(
+                        sample, sps_l, pps_l, ls, sps_pps=sps_pps,
+                        ref=ref_prev, ref1=ref_cur,
+                    )
+                if e.frame_no in remaining:
+                    out[e.frame_no] = rgb
+                    remaining.discard(e.frame_no)
+                s += 1
+            if remaining:
+                raise ValueError(
+                    f"GOP at sync display {k_disp} ended before frames "
+                    f"{sorted(remaining)[:5]} were produced"
+                )
         return out
     if codec != "raw":
         raise NotImplementedError(

@@ -282,8 +282,8 @@ def test_p_needs_ref_and_b_slices_refused():
     pps = H.parse_pps(H.write_pps(26))
     with pytest.raises(ValueError, match="previous frame"):
         H.decode_slice(respliced(5), sps, pps)  # P without ref
-    with pytest.raises(NotImplementedError, match="B slices"):
-        H.decode_slice(respliced(6), sps, pps)  # B
+    with pytest.raises(ValueError, match="both reference states"):
+        H.decode_slice(respliced(6), sps, pps)  # B without refs
 
 
 # ---------------------------------------------------------------------------
@@ -346,14 +346,14 @@ def test_p_static_scene_decodes_exact():
     cr = np.full((16, 16), 170, np.uint8)
     yuv = [(y, cb, cr)] * 5
     nals = H.encode_stream(yuv, gop=8, qp=12)
-    assert [i for _, i in nals] == [True, False, False, False, False]
+    assert [i for _, i, _ in nals] == [True, False, False, False, False]
     # P frames of a static scene are nearly all skip: tiny NALs
-    assert all(len(n) < len(nals[0][0]) // 4 for n, _ in nals[1:])
+    assert all(len(n) < len(nals[0][0]) // 4 for n, _, _ in nals[1:])
     sps = H.parse_sps(H.write_sps(32, 32))
     pps = H.parse_pps(H.write_pps(12))
     ref = None
     first = None
-    for nal, _ in nals:
+    for nal, _, _ in nals:
         (dy, dcb, dcr), ref = H.decode_frame(nal, sps, pps, ref=ref, return_state=True)
         if first is None:
             first = (dy.copy(), dcb.copy(), dcr.copy())
@@ -402,7 +402,7 @@ def test_p_decode_matches_encoder_reconstruction_bitexact():
     sps = H.parse_sps(H.write_sps(32, 32))
     pps = H.parse_pps(H.write_pps(6))
     ref = None
-    for i, (nal, _) in enumerate(nals1):
+    for i, (nal, _, _) in enumerate(nals1):
         (dy, dcb, dcr), st = H.decode_frame(nal, sps, pps, ref=ref, return_state=True)
         # decoder's padded state must equal its own cropped output here
         assert np.array_equal(st.y.astype(np.uint8), dy)
@@ -514,3 +514,149 @@ def test_p_half_pel_scene_uses_subpel_and_round_trips():
         h264mod._motion_search = orig
     rb_sub = nals[1][0]
     assert len(rb_sub) < len(rb_int)
+
+
+# ---------------------------------------------------------------------------
+# B slices (bi-prediction)
+# ---------------------------------------------------------------------------
+
+
+def test_b_slice_round_trip_exact_recon():
+    """Encoder and decoder reconstruction states match bit-exactly for a
+    B slice between an IDR and a P reference (L0/L1/Bi macroblock choice
+    exercised by real motion content)."""
+    from scanner_spark.frames import synthetic_frame
+
+    frames = [synthetic_frame(0, i, 16, 16, 3) for i in range(3)]
+    yuv = [H.yuv420_from_rgb(f) for f in frames]
+    sps = H.parse_sps(H.write_sps(16, 16, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(20))
+    y0, cb0, cr0 = H.pad_planes(*yuv[0])
+    rb_i, st_i = H.encode_slice(y0, cb0, cr0, qp=20, poc_lsb=0)
+    y2, cb2, cr2 = H.pad_planes(*yuv[2])
+    rb_p, st_p = H.encode_slice_p(y2, cb2, cr2, st_i, qp=20, frame_num=1, poc_lsb=4)
+    y1, cb1, cr1 = H.pad_planes(*yuv[1])
+    rb_b, st_b = H.encode_slice_b(y1, cb1, cr1, st_i, st_p, qp=20,
+                                  frame_num=2, poc_lsb=2)
+    _, sti = H.decode_slice(rb_i, sps, pps, idr=True, return_state=True)
+    _, stp = H.decode_slice(rb_p, sps, pps, idr=False, nal_ref_idc=2,
+                            ref=sti, return_state=True)
+    pb, stb = H.decode_slice(rb_b, sps, pps, idr=False, nal_ref_idc=0,
+                             ref=sti, ref1=stp, return_state=True)
+    for enc_st, dec_st in ((st_i, sti), (st_p, stp), (st_b, stb)):
+        for pl in ("y", "cb", "cr"):
+            assert np.array_equal(getattr(enc_st, pl), getattr(dec_st, pl))
+    # lossy fidelity of the decoded B frame vs its source
+    assert np.abs(pb[0].astype(int) - yuv[1][0].astype(int)).max() <= 8
+
+
+@pytest.mark.parametrize("b_frames", [1, 2])
+def test_b_gop_stream_decode(b_frames):
+    """encode_stream with B frames emits decode order (each reference P
+    before the Bs that back-predict from it); a two-slot DPB walk decodes
+    every display frame within lossy bounds."""
+    from scanner_spark.frames import synthetic_frame
+
+    frames = [synthetic_frame(1, i, 16, 16, 3) for i in range(10)]
+    yuv = [H.yuv420_from_rgb(f) for f in frames]
+    nals = H.encode_stream(yuv, gop=5, qp=16, b_frames=b_frames)
+    assert sorted(d for _, _, d in nals) == list(range(10))
+    assert [d for _, k, d in nals if k] == [0, 5]  # IDR display positions
+    sps = H.parse_sps(H.write_sps(16, 16, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(16))
+    out = {}
+    ref_prev = ref_cur = None
+    n_b = 0
+    for nal, _, d in nals:
+        kind, is_ref = H.slice_kind(nal)
+        if kind == "I":
+            planes, st = H.decode_frame(nal, sps, pps, return_state=True)
+            ref_prev, ref_cur = None, st
+        elif kind == "P":
+            planes, st = H.decode_frame(nal, sps, pps, ref=ref_cur,
+                                        return_state=True)
+            ref_prev, ref_cur = ref_cur, st
+        else:
+            assert not is_ref  # B frames never enter the DPB here
+            n_b += 1
+            planes, _ = H.decode_frame(nal, sps, pps, ref=ref_prev,
+                                       ref1=ref_cur, return_state=True)
+        out[d] = planes
+    assert n_b > 0
+    for i in range(10):
+        assert np.abs(out[i][0].astype(int) - yuv[i][0].astype(int)).max() <= 8
+
+
+def test_b_slice_refuses_skip_and_direct():
+    """The decoder refuses B_Skip runs and B_Direct_16x16 rather than
+    guessing direct-mode motion (in-repo streams never emit them)."""
+    sps = H.parse_sps(H.write_sps(16, 16, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(26))
+    dummy = H._FrameState(1, 1)
+
+    def b_header(w):
+        w.ue(0)   # first_mb_in_slice
+        w.ue(6)   # slice_type B
+        w.ue(0)   # pps_id
+        w.u(0, 4)  # frame_num
+        w.u(0, 8)  # poc_lsb
+        w.u(0, 1)  # direct_spatial_mv_pred
+        w.u(0, 1)  # override
+        w.u(0, 1)  # rplm l0
+        w.u(0, 1)  # rplm l1
+        w.se(0)   # qp delta
+        w.ue(1)   # deblocking off
+
+    w = H.BitWriter()
+    b_header(w)
+    w.ue(1)  # mb_skip_run = 1 -> B_Skip
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="B_Skip"):
+        H.decode_slice(w.bytes(), sps, pps, idr=False, nal_ref_idc=0,
+                       ref=dummy, ref1=dummy)
+    w = H.BitWriter()
+    b_header(w)
+    w.ue(0)  # skip_run 0
+    w.ue(0)  # mb_type 0 = B_Direct_16x16
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="B_Direct"):
+        H.decode_slice(w.bytes(), sps, pps, idr=False, nal_ref_idc=0,
+                       ref=dummy, ref1=dummy)
+
+
+def test_avc1_mp4_b_frames_sparse_decode():
+    """mp4 with B frames: samples in decode order + ctts; parse_index
+    recovers display numbering; decode_range produces display-exact
+    frames (vs the 4:2:0 baseline) for a sparse wanted set and skips
+    unwanted non-reference B samples entirely."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(0, i, 16, 16, 3) for i in range(12)]
+    base = [H.rgb_from_yuv420(*H.yuv420_from_rgb(f)) for f in frames]
+    buf = mp4.encode_mp4_avc1(frames, qp=10, gop=6, b_frames=1)
+    meta, entries = mp4.parse_index(buf)
+    assert meta["reordered"] is True
+    assert sorted(e.frame_no for e in entries) == list(range(12))
+    # decode order inside each GOP: I, P, B, P, B, P (display 0 2 1 4 3 5)
+    assert [e.frame_no for e in entries[:6]] == [0, 2, 1, 4, 3, 5]
+    assert [e.is_key for e in entries] == [True] + [False] * 5 + [True] + [False] * 5
+    wanted = {1, 4, 7, 11}
+    calls = []
+    orig = mp4._decode_avc1_sample
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    mp4._decode_avc1_sample = counting
+    try:
+        out = mp4.decode_range(buf, 0, meta, wanted)
+    finally:
+        mp4._decode_avc1_sample = orig
+    for no in wanted:
+        assert np.abs(out[no].astype(int) - base[no].astype(int)).max() <= 12
+    # GOP1 stops once display 4 lands: I,P2,B1,P4 = 4 decodes (B3 never
+    # touched); GOP2 needs I,P8,B7,P10,P11 = 5 (B9 unwanted non-ref ->
+    # skipped, not decoded)
+    assert len(calls) == 9

@@ -228,7 +228,7 @@ def test_h264_gop_stream_decode_matches_encoder_state(hw, gop, qp, seed):
     sps = H.parse_sps(H.write_sps(w, h))
     pps = H.parse_pps(H.write_pps(qp))
     ref = None
-    for i, (nal, is_idr) in enumerate(nals):
+    for i, (nal, is_idr, disp) in enumerate(nals):
         assert is_idr == (i % gop == 0)
         (dy, dcb, dcr), st2 = H.decode_frame(nal, sps, pps, ref=ref, return_state=True)
         # cropped decode equals the decoder's own padded state interior
