@@ -235,3 +235,58 @@ def test_h264_gop_stream_decode_matches_encoder_state(hw, gop, qp, seed):
         assert np.array_equal(st2.y[:h, :w].astype(np.uint8), dy)
         assert dy.shape == (h, w)
         ref = st2
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    hw=st.sampled_from([(16, 16), (32, 16)]),
+    gop=st.integers(3, 6),
+    b_frames=st.integers(1, 2),
+    qp=st.sampled_from([6, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_h264_b_gop_stream_decode_matches_encoder_recon(hw, gop, b_frames,
+                                                        qp, seed):
+    """Any random I/P/B GOP stream decodes without desync through a
+    two-slot DPB walk, covers every display index exactly once, and every
+    decoded reference frame equals the decoder's own padded state (the
+    zero-drift invariant extended to bi-prediction)."""
+    import numpy as np
+
+    from scanner_spark.kernels import h264 as H
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    yuv = []
+    base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    for i in range(7):
+        y = np.roll(base, i * rng.integers(0, 3), axis=1)
+        cb = np.full((h // 2, w // 2), int(rng.integers(0, 256)), np.uint8)
+        cr = np.full((h // 2, w // 2), int(rng.integers(0, 256)), np.uint8)
+        yuv.append((y, cb, cr))
+    nals = H.encode_stream(yuv, gop=gop, qp=qp, b_frames=b_frames)
+    assert sorted(d for _, _, d in nals) == list(range(7))
+    sps = H.parse_sps(H.write_sps(w, h, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(qp))
+    ref_prev = ref_cur = None
+    seen = set()
+    for nal, is_idr, d in nals:
+        kind, is_ref = H.slice_kind(nal)
+        assert is_idr == (kind == "I")
+        assert is_ref == (kind != "B")  # B frames are non-reference
+        if kind == "I":
+            (dy, _, _), st2 = H.decode_frame(nal, sps, pps, return_state=True)
+            ref_prev, ref_cur = None, st2
+        elif kind == "P":
+            (dy, _, _), st2 = H.decode_frame(
+                nal, sps, pps, ref=ref_cur, return_state=True
+            )
+            ref_prev, ref_cur = ref_cur, st2
+        else:
+            (dy, _, _), st2 = H.decode_frame(
+                nal, sps, pps, ref=ref_prev, ref1=ref_cur, return_state=True
+            )
+        assert np.array_equal(st2.y[:h, :w].astype(np.uint8), dy)
+        assert dy.shape == (h, w)
+        seen.add(d)
+    assert seen == set(range(7))

@@ -493,3 +493,45 @@ def test_storage_opener_registry(tmp_path):
     )
     assert (out[10] == frames[10]).all()
     assert sum(reads) <= 8 + (read_end - kf.offset)  # still bounded
+
+
+def test_decode_gop_task_avc1_b_frames_range_reads(tmp_path):
+    """avc1 with B frames: decode-order storage keeps the pruned byte
+    window valid — every sample a wanted display frame needs (its GOP's
+    IDR, the P references, the B sample itself) precedes the wanted
+    frame's own sample end, so [keyframe_offset, wanted_end) still
+    suffices and bytes read stay bounded by sniff + moov + window."""
+    from scanner_spark.kernels import h264
+    from scanner_spark.sources import mp4
+    from scanner_spark.sources.video import decode_gop_task
+
+    frames = [synthetic_frame(0, i, 16, 16, 3) for i in range(12)]
+    base = [
+        h264.rgb_from_yuv420(*h264.yuv420_from_rgb(f)) for f in frames
+    ]
+    p = str(tmp_path / "b.mp4")
+    with open(p, "wb") as f:
+        f.write(mp4.encode_mp4_avc1(frames, qp=10, gop=6, b_frames=1))
+    whole = open(p, "rb").read()
+    meta, entries = mp4.parse_index(whole)
+    assert meta["reordered"] is True
+    moov_size = len(mp4.read_moov(p))
+    # wanted display 3 = a B frame (GOP decode order 0,2,1,4,3,5): its
+    # own sample is the LAST the chain needs, so the plan's read_end =
+    # its end covers I(0), P(2), P(4) which all precede it
+    by_disp = {e.frame_no: e for e in entries}
+    key = by_disp[0]
+    want = by_disp[3]
+    read_end = want.offset + want.size
+    opener = _CountingOpener()
+    out = decode_gop_task(
+        p, key.offset, read_end,
+        {"height": 16, "width": 16, "channels": 3}, {3}, opener=opener,
+    )
+    assert set(out) == {3}
+    assert np.abs(out[3].astype(int) - base[3].astype(int)).max() <= 12
+    window = read_end - key.offset
+    assert opener.bytes_read <= 8 + 64 + moov_size + window, (
+        f"read {opener.bytes_read}; moov={moov_size} window={window}"
+    )
+    assert opener.bytes_read < len(whole)
