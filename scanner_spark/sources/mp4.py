@@ -544,14 +544,26 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
     from scanner_spark.kernels import h264
 
     sps, pps = sps_pps if sps_pps else _parse_avcc_params(sps_rbsp_list, pps_rbsp_list)
-    for nal in h264.split_length_prefixed(bytes(sample), length_size):
-        nal_type = nal[0] & 0x1F
-        if nal_type in (1, 5):
-            (y, cb, cr), st = h264.decode_frame(
-                nal, sps, pps, ref=ref, return_state=True, ref1=ref1
-            )
-            return h264.rgb_from_yuv420(y, cb, cr), st
-    raise ValueError("avc1 sample contains no slice NAL")
+    slices = [
+        nal
+        for nal in h264.split_length_prefixed(bytes(sample), length_size)
+        if nal and nal[0] & 0x1F in (1, 5)
+    ]
+    if not slices:
+        raise ValueError("avc1 sample contains no slice NAL")
+    if len(slices) > 1:
+        # decoding only the first slice would yield a frame with the
+        # remaining macroblocks missing — refuse loudly rather than
+        # return silently wrong pixels (same posture as the CAVLC
+        # placeholder codes)
+        raise NotImplementedError(
+            f"avc1 sample carries {len(slices)} slice NALs; multi-slice "
+            "frames are not supported (single slice per picture)"
+        )
+    (y, cb, cr), st = h264.decode_frame(
+        slices[0], sps, pps, ref=ref, return_state=True, ref1=ref1
+    )
+    return h264.rgb_from_yuv420(y, cb, cr), st
 
 
 def _avc1_sample_kind(sample: bytes, length_size: int) -> tuple[str, bool]:

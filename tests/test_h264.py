@@ -660,3 +660,22 @@ def test_avc1_mp4_b_frames_sparse_decode():
     # touched); GOP2 needs I,P8,B7,P10,P11 = 5 (B9 unwanted non-ref ->
     # skipped, not decoded)
     assert len(calls) == 9
+
+
+def test_avc1_multi_slice_sample_refused():
+    """A sample carrying more than one slice NAL must refuse loudly —
+    decoding only the first slice would silently return a frame with the
+    remaining macroblocks missing."""
+    from scanner_spark.sources import mp4
+
+    y = np.full((16, 16), 100, np.uint8)
+    c = np.full((8, 8), 128, np.uint8)
+    nal = H.encode_frame(y, c, c, qp=26)
+    sps_nal = H.rbsp_to_nal(3, 7, H.write_sps(16, 16))
+    pps_nal = H.rbsp_to_nal(3, 8, H.write_pps(26))
+    one = len(nal).to_bytes(4, "big") + nal
+    # single-slice sample decodes fine
+    rgb, _ = mp4._decode_avc1_sample(one, [sps_nal], [pps_nal], 4)
+    assert rgb.shape == (16, 16, 3)
+    with pytest.raises(NotImplementedError, match="multi-slice"):
+        mp4._decode_avc1_sample(one + one, [sps_nal], [pps_nal], 4)
