@@ -661,15 +661,15 @@ def test_tiff_foreign_layout_big_endian_multistrip():
     assert np.array_equal(decode_tiff(bytes(out)), img)
 
 
-def test_tiff_compressed_variants_refused_payload_fake_only_for_webp():
+def test_tiff_unsupported_compression_refused_payload_real_formats():
     import numpy as np
     import pytest as _pytest
 
-    from scanner_spark.functions.multimodal import _fake_decode, decode_payload
+    from scanner_spark.functions.multimodal import decode_payload
     from scanner_spark.kernels.tiff import decode_tiff, encode_tiff
 
-    # LZW-compressed TIFF: explicit refusal, not silent garbage —
-    # walk the IFD and patch the Compression (259) entry to 5 (LZW)
+    # JPEG-in-TIFF (compression 7): explicit refusal, not silent garbage —
+    # walk the IFD and patch the Compression (259) entry
     import struct as _s
 
     img = np.full((4, 4, 3), 9, np.uint8)
@@ -680,8 +680,8 @@ def test_tiff_compressed_variants_refused_payload_fake_only_for_webp():
         off = ifd + 2 + 12 * i
         t, typ, cnt = _s.unpack_from("<HHI", buf, off)
         if t == 259:
-            _s.pack_into("<H", buf, off + 8, 5)
-    with _pytest.raises(NotImplementedError, match="compression 5"):
+            _s.pack_into("<H", buf, off + 8, 7)
+    with _pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(buf))
     # decode_payload: real TIFF path end-to-end; real WebP path too
     out = decode_payload(encode_tiff(img), 4, 4)
@@ -690,6 +690,83 @@ def test_tiff_compressed_variants_refused_payload_fake_only_for_webp():
 
     out = decode_payload(encode_webp(img), 4, 4)
     assert np.array_equal(out, img)
+
+
+def test_tiff_lzw_packbits_predictor_round_trips():
+    """Compression 5 (LZW, early change), 32773 (PackBits), and
+    Predictor 2 round-trip exactly; LZW+predictor compresses a smooth
+    gradient; the spec's §13 worked example emits the pinned code
+    sequence (external-conformance anchor for the early-change widths)."""
+    import numpy as np
+
+    from scanner_spark.kernels.tiff import (
+        _lzw_decode, _lzw_encode, decode_tiff, encode_tiff)
+
+    rng = np.random.default_rng(11)
+    for shape in [(7, 9), (16, 16, 1), (13, 21, 3), (8, 8, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = img if img.ndim == 3 else img[:, :, None]
+        for comp in ("none", "lzw", "packbits"):
+            for pred in (1, 2):
+                got = decode_tiff(encode_tiff(img, compression=comp, predictor=pred))
+                assert np.array_equal(got, want), (shape, comp, pred)
+
+    # smooth gradient: horizontal differencing makes LZW earn its keep
+    g = np.arange(256, dtype=np.uint8)[None, :].repeat(64, 0)[:, :, None]
+    assert len(encode_tiff(g, compression="lzw", predictor=2)) < len(encode_tiff(g)) / 4
+
+    # TIFF 6.0 §13 worked example: CLEAR 7 258 8 8 258 6 6 EOI, 9-bit codes
+    enc = _lzw_encode(bytes([7, 7, 7, 8, 8, 7, 7, 6, 6]))
+    bits = "".join(f"{b:08b}" for b in enc)
+    codes = [int(bits[i : i + 9], 2) for i in range(0, (len(bits) // 9) * 9, 9)]
+    assert codes == [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    assert _lzw_decode(enc, 16) == bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+
+    # early-change width walk + table clear: 200k random bytes push the
+    # code width through 9->10->11->12 and force a 4094-entry clear
+    blob = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(blob), len(blob)) == blob
+    # KwKwK case (code == next free entry)
+    s = b"ab" * 500
+    assert _lzw_decode(_lzw_encode(s), len(s)) == s
+
+
+def test_tiff_foreign_multistrip_lzw():
+    """A multi-strip LZW file where each strip is independently
+    compressed (what real writers emit) decodes strip-by-strip."""
+    import struct
+
+    import numpy as np
+
+    from scanner_spark.kernels.tiff import _lzw_encode, decode_tiff
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    px = img.tobytes()
+    half = 3 * 5 * 3
+    strips = [_lzw_encode(px[:half]), _lzw_encode(px[half:])]
+    out = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+    offs = []
+    for s in strips:
+        offs.append(len(out))
+        out += s
+    bps_off = len(out); out += struct.pack(">3H", 8, 8, 8)
+    so_off = len(out); out += struct.pack(">2I", *offs)
+    sc_off = len(out); out += struct.pack(">2I", *(len(s) for s in strips))
+    out[4:8] = struct.pack(">I", len(out))
+
+    def tag(t, typ, count, value):
+        return struct.pack(">HHI", t, typ, count) + struct.pack(">I", value)
+
+    def tshort(t, v):
+        return struct.pack(">HHI", t, 3, 1) + struct.pack(">HH", v, 0)
+
+    tags = [tag(256, 4, 1, 5), tag(257, 4, 1, 6), tag(258, 3, 3, bps_off),
+            tshort(259, 5), tshort(262, 2), tag(273, 4, 2, so_off),
+            tshort(277, 3), tag(278, 4, 1, 3), tag(279, 4, 2, sc_off),
+            tshort(284, 1)]
+    out += struct.pack(">H", len(tags)) + b"".join(tags) + struct.pack(">I", 0)
+    assert np.array_equal(decode_tiff(bytes(out)), img)
 
 
 def test_tiff_white_is_zero_inverted():
