@@ -330,10 +330,11 @@ FROM grid g LEFT JOIN cnt
 
 
 def _multimodal_decode_sql() -> str:
-    """Twin for the four-format media pipeline: payload pixels are tiled
-    text bytes (32x32x3 RGB for PNG/WebP, 32x32 grey replicated for GIF),
-    the 32->16 half-pixel resize is a 4-neighbor (S+2)//4, and JPEG rows
-    (doc_id % 4 == 1, lossy) carry NULL checksums in both engines."""
+    """Twin for the six-format media pipeline: payload pixels are tiled
+    text bytes (32x32x3 RGB for PNG/WebP/TIFF, 32x32 grey replicated for
+    GIF), the 32->16 half-pixel resize is a 4-neighbor (S+2)//4, and the
+    lossy JPEG rows (doc_id % 6 in (1, 5): baseline and progressive)
+    carry NULL checksums in both engines."""
 
     def byte(i: str) -> str:  # tiled text byte at 0-based index expr i
         return f"ascii(substr(t, CAST((({i}) % length(t)) + 1 AS INTEGER), 1))"
@@ -354,15 +355,15 @@ def _multimodal_decode_sql() -> str:
     rgb4 = " + ".join(rgb(dy, dx) for dy in (0, 1) for dx in (0, 1))
     grey4 = " + ".join(grey(dy, dx) for dy in (0, 1) for dx in (0, 1))
     return f"""WITH d AS (
-  SELECT doc_id AS asset_id, doc_id % 4 AS md4,
+  SELECT doc_id AS asset_id, doc_id % 6 AS md6,
          coalesce(nullif(text, ''), ' ') AS t
   FROM documents
 ),
 res AS (
-  SELECT asset_id, md4,
-    CASE WHEN md4 = 1 THEN NULL ELSE
+  SELECT asset_id, md6,
+    CASE WHEN md6 IN (1, 5) THEN NULL ELSE
       list_transform(range(0, 768), j ->
-        CASE WHEN md4 = 2 THEN ({grey4} + 2) // 4
+        CASE WHEN md6 = 2 THEN ({grey4} + 2) // 4
              ELSE ({rgb4} + 2) // 4 END)
     END AS rp
   FROM d

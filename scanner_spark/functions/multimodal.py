@@ -9,10 +9,11 @@ image/audio library.
 ``decode_image`` has REAL codec paths for every routed format: PNG
 payloads are decoded by the in-repo dependency-free decoder
 (``kernels.image.decode_png`` — inverse of ``encode_png``), baseline
-JPEG payloads by the in-repo T.81 decoder (``kernels.jpeg.decode_jpeg``;
-the reference ingests real image format groups the same way,
-scanner/engine/ingest.cpp:1004), GIF payloads by the in-repo LZW
-decoder (``kernels.gif.decode_gif``), uncompressed baseline TIFF by
+AND progressive JPEG payloads by the in-repo T.81 decoder
+(``kernels.jpeg.decode_jpeg``; the reference ingests real image format
+groups the same way, scanner/engine/ingest.cpp:1004), GIF payloads by
+the in-repo LZW decoder (``kernels.gif.decode_gif``), TIFF
+(uncompressed / LZW / PackBits, predictor 2) by
 ``kernels.tiff.decode_tiff``, and lossless WebP (VP8L) by
 ``kernels.webp.decode_webp`` — all normalized to 3 channels and
 bilinearly resized to the requested output size.  A payload with no
@@ -272,12 +273,55 @@ def text_to_webp(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32
 
 
 def text_to_jpeg(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
-                 id_col: str = "doc_id", quality: int = 85) -> DataFrame:
+                 id_col: str = "doc_id", quality: int = 85,
+                 progressive: bool = False) -> DataFrame:
     """Render each document's utf-8 bytes into a deterministic (h, w, 3)
-    image and REAL-encode it as baseline JPEG (in-repo T.81 encoder) —
-    genuine lossy-compressed payloads from driver-provided data, the JPEG
-    twin of ``text_to_png``.  Arrow-batched mapInPandas."""
-    from scanner_spark.kernels.jpeg import encode_jpeg
+    image and REAL-encode it as JPEG (in-repo T.81 encoder) — genuine
+    lossy-compressed payloads from driver-provided data, the JPEG twin of
+    ``text_to_png``.  ``progressive=True`` emits SOF2 successive-
+    approximation streams (same pixels on decode as the baseline
+    encoding).  Arrow-batched mapInPandas."""
+    from scanner_spark.kernels.jpeg import encode_jpeg, encode_jpeg_progressive
+
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
+    out_schema = (
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+    )
+    need = h * w * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                raw = (s or " ").encode("utf-8")
+                reps = -(-need // len(raw))
+                arr = np.frombuffer((raw * reps)[:need], dtype=np.uint8)
+                payloads.append(enc(arr.reshape(h, w, 3), quality=quality))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"width": w, "height": h, "duration_ms": 0, "codec": "jpeg"}
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def text_to_tiff(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32,
+                 id_col: str = "doc_id", compression: str = "lzw",
+                 predictor: int = 2) -> DataFrame:
+    """Render each document's utf-8 bytes into a deterministic (h, w, 3)
+    image and REAL-encode it as TIFF (in-repo TIFF 6.0 codec; defaults
+    exercise the LZW + horizontal-predictor path) — the fifth genuine
+    compressed image format, pixel-exact like PNG/GIF/WebP.  Arrow-batched
+    mapInPandas."""
+    from scanner_spark.kernels.tiff import encode_tiff
 
     out_schema = (
         "asset_id long, media_type string, payload binary, "
@@ -292,14 +336,17 @@ def text_to_jpeg(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32
                 raw = (s or " ").encode("utf-8")
                 reps = -(-need // len(raw))
                 arr = np.frombuffer((raw * reps)[:need], dtype=np.uint8)
-                payloads.append(encode_jpeg(arr.reshape(h, w, 3), quality=quality))
+                payloads.append(
+                    encode_tiff(arr.reshape(h, w, 3), compression=compression,
+                                predictor=predictor)
+                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col],
                     "media_type": "image",
                     "payload": payloads,
                     "meta": [
-                        {"width": w, "height": h, "duration_ms": 0, "codec": "jpeg"}
+                        {"width": w, "height": h, "duration_ms": 0, "codec": "tiff"}
                     ]
                     * len(pdf),
                 }

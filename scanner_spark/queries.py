@@ -1248,15 +1248,17 @@ def q_doc_rolling_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """Binary-payload pipeline on REAL compressed images in FOUR formats:
-    documents text -> PNG payloads (doc_id % 4 == 0, in-repo encoder),
-    baseline JPEG payloads (% 4 == 1, in-repo T.81 encoder), GIF
-    payloads (% 4 == 2, in-repo LZW encoder), and lossless WebP/VP8L
-    payloads (% 4 == 3, in-repo prefix-code encoder) -> format-sniffed
-    real decode + bilinear resize -> frame columns.  Exercises the
-    mapInPandas media plumbing end-to-end with genuine codecs on
-    driver-provided data; no fake decode path exists.  Oracle-checked:
-    lossless formats get exact pixel checksums, JPEG rows NULL + dims."""
+    """Binary-payload pipeline on REAL compressed images in SIX formats:
+    documents text -> PNG payloads (doc_id % 6 == 0, in-repo encoder),
+    baseline JPEG (% 6 == 1, in-repo T.81 encoder), GIF (% 6 == 2,
+    in-repo LZW encoder), lossless WebP/VP8L (% 6 == 3, in-repo
+    prefix-code encoder), LZW+predictor TIFF (% 6 == 4, in-repo TIFF 6.0
+    codec), and progressive JPEG (% 6 == 5, SOF2 successive
+    approximation) -> format-sniffed real decode + bilinear resize ->
+    frame columns.  Exercises the mapInPandas media plumbing end-to-end
+    with genuine codecs on driver-provided data; no fake decode path
+    exists.  Oracle-checked: lossless formats get exact pixel checksums,
+    the two lossy JPEG rows NULL + dims."""
     ship(spark)
     from scanner_spark.functions import multimodal
 
@@ -1265,19 +1267,26 @@ def q_multimodal_decode(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    png = multimodal.text_to_png(d.filter(F.col("doc_id") % 4 == 0), "text", 32, 32)
-    jpg = multimodal.text_to_jpeg(d.filter(F.col("doc_id") % 4 == 1), "text", 32, 32)
-    gif = multimodal.text_to_gif(d.filter(F.col("doc_id") % 4 == 2), "text", 32, 32)
-    wbp = multimodal.text_to_webp(d.filter(F.col("doc_id") % 4 == 3), "text", 32, 32)
+    md = F.col("doc_id") % 6
+    png = multimodal.text_to_png(d.filter(md == 0), "text", 32, 32)
+    jpg = multimodal.text_to_jpeg(d.filter(md == 1), "text", 32, 32)
+    gif = multimodal.text_to_gif(d.filter(md == 2), "text", 32, 32)
+    wbp = multimodal.text_to_webp(d.filter(md == 3), "text", 32, 32)
+    tif = multimodal.text_to_tiff(d.filter(md == 4), "text", 32, 32)
+    jpp = multimodal.text_to_jpeg(d.filter(md == 5), "text", 32, 32,
+                                  progressive=True)
     frames = multimodal.decode_image(
-        png.unionByName(jpg).unionByName(gif).unionByName(wbp), 16, 16
+        png.unionByName(jpg).unionByName(gif).unionByName(wbp)
+        .unionByName(tif).unionByName(jpp),
+        16, 16,
     )
-    # the three lossless formats decode + half-pixel-resize to exact
+    # the four lossless formats decode + half-pixel-resize to exact
     # integer pixel values the DuckDB twin recomputes from the tiled text
-    # bytes; JPEG is lossy (DCT quantization) so its checksum columns are
-    # NULL in both engines and only dims are value-checked for it
+    # bytes; JPEG (baseline and progressive) is lossy (DCT quantization)
+    # so its checksum columns are NULL in both engines and only dims are
+    # value-checked for it
     cks = _frame_checksum_udf()
-    lossy = F.col("asset_id") % 4 == 1
+    lossy = (F.col("asset_id") % 6).isin(1, 5)
     out = frames.select(
         "asset_id", "height", "width", "channels", cks(F.col("frame")).alias("c")
     )

@@ -379,13 +379,47 @@ def test_jpeg_rejects_non_baseline():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # flip SOF0 -> SOF2 (progressive) in a real stream: must refuse, not
+    # flip SOF0 -> SOF3 (lossless) in a real stream: must refuse, not
     # silently mis-decode
     enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    enc[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF3"):
         decode_jpeg(bytes(enc))
+    # a sequential stream mislabeled SOF2: the scan header is malformed
+    # for progressive (full-band "DC" scan) — loud error, not garbage
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """SOF2 successive-approximation streams decode to pixels IDENTICAL
+    to the baseline encoding of the same image (same quantized
+    coefficients, T.81 Annex G) — across subsampling, grayscale, flat
+    images (long EOB runs), noise (dense AC + ZRL), and spikes."""
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(17)
+    cases = [
+        (rng.integers(0, 256, (13, 21, 3), dtype=np.uint8), False),
+        (rng.integers(0, 256, (32, 24, 3), dtype=np.uint8), True),
+        (np.full((17, 19, 3), 77, np.uint8), True),          # flat: EOB runs
+        (rng.integers(0, 256, (19, 23), dtype=np.uint8), False),  # grayscale
+    ]
+    spikes = np.zeros((48, 48, 3), np.uint8)
+    spikes[5, 7], spikes[20, 33], spikes[40, 1] = 255, 200, 180  # ZRL paths
+    cases.append((spikes, False))
+    for img, sub in cases:
+        for q in (50, 95):
+            b = encode_jpeg(img, q, subsample=sub)
+            p = encode_jpeg_progressive(img, q, subsample=sub)
+            assert np.array_equal(decode_jpeg(b), decode_jpeg(p)), (img.shape, sub, q)
+    # progressive streams are real SOF2 (marker present exactly once)
+    assert encode_jpeg_progressive(spikes).count(b"\xff\xc2") == 1
 
 
 def test_decode_payload_jpeg_real_path_and_no_fake():
