@@ -255,18 +255,38 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Dependency-free PNG encode (stdlib zlib) for u8 RGB/gray frames."""
+# Adam7 interlace pass origins/strides (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Dependency-free PNG encode (stdlib zlib) for u8 RGB/gray frames.
+    ``interlace=True`` emits Adam7 pass ordering (filter 0 scanlines)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
-    # scanlines = filter byte 0 + row bytes, built in one vectorized concat
-    flat = img.reshape(h, w * c)
-    lines = np.zeros((h, w * c + 1), dtype=np.uint8)
-    lines[:, 1:] = flat
-    raw = lines.tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            lines = np.zeros((ph, pw * c + 1), dtype=np.uint8)
+            lines[:, 1:] = sub.reshape(ph, pw * c)
+            parts.append(lines.tobytes())
+        raw = b"".join(parts)
+    else:
+        # scanlines = filter byte 0 + row bytes, one vectorized concat
+        flat = img.reshape(h, w * c)
+        lines = np.zeros((h, w * c + 1), dtype=np.uint8)
+        lines[:, 1:] = flat
+        raw = lines.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -283,9 +303,10 @@ def decode_png(data: bytes) -> np.ndarray:
     ``encode_png`` and the real-codec counterpart of the reference's image
     ingest (scanner/engine/ingest.cpp:1004).
 
-    Supports 8-bit grey / grey+alpha / RGB / RGBA, non-interlaced, and all
-    five scanline filter types (our encoder emits filter 0 only, but
-    foreign encoders differ).  Returns (H, W, C) uint8.
+    Supports 8-bit grey / grey+alpha / RGB / RGBA, both interlace modes
+    (none and Adam7), and all five scanline filter types (our encoder
+    emits filter 0 only, but foreign encoders differ).
+    Returns (H, W, C) uint8.
     """
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
@@ -304,7 +325,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
@@ -312,13 +333,38 @@ def decode_png(data: bytes) -> np.ndarray:
     if channels is None:  # 3 = palette
         raise ValueError(f"unsupported color type {color_type}")
     raw = zlib.decompress(b"".join(idat))
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        out = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            span = ph * (pw * channels + 1)
+            sub = _unfilter_lines(raw[off : off + span], ph, pw, channels)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            off += span
+        if off != len(raw):
+            raise ValueError("PNG Adam7 payload size mismatch")
+        return out
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    return _unfilter_lines(raw, h, w, channels).reshape(h, w, channels)
+
+
+def _unfilter_lines(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering over one (sub-)image: ``raw`` holds
+    ``h`` lines of [filter byte + w*channels samples].  Returns
+    (h, w*channels) uint8."""
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = arr[:, 0]
     if not filters.any():  # all filter 0 (our own encoder's output): bulk copy
-        return arr[:, 1:].reshape(h, w, channels).copy()
+        return arr[:, 1:].copy()
     rows = arr[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
@@ -356,7 +402,7 @@ def decode_png(data: bytes) -> np.ndarray:
                 rec[s] = px
                 left = px
         out[y] = (rec & 0xFF).astype(np.uint8)
-    return out.reshape(h, w, channels)
+    return out
 
 
 @register_op(name="ImageEncoder")

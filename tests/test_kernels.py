@@ -282,6 +282,41 @@ def test_png_decode_rejects_garbage():
         decode_png(b"not a png at all")
 
 
+def test_png_adam7_interlace():
+    """Adam7 round trips bit-exact (tiny images exercise empty passes);
+    a foreign interlaced stream with per-pass Up filters decodes too."""
+    import struct
+    import zlib
+
+    from scanner_spark.kernels.image import (
+        _ADAM7, PNG_MAGIC, _png_chunk, decode_png)
+
+    rng = np.random.default_rng(23)
+    for shape in [(1, 1, 3), (3, 5, 3), (7, 7), (13, 21, 3), (16, 16, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert np.array_equal(decode_png(encode_png(img, interlace=True)), want)
+
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * 3).astype(np.int64)
+        lines = np.zeros((ph, pw * 3 + 1), dtype=np.uint8)
+        lines[:, 0] = 2  # Up filter, resets per pass
+        lines[0, 1:] = flat[0]
+        lines[1:, 1:] = (flat[1:] - flat[:-1]) % 256
+        parts.append(lines.tobytes())
+    ihdr = struct.pack(">IIBBBBB", 17, 21, 8, 2, 0, 0, 1)
+    png = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+           + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
 # ---------------------------------------------------------------------------
 # baseline JPEG codec (kernels/jpeg.py)
 # ---------------------------------------------------------------------------
