@@ -359,13 +359,20 @@ AUDIO_SAMPLE_RATE = 8000
 
 
 def synth_audio(df: DataFrame, id_col: str = "doc_id",
-                sample_rate: int = AUDIO_SAMPLE_RATE) -> DataFrame:
+                sample_rate: int = AUDIO_SAMPLE_RATE,
+                codec: str = "pcm") -> DataFrame:
     """Deterministic audio synthesis: per doc, an integer sawtooth whose
     period and length derive from the id (s_i = (((i*p) % 256) - 128) * 64,
     p = id%50+2, n = 1000 + (id%7)*100), REAL-encoded as 16-bit PCM
-    RIFF/WAVE.  Closed-form samples so a SQL oracle can recompute every
-    downstream feature exactly.  Arrow-batched mapInPandas."""
+    RIFF/WAVE (``codec='pcm'``) or FLAC (``codec='flac'``, in-repo
+    lossless encoder — identical samples on decode, so every downstream
+    feature is codec-invariant).  Closed-form samples so a SQL oracle can
+    recompute every feature exactly.  Arrow-batched mapInPandas."""
     from scanner_spark.kernels.audio import encode_wav
+    from scanner_spark.kernels.flac import encode_flac
+
+    if codec not in ("pcm", "flac"):
+        raise ValueError(f"unknown audio codec {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -375,14 +382,17 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id",
                 p = did % 50 + 2
                 n = 1000 + (did % 7) * 100
                 i = np.arange(n, dtype=np.int64)
-                s = (((i * p) % 256) - 128) * 64
-                payloads.append(encode_wav(s.astype(np.int16), sample_rate))
+                s = ((((i * p) % 256) - 128) * 64).astype(np.int16)
+                if codec == "flac":
+                    payloads.append(encode_flac(s, sample_rate))
+                else:
+                    payloads.append(encode_wav(s, sample_rate))
                 metas.append(
                     {
                         "width": 0,
                         "height": 0,
                         "duration_ms": n * 1000 // sample_rate,
-                        "codec": "pcm_s16le",
+                        "codec": "pcm_s16le" if codec == "pcm" else "flac",
                     }
                 )
             yield pd.DataFrame(
@@ -398,12 +408,14 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id",
 
 
 def audio_feature_table(df: DataFrame) -> DataFrame:
-    """WAV payload -> per-clip features via the REAL RIFF decoder:
-    (n_samples, sample_rate, duration_ms, rms, zcr, peak).  Features use
-    integer-exact accumulation (kernels.audio.audio_features) so they
-    hash-match a SQL oracle.  Multi-channel clips are folded to mono by
-    integer-averaging channels."""
+    """Audio payload -> per-clip features via the REAL codecs (RIFF/WAVE
+    or FLAC, magic-sniffed): (n_samples, sample_rate, duration_ms, rms,
+    zcr, peak).  Features use integer-exact accumulation
+    (kernels.audio.audio_features) so they hash-match a SQL oracle — and
+    are codec-invariant because FLAC is lossless.  Multi-channel clips
+    are folded to mono by integer-averaging channels."""
     from scanner_spark.kernels.audio import audio_features, decode_wav
+    from scanner_spark.kernels.flac import FLAC_MAGIC, decode_flac
 
     out_schema = (
         "asset_id long, n_samples long, sample_rate long, duration_ms long, "
@@ -416,10 +428,15 @@ def audio_feature_table(df: DataFrame) -> DataFrame:
                 "asset_id", "n_samples", "sample_rate", "duration_ms", "rms", "zcr", "peak"
             )}
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                x, sr = decode_wav(bytes(payload))
-                # back to the raw int16 scale (exact: int16/32768 round-trips
-                # in double), mono-fold by integer mean
-                s = np.round(x * 32768.0).astype(np.int64)
+                if bytes(payload[:4]) == FLAC_MAGIC:
+                    s_i, sr = decode_flac(bytes(payload))
+                    s = s_i.astype(np.int64)
+                else:
+                    x, sr = decode_wav(bytes(payload))
+                    # back to the raw int16 scale (exact: int16/32768
+                    # round-trips in double)
+                    s = np.round(x * 32768.0).astype(np.int64)
+                # mono-fold by integer mean
                 mono = s[:, 0] if s.shape[1] == 1 else s.sum(axis=1) // s.shape[1]
                 f = audio_features(mono)
                 rows["asset_id"].append(asset_id)

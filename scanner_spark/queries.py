@@ -1305,18 +1305,26 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 def q_multimodal_audio(spark, sf_dir):
-    """Third modality end-to-end with a REAL codec: deterministic int16
-    sawtooth per doc -> 16-bit PCM RIFF/WAVE encode -> RIFF parse +
-    feature extraction (RMS / zero-crossing rate / peak), all integer-
-    exact so the DuckDB oracle recomputes every value from the closed-form
-    sample formula.  mapInPandas both directions; no audio libraries."""
+    """Third modality end-to-end with REAL codecs: deterministic int16
+    sawtooth per doc -> 16-bit PCM RIFF/WAVE (even ids) or FLAC (odd ids,
+    in-repo lossless encoder) -> magic-sniffed decode + feature
+    extraction (RMS / zero-crossing rate / peak), all integer-exact so
+    the DuckDB oracle recomputes every value from the closed-form sample
+    formula — identically for both codecs, because FLAC is lossless.
+    mapInPandas both directions; no audio libraries."""
     ship(spark)
     from scanner_spark.functions import multimodal
 
     d = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    media = multimodal.synth_audio(d)
+    # two REAL audio codecs, magic-sniffed on decode: even docs 16-bit PCM
+    # RIFF/WAVE, odd docs FLAC (in-repo lossless encoder).  Features are
+    # codec-invariant (FLAC round-trips the identical int16 samples), so
+    # the closed-form oracle needs no codec column
+    wav = multimodal.synth_audio(d.filter(F.col("doc_id") % 2 == 0))
+    flc = multimodal.synth_audio(d.filter(F.col("doc_id") % 2 == 1), codec="flac")
+    media = wav.unionByName(flc)
     return multimodal.audio_feature_table(media).select(
         F.col("asset_id").alias("doc_id"),
         "n_samples",

@@ -868,6 +868,62 @@ def test_tiff_white_is_zero_inverted():
         decode_tiff(patch_photo(encode_tiff(img), 3))  # palette
 
 
+# ---------------------------------------------------------------------------
+# FLAC codec (kernels/flac.py)
+# ---------------------------------------------------------------------------
+
+def test_flac_round_trips_and_compression():
+    """Byte-exact lossless round trips across signal shapes, block sizes,
+    and channel modes; smooth audio actually compresses; dual-mono
+    engages mid-side decorrelation."""
+    import numpy as np
+
+    from scanner_spark.kernels.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(31)
+
+    def rt(s, sr=8000, **kw):
+        enc = encode_flac(s, sr, **kw)
+        dec, rate = decode_flac(enc)
+        want = (s if s.ndim == 2 else s[:, None]).astype(np.int32)
+        assert np.array_equal(dec, want) and rate == sr, (s.shape, kw)
+        return len(enc)
+
+    i = np.arange(1300)
+    saw = ((((i * 17) % 256) - 128) * 64).astype(np.int16)  # synth_audio shape
+    rt(saw)
+    rt(rng.integers(-32768, 32768, 5000).astype(np.int16))  # white noise
+    rt(np.zeros(1000, np.int16))                             # constant
+    rt(np.array([32767, -32768] * 200, np.int16))            # extremes
+    smooth = (10000 * np.sin(np.arange(6000) / 20.0)).astype(np.int16)
+    assert rt(smooth) < smooth.nbytes / 4                     # real compression
+    l = (8000 * np.sin(np.arange(4000) / 15.0)).astype(np.int16)
+    ms = rt(np.stack([l, l], 1))
+    ind = rt(np.stack([l, l], 1), mid_side=False)
+    assert ms < ind * 0.62                                    # mid-side wins
+    noisy_r = (l.astype(np.int32) + rng.integers(-50, 50, 4000)) \
+        .clip(-32768, 32767).astype(np.int16)
+    rt(np.stack([l, noisy_r], 1))
+    rt(saw[:1].copy()); rt(saw[:5].copy())                    # tiny inputs
+    rt(saw, block_size=256); rt(saw, use_lpc=False)
+    rt(np.array([], np.int16).reshape(0))                     # empty stream
+
+
+def test_flac_crc_detects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from scanner_spark.kernels.flac import decode_flac, encode_flac
+
+    smooth = (10000 * np.sin(np.arange(3000) / 20.0)).astype(np.int16)
+    enc = bytearray(encode_flac(smooth, 8000))
+    enc[len(enc) // 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(enc))
+    with _pytest.raises(ValueError):
+        decode_flac(b"not flac at all")
+
+
 def test_gif_composites_placement_and_transparency():
     """A first frame smaller than the logical screen composites onto the
     background canvas at its (x0, y0); GCE-transparent pixels show the
