@@ -200,6 +200,90 @@ def test_webp_round_trip_property(h, w, c, seed, palette):
     assert np.array_equal(out, want)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    comp=st.sampled_from(["none", "lzw", "packbits"]),
+    pred=st.sampled_from([1, 2]),
+    smooth=st.booleans(),
+)
+def test_tiff_round_trip_property(h, w, c, seed, comp, pred, smooth):
+    import numpy as np
+
+    from scanner_spark.kernels.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    if smooth:  # gradient content exercises predictor + LZW table growth
+        base = (np.arange(w)[None, :] + np.arange(h)[:, None]) % 256
+        img = np.dstack([(base + 31 * k) % 256 for k in range(c)]).astype(np.uint8)
+    else:
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(img, compression=comp, predictor=pred))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+    q=st.sampled_from([50, 85, 95]),
+    flat=st.booleans(),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, sub, q, flat):
+    """For ANY image, the progressive (SOF2) encoding decodes to pixels
+    identical to the baseline encoding — the Annex G transport changes,
+    the quantized coefficients do not."""
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(seed)
+    img = (np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8) if flat
+           else rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    b = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+    p = decode_jpeg(encode_jpeg_progressive(img, q, subsample=sub))
+    assert np.array_equal(b, p)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(0, 3000),
+    kind=st.sampled_from(["noise", "saw", "smooth", "const", "extremes"]),
+    stereo=st.booleans(),
+    bs=st.sampled_from([256, 1024, 4096]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_round_trip_property(n, kind, stereo, bs, seed):
+    import numpy as np
+
+    from scanner_spark.kernels.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    i = np.arange(n)
+    if kind == "noise":
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+    elif kind == "saw":
+        s = ((((i * 17) % 256) - 128) * 64).astype(np.int16)
+    elif kind == "smooth":
+        s = (9000 * np.sin(i / 17.0)).astype(np.int16)
+    elif kind == "const":
+        s = np.full(n, int(rng.integers(-32768, 32768)), np.int16)
+    else:
+        s = np.resize(np.array([32767, -32768], np.int16), n)
+    if stereo:
+        s = np.stack([s, np.roll(s, 1)], axis=1) if n else s.reshape(0, 1)
+    enc = encode_flac(s, 8000, block_size=bs)
+    dec, rate = decode_flac(enc)
+    want = (s if s.ndim == 2 else s[:, None]).astype(np.int32)
+    assert rate == 8000 and np.array_equal(dec, want)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     hw=st.sampled_from([(16, 16), (32, 16), (18, 22)]),
