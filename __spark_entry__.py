@@ -1462,6 +1462,26 @@ SELECT doc_id,
   ) AS BIGINT) AS rolling_hash
 FROM documents
 """,
+        # every K-char window gets the same Rabin-Karp hash the Spark UDF
+        # computes (Horner fold per window; K = queries.PASSAGE_K), then
+        # the corpus-wide repeat filter
+        "doc_repeated_passages": """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+w AS (
+  SELECT doc_id, unnest(list_transform(
+      range(0, greatest(length(t) - 23, 0)),
+      j -> CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               list_transform(range(1, 25),
+                 i -> CAST(unicode(t[CAST(j + i AS INTEGER)]) AS HUGEINT))),
+             (acc, c) -> (acc * 257 + c) % 2305843009213693951
+           ) AS BIGINT))) AS fp
+  FROM d
+)
+SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM w GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+""",
         # PQ ANN: the codebooks follow the same rounded-Lloyd determinism
         # contract as cluster.kmeans / ivf_index (simsearch.pq_train
         # docstring), so the twin unrolls all m sub-quantizers in one

@@ -190,6 +190,61 @@ def rolling_fingerprint_udf():
     return roll
 
 
+def windowed_fingerprint_udf(k: int):
+    """Per-position k-gram rolling hashes: for each window [j, j+k) the
+    position-independent hash sum ord(c_{j+i}) * BASE^(k-1-i) mod 2^61-1
+    — the passage-level fingerprint a cross-document repeated-substring
+    (suffix-array-style) dedup keys on.
+
+    Vectorized O(n) per document: whole-text terms t_i = c_i * B^(n-1-i)
+    (shared power table), limb-split prefix sums, then each window's
+    scaled sum is rebased by one mulmod with inv(B)^(n-k-j).  Returns
+    array<long> (n-k+1 hashes; empty when the text is shorter than k)."""
+    inv_b = pow(_FP_BASE, _FP_MOD - 2, _FP_MOD)
+
+    @F.pandas_udf("array<long>")
+    def wroll(texts: pd.Series) -> pd.Series:
+        lens = [len(t) if t else 0 for t in texts]
+        maxlen = max(lens, default=0)
+        pows_list, p = [], 1
+        ipows_list, q = [], 1
+        for _ in range(maxlen + 1):
+            pows_list.append(p)
+            p = (p * _FP_BASE) % _FP_MOD
+            ipows_list.append(q)
+            q = (q * inv_b) % _FP_MOD
+        pows = np.array(pows_list, dtype=np.uint64)
+        ipows = np.array(ipows_list, dtype=np.uint64)
+        out = []
+        for t, n in zip(texts, lens):
+            if n < k:
+                out.append([])
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            terms = _mulmod61(codes, pows[:n][::-1])
+            # limb-split prefix sums stay exact in uint64 for n << 2^29
+            z = np.zeros(1, dtype=np.uint64)
+            hi = np.concatenate([z, np.cumsum(terms >> np.uint64(32))])
+            lo = np.concatenate([z, np.cumsum(terms & _MASK32)])
+            # S_j mod p, recombined as (hi mod p) * 2^32 + lo
+            s_mod = (
+                _mulmod61(hi % _M61, np.full(n + 1, 1 << 32, dtype=np.uint64))
+                + lo % _M61
+            )
+            s_mod = np.where(s_mod >= _M61, s_mod - _M61, s_mod)
+            w = s_mod[k:] - s_mod[: n - k + 1]  # windows j = 0 .. n-k
+            w = np.where(s_mod[k:] >= s_mod[: n - k + 1], w, w + _M61)
+            # rebase: window j carries B^(n-1-(j+k-1)) — multiply by
+            # inv(B)^(n-k-j), j descending from n-k to 0
+            hashes = _mulmod61(w, ipows[: n - k + 1][::-1].copy())
+            out.append([int(x) for x in hashes])
+        return pd.Series(out)
+
+    return wroll
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass projection adding every text metric (single narrow stage)."""
     c = F.col(text_col)

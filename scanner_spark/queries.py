@@ -1247,6 +1247,37 @@ def q_doc_rolling_fingerprint(spark, sf_dir):
     return d.select("doc_id", roll(F.col("text")).alias("rolling_hash"))
 
 
+PASSAGE_K = 24  # characters per passage window (shared with the oracle)
+
+
+def q_doc_repeated_passages(spark, sf_dir):
+    """Cross-document repeated-passage detection (the corpus-self-repeat
+    signal behind suffix-array-style training-data dedup, complementing
+    ``doc_decontaminate``'s query-vs-corpus check): every K-char window
+    of every document is fingerprinted with the Rabin-Karp rolling hash,
+    and fingerprints seen in >= 2 distinct documents are reported with
+    their document and occurrence counts.
+
+    Scale shape: the windowed UDF is O(n) vectorized per document (no
+    per-character Python); the (fp, doc_id) pre-aggregate gets map-side
+    combine before the single corpus-wide shuffle on the 61-bit hash, so
+    hot boilerplate passages cost one combiner row per task, not one
+    shuffle row per occurrence."""
+    ship(spark)
+    d = read_table(spark, sf_dir, "documents")
+    wroll = text.windowed_fingerprint_udf(PASSAGE_K)
+    per_doc = (
+        d.select("doc_id", F.explode(wroll(F.col("text"))).alias("fp"))
+        .groupBy("fp", "doc_id")
+        .agg(F.count("*").alias("occ"))
+    )
+    return (
+        per_doc.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.sum("occ").alias("n_occ"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Binary-payload pipeline on REAL compressed images in SIX formats:
     documents text -> PNG payloads (doc_id % 6 == 0, in-repo encoder),
@@ -1925,8 +1956,9 @@ QUERIES = {
     # evidence first), then the 11 slots that remain go to queries whose
     # code or oracle changed this round (the whole frame/media family
     # gained exact-integer oracles, emb_knn_pq gained the rounded-Lloyd
-    # unroll, emb_knn_ivf's probe fold changed) plus their nearest ANN
-    # neighbors.  Every entry regardless of position stays hash-checked
+    # unroll, emb_knn_ivf's probe fold changed, multimodal_decode grew
+    # to six formats, multimodal_audio gained FLAC payloads) plus the
+    # brand-new doc_repeated_passages.  Every entry stays hash-checked
     # locally by tests/test_entry_parity.py; as of this round ALL 89
     # queries carry a value-hash oracle (none are rows-only).
     # ------------------------------------------------------------------
@@ -1980,9 +2012,11 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "emb_knn_pq": q_emb_knn_pq,
     "emb_knn_ivf": q_emb_knn_ivf,  # probe-fold determinism fix
+    "doc_repeated_passages": q_doc_repeated_passages,  # NEW this round
+    "multimodal_audio": q_multimodal_audio,  # WAV+FLAC split this round
+    # --- beyond-window: driver-confirmed r6 (green in CORRECTNESS_r06)
     "emb_knn_brute": q_emb_knn_brute,
     "emb_knn_lsh": q_emb_knn_lsh,
-    # --- beyond-window: driver-confirmed r6 (green in CORRECTNESS_r06)
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_materialize": q_dedup_materialize,
@@ -2012,7 +2046,6 @@ QUERIES = {
     "text_analyze": q_text_analyze,
     "doc_quality": q_doc_quality,
     "vocab_topk": q_vocab_topk,
-    "multimodal_audio": q_multimodal_audio,  # WAV codec + features
     "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
     "events_value_histogram": q_events_value_histogram,
     "events_asof_join_op": q_events_asof_join_op,
