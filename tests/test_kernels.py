@@ -455,6 +455,17 @@ def test_jpeg_progressive_matches_baseline_pixels():
             assert np.array_equal(decode_jpeg(b), decode_jpeg(p)), (img.shape, sub, q)
     # progressive streams are real SOF2 (marker present exactly once)
     assert encode_jpeg_progressive(spikes).count(b"\xff\xc2") == 1
+    # restart markers inside progressive scans: EOB runs and DC
+    # predictors reset at each RSTn, pixels still identical to baseline
+    for img, sub, ri in [(spikes, False, 2),
+                         (rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), True, 3),
+                         (np.full((40, 40, 3), 120, np.uint8), False, 2)]:
+        b = decode_jpeg(encode_jpeg(img, 85, subsample=sub))
+        p = decode_jpeg(
+            encode_jpeg_progressive(img, 85, subsample=sub, restart_interval=ri))
+        assert np.array_equal(b, p)
+    enc = encode_jpeg_progressive(spikes, restart_interval=2)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0 present
 
 
 def test_decode_payload_jpeg_real_path_and_no_fake():
