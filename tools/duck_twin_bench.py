@@ -81,7 +81,13 @@ def timed(sql):
     return time.time() - t0, False
 
 
+# optional arg 3: comma-separated query names (subset re-records after a
+# twin is added mid-round, without re-running the whole suite)
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
 for name, sql in e.oracle_sql().items():
+    if ONLY is not None and name not in ONLY:
+        continue
     best, was_capped = timed(sql)
     if was_capped:
         capped[name] = True
