@@ -77,7 +77,10 @@ def decode_payload(payload: bytes, out_h: int, out_w: int) -> np.ndarray:
     from scanner_spark.kernels.webp import decode_webp, is_webp
 
     if payload and bytes(payload[:8]) == PNG_MAGIC:
-        img = _to_rgb(decode_png(bytes(payload)))
+        img = decode_png(bytes(payload))
+        if img.dtype == np.uint16:  # 16-bit file: keep the high byte
+            img = (img >> 8).astype(np.uint8)
+        img = _to_rgb(img)
     elif payload and bytes(payload[:2]) == JPEG_MAGIC:
         img = decode_jpeg(bytes(payload))
     elif payload and bytes(payload[:6]) in GIF_MAGICS:

@@ -78,13 +78,75 @@ def _crc16(data: bytes) -> int:
 
 class _Bits:
     """MSB-first bit reader with byte-position access (frame CRCs are
-    computed over whole header/frame byte spans)."""
+    computed over whole header/frame byte spans).  ``_expand`` lazily
+    builds a bit-array view with a ones-prefix count, which the rice
+    decoder uses to find unary terminators in O(1) per value instead of
+    bit-at-a-time reads."""
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "_bits", "_ones", "_csum")
 
     def __init__(self, data: bytes, bit_pos: int = 0) -> None:
         self.data = data
         self.pos = bit_pos
+        self._bits = None
+
+    def _expand(self) -> None:
+        if self._bits is None:
+            self._bits = np.unpackbits(np.frombuffer(self.data, np.uint8))
+            self._ones = np.flatnonzero(self._bits).astype(np.int64)
+            csum = np.zeros(len(self._bits) + 1, dtype=np.int64)
+            np.cumsum(self._bits, out=csum[1:])
+            self._csum = csum  # csum[j] = ones in bits[:j]
+
+    def read_vector(self, count: int, width: int, signed: bool) -> np.ndarray:
+        """``count`` fixed-width fields as one vectorized gather."""
+        if width == 0:
+            self_pos_unchanged = np.zeros(count, dtype=np.int64)
+            return self_pos_unchanged
+        self._expand()
+        end = self.pos + count * width
+        if end > len(self._bits):
+            raise ValueError("FLAC: bitstream truncated")
+        f = self._bits[self.pos : end].reshape(count, width).astype(np.int64)
+        w = (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+        v = f @ w
+        if signed:
+            v = np.where(v & (1 << (width - 1)), v - (1 << width), v)
+        self.pos = end
+        return v
+
+    def read_rice_vector(self, count: int, param: int) -> np.ndarray:
+        """``count`` rice codes (unary quotient + ``param`` remainder
+        bits), zigzag-decoded — the hot path of FLAC decode."""
+        self._expand()
+        bits, ones, csum = self._bits, self._ones, self._csum
+        t = np.empty(count, dtype=np.int64)
+        pos0 = pos = self.pos
+        step = 1 + param
+        for k in range(count):
+            i = csum[pos]  # ones before pos == index of next one at/after pos
+            if i >= len(ones):
+                raise ValueError("FLAC: bitstream truncated in rice code")
+            tk = int(ones[i])
+            t[k] = tk
+            pos = tk + step
+        if pos > len(bits):
+            raise ValueError("FLAC: bitstream truncated in rice remainder")
+        self.pos = pos
+        s = np.empty(count, dtype=np.int64)
+        s[0] = pos0
+        s[1:] = t[:-1] + step
+        q = t - s
+        if np.any(q > 1 << 20):
+            raise ValueError("FLAC: runaway unary code")
+        if param:
+            idx = t[:, None] + 1 + np.arange(param, dtype=np.int64)[None, :]
+            w = (1 << np.arange(param - 1, -1, -1, dtype=np.int64))
+            rem = bits[idx].astype(np.int64) @ w
+            v = (q << param) | rem
+        else:
+            v = q
+        return (v >> 1) ^ -(v & 1)  # zigzag
 
     def read(self, n: int) -> int:
         v = 0
@@ -188,7 +250,7 @@ def _read_utf8_coded(br: _Bits) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _decode_residual(br: _Bits, blocksize: int, pred_order: int) -> list[int]:
+def _decode_residual(br: _Bits, blocksize: int, pred_order: int) -> np.ndarray:
     method = br.read(2)
     if method not in (0, 1):
         raise ValueError(f"FLAC: reserved residual method {method}")
@@ -198,7 +260,7 @@ def _decode_residual(br: _Bits, blocksize: int, pred_order: int) -> list[int]:
     nparts = 1 << po
     if blocksize % nparts:
         raise ValueError("FLAC: blocksize not divisible by partition count")
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for p in range(nparts):
         n = blocksize // nparts - (pred_order if p == 0 else 0)
         if n < 0:
@@ -206,17 +268,28 @@ def _decode_residual(br: _Bits, blocksize: int, pred_order: int) -> list[int]:
         param = br.read(pbits)
         if param == escape:
             raw = br.read(5)
-            for _ in range(n):
-                out.append(br.read_signed(raw) if raw else 0)
+            parts.append(br.read_vector(n, raw, signed=True) if raw
+                         else np.zeros(n, dtype=np.int64))
         else:
-            for _ in range(n):
-                q = br.unary()
-                v = (q << param) | br.read(param)
-                out.append((v >> 1) ^ -(v & 1))  # zigzag
-    return out
+            parts.append(br.read_rice_vector(n, param))
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 
-def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
+def _undiff(res: np.ndarray, warm: list[int], order: int) -> np.ndarray:
+    """Invert ``order`` rounds of differencing: integrate level by level,
+    seeding each with Delta^j of the warmup samples (cumsum ladder)."""
+    w = np.asarray(warm, dtype=np.int64)
+    x = res
+    for j in range(order - 1, -1, -1):
+        # seed level j with Delta^j s at its first defined position j;
+        # each cumsum recovers one level, and the seeds reproduce the
+        # warmup samples exactly (s1 = s0 + d1, ...)
+        init = np.diff(w, n=j)[:1]
+        x = np.cumsum(np.concatenate([init, x]))
+    return x
+
+
+def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
     if br.read(1):
         raise ValueError("FLAC: subframe padding bit set")
     stype = br.read(6)
@@ -225,19 +298,14 @@ def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
         wasted = br.unary() + 1
     eff = bps - wasted
     if stype == 0:  # CONSTANT
-        samples = [br.read_signed(eff)] * blocksize
+        samples = np.full(blocksize, br.read_signed(eff), dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        samples = [br.read_signed(eff) for _ in range(blocksize)]
+        samples = br.read_vector(blocksize, eff, signed=True)
     elif 8 <= stype <= 12:  # FIXED, order = stype - 8
         order = stype - 8
         warm = [br.read_signed(eff) for _ in range(order)]
         res = _decode_residual(br, blocksize, order)
-        samples = list(warm)
-        coeffs = _FIXED_COEFFS[order]
-        for i, r in enumerate(res):
-            k = order + i
-            pred = sum(c * samples[k - 1 - j] for j, c in enumerate(coeffs))
-            samples.append(r + pred)
+        samples = _undiff(res, warm, order) if order else res
     elif stype >= 32:  # LPC, order = (stype & 31) + 1
         order = (stype & 31) + 1
         warm = [br.read_signed(eff) for _ in range(order)]
@@ -249,15 +317,22 @@ def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
             raise ValueError("FLAC: negative LPC shift")
         coefs = [br.read_signed(precision) for _ in range(order)]
         res = _decode_residual(br, blocksize, order)
-        samples = list(warm)
-        for i, r in enumerate(res):
-            k = order + i
-            acc = sum(c * samples[k - 1 - j] for j, c in enumerate(coefs))
-            samples.append(r + (acc >> shift))
+        # IIR recurrence — inherently sequential; tight local loop over
+        # reversed coefficients so the window reads in natural order
+        out = warm + [0] * len(res)
+        rco = coefs[::-1]
+        k = order
+        for r in res.tolist():
+            acc = 0
+            for c, v in zip(rco, out[k - order : k]):
+                acc += c * v
+            out[k] = r + (acc >> shift)
+            k += 1
+        samples = np.asarray(out, dtype=np.int64)
     else:
         raise ValueError(f"FLAC: reserved subframe type {stype}")
     if wasted:
-        samples = [s << wasted for s in samples]
+        samples = samples << wasted
     return samples
 
 
@@ -374,23 +449,24 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         pos = br.pos // 8
         if mode == "indep":
             for c in range(n_ch):
-                chans[c].extend(subs[c])
+                chans[c].append(subs[c])
         elif mode == "left-side":
             left, side = subs
-            chans[0].extend(left)
-            chans[1].extend(l - s for l, s in zip(left, side))
+            chans[0].append(left)
+            chans[1].append(left - side)
         elif mode == "right-side":
             side, right = subs
-            chans[0].extend(r + s for s, r in zip(side, right))
-            chans[1].extend(right)
+            chans[0].append(right + side)
+            chans[1].append(right)
         else:  # mid-side
             mid, side = subs
-            for m, s in zip(mid, side):
-                m2 = (m << 1) | (s & 1)
-                chans[0].append((m2 + s) >> 1)
-                chans[1].append((m2 - s) >> 1)
+            m2 = (mid << 1) | (side & 1)
+            chans[0].append((m2 + side) >> 1)
+            chans[1].append((m2 - side) >> 1)
     total = streaminfo["total"]
-    arr = np.array(chans, dtype=np.int64).T
+    arr = np.stack(
+        [np.concatenate(c) if c else np.zeros(0, dtype=np.int64) for c in chans]
+    ).T
     if total and len(arr) > total:
         arr = arr[:total]
     return arr.astype(np.int32), rate
@@ -401,27 +477,37 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 
-def _best_rice_param(res: list[int]) -> tuple[int, int]:
-    """(param, total_bits) minimizing the rice cost (params 0..14)."""
-    zz = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in res]
-    best = (0, sum(z + 1 for z in zz))
-    for p in range(1, 15):
-        cost = sum((z >> p) + 1 + p for z in zz)
-        if cost < best[1]:
-            best = (p, cost)
-    return best
+def _zigzag_arr(res) -> np.ndarray:
+    r = np.asarray(res, dtype=np.int64)
+    return np.where(r >= 0, r << 1, ((-r) << 1) - 1)
 
 
-def _write_residual(bw: _BitsW, res: list[int]) -> None:
+def _best_rice_param(res) -> tuple[int, int]:
+    """(param, total_bits) minimizing the rice cost (params 0..14) —
+    one vectorized shift/sum over all candidate params."""
+    zz = _zigzag_arr(res)
+    n = len(zz)
+    if n == 0:
+        return 0, 0
+    params = np.arange(15, dtype=np.int64)
+    costs = (zz[None, :] >> params[:, None]).sum(axis=1) + n * (params + 1)
+    p = int(np.argmin(costs))
+    return p, int(costs[p])
+
+
+def _write_residual(bw: _BitsW, res) -> None:
+    zz = _zigzag_arr(res)
     param, _ = _best_rice_param(res)
     bw.write(0, 2)  # 4-bit rice method
     bw.write(0, 4)  # partition order 0
     bw.write(param, 4)
-    for r in res:
-        z = (r << 1) if r >= 0 else ((-r) << 1) - 1
-        bw.write_unary(z >> param)
-        if param:
-            bw.write(z & ((1 << param) - 1), param)
+    mask = (1 << param) - 1
+    lead = 1 << param  # the unary terminator bit followed by the remainder
+    for z in zz.tolist():
+        q = z >> param
+        # one write: q zero bits, the 1 terminator, then `param` remainder
+        # bits — (1<<param)|rem over q+1+param bits
+        bw.write(lead | (z & mask), q + 1 + param)
 
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
@@ -475,7 +561,7 @@ def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int, try_lpc: bool) -> None
     best = None  # (cost, kind, order, extra)
     for order in range(min(5, n)):
         res = _fixed_residual(x64, order)
-        _, cost = _best_rice_param(list(res))
+        _, cost = _best_rice_param(res)
         cost += order * bps
         if best is None or cost < best[0]:
             best = (cost, "fixed", order, None)
@@ -488,7 +574,7 @@ def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int, try_lpc: bool) -> None
             for j in range(lo):
                 pred += q[j] * x64[lo - 1 - j : n - 1 - j]
             res = x64[lo:] - (pred >> shift)
-            _, cost = _best_rice_param(list(res))
+            _, cost = _best_rice_param(res)
             cost += lo * bps + lo * 12 + 9
             if cost < best[0]:
                 best = (cost, "lpc", lo, (q, shift, res))
@@ -507,7 +593,7 @@ def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int, try_lpc: bool) -> None
         bw.write(0, 1)  # no wasted bits
         for v in x64[:order]:
             bw.write(int(v), bps)
-        _write_residual(bw, list(_fixed_residual(x64, order)))
+        _write_residual(bw, _fixed_residual(x64, order))
     else:
         q, shift, res = extra
         bw.write(32 + (order - 1), 6)
@@ -518,7 +604,7 @@ def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int, try_lpc: bool) -> None
         bw.write(shift, 5)
         for c in q:
             bw.write(int(c), 12)
-        _write_residual(bw, list(res))
+        _write_residual(bw, res)
 
 
 def encode_flac(
@@ -558,7 +644,7 @@ def encode_flac(
             side = blk[:, 0] - blk[:, 1]
             # crude cost proxy: rice cost of order-2 residuals
             def cost(x: np.ndarray) -> int:
-                return _best_rice_param(list(_fixed_residual(x, min(2, len(x)))))[1]
+                return _best_rice_param(_fixed_residual(x, min(2, len(x))))[1]
             if cost(mid) + cost(side) < cost(chans[0]) + cost(chans[1]):
                 mode_code = 10  # mid-side
                 chans = [mid, side]

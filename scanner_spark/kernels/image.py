@@ -303,10 +303,11 @@ def decode_png(data: bytes) -> np.ndarray:
     ``encode_png`` and the real-codec counterpart of the reference's image
     ingest (scanner/engine/ingest.cpp:1004).
 
-    Supports 8-bit grey / grey+alpha / RGB / RGBA, both interlace modes
-    (none and Adam7), and all five scanline filter types (our encoder
-    emits filter 0 only, but foreign encoders differ).
-    Returns (H, W, C) uint8.
+    Supports 8- and 16-bit grey / grey+alpha / RGB / RGBA, both
+    interlace modes (none and Adam7), and all five scanline filter types
+    (our encoder emits filter 0 only, but foreign encoders differ).
+    Returns (H, W, C) uint8, or uint16 for 16-bit files (big-endian
+    samples per spec; callers that need u8 take the high byte).
     """
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
@@ -325,40 +326,50 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
     if channels is None:  # 3 = palette
         raise ValueError(f"unsupported color type {color_type}")
+    sb = depth // 8  # bytes per sample; 16-bit samples are big-endian
     raw = zlib.decompress(b"".join(idat))
+
+    def to_samples(bytes2d: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if sb == 1:
+            return bytes2d.reshape(ph, pw, channels)
+        u16 = bytes2d.reshape(ph, pw * channels, 2).astype(np.uint16)
+        return ((u16[:, :, 0] << 8) | u16[:, :, 1]).reshape(ph, pw, channels)
+
     if interlace:  # Adam7: seven independently-filtered sub-images
-        out = np.zeros((h, w, channels), dtype=np.uint8)
+        out = np.zeros((h, w, channels), dtype=np.uint8 if sb == 1 else np.uint16)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            span = ph * (pw * channels + 1)
-            sub = _unfilter_lines(raw[off : off + span], ph, pw, channels)
-            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            span = ph * (pw * channels * sb + 1)
+            sub = _unfilter_lines(raw[off : off + span], ph, pw, channels, sb)
+            out[y0::dy, x0::dx] = to_samples(sub, ph, pw)
             off += span
         if off != len(raw):
             raise ValueError("PNG Adam7 payload size mismatch")
         return out
-    stride = w * channels
+    stride = w * channels * sb
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
-    return _unfilter_lines(raw, h, w, channels).reshape(h, w, channels)
+    return to_samples(_unfilter_lines(raw, h, w, channels, sb), h, w)
 
 
-def _unfilter_lines(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+def _unfilter_lines(raw: bytes, h: int, w: int, channels: int,
+                    sample_bytes: int = 1) -> np.ndarray:
     """Reverse PNG scanline filtering over one (sub-)image: ``raw`` holds
-    ``h`` lines of [filter byte + w*channels samples].  Returns
-    (h, w*channels) uint8."""
-    stride = w * channels
+    ``h`` lines of [filter byte + w*channels*sample_bytes bytes].  The
+    filters operate BYTEWISE at any bit depth (spec: bpp = bytes per
+    pixel, rounded up).  Returns (h, w*channels*sample_bytes) uint8."""
+    stride = w * channels * sample_bytes
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -367,20 +378,21 @@ def _unfilter_lines(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
         return arr[:, 1:].copy()
     rows = arr[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
+    bpp = channels * sample_bytes
+    n_px = stride // bpp
     for y in range(h):
         f, cur = int(filters[y]), rows[y]
         up = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
         if f == 0:  # None
             rec = cur
         elif f == 1:  # Sub: per-lane prefix sum (mod 256 distributes)
-            rec = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(stride)
+            rec = np.cumsum(cur.reshape(n_px, bpp), axis=0).reshape(stride)
         elif f == 2:  # Up
             rec = cur + up
         else:  # Average (3) / Paeth (4): left-dependent, per-pixel walk
             rec = np.empty(stride, dtype=np.int64)
             left = np.zeros(bpp, dtype=np.int64)
-            for x in range(w):
+            for x in range(n_px):
                 s = slice(x * bpp, (x + 1) * bpp)
                 u = up[s] & 0xFF
                 if f == 3:

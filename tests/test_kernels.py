@@ -282,6 +282,60 @@ def test_png_decode_rejects_garbage():
         decode_png(b"not a png at all")
 
 
+def test_png_16bit_decode():
+    """16-bit PNGs (big-endian samples) decode to uint16 across color
+    types, filters (bytewise at bpp = 2*channels), and Adam7; the
+    payload path folds them to the high byte."""
+    import struct
+    import zlib
+
+    from scanner_spark.functions.multimodal import decode_payload
+    from scanner_spark.kernels.image import _ADAM7, PNG_MAGIC, _png_chunk, decode_png
+
+    def make_png16(img16, color_type, filter_type=0, interlace=0):
+        h, w, c = img16.shape
+        be = img16.astype(">u2")
+        if interlace:
+            parts = []
+            for x0, y0, dx, dy in _ADAM7:
+                sub = be[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                ph, pw = sub.shape[:2]
+                flat = np.frombuffer(sub.tobytes(), np.uint8).reshape(ph, pw * c * 2)
+                lines = np.zeros((ph, pw * c * 2 + 1), np.uint8)
+                lines[:, 1:] = flat
+                parts.append(lines.tobytes())
+            raw = b"".join(parts)
+        else:
+            flat = np.frombuffer(be.tobytes(), np.uint8).reshape(h, w * c * 2)
+            lines = np.zeros((h, w * c * 2 + 1), np.uint8)
+            if filter_type == 2:  # Up
+                lines[:, 0] = 2
+                f = flat.astype(np.int64)
+                lines[0, 1:] = f[0]
+                lines[1:, 1:] = (f[1:] - f[:-1]) % 256
+            else:
+                lines[:, 1:] = flat
+            raw = lines.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, interlace)
+        return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(37)
+    for shape, ct in [((7, 9, 1), 0), ((6, 5, 3), 2), ((4, 4, 4), 6)]:
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+        for ft in (0, 2):
+            out = decode_png(make_png16(img, ct, filter_type=ft))
+            assert out.dtype == np.uint16 and np.array_equal(out, img), (shape, ft)
+        assert np.array_equal(decode_png(make_png16(img, ct, interlace=1)), img)
+    # payload path: high byte survives
+    img = (np.arange(48, dtype=np.uint16).reshape(4, 4, 3) << 8) | 0x7F
+    out = decode_payload(make_png16(img, 2), 4, 4)
+    assert np.array_equal(out, (img >> 8).astype(np.uint8))
+
+
 def test_png_adam7_interlace():
     """Adam7 round trips bit-exact (tiny images exercise empty passes);
     a foreign interlaced stream with per-pass Up filters decodes too."""
@@ -918,6 +972,84 @@ def test_flac_round_trips_and_compression():
     rt(saw[:1].copy()); rt(saw[:5].copy())                    # tiny inputs
     rt(saw, block_size=256); rt(saw, use_lpc=False)
     rt(np.array([], np.int16).reshape(0))                     # empty stream
+
+
+def test_flac_crc_check_values():
+    """External-conformance anchors: the generated CRC tables reproduce
+    the published '123456789' check values for CRC-8 poly 0x07 (0xF4,
+    CRC-8/SMBUS) and CRC-16 poly 0x8005 non-reflected (0xFEE8,
+    CRC-16/UMTS) — the two algorithms the FLAC format specifies."""
+    from scanner_spark.kernels.flac import _crc8, _crc16
+
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def test_flac_foreign_stream_partitions_escape_wasted_bits():
+    """Hand-built stream exercising decoder paths our encoder never
+    emits: rice partition order 1, an ESCAPE (raw-bits) partition, and a
+    wasted-bits verbatim subframe."""
+    import struct
+
+    import numpy as np
+
+    from scanner_spark.kernels.flac import (
+        FLAC_MAGIC, _BitsW, _crc8, _crc16, _utf8_coded, decode_flac)
+
+    sr, bps, n = 8000, 16, 64
+    samples = np.cumsum(np.concatenate(
+        [[100], np.arange(-15, 16), np.arange(-16, 16)])).astype(np.int64)
+    res = np.diff(samples)
+
+    def frame_header(bw, frame_no):
+        bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+        bw.write(7, 4); bw.write(0, 4); bw.write(0, 4); bw.write(4, 3)
+        bw.write(0, 1)
+        for b in _utf8_coded(frame_no):
+            bw.write(b, 8)
+        bw.write(n - 1, 16)
+        bw.align()
+        bw.write(_crc8(bytes(bw.out)), 8)
+
+    # frame 0: FIXED(1), partition order 1, partition 2 escaped (7 raw bits)
+    bw = _BitsW()
+    frame_header(bw, 0)
+    bw.write(0, 1); bw.write(9, 6); bw.write(0, 1)  # FIXED order 1
+    bw.write(int(samples[0]), bps)
+    bw.write(0, 2); bw.write(1, 4)  # rice-4, 2 partitions
+    bw.write(3, 4)
+    for r in res[:31]:
+        z = (int(r) << 1) if r >= 0 else ((-int(r)) << 1) - 1
+        bw.write_unary(z >> 3); bw.write(z & 7, 3)
+    bw.write(15, 4); bw.write(7, 5)  # escape: raw 7-bit residuals
+    for r in res[31:]:
+        bw.write(int(r), 7)
+    bw.align()
+    bw.write(_crc16(bytes(bw.out)), 16)
+    frame0 = bw.bytes()
+
+    # frame 1: VERBATIM with 2 wasted bits (samples are multiples of 4)
+    samples1 = (np.arange(n, dtype=np.int64) - 32) * 4
+    bw = _BitsW()
+    frame_header(bw, 1)
+    bw.write(0, 1); bw.write(1, 6)      # VERBATIM
+    bw.write(1, 1); bw.write_unary(1)   # wasted_bits = unary(1) + 1 = 2
+    for v in samples1 >> 2:
+        bw.write(int(v), bps - 2)
+    bw.align()
+    bw.write(_crc16(bytes(bw.out)), 16)
+    frame1 = bw.bytes()
+
+    info = bytearray()
+    info += struct.pack(">HH", n, n) + b"\x00\x00\x00" * 2
+    bits = (sr << 44) | (0 << 41) | ((bps - 1) << 36) | (2 * n)
+    info += bits.to_bytes(8, "big") + b"\x00" * 16  # md5 unknown
+    blob = (FLAC_MAGIC + bytes([0x80]) + len(info).to_bytes(3, "big")
+            + bytes(info) + frame0 + frame1)
+    dec, rate = decode_flac(blob)
+    assert rate == sr
+    want = np.concatenate([samples, samples1]).astype(np.int32)
+    assert np.array_equal(dec[:, 0], want)
 
 
 def test_flac_crc_detects_corruption():
