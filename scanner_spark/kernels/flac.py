@@ -124,6 +124,8 @@ class _Bits:
         pos0 = pos = self.pos
         step = 1 + param
         for k in range(count):
+            if pos > len(bits):
+                raise ValueError("FLAC: bitstream truncated in rice code")
             i = csum[pos]  # ones before pos == index of next one at/after pos
             if i >= len(ones):
                 raise ValueError("FLAC: bitstream truncated in rice code")

@@ -187,7 +187,15 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
                     t += delta
         else:
             dts = list(range(len(cts_off)))
-        n = min(len(cts_off), len(dts), len(sizes))
+        # A ctts/stts that covers fewer samples than stsz would leave tail
+        # samples at frame_no = sample index, colliding with display ranks
+        # already assigned — refuse loudly instead of truncating.
+        if len(cts_off) < len(sizes) or len(dts) < len(sizes):
+            raise ValueError(
+                f"mp4: ctts/stts cover {len(cts_off)}/{len(dts)} samples "
+                f"but stsz declares {len(sizes)}"
+            )
+        n = len(sizes)
         ct = [dts[i] + cts_off[i] for i in range(n)]
         order = sorted(range(n), key=lambda i: (ct[i], i))
         disp_of = [0] * n
@@ -648,6 +656,16 @@ def decode_range(
                 e = entries[s]
                 sample = buf[e.offset - base : e.offset - base + e.size]
                 kind, _is_ref = _avc1_sample_kind(sample, ls)
+                if kind == "B" and _is_ref:
+                    # A referenced B picture (nal_ref_idc>0) needs a DPB
+                    # deeper than the two-slot prev/cur model — skipping it
+                    # or decoding it without a DPB update would silently
+                    # mis-predict later frames.  Refuse loudly, mirroring
+                    # the multi-slice refusal.
+                    raise NotImplementedError(
+                        "avc1: referenced B picture (nal_ref_idc>0) "
+                        "exceeds the two-slot DPB model"
+                    )
                 if kind == "B" and e.frame_no not in remaining:
                     s += 1
                     continue  # non-ref sample nobody needs

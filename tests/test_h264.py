@@ -679,3 +679,42 @@ def test_avc1_multi_slice_sample_refused():
     assert rgb.shape == (16, 16, 3)
     with pytest.raises(NotImplementedError, match="multi-slice"):
         mp4._decode_avc1_sample(one + one, [sps_nal], [pps_nal], 4)
+
+
+def test_mp4_ctts_undercoverage_refuses():
+    """A ctts box covering fewer samples than stsz must raise ValueError
+    instead of silently truncating — tail samples would otherwise get
+    frame_no = sample index, colliding with assigned display ranks
+    (ADVICE r7)."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(0, i, 16, 16, 3) for i in range(12)]
+    buf = bytearray(mp4.encode_mp4_avc1(frames, qp=10, gop=6, b_frames=1))
+    i = buf.find(b"ctts")
+    assert i > 0
+    # fullbox: type(4) ver/flags(4) entry_count(4) then (count, offset) runs
+    n = int.from_bytes(buf[i + 8 : i + 12], "big")
+    assert n > 1
+    buf[i + 8 : i + 12] = (n - 1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="ctts/stts"):
+        mp4.parse_index(bytes(buf))
+
+
+def test_mp4_referenced_b_frame_refuses():
+    """A B sample with nal_ref_idc>0 needs a DPB deeper than the two-slot
+    prev/cur model; decode_range must refuse loudly rather than skip or
+    mis-predict (ADVICE r7)."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(0, i, 16, 16, 3) for i in range(6)]
+    buf = bytearray(mp4.encode_mp4_avc1(frames, qp=10, gop=6, b_frames=1))
+    meta, entries = mp4.parse_index(bytes(buf))
+    # decode order I,P,B,...: entries[2] is the first B sample; flip its
+    # first NAL's nal_ref_idc from 0 to 2 (byte 0x01 -> 0x41)
+    e = entries[2]
+    assert buf[e.offset + 4] == 0x01  # non-ref non-IDR slice NAL header
+    buf[e.offset + 4] = 0x41
+    with pytest.raises(NotImplementedError, match="referenced B"):
+        mp4.decode_range(bytes(buf), 0, meta, {e.frame_no})

@@ -1520,3 +1520,22 @@ def test_gif_background_uses_global_table_with_local_frame_table():
     assert np.array_equal(out[3, 5], gct[1])
     assert np.array_equal(out[1, 1], lct[0])  # patch from the local table
     assert np.array_equal(out[2, 2], lct[1])
+
+
+def test_flac_truncation_raises_value_error_uniformly():
+    """decode_flac's contract is ValueError on corrupt/truncated streams;
+    a truncated rice-coded frame must not escape as IndexError from the
+    vectorized unary gather (ADVICE r7)."""
+    import numpy as np
+    import pytest
+
+    from scanner_spark.kernels.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(77)
+    s = rng.integers(-2000, 2000, 3000).astype(np.int16)
+    enc = encode_flac(s, 8000)
+    # every truncation point past the stream header must raise ValueError
+    # (never IndexError); step 7 keeps the fuzz fast but hits all phases
+    for cut in range(50, len(enc) - 1, 7):
+        with pytest.raises(ValueError):
+            decode_flac(enc[:cut])
