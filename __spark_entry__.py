@@ -1417,12 +1417,16 @@ SELECT doc, matched, tf_sum,
 FROM hits
 ORDER BY rank LIMIT 20
 """.format(terms=", ".join(f"'{t}'" for t in Q.SEARCH_TERMS)),
+        # bigram identity = the shared 60-bit md5 hash (hashing.h60) of
+        # the bigram string, mirroring bigram_familiarity's pre-shuffle
+        # hashing (long shuffle/join keys instead of wide strings)
         "doc_lm_familiarity": f"""
 WITH tok AS (
   SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
 ),
 big AS (
-  SELECT doc_id AS doc, toks[i] || ' ' || toks[i + 1] AS bg, COUNT(*) AS n
+  SELECT doc_id AS doc, {h60_sql("toks[i] || ' ' || toks[i + 1]")} AS bg,
+         COUNT(*) AS n
   FROM tok, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)
   GROUP BY 1, 2
 ),
@@ -1481,6 +1485,41 @@ w AS (
 SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM w GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        # winnowing replayed in SQL: per-position k-gram hashes (same
+        # Horner fold), then each w-window's min via a window frame;
+        # leftmost argmin = MIN(pos) among window positions hitting the
+        # min; short docs (< w hashes) keep only the s=0 (global) window
+        "doc_repeated_passages_winnowed": f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+fp AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS pos,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(range(1, 25),
+               i -> CAST(unicode(t[CAST(j + i AS INTEGER)]) AS HUGEINT))),
+           (acc, c) -> (acc * 257 + c) % 2305843009213693951
+         ) AS BIGINT) AS h
+  FROM d, unnest(range(0, greatest(length(t) - 23, 0))) AS u(j)
+),
+w AS (
+  SELECT doc_id, pos AS s, min(h) OVER win AS hmin, count(*) OVER win AS cnt
+  FROM fp
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {Q.PASSAGE_W - 1} FOLLOWING)
+),
+fullw AS (SELECT * FROM w WHERE cnt = {Q.PASSAGE_W} OR s = 0),
+sel AS (
+  SELECT w.doc_id, min(f.pos) AS pos, w.hmin AS fp
+  FROM fullw w JOIN fp f
+    ON f.doc_id = w.doc_id AND f.h = w.hmin
+   AND f.pos BETWEEN w.s AND w.s + {Q.PASSAGE_W - 1}
+  GROUP BY w.doc_id, w.s, w.hmin
+),
+seldist AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
+SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM seldist GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
 """,
         # PQ ANN: the codebooks follow the same rounded-Lloyd determinism
         # contract as cluster.kmeans / ivf_index (simsearch.pq_train

@@ -159,14 +159,21 @@ def bigram_familiarity(
     everywhere).  Low = atypical/gibberish, high = corpus-fluent.
 
     Two shuffles: per-(doc,bigram) counts, then the global bigram model
-    (vocabulary-bigram-sized — AQE broadcasts it when small).  ``bg`` is
-    both the join's left side and the source of ``model``, so it is
-    ``track()``-persisted (the dedup-family shingle pattern) — without it
-    the explode+shuffle, the heaviest relation here, executes twice.  The
-    tokens array crosses a 1-element-explode Generate barrier first so
-    ``word_bigrams``' slices see an attribute (evaluate-once; see its
-    docstring)."""
+    (vocabulary-bigram-sized — AQE broadcasts it when small).  Bigram
+    identity is the shared 60-bit ``hashing.h60`` of the bigram string,
+    computed BEFORE the first shuffle: both shuffles and the model join
+    then carry 8-byte longs instead of wide strings (~4-8x fewer shuffle
+    bytes on typical text; the r7 plan audit measured the string-keyed
+    variant at 3.5x its DuckDB twin for exactly this reason).  The oracle
+    mirrors the hash bit-for-bit, so frequencies group identically in
+    both engines.  ``bg`` is both the join's left side and the source of
+    ``model``, so it is ``track()``-persisted (the dedup-family shingle
+    pattern) — without it the explode+shuffle, the heaviest relation
+    here, executes twice.  The tokens array crosses a 1-element-explode
+    Generate barrier first so ``word_bigrams``' slices see an attribute
+    (evaluate-once; see its docstring)."""
     from scanner_spark.caching import track
+    from scanner_spark.functions.hashing import h60
 
     toksed = df.select(
         F.col(id_col).alias("doc"),
@@ -174,7 +181,8 @@ def bigram_familiarity(
     )
     bg = track(
         toksed.select(
-            "doc", F.explode(word_bigrams(F.col("toks"))).alias("bg")
+            "doc",
+            F.explode(F.transform(word_bigrams(F.col("toks")), h60)).alias("bg"),
         ).groupBy("doc", "bg").agg(F.count("*").alias("n"))
     )
     model = bg.groupBy("bg").agg(F.sum("n").alias("global_n"))

@@ -190,59 +190,125 @@ def rolling_fingerprint_udf():
     return roll
 
 
+_INV_B = pow(_FP_BASE, _FP_MOD - 2, _FP_MOD)
+
+
+def _power_tables(maxlen: int) -> tuple[np.ndarray, np.ndarray]:
+    """BASE^j and inv(BASE)^j mod p for j = 0..maxlen, shared across an
+    Arrow batch (the python-int loop is per-batch, not per-char)."""
+    pows_list, p = [], 1
+    ipows_list, q = [], 1
+    for _ in range(maxlen + 1):
+        pows_list.append(p)
+        p = (p * _FP_BASE) % _FP_MOD
+        ipows_list.append(q)
+        q = (q * _INV_B) % _FP_MOD
+    return (
+        np.array(pows_list, dtype=np.uint64),
+        np.array(ipows_list, dtype=np.uint64),
+    )
+
+
+def _kgram_hashes(
+    t: str, n: int, k: int, pows: np.ndarray, ipows: np.ndarray
+) -> np.ndarray:
+    """The n-k+1 per-position k-gram Rabin-Karp hashes of ``t`` (n >= k),
+    vectorized O(n): whole-text terms t_i = c_i * B^(n-1-i), limb-split
+    prefix sums, then each window's scaled sum rebased by one mulmod with
+    inv(B)^(n-k-j)."""
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    terms = _mulmod61(codes, pows[:n][::-1])
+    # limb-split prefix sums stay exact in uint64 for n << 2^29
+    z = np.zeros(1, dtype=np.uint64)
+    hi = np.concatenate([z, np.cumsum(terms >> np.uint64(32))])
+    lo = np.concatenate([z, np.cumsum(terms & _MASK32)])
+    # S_j mod p, recombined as (hi mod p) * 2^32 + lo
+    s_mod = (
+        _mulmod61(hi % _M61, np.full(n + 1, 1 << 32, dtype=np.uint64))
+        + lo % _M61
+    )
+    s_mod = np.where(s_mod >= _M61, s_mod - _M61, s_mod)
+    w = s_mod[k:] - s_mod[: n - k + 1]  # windows j = 0 .. n-k
+    w = np.where(s_mod[k:] >= s_mod[: n - k + 1], w, w + _M61)
+    # rebase: window j carries B^(n-1-(j+k-1)) — multiply by
+    # inv(B)^(n-k-j), j descending from n-k to 0
+    return _mulmod61(w, ipows[: n - k + 1][::-1].copy())
+
+
 def windowed_fingerprint_udf(k: int):
     """Per-position k-gram rolling hashes: for each window [j, j+k) the
     position-independent hash sum ord(c_{j+i}) * BASE^(k-1-i) mod 2^61-1
     — the passage-level fingerprint a cross-document repeated-substring
     (suffix-array-style) dedup keys on.
 
-    Vectorized O(n) per document: whole-text terms t_i = c_i * B^(n-1-i)
-    (shared power table), limb-split prefix sums, then each window's
-    scaled sum is rebased by one mulmod with inv(B)^(n-k-j).  Returns
+    Vectorized O(n) per document (``_kgram_hashes``).  Returns
     array<long> (n-k+1 hashes; empty when the text is shorter than k)."""
-    inv_b = pow(_FP_BASE, _FP_MOD - 2, _FP_MOD)
 
     @F.pandas_udf("array<long>")
     def wroll(texts: pd.Series) -> pd.Series:
         lens = [len(t) if t else 0 for t in texts]
-        maxlen = max(lens, default=0)
-        pows_list, p = [], 1
-        ipows_list, q = [], 1
-        for _ in range(maxlen + 1):
-            pows_list.append(p)
-            p = (p * _FP_BASE) % _FP_MOD
-            ipows_list.append(q)
-            q = (q * inv_b) % _FP_MOD
-        pows = np.array(pows_list, dtype=np.uint64)
-        ipows = np.array(ipows_list, dtype=np.uint64)
+        pows, ipows = _power_tables(max(lens, default=0))
         out = []
         for t, n in zip(texts, lens):
             if n < k:
                 out.append([])
                 continue
-            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
-                np.uint64
-            )
-            terms = _mulmod61(codes, pows[:n][::-1])
-            # limb-split prefix sums stay exact in uint64 for n << 2^29
-            z = np.zeros(1, dtype=np.uint64)
-            hi = np.concatenate([z, np.cumsum(terms >> np.uint64(32))])
-            lo = np.concatenate([z, np.cumsum(terms & _MASK32)])
-            # S_j mod p, recombined as (hi mod p) * 2^32 + lo
-            s_mod = (
-                _mulmod61(hi % _M61, np.full(n + 1, 1 << 32, dtype=np.uint64))
-                + lo % _M61
-            )
-            s_mod = np.where(s_mod >= _M61, s_mod - _M61, s_mod)
-            w = s_mod[k:] - s_mod[: n - k + 1]  # windows j = 0 .. n-k
-            w = np.where(s_mod[k:] >= s_mod[: n - k + 1], w, w + _M61)
-            # rebase: window j carries B^(n-1-(j+k-1)) — multiply by
-            # inv(B)^(n-k-j), j descending from n-k to 0
-            hashes = _mulmod61(w, ipows[: n - k + 1][::-1].copy())
+            hashes = _kgram_hashes(t, n, k, pows, ipows)
             out.append([int(x) for x in hashes])
         return pd.Series(out)
 
     return wroll
+
+
+def winnowed_fingerprint_udf(k: int, w: int):
+    """Winnowed k-gram fingerprints (Schleimer/Manber/Aiken, SIGMOD'03):
+    the per-position hashes of ``windowed_fingerprint_udf`` reduced to the
+    positions that are the LEFTMOST minimum of at least one window of
+    ``w`` consecutive k-gram hashes.
+
+    This is the production scale path for repeated-passage detection: the
+    exact all-windows variant emits one row per character of the corpus
+    (~1e14 generated rows at 100 TB before map-side combine), while
+    winnowing emits an expected 2/(w+1) of that — with the guarantee that
+    any passage of length >= w + k - 1 chars shared by two documents
+    contributes at least one identical selected fingerprint in both.
+    Documents with fewer than ``w`` hashes (length < k+w-1) emit their
+    single global minimum so short docs remain comparable.
+
+    Leftmost-argmin tie-break (numpy argmin's first-occurrence rule) keeps
+    the selection deterministic and SQL-mirrorable: the oracle replays it
+    as MIN(pos) among window positions whose hash equals the window MIN.
+    In-UDF cost is O(n*w) vectorized compares over a zero-copy sliding
+    view — cheap next to the shuffle rows it removes.  Returns
+    array<struct<pos:int,fp:long>> sorted by pos (selected positions are
+    deduplicated; the same fp value selected at two positions yields two
+    entries, preserving occurrence counts)."""
+
+    @F.pandas_udf("array<struct<pos:int,fp:long>>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        lens = [len(t) if t else 0 for t in texts]
+        pows, ipows = _power_tables(max(lens, default=0))
+        for t, n in zip(texts, lens):
+            if n < k:
+                out.append([])
+                continue
+            hashes = _kgram_hashes(t, n, k, pows, ipows)
+            n_h = len(hashes)
+            if n_h <= w:
+                sel = np.array([np.argmin(hashes)])
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+                am = sw.argmin(axis=1) + np.arange(n_h - w + 1)
+                sel = np.unique(am)
+            out.append(
+                [{"pos": int(p), "fp": int(hashes[p])} for p in sel]
+            )
+        return pd.Series(out)
+
+    return winnow
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

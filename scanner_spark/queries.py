@@ -1248,6 +1248,7 @@ def q_doc_rolling_fingerprint(spark, sf_dir):
 
 
 PASSAGE_K = 24  # characters per passage window (shared with the oracle)
+PASSAGE_W = 16  # winnowing window: passages >= K+W-1 chars guaranteed
 
 
 def q_doc_repeated_passages(spark, sf_dir):
@@ -1268,6 +1269,34 @@ def q_doc_repeated_passages(spark, sf_dir):
     wroll = text.windowed_fingerprint_udf(PASSAGE_K)
     per_doc = (
         d.select("doc_id", F.explode(wroll(F.col("text"))).alias("fp"))
+        .groupBy("fp", "doc_id")
+        .agg(F.count("*").alias("occ"))
+    )
+    return (
+        per_doc.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.sum("occ").alias("n_occ"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_doc_repeated_passages_winnowed(spark, sf_dir):
+    """Winnowed cross-document repeated-passage detection — the
+    production-scale sibling of ``doc_repeated_passages``.  The exact
+    variant explodes one fingerprint row per character position (O(corpus
+    chars) pre-combine volume: the r7 plan audit's heaviest query, and
+    ~1e14 generated rows at 100 TB); winnowing
+    (``text.winnowed_fingerprint_udf``) selects only per-window minimum
+    hashes at expected density 2/(W+1) while guaranteeing any shared
+    passage >= PASSAGE_K+PASSAGE_W-1 chars is still detected.  Downstream
+    shape is identical: map-side-combined (fp, doc) counts, one shuffle
+    on the 61-bit hash.  Occurrence counts are counts of SELECTED
+    positions (deterministic in both engines), not raw window counts."""
+    ship(spark)
+    d = read_table(spark, sf_dir, "documents")
+    wf = text.winnowed_fingerprint_udf(PASSAGE_K, PASSAGE_W)
+    per_doc = (
+        d.select("doc_id", F.explode(wf(F.col("text"))).alias("s"))
+        .select(F.col("s.fp").alias("fp"), "doc_id")
         .groupBy("fp", "doc_id")
         .agg(F.count("*").alias("occ"))
     )
@@ -2013,6 +2042,7 @@ QUERIES = {
     "emb_knn_pq": q_emb_knn_pq,
     "emb_knn_ivf": q_emb_knn_ivf,  # probe-fold determinism fix
     "doc_repeated_passages": q_doc_repeated_passages,  # NEW this round
+    "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
     "multimodal_audio": q_multimodal_audio,  # WAV+FLAC split this round
     # --- beyond-window: driver-confirmed r6 (green in CORRECTNESS_r06)
     "emb_knn_brute": q_emb_knn_brute,

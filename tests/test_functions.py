@@ -641,3 +641,74 @@ def test_repeated_passages_shared_window_found(spark):
     # that over-counting is inherent to K-gram passage signals)
     assert rep[h] == (3, 4)
     assert all(n_docs == 3 for n_docs, _ in rep.values())
+
+
+def test_winnowed_fingerprints_selection_and_guarantee(spark):
+    """Winnowing contract (Schleimer/Manber): (a) every selected (pos,fp)
+    is a real k-gram hash at that position; (b) each full w-window of
+    hashes contains at least one selected position (coverage); (c) the
+    selected position is the LEFTMOST argmin of at least one window;
+    (d) docs with fewer than w hashes emit exactly their global argmin;
+    (e) two docs sharing a passage >= k+w-1 chars share a selected fp."""
+    from scanner_spark.functions.text import (
+        _FP_BASE, _FP_MOD, winnowed_fingerprint_udf)
+
+    def direct_hashes(t, k):
+        out = []
+        for j in range(len(t) - k + 1):
+            h = 0
+            for i in range(k):
+                h = (h * _FP_BASE + ord(t[j + i])) % _FP_MOD
+            out.append(h)
+        return out
+
+    k, w = 5, 4
+    shared = "an identical shared passage!"  # len 28 >= k+w-1 = 8
+    texts = [
+        "the quick brown fox jumps over the lazy dog " + shared,
+        shared + " plus unrelated trailing content here",
+        "aaaaaaaaaaaaaaaa",      # all-equal hashes: tie-break stress
+        "tiny",                   # < k: empty
+        "sixchr",                 # exactly one hash (n_h=1 < w)
+        "short doc",              # 1 < n_h < w: global argmin only
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: [(s["pos"], s["fp"]) for s in r["sel"]]
+           for r in df.select(
+               "doc_id",
+               winnowed_fingerprint_udf(k, w)(F.col("text")).alias("sel"),
+           ).collect()}
+
+    for i, t in enumerate(texts):
+        hs = direct_hashes(t, k)
+        sel = got[i]
+        if len(t) < k:
+            assert sel == []
+            continue
+        # (a) values match the direct Horner hash at that position
+        for pos, fp in sel:
+            assert hs[pos] == fp, (i, pos)
+        positions = [p for p, _ in sel]
+        assert positions == sorted(set(positions))
+        if len(hs) <= w:
+            # (d) single global leftmost argmin
+            assert positions == [min(range(len(hs)), key=lambda j: (hs[j], j))]
+            continue
+        for s in range(len(hs) - w + 1):
+            window = hs[s:s + w]
+            m = min(window)
+            leftmost = s + window.index(m)
+            # (b)+(c): the leftmost argmin of every window is selected
+            assert leftmost in positions, (i, s)
+        # nothing else is selected
+        expected = {
+            s + hs[s:s + w].index(min(hs[s:s + w]))
+            for s in range(len(hs) - w + 1)
+        }
+        assert set(positions) == expected, i
+
+    # (e) the shared-passage guarantee across docs 0 and 1
+    fps0 = {fp for _, fp in got[0]}
+    fps1 = {fp for _, fp in got[1]}
+    assert fps0 & fps1
