@@ -199,6 +199,95 @@ def ivf_index(
     return df.withColumn("cell", _cell_expr(F.col(vec_col), centroids)), centroids
 
 
+def _probe_cells(centroids: list[list[float]], query: list[float],
+                 nprobe: int) -> list[int]:
+    """The ``nprobe`` cell ids nearest the query.  Ranking uses the same
+    sequential left-to-right fold as the SQL twin's
+    list_sum(list_transform(...)) — numpy's pairwise summation can pick a
+    different probe set on near-tied cell distances (ADVICE r06)."""
+    qf = [float(x) for x in query]
+    d2 = []
+    for c in centroids:
+        acc = 0.0
+        for qi, ci in zip(qf, c):
+            acc += (qi - ci) * (qi - ci)
+        d2.append(acc)
+    return sorted(range(len(d2)), key=lambda i: (d2[i], i))[:nprobe]
+
+
+def ivf_build(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    data_key: str = "",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer ONCE and persist the inverted file:
+    parquet partitioned by ``cell`` at ``path`` plus a JSON sidecar with
+    the centroids and build parameters.  ``ivf_search`` then reads only
+    the probed cells via partition pruning — the build/serve split the
+    r7 review asked for (the previous ``knn_ivf`` retrained per call,
+    conflating index construction with lookup: at 100 TB every query
+    would re-scan the corpus twice).  ``data_key`` fingerprints the
+    source data so a stale index is rebuilt, not silently served.
+    Returns the centroids."""
+    import json
+    import os
+
+    indexed, centroids = ivf_index(
+        df, nlist, iters, vec_col=vec_col, id_col=id_col
+    )
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {
+        "nlist": nlist,
+        "iters": iters,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "data_key": data_key,
+        "centroids": centroids,
+    }
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return centroids
+
+
+def ivf_meta(path: str) -> dict | None:
+    """The build sidecar at ``path``, or None when absent/unreadable."""
+    import json
+    import os
+
+    p = os.path.join(path, "_ivf_meta.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve leg of the IVF split: read ONLY the ``nprobe`` probed cells
+    from the partitioned index (Spark prunes the non-probed ``cell=...``
+    directories at planning time — verify with .explain: the scan's
+    PartitionFilters carries ``cell IN (...)``), brute-force inside them.
+    Never touches the quantizer or the rest of the corpus."""
+    meta = ivf_meta(path)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no IVF index at {path} — run ivf_build first"
+        )
+    probes = _probe_cells(meta["centroids"], query, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return knn_brute(cand, query, k, meta["vec_col"], meta["id_col"])
+
+
 def knn_ivf(
     df: DataFrame,
     query: list[float],
@@ -207,22 +296,36 @@ def knn_ivf(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index_path: str | None = None,
+    data_key: str = "",
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` cells whose
     centroids are nearest the query, brute-force only inside them.
-    Output: (id, score)."""
+    Output: (id, score).
+
+    With ``index_path`` the persisted-index flow runs: build once
+    (skipped when the sidecar matches nlist/data_key), then serve via
+    ``ivf_search`` partition pruning.  Without it, the legacy inline
+    train+filter keeps small/ad-hoc callers and the recall tests
+    dependency-free."""
+    if index_path is not None:
+        meta = ivf_meta(index_path)
+        if (
+            meta is None
+            or meta["nlist"] != nlist
+            or meta["data_key"] != data_key
+            or meta["vec_col"] != vec_col
+            or meta["id_col"] != id_col
+        ):
+            ivf_build(
+                df, index_path, nlist, vec_col=vec_col, id_col=id_col,
+                data_key=data_key,
+            )
+        return ivf_search(
+            df.sparkSession, index_path, query, k=k, nprobe=nprobe
+        )
     indexed, centroids = ivf_index(df, nlist, vec_col=vec_col, id_col=id_col)
-    # probe ranking uses the same sequential left-to-right fold as the SQL
-    # twin's list_sum(list_transform(...)) — numpy's pairwise summation can
-    # pick a different probe set on near-tied cell distances (ADVICE r06)
-    qf = [float(x) for x in query]
-    d2 = []
-    for c in centroids:
-        acc = 0.0
-        for qi, ci in zip(qf, c):
-            acc += (qi - ci) * (qi - ci)
-        d2.append(acc)
-    probes = sorted(range(len(d2)), key=lambda i: (d2[i], i))[:nprobe]
+    probes = _probe_cells(centroids, query, nprobe)
     cand = indexed.filter(F.col("cell").isin(probes))
     return knn_brute(cand, query, k, vec_col, id_col)
 

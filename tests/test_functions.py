@@ -274,6 +274,47 @@ def test_knn_ivf_recall_and_partitioning(real_embs):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ivf_build_search_split(real_embs, tmp_path):
+    """The persisted-index flow: build once, serve from the partitioned
+    parquet with cell partition pruning; results identical to the inline
+    path; param/data-key mismatch triggers a rebuild, matching sidecar
+    skips it."""
+    q = list(real_embs.filter("vec_id = 0").select("embedding").first()["embedding"])
+    path = str(tmp_path / "ivf_idx")
+    inline = simsearch.knn_ivf(real_embs, q, k=10, nlist=8, nprobe=3).collect()
+    served = simsearch.knn_ivf(
+        real_embs, q, k=10, nlist=8, nprobe=3,
+        index_path=path, data_key="k1",
+    )
+    # (a) the serve leg scans ONLY probed cells — partition pruning
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    assert served.collect() == inline
+    # (b) warm path: same sidecar -> no rebuild (mtime unchanged)
+    import os
+    meta_p = os.path.join(path, "_ivf_meta.json")
+    mtime = os.stat(meta_p).st_mtime_ns
+    again = simsearch.knn_ivf(
+        real_embs, q, k=10, nlist=8, nprobe=3,
+        index_path=path, data_key="k1",
+    ).collect()
+    assert again == inline
+    assert os.stat(meta_p).st_mtime_ns == mtime
+    # (c) stale data_key -> rebuild, not silent reuse
+    simsearch.knn_ivf(
+        real_embs, q, k=10, nlist=8, nprobe=3,
+        index_path=path, data_key="k2",
+    ).collect()
+    assert os.stat(meta_p).st_mtime_ns != mtime
+    assert simsearch.ivf_meta(path)["data_key"] == "k2"
+    # (d) searching a missing index refuses loudly
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        simsearch.ivf_search(
+            real_embs.sparkSession, str(tmp_path / "nope"), q
+        )
+
+
 def test_pq_adc_clustered_recall(spark):
     """On cluster-structured data the PQ codes separate clusters exactly,
     so ADC top-k must equal exact L2 top-k (query's own cluster first)."""
