@@ -387,6 +387,8 @@ def _video_decode_sql() -> str:
         ("vid1.svf", 1, [25], 12, 16, True),
         ("vid2.mp4", 2, [7, 31], 12, 16, True),
         ("vid3.mp4", 3, [1, 6], 16, 16, False),
+        # multi-slice avc1 (2 slices/picture, I/P/B GOP): lossy -> NULL
+        ("vid4.mp4", 4, [2, 5], 16, 16, False),
     ):
         for f in frames:
             rows.append(

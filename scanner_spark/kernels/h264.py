@@ -692,11 +692,16 @@ def dequant_dc2(cd: np.ndarray, qp: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def pred16(plane: np.ndarray, y: int, x: int, mode: int) -> np.ndarray:
+def pred16(plane: np.ndarray, y: int, x: int, mode: int,
+           up_ok: bool = True, left_ok: bool = True,
+           ul_ok: bool = True) -> np.ndarray:
     """16x16 luma prediction at MB origin (y, x).  Modes: 0=V 1=H 2=DC
-    3=Plane.  ``plane`` is the reconstruction so far (uint8-valued)."""
-    up = plane[y - 1, x : x + 16].astype(np.int64) if y > 0 else None
-    left = plane[y : y + 16, x - 1].astype(np.int64) if x > 0 else None
+    3=Plane.  ``plane`` is the reconstruction so far (uint8-valued).
+    ``up_ok``/``left_ok``/``ul_ok`` gate neighbour availability beyond
+    the frame-edge check — False when the neighbour MB is in a different
+    slice (§8.3.3's constrained availability)."""
+    up = plane[y - 1, x : x + 16].astype(np.int64) if y > 0 and up_ok else None
+    left = plane[y : y + 16, x - 1].astype(np.int64) if x > 0 and left_ok else None
     if mode == 0:
         if up is None:
             raise ValueError("V pred without top neighbour")
@@ -716,7 +721,7 @@ def pred16(plane: np.ndarray, y: int, x: int, mode: int) -> np.ndarray:
             dc = 128
         return np.full((16, 16), dc, dtype=np.int64)
     if mode == 3:  # plane
-        if up is None or left is None or x == 0 or y == 0:
+        if up is None or left is None or x == 0 or y == 0 or not ul_ok:
             raise ValueError("plane pred needs both neighbours")
         ul = int(plane[y - 1, x - 1])
         # i == 7 reaches p[-1,-1]: must be the corner sample, not a numpy
@@ -739,10 +744,13 @@ def pred16(plane: np.ndarray, y: int, x: int, mode: int) -> np.ndarray:
     raise ValueError(f"bad 16x16 mode {mode}")
 
 
-def pred_chroma(plane: np.ndarray, y: int, x: int, mode: int) -> np.ndarray:
-    """8x8 chroma prediction.  Modes: 0=DC 1=H 2=V 3=Plane (§8.3.4)."""
-    up = plane[y - 1, x : x + 8].astype(np.int64) if y > 0 else None
-    left = plane[y : y + 8, x - 1].astype(np.int64) if x > 0 else None
+def pred_chroma(plane: np.ndarray, y: int, x: int, mode: int,
+                up_ok: bool = True, left_ok: bool = True,
+                ul_ok: bool = True) -> np.ndarray:
+    """8x8 chroma prediction.  Modes: 0=DC 1=H 2=V 3=Plane (§8.3.4).
+    Availability flags as in :func:`pred16` (slice boundaries)."""
+    up = plane[y - 1, x : x + 8].astype(np.int64) if y > 0 and up_ok else None
+    left = plane[y : y + 8, x - 1].astype(np.int64) if x > 0 and left_ok else None
     if mode == 0:
         out = np.empty((8, 8), dtype=np.int64)
         for by in (0, 4):
@@ -774,7 +782,7 @@ def pred_chroma(plane: np.ndarray, y: int, x: int, mode: int) -> np.ndarray:
             raise ValueError("chroma V pred without top")
         return np.tile(up, (8, 1))
     if mode == 3:
-        if up is None or left is None:
+        if up is None or left is None or not ul_ok:
             raise ValueError("chroma plane needs both")
         ul = int(plane[y - 1, x - 1])
         h = sum(
@@ -798,10 +806,11 @@ def pred_chroma(plane: np.ndarray, y: int, x: int, mode: int) -> np.ndarray:
 # 4x4 luma prediction modes (§8.3.1): 0=V 1=H 2=DC 3=DDL 4=DDR 5=VR 6=HD
 # 7=VL 8=HU
 def pred4(plane: np.ndarray, y: int, x: int, mode: int,
-          up_right_avail: bool) -> np.ndarray:
-    up = plane[y - 1, x : x + 4].astype(np.int64) if y > 0 else None
-    left = plane[y : y + 4, x - 1].astype(np.int64) if x > 0 else None
-    ul = int(plane[y - 1, x - 1]) if (y > 0 and x > 0) else None
+          up_right_avail: bool, up_ok: bool = True, left_ok: bool = True,
+          ul_ok: bool = True) -> np.ndarray:
+    up = plane[y - 1, x : x + 4].astype(np.int64) if y > 0 and up_ok else None
+    left = plane[y : y + 4, x - 1].astype(np.int64) if x > 0 and left_ok else None
+    ul = int(plane[y - 1, x - 1]) if (y > 0 and x > 0 and ul_ok) else None
     if up is not None:
         if up_right_avail:
             ur = plane[y - 1, x + 4 : x + 8].astype(np.int64)
@@ -1141,13 +1150,39 @@ class _FrameState:
         # (a B_L0 MB uses only list 0, B_L1 only list 1, B_Bi both)
         self.mv_l = np.zeros((mbh, mbw, 2, 2), dtype=np.int64)
         self.use_l = np.zeros((mbh, mbw, 2), dtype=bool)
+        # multi-slice context: which slice decoded/encoded each MB, and
+        # the slice being worked on.  Neighbours in a DIFFERENT slice are
+        # unavailable for intra prediction, mv prediction, and CAVLC nC
+        # (§8.3/§8.4/§9.2: slices decode independently).  Defaults (all 0,
+        # cur_slice 0) make single-slice behaviour identical to the
+        # pre-multi-slice code — nothing needs marking unless a caller
+        # drives multiple slices through one state.
+        self.slice_no = np.zeros((mbh, mbw), dtype=np.int64)
+        self.cur_slice = 0
+
+    def mb_same_slice(self, mbx: int, mby: int) -> bool:
+        """In-frame AND belongs to the slice currently being coded."""
+        return (
+            0 <= mbx < self.mbw
+            and 0 <= mby < self.mbh
+            and self.slice_no[mby, mbx] == self.cur_slice
+        )
+
+    def up_ok(self, mbx: int, mby: int) -> bool:
+        return self.mb_same_slice(mbx, mby - 1)
+
+    def left_ok(self, mbx: int, mby: int) -> bool:
+        return self.mb_same_slice(mbx - 1, mby)
+
+    def ul_ok(self, mbx: int, mby: int) -> bool:
+        return self.mb_same_slice(mbx - 1, mby - 1)
 
     def _mv_neighbor(self, mbx: int, mby: int, lst: int | None = None):
         """(available_inter, mv) for a neighbour MB; unavailable or intra
         neighbours contribute mv (0,0) with ref -1 (§8.4.1.3.2).  With
         ``lst`` the availability additionally requires the neighbour to
         predict from that reference list (B slices)."""
-        if mbx < 0 or mby < 0 or mbx >= self.mbw or mby >= self.mbh:
+        if not self.mb_same_slice(mbx, mby):
             return False, np.zeros(2, dtype=np.int64)
         if lst is None:
             if not self.mb_inter[mby, mbx]:
@@ -1166,13 +1201,19 @@ class _FrameState:
         §8.4.1.3.2's refIdxLXN test at our single-ref-per-list scope)."""
         availA, mvA = self._mv_neighbor(mbx - 1, mby, lst)
         availB, mvB = self._mv_neighbor(mbx, mby - 1, lst)
-        # C exists (decoded) iff above-right is inside the frame; at the
-        # right edge substitute D = above-left
-        if mby > 0 and mbx + 1 < self.mbw:
+        # C exists (decoded) iff above-right is inside the frame AND the
+        # current slice; when not, substitute D = above-left (§8.4.1.3.1)
+        if self.mb_same_slice(mbx + 1, mby - 1):
             availC, mvC = self._mv_neighbor(mbx + 1, mby - 1, lst)
         else:
             availC, mvC = self._mv_neighbor(mbx - 1, mby - 1, lst)
-        b_edge = mby == 0  # B, C, D all outside the frame
+        # B, C, D all MB-unavailable (outside the frame or the slice):
+        # the §8.4.1.3.2 "use A" shortcut
+        b_edge = not (
+            self.mb_same_slice(mbx, mby - 1)
+            or self.mb_same_slice(mbx + 1, mby - 1)
+            or self.mb_same_slice(mbx - 1, mby - 1)
+        )
         if b_edge and availA:
             return mvA.copy()
         n_avail = int(availA) + int(availB) + int(availC)
@@ -1187,8 +1228,9 @@ class _FrameState:
         the median predictor."""
         availA, mvA = self._mv_neighbor(mbx - 1, mby)
         availB, mvB = self._mv_neighbor(mbx, mby - 1)
-        edgeA = mbx == 0
-        edgeB = mby == 0
+        # A/B MB-unavailable (frame edge OR slice boundary) -> zero MV
+        edgeA = not self.mb_same_slice(mbx - 1, mby)
+        edgeB = not self.mb_same_slice(mbx, mby - 1)
         if edgeA or edgeB:
             return np.zeros(2, dtype=np.int64)
         if availA and mvA[0] == 0 and mvA[1] == 0:
@@ -1197,9 +1239,20 @@ class _FrameState:
             return np.zeros(2, dtype=np.int64)
         return self.mv_pred(mbx, mby)
 
-    def nC(self, grid: np.ndarray, by: int, bx: int) -> int:
-        nA = grid[by, bx - 1] if bx > 0 else -1
-        nB = grid[by - 1, bx] if by > 0 else -1
+    def nC(self, grid: np.ndarray, by: int, bx: int, bsz: int = 4) -> int:
+        """CAVLC nC context (§9.2.1).  ``bsz`` = 4x4 blocks per MB side in
+        ``grid`` (4 for luma nzy, 2 for chroma nzc) — it maps a block to
+        its MB so cross-slice neighbours read as unavailable."""
+        nA = (
+            grid[by, bx - 1]
+            if bx > 0 and self.mb_same_slice((bx - 1) // bsz, by // bsz)
+            else -1
+        )
+        nB = (
+            grid[by - 1, bx]
+            if by > 0 and self.mb_same_slice(bx // bsz, (by - 1) // bsz)
+            else -1
+        )
         if nA >= 0 and nB >= 0:
             return (int(nA) + int(nB) + 1) >> 1
         if nA >= 0:
@@ -1211,8 +1264,16 @@ class _FrameState:
     def pred_mode4(self, by: int, bx: int) -> int:
         """Predicted Intra4x4PredMode = min(left, above); DC when a
         neighbour is unavailable or not I_4x4 (mode stored as 2)."""
-        a = self.modes4[by, bx - 1] if bx > 0 else -1
-        b = self.modes4[by - 1, bx] if by > 0 else -1
+        a = (
+            self.modes4[by, bx - 1]
+            if bx > 0 and self.mb_same_slice((bx - 1) // 4, by // 4)
+            else -1
+        )
+        b = (
+            self.modes4[by - 1, bx]
+            if by > 0 and self.mb_same_slice(bx // 4, (by - 1) // 4)
+            else -1
+        )
         if a < 0 or b < 0:
             return 2
         return int(min(a, b))
@@ -1350,27 +1411,15 @@ def _crop_planes(st: _FrameState, sps: dict):
     return (y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8))
 
 
-def decode_slice(
-    rbsp: bytes, sps: dict, pps: dict, strict: bool = True,
-    idr: bool = True, nal_ref_idc: int = 3, ref: "_FrameState | None" = None,
-    return_state: bool = False, ref1: "_FrameState | None" = None,
-):
-    """One slice -> (y, cb, cr) uint8 planes (SPS crop applied).
-
-    I slices decode standalone.  P slices additionally need ``ref``, the
-    PADDED reconstruction state of the previous decoded reference frame
-    (``return_state=True`` returns it alongside the planes so a GOP
-    decode loop can chain).  B slices need both ``ref`` (RefPicList0[0],
-    the nearest past reference) and ``ref1`` (RefPicList1[0], the nearest
-    future reference — §8.2.4.2.3 list initialization at our
-    one-ref-per-list scope).  ``idr``/``nal_ref_idc`` come from the NAL
-    header and select the §7.3.3 header layout (idr_pic_id and the
-    dec_ref_pic_marking form differ — ADVICE r05: non-IDR slices
-    previously misparsed against the IDR layout)."""
-    r = BitReader(rbsp)
+def _parse_slice_header(
+    r: BitReader, sps: dict, pps: dict, strict: bool,
+    idr: bool, nal_ref_idc: int,
+    ref: "_FrameState | None", ref1: "_FrameState | None",
+) -> tuple[int, int, int]:
+    """§7.3.3 slice header -> (first_mb_in_slice, slice_type mod 5, qp).
+    Validates the feature envelope (refusing loudly outside it) and that
+    the needed reference states were supplied."""
     first_mb = r.ue()
-    if first_mb != 0:
-        raise NotImplementedError("multi-slice frames not supported")
     slice_type = r.ue()
     st_mod = slice_type % 5
     if st_mod not in (0, 1, 2):
@@ -1436,39 +1485,127 @@ def decode_slice(
                 )
             r.se()
             r.se()
+    return first_mb, st_mod, qp
+
+
+def _decode_slice_mbs(
+    r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
+    qp: int, ref, ref1, mb_start: int,
+) -> int:
+    """Decode one slice's macroblock run starting at ``mb_start``,
+    marking each MB with the current slice id.  The run length is not
+    coded — CAVLC slices end when the payload runs out
+    (more_rbsp_data, §7.3.4) — so this returns the next undecoded MB
+    address for the cross-slice coverage check."""
     mbw, mbh = sps["mb_width"], sps["mb_height"]
-    st = _FrameState(mbw, mbh)
-    st.nzy[:] = -1
     n_mbs = mbw * mbh
-    if st_mod == 2:
-        for mb in range(n_mbs):
-            _decode_mb(r, st, mb % mbw, mb // mbw, qp, pps)
-    elif is_p:
-        mb = 0
-        while mb < n_mbs:
+    mb = mb_start
+
+    def mark(m: int) -> tuple[int, int]:
+        mbx, mby = m % mbw, m // mbw
+        st.slice_no[mby, mbx] = st.cur_slice
+        return mbx, mby
+
+    if st_mod == 2:  # I
+        while r.more_rbsp_data():
+            if mb >= n_mbs:
+                raise ValueError("slice data continues past picture end")
+            mbx, mby = mark(mb)
+            _decode_mb(r, st, mbx, mby, qp, pps)
+            mb += 1
+    elif st_mod == 0:  # P
+        while mb < n_mbs and r.more_rbsp_data():
             skip_run = r.ue()
             for _ in range(skip_run):
                 if mb >= n_mbs:
                     raise ValueError("mb_skip_run past end of slice")
-                _reconstruct_skip(st, ref, mb % mbw, mb // mbw)
+                mbx, mby = mark(mb)
+                _reconstruct_skip(st, ref, mbx, mby)
                 mb += 1
-            if mb >= n_mbs:
+            if mb >= n_mbs or not r.more_rbsp_data():
                 break
-            qp = _decode_mb_p(r, st, ref, mb % mbw, mb // mbw, qp, pps)
+            mbx, mby = mark(mb)
+            qp = _decode_mb_p(r, st, ref, mbx, mby, qp, pps)
             mb += 1
     else:  # B
-        mb = 0
-        while mb < n_mbs:
+        while mb < n_mbs and r.more_rbsp_data():
             skip_run = r.ue()
             if skip_run:
                 raise NotImplementedError(
                     "B_Skip macroblocks (direct-mode derivation) not "
                     "supported — in-repo streams never emit them"
                 )
-            qp = _decode_mb_b(r, st, ref, ref1, mb % mbw, mb // mbw, qp, pps)
+            mbx, mby = mark(mb)
+            qp = _decode_mb_b(r, st, ref, ref1, mbx, mby, qp, pps)
             mb += 1
+    return mb
+
+
+def decode_picture(
+    slices: "list[tuple[bytes, bool, int]]", sps: dict, pps: dict,
+    strict: bool = True, ref: "_FrameState | None" = None,
+    return_state: bool = False, ref1: "_FrameState | None" = None,
+):
+    """All VCL slices of one access unit, in decode order, -> (y, cb, cr)
+    uint8 planes (SPS crop applied).  ``slices`` holds
+    (rbsp, idr, nal_ref_idc) per slice NAL.
+
+    Real encoders split frames into slices for thread parallelism; each
+    slice covers a contiguous raster run of macroblocks and decodes
+    independently — neighbours across the boundary are unavailable for
+    intra prediction, MV prediction, and CAVLC contexts (the slice-aware
+    checks in :class:`_FrameState`).  Slices must cover the picture
+    contiguously in order (FMO/ASO — pps slice groups / arbitrary slice
+    order — are refused at PPS parse / here).
+
+    I slices decode standalone.  P slices additionally need ``ref``, the
+    PADDED reconstruction state of the previous decoded reference frame
+    (``return_state=True`` returns it alongside the planes so a GOP
+    decode loop can chain).  B slices need both ``ref`` (RefPicList0[0],
+    the nearest past reference) and ``ref1`` (RefPicList1[0], the nearest
+    future reference — §8.2.4.2.3 list initialization at our
+    one-ref-per-list scope).  ``idr``/``nal_ref_idc`` come from each NAL
+    header and select the §7.3.3 header layout (idr_pic_id and the
+    dec_ref_pic_marking form differ — ADVICE r05: non-IDR slices
+    previously misparsed against the IDR layout)."""
+    mbw, mbh = sps["mb_width"], sps["mb_height"]
+    n_mbs = mbw * mbh
+    st = _FrameState(mbw, mbh)
+    st.slice_no[:] = -1  # nothing decoded yet
+    mb_next = 0
+    for si, (rbsp, idr, nal_ref_idc) in enumerate(slices):
+        st.cur_slice = si
+        r = BitReader(rbsp)
+        first_mb, st_mod, qp = _parse_slice_header(
+            r, sps, pps, strict, idr, nal_ref_idc, ref, ref1
+        )
+        if first_mb != mb_next:
+            raise NotImplementedError(
+                f"slice {si} starts at mb {first_mb}, expected {mb_next}: "
+                "non-contiguous slice coverage (FMO/ASO) not supported"
+            )
+        mb_next = _decode_slice_mbs(
+            r, st, sps, pps, st_mod, qp, ref, ref1, mb_next
+        )
+    if mb_next != n_mbs:
+        raise ValueError(
+            f"picture ended at mb {mb_next} of {n_mbs} — remaining "
+            "slices missing from the access unit"
+        )
     planes = _crop_planes(st, sps)
     return (planes, st) if return_state else planes
+
+
+def decode_slice(
+    rbsp: bytes, sps: dict, pps: dict, strict: bool = True,
+    idr: bool = True, nal_ref_idc: int = 3, ref: "_FrameState | None" = None,
+    return_state: bool = False, ref1: "_FrameState | None" = None,
+):
+    """Single-slice picture decode (see :func:`decode_picture`)."""
+    return decode_picture(
+        [(rbsp, idr, nal_ref_idc)], sps, pps, strict=strict, ref=ref,
+        return_state=return_state, ref1=ref1,
+    )
 
 
 def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int) -> None:
@@ -1625,6 +1762,10 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
                      qp: int, pps: dict, mb_type: int) -> int:
     ox, oy = mbx * 16, mby * 16
     bx0, by0 = ox // 4, oy // 4
+    # MB-level neighbour availability (frame edge + slice boundary)
+    up_mb = st.up_ok(mbx, mby)
+    left_mb = st.left_ok(mbx, mby)
+    ul_mb = st.ul_ok(mbx, mby)
     if mb_type == 25:  # I_PCM
         r.byte_align()
         lum = np.array([r.u(8) for _ in range(256)], dtype=np.int64).reshape(16, 16)
@@ -1659,8 +1800,10 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
             x, yb = _BLK4_POS[blk]
             gy, gx = oy + yb, ox + x
             by, bx = gy // 4, gx // 4
-            upright = gy > 0 and blk not in _NO_UPRIGHT and gx + 8 <= st.W
-            p = pred4(st.y, gy, gx, modes[blk], upright)
+            upright, b_up, b_left, b_ul = _blk4_avail(
+                st, mby, blk, x, yb, gx, up_mb, left_mb, ul_mb
+            )
+            p = pred4(st.y, gy, gx, modes[blk], upright, b_up, b_left, b_ul)
             if cbp_l & (1 << (blk // 4)):
                 nC = st.nC(st.nzy, by, bx)
                 coeffs = decode_residual(r, nC, 16)
@@ -1671,7 +1814,8 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
                 st.nzy[by, bx] = 0
                 rec = p
             st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
-        _decode_chroma(r, st, ox, oy, chroma_mode, cbp_c, qp, pps)
+        _decode_chroma(r, st, ox, oy, chroma_mode, cbp_c, qp, pps,
+                       up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
         return qp
     if not 1 <= mb_type <= 24:
         raise ValueError(f"mb_type {mb_type} is not an I-slice macroblock")
@@ -1681,7 +1825,7 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
     cbp_l = 15 if mb_type - 1 >= 12 else 0
     chroma_mode = r.ue()
     qp += r.se()
-    p16 = pred16(st.y, oy, ox, pm)
+    p16 = pred16(st.y, oy, ox, pm, up_mb, left_mb, ul_mb)
     nC_dc = st.nC(st.nzy, by0, bx0)
     dc_zz = decode_residual(r, nC_dc, 16)
     dc = dequant_dc4(hadamard4(_zz_to_mat(dc_zz)), qp)
@@ -1700,13 +1844,43 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
         d[0, 0] = dc[yb // 4, x // 4]
         rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
         st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
-    _decode_chroma(r, st, ox, oy, chroma_mode, cbp_c, qp, pps)
+    _decode_chroma(r, st, ox, oy, chroma_mode, cbp_c, qp, pps,
+                   up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
     return qp
+
+
+def _blk4_avail(st: _FrameState, mby: int, blk: int, x: int, yb: int,
+                gx: int, up_mb: bool, left_mb: bool, ul_mb: bool):
+    """(upright, up, left, ul) availability for a 4x4 luma block at MB
+    offset (x, yb): blocks interior to the MB see same-MB neighbours;
+    edge blocks inherit the MB-level flags; the up-right of a top-row
+    block lives in the above(-right) MB, so it needs that MB same-slice
+    (§8.3.1's neighbouring-sample availability with slice boundaries)."""
+    if yb == 0:
+        upright = (
+            blk not in _NO_UPRIGHT
+            and gx + 8 <= st.W
+            and st.mb_same_slice((gx + 4) // 16, mby - 1)
+        )
+    else:
+        upright = blk not in _NO_UPRIGHT
+    b_up = up_mb if yb == 0 else True
+    b_left = left_mb if x == 0 else True
+    if yb == 0 and x == 0:
+        b_ul = ul_mb
+    elif yb == 0:
+        b_ul = up_mb
+    elif x == 0:
+        b_ul = left_mb
+    else:
+        b_ul = True
+    return upright, b_up, b_left, b_ul
 
 
 def _decode_chroma(r: BitReader, st: _FrameState, ox: int, oy: int,
                    mode: int, cbp_c: int, qp: int, pps: dict,
-                   pred_fn=None) -> None:
+                   pred_fn=None, up_ok: bool = True, left_ok: bool = True,
+                   ul_ok: bool = True) -> None:
     """``pred_fn(comp) -> 8x8 prediction`` overrides intra chroma
     prediction — the inter path supplies motion-compensated blocks."""
     qpc = chroma_qp(qp + pps.get("chroma_qp_offset", 0))
@@ -1720,12 +1894,16 @@ def _decode_chroma(r: BitReader, st: _FrameState, ox: int, oy: int,
         else:
             dcs.append(np.zeros((2, 2), dtype=np.int64))
     for comp, plane in ((0, st.cb), (1, st.cr)):
-        p8 = pred_fn(comp) if pred_fn is not None else pred_chroma(plane, cy, cx, mode)
+        p8 = (
+            pred_fn(comp)
+            if pred_fn is not None
+            else pred_chroma(plane, cy, cx, mode, up_ok, left_ok, ul_ok)
+        )
         for blk, (x, yb) in enumerate(_CBLK_POS):
             cby, cbx = (cy + yb) // 4, (cx + x) // 4
             d = np.zeros((4, 4), dtype=np.int64)
             if cbp_c == 2:
-                nC = st.nC(st.nzc[comp], cby, cbx)
+                nC = st.nC(st.nzc[comp], cby, cbx, bsz=2)
                 ac = decode_residual(r, nC, 15)
                 st.nzc[comp, cby, cbx] = sum(1 for c in ac if c)
                 d = dequant4(_zz_to_mat([0] + ac), qpc)
@@ -1746,30 +1924,33 @@ def _sad(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
 
 
-def _avail_modes16(mbx: int, mby: int) -> list[int]:
+def _avail_modes16(st: _FrameState, mbx: int, mby: int) -> list[int]:
+    """Usable Intra_16x16 modes given frame-edge AND slice-boundary
+    availability (plane mode additionally needs the up-left corner)."""
+    up, left = st.up_ok(mbx, mby), st.left_ok(mbx, mby)
     m = [2]
-    if mby > 0:
+    if up:
         m.append(0)
-    if mbx > 0:
+    if left:
         m.append(1)
-    if mbx > 0 and mby > 0:
+    if up and left and st.ul_ok(mbx, mby):
         m.append(3)
     return m
 
 
-def _avail_modes_chroma(mbx: int, mby: int) -> list[int]:
+def _avail_modes_chroma(st: _FrameState, mbx: int, mby: int) -> list[int]:
+    up, left = st.up_ok(mbx, mby), st.left_ok(mbx, mby)
     m = [0]
-    if mbx > 0:
+    if left:
         m.append(1)
-    if mby > 0:
+    if up:
         m.append(2)
-    if mbx > 0 and mby > 0:
+    if up and left and st.ul_ok(mbx, mby):
         m.append(3)
     return m
 
 
-def _avail_modes4(gy: int, gx: int, upright: bool) -> list[int]:
-    up, left = gy > 0, gx > 0
+def _avail_modes4(up: bool, left: bool, ul: bool, upright: bool) -> list[int]:
     m = [2]
     if up:
         m += [0, 7] if upright else [0]
@@ -1778,14 +1959,16 @@ def _avail_modes4(gy: int, gx: int, upright: bool) -> list[int]:
         m.append(3)
     if left:
         m += [1, 8]
-    if up and left:
+    if up and left and ul:
         m += [4, 5, 6]
     return m
 
 
 def _encode_chroma(w: BitWriter, st: _FrameState, ox: int, oy: int,
                    src_cb: np.ndarray, src_cr: np.ndarray, qp: int,
-                   mode: int, pred_fn=None, intra: bool = True) -> tuple[int, list]:
+                   mode: int, pred_fn=None, intra: bool = True,
+                   up_ok: bool = True, left_ok: bool = True,
+                   ul_ok: bool = True) -> tuple[int, list]:
     """Transform+quant both chroma components; returns (cbp_chroma,
     emission list).  Reconstruction is applied to the state planes.
     ``pred_fn(comp) -> 8x8`` overrides intra prediction (inter MC)."""
@@ -1794,7 +1977,11 @@ def _encode_chroma(w: BitWriter, st: _FrameState, ox: int, oy: int,
     comps = []
     any_dc = any_ac = False
     for comp, (src, plane) in enumerate(((src_cb, st.cb), (src_cr, st.cr))):
-        p8 = pred_fn(comp) if pred_fn is not None else pred_chroma(plane, cy, cx, mode)
+        p8 = (
+            pred_fn(comp)
+            if pred_fn is not None
+            else pred_chroma(plane, cy, cx, mode, up_ok, left_ok, ul_ok)
+        )
         resid = src[cy : cy + 8, cx : cx + 8].astype(np.int64) - p8
         dcm = np.zeros((2, 2), dtype=np.int64)
         acs = []
@@ -1847,7 +2034,7 @@ def _flush_chroma(w: BitWriter, st: _FrameState, emit: list, cbp_c: int) -> None
             encode_residual(w, e[1], -1)
         else:
             _, comp, cby, cbx, ac_zz = e
-            nC = st.nC(st.nzc[comp], cby, cbx)
+            nC = st.nC(st.nzc[comp], cby, cbx, bsz=2)
             tc = encode_residual(w, ac_zz, nC)
             st.nzc[comp, cby, cbx] = tc
     if cbp_c != 2:
@@ -1941,14 +2128,17 @@ def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
                      qp: int, mb_mode: str) -> None:
     ox, oy = mbx * 16, mby * 16
     bx0, by0 = ox // 4, oy // 4
+    up_mb, left_mb = st.up_ok(mbx, mby), st.left_ok(mbx, mby)
+    ul_mb = st.ul_ok(mbx, mby)
     # pick the luma strategy
-    m16 = min(_avail_modes16(mbx, mby),
-              key=lambda m: _sad(src, pred16(st.y, oy, ox, m)))
+    m16 = min(_avail_modes16(st, mbx, mby),
+              key=lambda m: _sad(src, pred16(st.y, oy, ox, m,
+                                             up_mb, left_mb, ul_mb)))
     use_i4 = mb_mode == "i4"
     if mb_mode == "auto":
         # I_4x4 wins when the MB is detail-heavy: compare the 16x16
         # prediction SAD against a DC-per-4x4-block proxy
-        sad16 = _sad(src, pred16(st.y, oy, ox, m16))
+        sad16 = _sad(src, pred16(st.y, oy, ox, m16, up_mb, left_mb, ul_mb))
         sad4 = sum(
             _sad(
                 src[yb : yb + 4, x : x + 4],
@@ -1957,16 +2147,17 @@ def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
             for x, yb in _BLK4_POS
         )
         use_i4 = sad4 + 256 < sad16
-    cmode = min(_avail_modes_chroma(mbx, mby),
+    cmode = min(_avail_modes_chroma(st, mbx, mby),
                 key=lambda m: _sad(src_cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8],
-                                   pred_chroma(st.cb, oy // 2, ox // 2, m)))
+                                   pred_chroma(st.cb, oy // 2, ox // 2, m,
+                                               up_mb, left_mb, ul_mb)))
 
     if use_i4:
         _encode_mb_i4(w, st, mbx, mby, src, src_cb, src_cr, qp, cmode)
         return
 
     # ---- I_16x16 ----
-    p16 = pred16(st.y, oy, ox, m16)
+    p16 = pred16(st.y, oy, ox, m16, up_mb, left_mb, ul_mb)
     resid = src - p16
     dcm = np.zeros((4, 4), dtype=np.int64)
     acs = []
@@ -1980,7 +2171,8 @@ def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     zdc = quant_dc4(hadamard4(dcm), qp)
     cbp_l = 15 if any(a.any() for a in acs) else 0
     # chroma first to know cbp_c (emission order restores spec order)
-    cbp_c, cemit = _encode_chroma(w, st, ox, oy, src_cb, src_cr, qp, cmode)
+    cbp_c, cemit = _encode_chroma(w, st, ox, oy, src_cb, src_cr, qp, cmode,
+                                  up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
     mb_type = 1 + m16 + 4 * cbp_c + 12 * (1 if cbp_l else 0)
     w.ue(mb_type)
     w.ue(cmode)
@@ -2011,16 +2203,24 @@ def _encode_mb_i4(w: BitWriter, st: _FrameState, mbx: int, mby: int,
                   src: np.ndarray, src_cb: np.ndarray, src_cr: np.ndarray,
                   qp: int, cmode: int) -> None:
     ox, oy = mbx * 16, mby * 16
+    up_mb, left_mb = st.up_ok(mbx, mby), st.left_ok(mbx, mby)
+    ul_mb = st.ul_ok(mbx, mby)
     blocks = []  # (mode, pred_bits, zz_coeffs)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
         gy, gx = oy + yb, ox + x
         by, bx = gy // 4, gx // 4
-        upright = gy > 0 and blk not in _NO_UPRIGHT and gx + 8 <= st.W
-        cand = _avail_modes4(gy, gx, upright)
+        upright, b_up, b_left, b_ul = _blk4_avail(
+            st, mby, blk, x, yb, gx, up_mb, left_mb, ul_mb
+        )
+        cand = _avail_modes4(
+            gy > 0 and b_up, gx > 0 and b_left,
+            gy > 0 and gx > 0 and b_ul, upright,
+        )
         sblk = src[yb : yb + 4, x : x + 4]
-        mode = min(cand, key=lambda m: _sad(sblk, pred4(st.y, gy, gx, m, upright)))
-        p = pred4(st.y, gy, gx, mode, upright)
+        mode = min(cand, key=lambda m: _sad(
+            sblk, pred4(st.y, gy, gx, m, upright, b_up, b_left, b_ul)))
+        p = pred4(st.y, gy, gx, mode, upright, b_up, b_left, b_ul)
         z = quant4(fdct4(sblk - p), qp)
         zz = _mat_to_zz(z)
         blocks.append((mode, zz))
@@ -2032,7 +2232,8 @@ def _encode_mb_i4(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     for i8 in range(4):
         if any(any(blocks[i8 * 4 + k][1]) for k in range(4)):
             cbp_l |= 1 << i8
-    cbp_c, cemit = _encode_chroma(w, st, ox, oy, src_cb, src_cr, qp, cmode)
+    cbp_c, cemit = _encode_chroma(w, st, ox, oy, src_cb, src_cr, qp, cmode,
+                                  up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
     cbp = cbp_l | (cbp_c << 4)
     w.ue(0)  # mb_type I_NxN
     # mode signalling (prediction replays the decoder's min rule)
@@ -2069,33 +2270,68 @@ def _encode_mb_i4(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     _flush_chroma(w, st, cemit, cbp_c)
 
 
-def encode_slice(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                 qp: int = 26, mb_mode: str = "auto",
-                 poc_lsb: int | None = None) -> tuple[bytes, _FrameState]:
+def _slice_bounds(n_mbs: int, slices: int) -> list[tuple[int, int]]:
+    """Balanced contiguous raster MB runs (first runs get the remainder)
+    — the slice partition real encoders use for thread parallelism."""
+    slices = max(1, min(int(slices), n_mbs))
+    base, rem = divmod(n_mbs, slices)
+    out, s = [], 0
+    for i in range(slices):
+        e = s + base + (1 if i < rem else 0)
+        out.append((s, e))
+        s = e
+    return out
+
+
+def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     qp: int = 26, mb_mode: str = "auto",
+                     poc_lsb: int | None = None,
+                     slices: int = 1) -> tuple[list[bytes], _FrameState]:
     """(y, cb, cr) uint8 planes (padded to MB multiples by the caller via
-    :func:`pad_planes`) -> (IDR slice RBSP, reconstruction state) — the
+    :func:`pad_planes`) -> (IDR slice RBSPs, reconstruction state) — the
     state seeds P-frame encoding of the following GOP frames.
-    ``poc_lsb`` is written for poc-type-0 streams (B GOPs)."""
+    ``poc_lsb`` is written for poc-type-0 streams (B GOPs).  With
+    ``slices > 1`` the picture is split into balanced contiguous MB runs,
+    each an independently decodable slice (prediction and CAVLC contexts
+    never cross the boundary — the encode path shares the slice-aware
+    neighbour checks with the decoder, so reconstruction stays
+    bit-identical)."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
     st = _FrameState(mbw, mbh)
-    w = BitWriter()
-    w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type: I (all slices in picture)
-    w.ue(0)  # pps_id
-    w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
-    w.ue(0)  # idr_pic_id
-    if poc_lsb is not None:
-        w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
-    w.u(0, 1)  # no_output_of_prior_pics
-    w.u(0, 1)  # long_term_reference
-    w.se(0)  # slice_qp_delta (QP == pic_init_qp)
-    w.ue(1)  # disable_deblocking_filter_idc: OFF (conformant skip)
-    for mb in range(mbw * mbh):
-        _encode_mb(w, st, mb % mbw, mb // mbw, y, cb, cr, qp, mb_mode)
-    w.rbsp_trailing()
-    return w.bytes(), st
+    st.slice_no[:] = -1  # mark as we code: mirrors the decoder exactly
+    rbsps = []
+    for si, (mb0, mb1) in enumerate(_slice_bounds(mbw * mbh, slices)):
+        st.cur_slice = si
+        w = BitWriter()
+        w.ue(mb0)  # first_mb_in_slice
+        w.ue(7)  # slice_type: I (all slices in picture)
+        w.ue(0)  # pps_id
+        w.u(0, 4)  # frame_num (log2_max_frame_num = 4)
+        w.ue(0)  # idr_pic_id
+        if poc_lsb is not None:
+            w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
+        w.u(0, 1)  # no_output_of_prior_pics
+        w.u(0, 1)  # long_term_reference
+        w.se(0)  # slice_qp_delta (QP == pic_init_qp)
+        w.ue(1)  # disable_deblocking_filter_idc: OFF (conformant skip)
+        for mb in range(mb0, mb1):
+            mbx, mby = mb % mbw, mb // mbw
+            st.slice_no[mby, mbx] = si
+            _encode_mb(w, st, mbx, mby, y, cb, cr, qp, mb_mode)
+        w.rbsp_trailing()
+        rbsps.append(w.bytes())
+    return rbsps, st
+
+
+def encode_slice(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                 qp: int = 26, mb_mode: str = "auto",
+                 poc_lsb: int | None = None) -> tuple[bytes, _FrameState]:
+    """Single-slice IDR picture (see :func:`encode_picture_i`)."""
+    rbsps, st = encode_picture_i(y, cb, cr, qp=qp, mb_mode=mb_mode,
+                                 poc_lsb=poc_lsb, slices=1)
+    return rbsps[0], st
 
 
 def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
@@ -2256,170 +2492,219 @@ def _write_inter_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
         for blk, (x, yb) in enumerate(_CBLK_POS):
             cby, cbx = (oy // 2 + yb) // 4, (ox // 2 + x) // 4
             if cbp_c == 2:
-                nC = st.nC(st.nzc[comp], cby, cbx)
+                nC = st.nC(st.nzc[comp], cby, cbx, bsz=2)
                 tc = encode_residual(w, _mat_to_zz(acs[blk])[1:], nC)
                 st.nzc[comp, cby, cbx] = tc
             else:
                 st.nzc[comp, cby, cbx] = 0
 
 
-def encode_slice_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                   ref: _FrameState, qp: int = 26, frame_num: int = 1,
-                   search: int = 4,
-                   poc_lsb: int | None = None) -> tuple[bytes, _FrameState]:
-    """P slice: per-MB integer-pel motion search against the previous
+def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     ref: _FrameState, qp: int = 26, frame_num: int = 1,
+                     search: int = 4, poc_lsb: int | None = None,
+                     slices: int = 1) -> tuple[list[bytes], _FrameState]:
+    """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
     zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
-    macroblocks.  Returns (RBSP, reconstruction state)."""
+    macroblocks.  ``slices`` as in :func:`encode_picture_i` (skip runs
+    and all prediction contexts reset at each slice boundary).  Returns
+    (slice RBSPs, reconstruction state)."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
     assert (ref.H, ref.W) == (H_, W_), "reference dims mismatch"
     st = _FrameState(mbw, mbh)
-    w = BitWriter()
-    w.ue(0)  # first_mb_in_slice
-    w.ue(5)  # slice_type: P (all slices in picture)
-    w.ue(0)  # pps_id
-    w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
-    if poc_lsb is not None:
-        w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
-    w.u(0, 1)  # num_ref_idx_active_override_flag
-    w.u(0, 1)  # ref_pic_list_modification_flag_l0
-    w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
-    w.se(0)  # slice_qp_delta
-    w.ue(1)  # disable_deblocking_filter_idc: OFF
-    skip_run = 0
+    st.slice_no[:] = -1
+    rbsps = []
     ysrc = y.astype(np.int64)
-    for mb in range(mbw * mbh):
-        mbx, mby = mb % mbw, mb // mbw
-        oy, ox = mby * 16, mbx * 16
-        src = ysrc[oy : oy + 16, ox : ox + 16]
-        # P_Skip trial: motion-compensate at the derived skip vector
-        # (quarter-pel; the interpolator handles any fraction)
-        mv_skip = st.skip_mv(mbx, mby)
-        cbp_s, lz_s, comps_s, p16_s = _inter_residuals(
-            ref, src, cb, cr, oy, ox, mv_skip, qp
-        )
-        if cbp_s == 0:
-            _reconstruct_inter(st, oy, ox, 0, lz_s, comps_s, p16_s, qp)
-            by0, bx0 = oy // 4, ox // 4
-            st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
-            st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
-            st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-            st.mb_inter[mby, mbx] = True
-            st.mv[mby, mbx] = mv_skip
-            skip_run += 1
-            continue
-        w.ue(skip_run)
+    for si, (mb0, mb1) in enumerate(_slice_bounds(mbw * mbh, slices)):
+        st.cur_slice = si
+        w = BitWriter()
+        w.ue(mb0)  # first_mb_in_slice
+        w.ue(5)  # slice_type: P (all slices in picture)
+        w.ue(0)  # pps_id
+        w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
+        if poc_lsb is not None:
+            w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
+        w.u(0, 1)  # num_ref_idx_active_override_flag
+        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
+        w.se(0)  # slice_qp_delta
+        w.ue(1)  # disable_deblocking_filter_idc: OFF
         skip_run = 0
-        mv = _motion_search(ref.y, src, oy, ox, search)
-        mvp = st.mv_pred(mbx, mby)
-        cbp, luma_z, comps, p16 = _inter_residuals(ref, src, cb, cr, oy, ox, mv, qp)
-        snap = _mb_snapshot(st, mbx, mby)
-        wpos = (len(w.buf), w.acc, w.nbits)
-        try:
-            _write_inter_mb(w, st, mbx, mby, mv, mv - mvp, cbp, luma_z, comps, qp)
-            _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
-            by0, bx0 = oy // 4, ox // 4
-            st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-            st.mb_inter[mby, mbx] = True
-            st.mv[mby, mbx] = mv
-        except _NonVerbatimCode:
-            del w.buf[wpos[0]:]
-            w.acc, w.nbits = wpos[1], wpos[2]
-            _mb_restore(st, mbx, mby, snap)
-            _encode_mb_pcm(w, st, mbx, mby, y, cb, cr, type_offset=5)
-    if skip_run:
-        w.ue(skip_run)
-    w.rbsp_trailing()
-    return w.bytes(), st
+        for mb in range(mb0, mb1):
+            mbx, mby = mb % mbw, mb // mbw
+            st.slice_no[mby, mbx] = si
+            oy, ox = mby * 16, mbx * 16
+            src = ysrc[oy : oy + 16, ox : ox + 16]
+            # P_Skip trial: motion-compensate at the derived skip vector
+            # (quarter-pel; the interpolator handles any fraction)
+            mv_skip = st.skip_mv(mbx, mby)
+            cbp_s, lz_s, comps_s, p16_s = _inter_residuals(
+                ref, src, cb, cr, oy, ox, mv_skip, qp
+            )
+            if cbp_s == 0:
+                _reconstruct_inter(st, oy, ox, 0, lz_s, comps_s, p16_s, qp)
+                by0, bx0 = oy // 4, ox // 4
+                st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+                st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
+                st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+                st.mb_inter[mby, mbx] = True
+                st.mv[mby, mbx] = mv_skip
+                skip_run += 1
+                continue
+            w.ue(skip_run)
+            skip_run = 0
+            mv = _motion_search(ref.y, src, oy, ox, search)
+            mvp = st.mv_pred(mbx, mby)
+            cbp, luma_z, comps, p16 = _inter_residuals(
+                ref, src, cb, cr, oy, ox, mv, qp
+            )
+            snap = _mb_snapshot(st, mbx, mby)
+            wpos = (len(w.buf), w.acc, w.nbits)
+            try:
+                _write_inter_mb(w, st, mbx, mby, mv, mv - mvp, cbp,
+                                luma_z, comps, qp)
+                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+                by0, bx0 = oy // 4, ox // 4
+                st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+                st.mb_inter[mby, mbx] = True
+                st.mv[mby, mbx] = mv
+            except _NonVerbatimCode:
+                del w.buf[wpos[0]:]
+                w.acc, w.nbits = wpos[1], wpos[2]
+                _mb_restore(st, mbx, mby, snap)
+                _encode_mb_pcm(w, st, mbx, mby, y, cb, cr, type_offset=5)
+        if skip_run:
+            w.ue(skip_run)
+        w.rbsp_trailing()
+        rbsps.append(w.bytes())
+    return rbsps, st
+
+
+def encode_slice_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                   ref: _FrameState, qp: int = 26, frame_num: int = 1,
+                   search: int = 4,
+                   poc_lsb: int | None = None) -> tuple[bytes, _FrameState]:
+    """Single-slice P picture (see :func:`encode_picture_p`)."""
+    rbsps, st = encode_picture_p(y, cb, cr, ref, qp=qp, frame_num=frame_num,
+                                 search=search, poc_lsb=poc_lsb, slices=1)
+    return rbsps[0], st
+
+
+def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     ref0: _FrameState, ref1: _FrameState, qp: int = 26,
+                     frame_num: int = 1, search: int = 4,
+                     poc_lsb: int = 0,
+                     slices: int = 1) -> tuple[list[bytes], _FrameState]:
+    """B picture (non-reference): per-MB motion search against BOTH the
+    past (list 0) and future (list 1) reference reconstructions, choosing
+    the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
+    SAD, I_PCM fallback for placeholder-code macroblocks.  No B_Skip /
+    B_Direct is ever emitted (the decoder refuses them).  ``slices`` as
+    in :func:`encode_picture_i`.  Returns (slice RBSPs, reconstruction
+    state) — the state is NOT a reference (B frames don't enter the DPB
+    at this scope)."""
+    H_, W_ = y.shape
+    assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
+    mbw, mbh = W_ // 16, H_ // 16
+    assert (ref0.H, ref0.W) == (H_, W_) == (ref1.H, ref1.W), "ref dims mismatch"
+    st = _FrameState(mbw, mbh)
+    st.slice_no[:] = -1
+    rbsps = []
+    ysrc = y.astype(np.int64)
+    for si, (mb0, mb1) in enumerate(_slice_bounds(mbw * mbh, slices)):
+        st.cur_slice = si
+        w = BitWriter()
+        w.ue(mb0)  # first_mb_in_slice
+        w.ue(6)  # slice_type: B (all slices in picture)
+        w.ue(0)  # pps_id
+        w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
+        w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0 required)
+        w.u(0, 1)  # direct_spatial_mv_pred_flag
+        w.u(0, 1)  # num_ref_idx_active_override_flag
+        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        w.u(0, 1)  # ref_pic_list_modification_flag_l1
+        # nal_ref_idc == 0 (non-ref): no dec_ref_pic_marking
+        w.se(0)  # slice_qp_delta
+        w.ue(1)  # disable_deblocking_filter_idc: OFF
+        for mb in range(mb0, mb1):
+            mbx, mby = mb % mbw, mb // mbw
+            st.slice_no[mby, mbx] = si
+            oy, ox = mby * 16, mbx * 16
+            src = ysrc[oy : oy + 16, ox : ox + 16]
+            mv0 = _motion_search(ref0.y, src, oy, ox, search)
+            mv1 = _motion_search(ref1.y, src, oy, ox, search)
+            p0 = mc_luma(ref0.y, oy, ox, mv0)
+            p1 = mc_luma(ref1.y, oy, ox, mv1)
+            pbi = (p0 + p1 + 1) >> 1
+            cands = [
+                (1, [mv0, None], p0),
+                (2, [None, mv1], p1),
+                (3, [mv0, mv1], pbi),
+            ]
+            mb_type, mvs, p16 = min(
+                cands, key=lambda c: int(np.abs(src - c[2]).sum())
+            )
+            cy, cx = oy // 2, ox // 2
+            p8s = tuple(
+                _bipred(getattr(ref0, pl), getattr(ref1, pl), cy, cx, mvs,
+                        mc_chroma)
+                for pl in ("cb", "cr")
+            )
+            cbp, luma_z, comps, _ = _inter_residuals_from_pred(
+                src, cb, cr, oy, ox, p16, p8s, qp
+            )
+            mvd0 = (
+                (mvs[0] - st.mv_pred(mbx, mby, 0))
+                if mvs[0] is not None else None
+            )
+            mvd1 = (
+                (mvs[1] - st.mv_pred(mbx, mby, 1))
+                if mvs[1] is not None else None
+            )
+            snap = _mb_snapshot(st, mbx, mby)
+            use_snap = (st.use_l[mby, mbx].copy(), st.mv_l[mby, mbx].copy())
+            wpos = (len(w.buf), w.acc, w.nbits)
+            w.ue(0)  # mb_skip_run (never B_Skip)
+            try:
+                _write_inter_mb(
+                    w, st, mbx, mby, mvs[0],
+                    mvd0 if mvd0 is not None else mvd1,
+                    cbp, luma_z, comps, qp, mb_type=mb_type,
+                    mvd2=mvd1 if (mvd0 is not None and mvd1 is not None)
+                    else None,
+                )
+                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+                by0, bx0 = oy // 4, ox // 4
+                st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+                st.mb_inter[mby, mbx] = True
+                for lst in (0, 1):
+                    if mvs[lst] is not None:
+                        st.use_l[mby, mbx, lst] = True
+                        st.mv_l[mby, mbx, lst] = mvs[lst]
+                st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
+            except _NonVerbatimCode:
+                del w.buf[wpos[0]:]
+                w.acc, w.nbits = wpos[1], wpos[2]
+                _mb_restore(st, mbx, mby, snap)
+                st.use_l[mby, mbx], st.mv_l[mby, mbx] = use_snap
+                w.ue(0)  # mb_skip_run before the replacement MB
+                _encode_mb_pcm(w, st, mbx, mby, y, cb, cr, type_offset=23)
+        w.rbsp_trailing()
+        rbsps.append(w.bytes())
+    return rbsps, st
 
 
 def encode_slice_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                    ref0: _FrameState, ref1: _FrameState, qp: int = 26,
                    frame_num: int = 1, search: int = 4,
                    poc_lsb: int = 0) -> tuple[bytes, _FrameState]:
-    """B slice (non-reference): per-MB motion search against BOTH the
-    past (list 0) and future (list 1) reference reconstructions, choosing
-    the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
-    SAD, I_PCM fallback for placeholder-code macroblocks.  No B_Skip /
-    B_Direct is ever emitted (the decoder refuses them).  Returns
-    (RBSP, reconstruction state) — the state is NOT a reference (B
-    frames don't enter the DPB at this scope)."""
-    H_, W_ = y.shape
-    assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
-    mbw, mbh = W_ // 16, H_ // 16
-    assert (ref0.H, ref0.W) == (H_, W_) == (ref1.H, ref1.W), "ref dims mismatch"
-    st = _FrameState(mbw, mbh)
-    w = BitWriter()
-    w.ue(0)  # first_mb_in_slice
-    w.ue(6)  # slice_type: B (all slices in picture)
-    w.ue(0)  # pps_id
-    w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
-    w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0 required)
-    w.u(0, 1)  # direct_spatial_mv_pred_flag
-    w.u(0, 1)  # num_ref_idx_active_override_flag
-    w.u(0, 1)  # ref_pic_list_modification_flag_l0
-    w.u(0, 1)  # ref_pic_list_modification_flag_l1
-    # nal_ref_idc == 0 (non-ref): no dec_ref_pic_marking
-    w.se(0)  # slice_qp_delta
-    w.ue(1)  # disable_deblocking_filter_idc: OFF
-    ysrc = y.astype(np.int64)
-    for mb in range(mbw * mbh):
-        mbx, mby = mb % mbw, mb // mbw
-        oy, ox = mby * 16, mbx * 16
-        src = ysrc[oy : oy + 16, ox : ox + 16]
-        mv0 = _motion_search(ref0.y, src, oy, ox, search)
-        mv1 = _motion_search(ref1.y, src, oy, ox, search)
-        p0 = mc_luma(ref0.y, oy, ox, mv0)
-        p1 = mc_luma(ref1.y, oy, ox, mv1)
-        pbi = (p0 + p1 + 1) >> 1
-        cands = [
-            (1, [mv0, None], p0),
-            (2, [None, mv1], p1),
-            (3, [mv0, mv1], pbi),
-        ]
-        mb_type, mvs, p16 = min(
-            cands, key=lambda c: int(np.abs(src - c[2]).sum())
-        )
-        cy, cx = oy // 2, ox // 2
-        p8s = tuple(
-            _bipred(getattr(ref0, pl), getattr(ref1, pl), cy, cx, mvs, mc_chroma)
-            for pl in ("cb", "cr")
-        )
-        cbp, luma_z, comps, _ = _inter_residuals_from_pred(
-            src, cb, cr, oy, ox, p16, p8s, qp
-        )
-        mvd0 = (mvs[0] - st.mv_pred(mbx, mby, 0)) if mvs[0] is not None else None
-        mvd1 = (mvs[1] - st.mv_pred(mbx, mby, 1)) if mvs[1] is not None else None
-        snap = _mb_snapshot(st, mbx, mby)
-        use_snap = (st.use_l[mby, mbx].copy(), st.mv_l[mby, mbx].copy())
-        wpos = (len(w.buf), w.acc, w.nbits)
-        w.ue(0)  # mb_skip_run (never B_Skip)
-        try:
-            _write_inter_mb(
-                w, st, mbx, mby, mvs[0], mvd0 if mvd0 is not None else mvd1,
-                cbp, luma_z, comps, qp, mb_type=mb_type,
-                mvd2=mvd1 if (mvd0 is not None and mvd1 is not None) else None,
-            )
-            _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
-            by0, bx0 = oy // 4, ox // 4
-            st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-            st.mb_inter[mby, mbx] = True
-            for lst in (0, 1):
-                if mvs[lst] is not None:
-                    st.use_l[mby, mbx, lst] = True
-                    st.mv_l[mby, mbx, lst] = mvs[lst]
-            st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
-        except _NonVerbatimCode:
-            del w.buf[wpos[0]:]
-            w.acc, w.nbits = wpos[1], wpos[2]
-            _mb_restore(st, mbx, mby, snap)
-            st.use_l[mby, mbx], st.mv_l[mby, mbx] = use_snap
-            w.ue(0)  # mb_skip_run before the replacement MB
-            _encode_mb_pcm(w, st, mbx, mby, y, cb, cr, type_offset=23)
-    w.rbsp_trailing()
-    return w.bytes(), st
+    """Single-slice B picture (see :func:`encode_picture_b`)."""
+    rbsps, st = encode_picture_b(y, cb, cr, ref0, ref1, qp=qp,
+                                 frame_num=frame_num, search=search,
+                                 poc_lsb=poc_lsb, slices=1)
+    return rbsps[0], st
 
 
 def pad_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
@@ -2434,16 +2719,20 @@ def pad_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
 
 
 def encode_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                 qp: int = 26, mb_mode: str = "auto") -> bytes:
-    """One frame -> IDR slice NAL (no start code / length prefix)."""
+                 qp: int = 26, mb_mode: str = "auto", slices: int = 1):
+    """One frame -> IDR slice NAL (no start code / length prefix); with
+    ``slices > 1``, the list of the picture's slice NALs."""
     yp, cbp_, crp = pad_planes(y, cb, cr)
-    rbsp, _st = encode_slice(yp, cbp_, crp, qp=qp, mb_mode=mb_mode)
-    return rbsp_to_nal(3, 5, rbsp)
+    rbsps, _st = encode_picture_i(yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
+                                  slices=slices)
+    nals = [rbsp_to_nal(3, 5, r) for r in rbsps]
+    return nals[0] if slices == 1 else nals
 
 
 def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
                   mb_mode: str = "auto", search: int = 4,
-                  b_frames: int = 0) -> list[tuple[bytes, bool, int]]:
+                  b_frames: int = 0,
+                  slices: int = 1) -> list[tuple[object, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
     IDR, reference P frames every ``b_frames + 1`` display positions
@@ -2455,36 +2744,46 @@ def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
     ``write_sps(..., num_ref_frames=2, poc_type=0)``) and each
     reference P is emitted BEFORE the B frames it back-predicts; with
     ``b_frames = 0`` this reduces to the classic I-P chain (decode ==
-    display order, poc-type-2 SPS)."""
+    display order, poc-type-2 SPS).
+
+    ``slices > 1`` splits every picture into that many independently
+    decodable slices (encode_picture_*); each stream entry then carries
+    the picture's LIST of slice NALs instead of one NAL (the mp4 layer
+    packs them into one length-prefixed sample)."""
     frames = [pad_planes(y, cb, cr) for y, cb, cr in frames_yuv]
-    out: list[tuple[bytes, bool, int]] = []
+    out: list[tuple[object, bool, int]] = []
     poc0 = b_frames > 0  # poc-type-0 headers carry display order
     step = b_frames + 1
+
+    def pack(rbsps: list[bytes], ref_idc: int, typ: int):
+        nals = [rbsp_to_nal(ref_idc, typ, r) for r in rbsps]
+        return nals[0] if slices == 1 else nals
+
     for g0 in range(0, len(frames), gop):
         gL = min(gop, len(frames) - g0)  # this GOP's display length
         yp, cbp_, crp = frames[g0]
-        rbsp, prev_st = encode_slice(
+        rbsps, prev_st = encode_picture_i(
             yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
-            poc_lsb=0 if poc0 else None,
+            poc_lsb=0 if poc0 else None, slices=slices,
         )
-        out.append((rbsp_to_nal(3, 5, rbsp), True, g0))
+        out.append((pack(rbsps, 3, 5), True, g0))
         fnum, prev_d = 1, 0
         while prev_d < gL - 1:
             nxt_d = min(prev_d + step, gL - 1)
             yp, cbp_, crp = frames[g0 + nxt_d]
-            rbsp, nxt_st = encode_slice_p(
+            rbsps, nxt_st = encode_picture_p(
                 yp, cbp_, crp, prev_st, qp=qp, frame_num=fnum, search=search,
-                poc_lsb=2 * nxt_d if poc0 else None,
+                poc_lsb=2 * nxt_d if poc0 else None, slices=slices,
             )
-            out.append((rbsp_to_nal(2, 1, rbsp), False, g0 + nxt_d))
+            out.append((pack(rbsps, 2, 1), False, g0 + nxt_d))
             fnum = (fnum + 1) & 15
             for d in range(prev_d + 1, nxt_d):
                 yp, cbp_, crp = frames[g0 + d]
-                rbsp, _ = encode_slice_b(
+                rbsps, _ = encode_picture_b(
                     yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
-                    search=search, poc_lsb=2 * d,
+                    search=search, poc_lsb=2 * d, slices=slices,
                 )
-                out.append((rbsp_to_nal(0, 1, rbsp), False, g0 + d))
+                out.append((pack(rbsps, 0, 1), False, g0 + d))
             prev_st, prev_d = nxt_st, nxt_d
     return out
 
@@ -2503,6 +2802,26 @@ def decode_frame(nal: bytes, sps: dict, pps: dict, strict: bool = True,
     return decode_slice(
         rbsp, sps, pps, strict=strict, idr=nal_type == 5,
         nal_ref_idc=ref_idc, ref=ref, return_state=return_state, ref1=ref1,
+    )
+
+
+def decode_picture_nals(nals: "list[bytes]", sps: dict, pps: dict,
+                        strict: bool = True,
+                        ref: _FrameState | None = None,
+                        return_state: bool = False,
+                        ref1: _FrameState | None = None):
+    """All slice NALs of one access unit -> decoded picture (the
+    multi-slice entry point for container layers; see
+    :func:`decode_picture`)."""
+    slices = []
+    for nal in nals:
+        ref_idc, nal_type, rbsp = nal_to_rbsp(nal)
+        if nal_type not in (1, 5):
+            raise ValueError(f"not a slice NAL (type {nal_type})")
+        slices.append((rbsp, nal_type == 5, ref_idc))
+    return decode_picture(
+        slices, sps, pps, strict=strict, ref=ref,
+        return_state=return_state, ref1=ref1,
     )
 
 

@@ -1679,12 +1679,26 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_path)
+    # multi-slice avc1 (round 8): same I/P/B GOP shape, every picture
+    # split into 2 independently decodable slices — the thread-parallel
+    # layout real encoders emit; prediction/CAVLC contexts must not
+    # cross the boundary (kernels/h264.decode_picture)
+    avc_ms_path = f"{tmp}/vid4.mp4"
+    with open(avc_ms_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(4, i, 16, 16, 3) for i in range(8)],
+                qp=10, gop=4, b_frames=1, slices=2,
+            )
+        )
+    paths.append(avc_ms_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
         paths[1]: [25],
         mp4_path: [7, 31],
         avc_path: [1, 6],
+        avc_ms_path: [2, 5],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1700,7 +1714,7 @@ def q_video_decode_pruned(spark, sf_dir):
         F.col("frame_no").cast("long").alias("frame_no"),
         cks(F.col("frame")).alias("c"),
     )
-    lossy = F.col("video") == "vid3.mp4"
+    lossy = F.col("video").isin("vid3.mp4", "vid4.mp4")
     return out2.select(
         "video",
         "frame_no",

@@ -392,7 +392,8 @@ def encode_mp4_raw(frames, fps: int = 30) -> bytes:
 
 
 def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
-                    gop: int | None = None, b_frames: int = 0) -> bytes:
+                    gop: int | None = None, b_frames: int = 0,
+                    slices: int = 1) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -427,14 +428,22 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     yuv = [h264.yuv420_from_rgb(np.asarray(f)) for f in frames]
     if gop is None:
         nals = [
-            (h264.encode_frame(y, cb, cr, qp=qp, mb_mode=mb_mode), True, i)
+            (h264.encode_frame(y, cb, cr, qp=qp, mb_mode=mb_mode,
+                               slices=slices), True, i)
             for i, (y, cb, cr) in enumerate(yuv)
         ]
     else:
         nals = h264.encode_stream(
-            yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames
+            yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames,
+            slices=slices,
         )
-    samples = [len(nal).to_bytes(4, "big") + nal for nal, _, _ in nals]
+
+    def _sample(entry):
+        # one sample = ALL of the picture's slice NALs, length-prefixed
+        ns = entry if isinstance(entry, list) else [entry]
+        return b"".join(len(n_).to_bytes(4, "big") + n_ for n_ in ns)
+
+    samples = [_sample(nal) for nal, _, _ in nals]
     sync_nos = [i + 1 for i, (_, is_idr, _) in enumerate(nals) if is_idr]  # 1-based
     all_sync = len(sync_nos) == len(samples)
     disp_nos = [d for _, _, d in nals]
@@ -560,16 +569,21 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
     if not slices:
         raise ValueError("avc1 sample contains no slice NAL")
     if len(slices) > 1:
-        # decoding only the first slice would yield a frame with the
-        # remaining macroblocks missing — refuse loudly rather than
-        # return silently wrong pixels (same posture as the CAVLC
-        # placeholder codes)
-        raise NotImplementedError(
-            f"avc1 sample carries {len(slices)} slice NALs; multi-slice "
-            "frames are not supported (single slice per picture)"
-        )
-    (y, cb, cr), st = h264.decode_frame(
-        slices[0], sps, pps, ref=ref, return_state=True, ref1=ref1
+        # real encoders slice frames for thread parallelism: decode the
+        # whole access unit as one picture (slice-aware neighbour
+        # availability lives in kernels/h264.decode_picture).  The GOP
+        # walk's two-slot DPB keys on ONE (kind, is_ref) per sample, so
+        # mixed-type pictures (legal but unseen in practice) refuse
+        # loudly rather than mis-drive the reference chain.
+        kinds = {h264.slice_kind(n_) for n_ in slices}
+        if len(kinds) > 1:
+            raise NotImplementedError(
+                f"avc1 sample mixes slice kinds {sorted(kinds)} in one "
+                "picture; the two-slot DPB walk needs a uniform sample "
+                "kind"
+            )
+    (y, cb, cr), st = h264.decode_picture_nals(
+        slices, sps, pps, ref=ref, return_state=True, ref1=ref1
     )
     return h264.rgb_from_yuv420(y, cb, cr), st
 

@@ -662,23 +662,90 @@ def test_avc1_mp4_b_frames_sparse_decode():
     assert len(calls) == 9
 
 
-def test_avc1_multi_slice_sample_refused():
-    """A sample carrying more than one slice NAL must refuse loudly —
-    decoding only the first slice would silently return a frame with the
-    remaining macroblocks missing."""
+def test_avc1_bad_slice_coverage_refused():
+    """Non-contiguous or incomplete slice coverage must refuse loudly —
+    decoding would otherwise return a frame with macroblocks missing or
+    doubly decoded."""
     from scanner_spark.sources import mp4
 
-    y = np.full((16, 16), 100, np.uint8)
-    c = np.full((8, 8), 128, np.uint8)
+    y = np.full((16, 32), 100, np.uint8)
+    c = np.full((8, 16), 128, np.uint8)
     nal = H.encode_frame(y, c, c, qp=26)
-    sps_nal = H.rbsp_to_nal(3, 7, H.write_sps(16, 16))
+    sps_nal = H.rbsp_to_nal(3, 7, H.write_sps(32, 16))
     pps_nal = H.rbsp_to_nal(3, 8, H.write_pps(26))
     one = len(nal).to_bytes(4, "big") + nal
     # single-slice sample decodes fine
     rgb, _ = mp4._decode_avc1_sample(one, [sps_nal], [pps_nal], 4)
-    assert rgb.shape == (16, 16, 3)
-    with pytest.raises(NotImplementedError, match="multi-slice"):
+    assert rgb.shape == (16, 32, 3)
+    # duplicated full-picture slice: second slice restarts at mb 0 ->
+    # FMO/ASO-shaped coverage, refused
+    with pytest.raises(NotImplementedError, match="FMO|non-contiguous"):
         mp4._decode_avc1_sample(one + one, [sps_nal], [pps_nal], 4)
+    # truncated coverage: only the first of two slices present
+    nals = H.encode_frame(y, c, c, qp=26, slices=2)
+    first_only = len(nals[0]).to_bytes(4, "big") + nals[0]
+    with pytest.raises(ValueError, match="remaining slices missing"):
+        mp4._decode_avc1_sample(first_only, [sps_nal], [pps_nal], 4)
+
+
+def test_multi_slice_round_trip_exact_recon():
+    """Multi-slice I/P/B pictures decode bit-identical to the encoder's
+    reconstruction, including mid-row slice boundaries (5 slices over a
+    4x3-MB picture), where intra/MV/CAVLC contexts must NOT cross the
+    boundary."""
+    rng = np.random.default_rng(11)
+    h_pix, w_pix = 48, 64
+    yy, xx = np.mgrid[0:h_pix, 0:w_pix]
+    y0 = np.clip(((yy * 2 + xx) % 256) + rng.integers(-20, 20, (h_pix, w_pix)),
+                 0, 255).astype(np.uint8)
+    cbp = rng.integers(0, 255, (h_pix // 2, w_pix // 2)).astype(np.uint8)
+    y1 = np.roll(y0, 3, axis=1)
+    sps = H.parse_sps(H.write_sps(w_pix, h_pix))
+    for qp in (8, 26):
+        pps = H.parse_pps(H.write_pps(qp))
+        for n_slices in (2, 3, 5, 12):
+            p0 = H.pad_planes(y0, cbp, cbp)
+            rb, st_enc = H.encode_picture_i(*p0, qp=qp, slices=n_slices)
+            assert len(rb) == min(n_slices, 12)
+            dy, dcb, dcr = H.decode_picture(
+                [(r, True, 3) for r in rb], sps, pps
+            )
+            assert np.array_equal(st_enc.y.astype(np.uint8), dy), (qp, n_slices)
+            assert np.array_equal(st_enc.cb.astype(np.uint8), dcb)
+            assert np.array_equal(st_enc.cr.astype(np.uint8), dcr)
+    # P chained through decoded (not encoder-side) reference state
+    qp = 12
+    pps = H.parse_pps(H.write_pps(qp))
+    p0 = H.pad_planes(y0, cbp, cbp)
+    p1 = H.pad_planes(y1, cbp, cbp)
+    rb_i, st_i = H.encode_picture_i(*p0, qp=qp, slices=3)
+    _, st_dec = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                                 return_state=True)
+    rb_p, st_p = H.encode_picture_p(*p1, st_i, qp=qp, frame_num=1, slices=3)
+    py, pcb, pcr = H.decode_picture([(r, False, 2) for r in rb_p], sps, pps,
+                                    ref=st_dec)
+    assert np.array_equal(st_p.y.astype(np.uint8), py)
+    assert np.array_equal(st_p.cb.astype(np.uint8), pcb)
+
+
+def test_avc1_mp4_multi_slice_gop_pruned_decode():
+    """Multi-slice avc1 mp4 with GOP+B structure: every frame decodes,
+    and sparse (pruned) loads are bit-identical to the full decode."""
+    from scanner_spark.sources import mp4
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (40, 56, 3)).astype(np.uint8)
+    frames = [np.roll(base, i * 2, axis=1) for i in range(10)]
+    buf = mp4.encode_mp4_avc1(frames, qp=8, slices=3, gop=5, b_frames=1)
+    meta, entries = mp4.parse_index(buf)
+    full = mp4.decode_range(buf, 0, meta, set(range(10)),
+                            index=(meta, entries))
+    assert set(full) == set(range(10))
+    for wanted in ({7}, {0}, {9}, {3, 8}):
+        part = mp4.decode_range(buf, 0, meta, set(wanted),
+                                index=(meta, entries))
+        for i in wanted:
+            assert np.array_equal(part[i], full[i]), (wanted, i)
 
 
 def test_mp4_ctts_undercoverage_refuses():
