@@ -239,7 +239,16 @@ def ivf_build(
     indexed, centroids = ivf_index(
         df, nlist, iters, vec_col=vec_col, id_col=id_col
     )
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # Atomic build (ADVICE r08): write the whole index — parquet AND
+    # sidecar — to a staging path, then os.rename into place.  A reader
+    # probing ``path`` mid-build sees either the old complete index or
+    # the new complete index, never parquet-without-sidecar; and two
+    # concurrent builders race on the rename, not on partial writes.
+    import shutil
+    import uuid
+
+    stage = f"{path}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(stage)
     meta = {
         "nlist": nlist,
         "iters": iters,
@@ -248,8 +257,22 @@ def ivf_build(
         "data_key": data_key,
         "centroids": centroids,
     }
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+    with open(os.path.join(stage, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
+    old = None
+    if os.path.exists(path):
+        # move the stale index aside first — rename() can't replace a
+        # non-empty directory
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+    try:
+        os.rename(stage, path)
+    except OSError:
+        # a concurrent builder won the race; its index is equivalent
+        # (same data_key) — discard ours
+        shutil.rmtree(stage, ignore_errors=True)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
     return centroids
 
 
@@ -310,12 +333,14 @@ def knn_ivf(
     dependency-free."""
     if index_path is not None:
         meta = ivf_meta(index_path)
+        # .get(): a sidecar from an older/foreign build missing a key must
+        # fall into the rebuild branch, not crash the query with KeyError
         if (
             meta is None
-            or meta["nlist"] != nlist
-            or meta["data_key"] != data_key
-            or meta["vec_col"] != vec_col
-            or meta["id_col"] != id_col
+            or meta.get("nlist") != nlist
+            or meta.get("data_key") != data_key
+            or meta.get("vec_col") != vec_col
+            or meta.get("id_col") != id_col
         ):
             ivf_build(
                 df, index_path, nlist, vec_col=vec_col, id_col=id_col,

@@ -244,7 +244,12 @@ def windowed_fingerprint_udf(k: int):
     (suffix-array-style) dedup keys on.
 
     Vectorized O(n) per document (``_kgram_hashes``).  Returns
-    array<long> (n-k+1 hashes; empty when the text is shorter than k)."""
+    array<long> (n-k+1 hashes; empty when the text is shorter than k).
+
+    POLICY: oracle-only at scale — one output row per character makes
+    this the ground-truth twin for :func:`winnowed_fingerprint_udf`,
+    which is the production default (2/(w+1) density, same >= k+w-1
+    detection guarantee)."""
 
     @F.pandas_udf("array<long>")
     def wroll(texts: pd.Series) -> pd.Series:

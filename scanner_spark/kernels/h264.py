@@ -2718,21 +2718,30 @@ def pad_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
     return y, cb, cr
 
 
-def encode_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                 qp: int = 26, mb_mode: str = "auto", slices: int = 1):
-    """One frame -> IDR slice NAL (no start code / length prefix); with
-    ``slices > 1``, the list of the picture's slice NALs."""
+def encode_frame_nals(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                      qp: int = 26, mb_mode: str = "auto",
+                      slices: int = 1) -> list:
+    """One frame -> the picture's IDR slice NALs (no start code / length
+    prefix), ALWAYS a list — one entry per slice.  Type-stable multi-slice
+    API (ADVICE r08); :func:`encode_frame` is the scalar single-slice
+    convenience."""
     yp, cbp_, crp = pad_planes(y, cb, cr)
     rbsps, _st = encode_picture_i(yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
                                   slices=slices)
-    nals = [rbsp_to_nal(3, 5, r) for r in rbsps]
-    return nals[0] if slices == 1 else nals
+    return [rbsp_to_nal(3, 5, r) for r in rbsps]
 
 
-def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
-                  mb_mode: str = "auto", search: int = 4,
-                  b_frames: int = 0,
-                  slices: int = 1) -> list[tuple[object, bool, int]]:
+def encode_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                 qp: int = 26, mb_mode: str = "auto") -> bytes:
+    """One frame -> its single IDR slice NAL (scalar convenience; use
+    :func:`encode_frame_nals` for multi-slice pictures)."""
+    return encode_frame_nals(y, cb, cr, qp=qp, mb_mode=mb_mode, slices=1)[0]
+
+
+def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
+                       mb_mode: str = "auto", search: int = 4,
+                       b_frames: int = 0,
+                       slices: int = 1) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
     IDR, reference P frames every ``b_frames + 1`` display positions
@@ -2747,17 +2756,17 @@ def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
     display order, poc-type-2 SPS).
 
     ``slices > 1`` splits every picture into that many independently
-    decodable slices (encode_picture_*); each stream entry then carries
-    the picture's LIST of slice NALs instead of one NAL (the mp4 layer
-    packs them into one length-prefixed sample)."""
+    decodable slices (encode_picture_*); every stream entry ALWAYS
+    carries the picture's LIST of slice NALs (type-stable, ADVICE r08 —
+    the mp4 layer packs them into one length-prefixed sample).  See
+    :func:`encode_stream` for the scalar single-slice convenience."""
     frames = [pad_planes(y, cb, cr) for y, cb, cr in frames_yuv]
-    out: list[tuple[object, bool, int]] = []
+    out: list[tuple[list, bool, int]] = []
     poc0 = b_frames > 0  # poc-type-0 headers carry display order
     step = b_frames + 1
 
-    def pack(rbsps: list[bytes], ref_idc: int, typ: int):
-        nals = [rbsp_to_nal(ref_idc, typ, r) for r in rbsps]
-        return nals[0] if slices == 1 else nals
+    def pack(rbsps: list[bytes], ref_idc: int, typ: int) -> list:
+        return [rbsp_to_nal(ref_idc, typ, r) for r in rbsps]
 
     for g0 in range(0, len(frames), gop):
         gL = min(gop, len(frames) - g0)  # this GOP's display length
@@ -2786,6 +2795,20 @@ def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
                 out.append((pack(rbsps, 0, 1), False, g0 + d))
             prev_st, prev_d = nxt_st, nxt_d
     return out
+
+
+def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
+                  mb_mode: str = "auto", search: int = 4,
+                  b_frames: int = 0) -> list[tuple[bytes, bool, int]]:
+    """Scalar single-slice convenience over :func:`encode_stream_nals`:
+    each entry is (slice NAL bytes, is_idr, display_index)."""
+    return [
+        (nals[0], is_idr, disp)
+        for nals, is_idr, disp in encode_stream_nals(
+            frames_yuv, gop=gop, qp=qp, mb_mode=mb_mode, search=search,
+            b_frames=b_frames, slices=1,
+        )
+    ]
 
 
 def decode_frame(nal: bytes, sps: dict, pps: dict, strict: bool = True,

@@ -1239,10 +1239,19 @@ def _ivf_index_path(sf_dir: str, nlist: int) -> tuple[str, str]:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     data_key = f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}"
-    base = os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR",
-        os.path.join(tempfile.gettempdir(), "scanner_spark_indexes"),
-    )
+    # Per-user base dir, mode 0700 (ADVICE r08): a predictable shared
+    # path under the world-writable tmp dir could be pre-created/poisoned
+    # by another local user (data_key is derivable from readable stat
+    # info).  $SPARK_GRAFT_INDEX_DIR still overrides for shared-cluster
+    # deployments where the store has its own ACLs.
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if base is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"scanner_spark_indexes-uid{os.getuid()}",
+        )
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        os.chmod(base, 0o700)
     h = hashlib.md5(f"{data_key}:nlist={nlist}".encode()).hexdigest()[:16]
     return os.path.join(base, f"ivf_{h}"), data_key
 
@@ -1295,7 +1304,14 @@ def q_doc_repeated_passages(spark, sf_dir):
     per-character Python); the (fp, doc_id) pre-aggregate gets map-side
     combine before the single corpus-wide shuffle on the 61-bit hash, so
     hot boilerplate passages cost one combiner row per task, not one
-    shuffle row per occurrence."""
+    shuffle row per occurrence.
+
+    POLICY — exact variant is ORACLE-ONLY: this emits every one of the
+    ~n window fingerprints per document, which at 100 TB is a shuffle of
+    corpus size x K.  It exists as the ground-truth twin for the
+    winnowed production operator; deployments must run
+    ``q_doc_repeated_passages_winnowed`` (~2/(w+1) of the rows with the
+    >= k+w-1 match-detection guarantee), never this."""
     ship(spark)
     d = read_table(spark, sf_dir, "documents")
     wroll = text.windowed_fingerprint_udf(PASSAGE_K)
@@ -2026,21 +2042,72 @@ def q_emb_kmeans(spark, sf_dir):
 QUERIES = {
     # ------------------------------------------------------------------
     # Ordering = the driver's correctness window: it checks the first 50
-    # entries per round.  Round-7 rotation: the 39 entries NOT in the
-    # round-6 window lead (their last driver check is r1-r4 — oldest
-    # evidence first), then the 11 slots that remain go to queries whose
-    # code or oracle changed this round (the whole frame/media family
-    # gained exact-integer oracles, emb_knn_pq gained the rounded-Lloyd
-    # unroll, emb_knn_ivf's probe fold changed, multimodal_decode grew
-    # to six formats, multimodal_audio gained FLAC payloads) plus the
-    # brand-new doc_repeated_passages.  Every entry stays hash-checked
-    # locally by tests/test_entry_parity.py; as of this round ALL 89
-    # queries carry a value-hash oracle (none are rows-only).
+    # entries per round.  Round-9 rotation (VERDICT r8 "do this" #1): the
+    # 41 entries whose latest driver evidence is round 6/7 lead, with
+    # doc_lm_familiarity FIRST (its plan AND oracle were re-written in r8
+    # -- h60-hashed bigram shuffle keys, functions/relevance.py -- with no
+    # driver check since).  The 9 remaining window slots go to the queries
+    # whose code changes this round (video_decode_pruned gains a CABAC
+    # GOP) plus the heaviest codec/numeric r8-checked entries re-pinned.
+    # Every entry stays locally hash-checked against its DuckDB oracle by
+    # tests/test_entry_parity.py regardless of window position.
     # ------------------------------------------------------------------
-    # --- last checked r1-r4: 39 entries
+    # --- round-9 window: stale-evidence entries first
+    "doc_lm_familiarity": q_doc_lm_familiarity,
+    "multimodal_audio": q_multimodal_audio,
+    "emb_knn_brute": q_emb_knn_brute,
+    "emb_knn_lsh": q_emb_knn_lsh,
+    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_materialize": q_dedup_materialize,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash_sigs": q_dedup_simhash_sigs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "emb_dup_clusters": q_emb_dup_clusters,
+    "emb_label_centroids": q_emb_label_centroids,
+    "emb_quantize": q_emb_quantize,
+    "emb_kmeans_assign": q_emb_kmeans_assign,
+    "emb_kmeans": q_emb_kmeans,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "docs_domain_resample": q_docs_domain_resample,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "docs_search_topk": q_docs_search_topk,
+    "text_analyze": q_text_analyze,
+    "doc_quality": q_doc_quality,
+    "vocab_topk": q_vocab_topk,
+    "events_approx_distinct": q_events_approx_distinct,
+    "events_value_histogram": q_events_value_histogram,
+    "events_asof_join_op": q_events_asof_join_op,
+    "events_asof_signup": q_events_asof_signup,
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_sessions": q_stream_events_sessions,
+    "stream_events_sessions_append": q_stream_events_sessions_append,
+    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
+    "stream_events_hourly": q_stream_events_hourly,
+    # --- window fill: changing-this-round + heaviest r8-checked re-pins
+    "video_decode_pruned": q_video_decode_pruned,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_optical_flow": q_frame_optical_flow,
+    "frame_histogram": q_frame_histogram,
+    "frame_resize": q_frame_resize,
+    "frame_blur": q_frame_blur,
+    "frame_encode_png": q_frame_encode_png,
+    "emb_knn_ivf": q_emb_knn_ivf,
+    "emb_knn_pq": q_emb_knn_pq,
+    # --- beyond-window: driver-confirmed green in round 8
     "scanner_all_distributed": q_scanner_all_distributed,
     "scanner_null_passthrough": q_scanner_null_passthrough,
-    "scanner_sparse_load": q_scanner_sparse_load,  # Column.load(rows=...)
+    "scanner_sparse_load": q_scanner_sparse_load,
     "tpch_q5": q_tpch_q5,
     "tpch_q14": q_tpch_q14,
     "tpch_q10": q_tpch_q10,
@@ -2077,58 +2144,6 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "events_pivot": q_events_pivot,
     "events_sliding_daily": q_events_sliding_daily,
-    # --- changed this round (new/changed oracles or numerics): 11 entries
-    "frame_histogram": q_frame_histogram,
-    "frame_resize": q_frame_resize,
-    "frame_blur": q_frame_blur,
-    "frame_optical_flow": q_frame_optical_flow,
-    "frame_encode_png": q_frame_encode_png,
-    "video_decode_pruned": q_video_decode_pruned,
-    "multimodal_decode": q_multimodal_decode,
-    "emb_knn_pq": q_emb_knn_pq,
-    "emb_knn_ivf": q_emb_knn_ivf,  # probe-fold determinism fix
-    "doc_repeated_passages": q_doc_repeated_passages,  # NEW this round
+    "doc_repeated_passages": q_doc_repeated_passages,
     "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
-    "multimodal_audio": q_multimodal_audio,  # WAV+FLAC split this round
-    # --- beyond-window: driver-confirmed r6 (green in CORRECTNESS_r06)
-    "emb_knn_brute": q_emb_knn_brute,
-    "emb_knn_lsh": q_emb_knn_lsh,
-    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_materialize": q_dedup_materialize,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_clusters": q_dedup_minhash_clusters,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_simhash_sigs": q_dedup_simhash_sigs,
-    "dedup_keep_best": q_dedup_keep_best,
-    "emb_cosine_pairs": q_emb_cosine_pairs,
-    "emb_dup_clusters": q_emb_dup_clusters,
-    "emb_label_centroids": q_emb_label_centroids,
-    "emb_quantize": q_emb_quantize,
-    "emb_kmeans_assign": q_emb_kmeans_assign,
-    "emb_kmeans": q_emb_kmeans,  # full distributed k-means
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "doc_chunk_windows": q_doc_chunk_windows,
-    "docs_domain_resample": q_docs_domain_resample,
-    "docs_pack_sequences": q_docs_pack_sequences,
-    "doc_pii_scrub": q_doc_pii_scrub,  # byte-exact redaction oracle
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "docs_search_topk": q_docs_search_topk,
-    "doc_lm_familiarity": q_doc_lm_familiarity,
-    "text_analyze": q_text_analyze,
-    "doc_quality": q_doc_quality,
-    "vocab_topk": q_vocab_topk,
-    "events_approx_distinct": q_events_approx_distinct,  # KMV sketch
-    "events_value_histogram": q_events_value_histogram,
-    "events_asof_join_op": q_events_asof_join_op,
-    "events_asof_signup": q_events_asof_signup,
-    "stream_events_dedup": q_stream_events_dedup,
-    "stream_events_sessions": q_stream_events_sessions,
-    "stream_events_sessions_append": q_stream_events_sessions_append,
-    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
-    "stream_events_hourly": q_stream_events_hourly,
 }

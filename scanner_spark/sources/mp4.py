@@ -187,10 +187,13 @@ def parse_index(buf: bytes) -> tuple[dict, list[FrameIndexEntry]]:
                     t += delta
         else:
             dts = list(range(len(cts_off)))
-        # A ctts/stts that covers fewer samples than stsz would leave tail
-        # samples at frame_no = sample index, colliding with display ranks
-        # already assigned — refuse loudly instead of truncating.
-        if len(cts_off) < len(sizes) or len(dts) < len(sizes):
+        # A ctts/stts whose coverage disagrees with stsz is a malformed
+        # timing box either way: under-coverage would leave tail samples
+        # at frame_no = sample index, colliding with display ranks
+        # already assigned; over-coverage means the muxer's sample count
+        # disagrees with its timing runs and any truncation is a guess.
+        # Refuse loudly in BOTH directions (ADVICE r08 symmetry).
+        if len(cts_off) != len(sizes) or len(dts) != len(sizes):
             raise ValueError(
                 f"mp4: ctts/stts cover {len(cts_off)}/{len(dts)} samples "
                 f"but stsz declares {len(sizes)}"
@@ -428,19 +431,18 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     yuv = [h264.yuv420_from_rgb(np.asarray(f)) for f in frames]
     if gop is None:
         nals = [
-            (h264.encode_frame(y, cb, cr, qp=qp, mb_mode=mb_mode,
-                               slices=slices), True, i)
+            (h264.encode_frame_nals(y, cb, cr, qp=qp, mb_mode=mb_mode,
+                                    slices=slices), True, i)
             for i, (y, cb, cr) in enumerate(yuv)
         ]
     else:
-        nals = h264.encode_stream(
+        nals = h264.encode_stream_nals(
             yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames,
             slices=slices,
         )
 
-    def _sample(entry):
+    def _sample(ns):
         # one sample = ALL of the picture's slice NALs, length-prefixed
-        ns = entry if isinstance(entry, list) else [entry]
         return b"".join(len(n_).to_bytes(4, "big") + n_ for n_ in ns)
 
     samples = [_sample(nal) for nal, _, _ in nals]

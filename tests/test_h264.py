@@ -682,7 +682,7 @@ def test_avc1_bad_slice_coverage_refused():
     with pytest.raises(NotImplementedError, match="FMO|non-contiguous"):
         mp4._decode_avc1_sample(one + one, [sps_nal], [pps_nal], 4)
     # truncated coverage: only the first of two slices present
-    nals = H.encode_frame(y, c, c, qp=26, slices=2)
+    nals = H.encode_frame_nals(y, c, c, qp=26, slices=2)
     first_only = len(nals[0]).to_bytes(4, "big") + nals[0]
     with pytest.raises(ValueError, match="remaining slices missing"):
         mp4._decode_avc1_sample(first_only, [sps_nal], [pps_nal], 4)
@@ -764,6 +764,25 @@ def test_mp4_ctts_undercoverage_refuses():
     n = int.from_bytes(buf[i + 8 : i + 12], "big")
     assert n > 1
     buf[i + 8 : i + 12] = (n - 1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="ctts/stts"):
+        mp4.parse_index(bytes(buf))
+
+
+def test_mp4_ctts_overcoverage_refuses():
+    """A ctts box covering MORE samples than stsz declares is equally
+    malformed — the muxer's timing runs disagree with its sample count
+    and any truncation is a guess; refuse symmetrically (ADVICE r8)."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(0, i, 16, 16, 3) for i in range(12)]
+    buf = bytearray(mp4.encode_mp4_avc1(frames, qp=10, gop=6, b_frames=1))
+    i = buf.find(b"ctts")
+    assert i > 0
+    # bump the first run's sample count by one: total ctts coverage is
+    # now len(stsz)+1 while the box stays structurally valid
+    cnt = int.from_bytes(buf[i + 12 : i + 16], "big")
+    buf[i + 12 : i + 16] = (cnt + 1).to_bytes(4, "big")
     with pytest.raises(ValueError, match="ctts/stts"):
         mp4.parse_index(bytes(buf))
 
