@@ -389,6 +389,8 @@ def _video_decode_sql() -> str:
         ("vid3.mp4", 3, [1, 6], 16, 16, False),
         # multi-slice avc1 (2 slices/picture, I/P/B GOP): lossy -> NULL
         ("vid4.mp4", 4, [2, 5], 16, 16, False),
+        # CABAC-entropy avc1 (I/P/B GOP, arithmetic coding): lossy -> NULL
+        ("vid5.mp4", 5, [1, 6], 16, 16, False),
     ):
         for f in frames:
             rows.append(

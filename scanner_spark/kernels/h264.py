@@ -150,6 +150,12 @@ class BitWriter:
         if self.nbits:
             self.u(0, 8 - self.nbits)
 
+    def byte_align_one(self) -> None:
+        """cabac_alignment_one_bit padding (§7.3.4): 1-bits to the next
+        byte boundary; none when already aligned."""
+        if self.nbits:
+            self.u((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
     def rbsp_trailing(self) -> None:
         self.u(1, 1)
         self.byte_align_zero()
@@ -188,6 +194,37 @@ def nal_to_rbsp(nal: bytes) -> tuple[int, int, bytes]:
         zeros = zeros + 1 if b == 0 else 0
         i += 1
     return (hdr >> 5) & 3, hdr & 0x1F, bytes(out)
+
+
+def _cabac_marker_uuid() -> bytes:
+    import hashlib
+
+    return hashlib.md5(b"scanner-spark-cabac-uniform-init-v1").digest()
+
+
+CABAC_MARKER_UUID = _cabac_marker_uuid()
+
+
+def cabac_marker_nal() -> bytes:
+    """SEI user_data_unregistered NAL (type 6, payloadType 5) carrying
+    this repo's CABAC origin UUID.  The encoder prepends it to every
+    CABAC access unit; decode_picture refuses CABAC payloads without it
+    (the uniform context init decodes only this encoder's streams —
+    kernels/cabac.py provenance note)."""
+    w = BitWriter()
+    w.u(5, 8)  # payload type: user_data_unregistered
+    w.u(16, 8)  # payload size
+    for b in CABAC_MARKER_UUID:
+        w.u(b, 8)
+    w.rbsp_trailing()
+    return rbsp_to_nal(0, 6, w.bytes())
+
+
+def is_cabac_marker(nal: bytes) -> bool:
+    if not nal or nal[0] & 0x1F != 6:
+        return False
+    _, _, rbsp = nal_to_rbsp(nal)
+    return len(rbsp) >= 18 and rbsp[0] == 5 and rbsp[2:18] == CABAC_MARKER_UUID
 
 
 # ---------------------------------------------------------------------------
@@ -1069,11 +1106,11 @@ def parse_sps(rbsp: bytes) -> dict:
     }
 
 
-def write_pps(qp: int) -> bytes:
+def write_pps(qp: int, cabac: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
-    w.u(0, 1)  # entropy_coding_mode: CAVLC
+    w.u(1 if cabac else 0, 1)  # entropy_coding_mode: CABAC / CAVLC
     w.u(0, 1)  # bottom_field_pic_order_in_frame_present
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
@@ -1094,9 +1131,9 @@ def parse_pps(rbsp: bytes) -> dict:
     r = BitReader(rbsp)
     pps_id = r.ue()
     sps_id = r.ue()
+    # entropy_coding_mode 1 = CABAC: parse proceeds; decode_picture gates
+    # on the in-repo origin marker (kernels/cabac.py provenance note)
     cabac = r.u(1)
-    if cabac:
-        raise NotImplementedError("CABAC streams not supported (CAVLC only)")
     r.u(1)
     if r.ue() != 0:
         raise NotImplementedError("slice groups not supported")
@@ -1118,6 +1155,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "num_ref_l0": num_ref_l0, "num_ref_l1": num_ref_l1,
         "weighted_pred": bool(weighted_pred),
         "weighted_bipred_idc": weighted_bipred_idc,
+        "cabac": bool(cabac),
     }
 
 
@@ -1159,6 +1197,18 @@ class _FrameState:
         # drives multiple slices through one state.
         self.slice_no = np.zeros((mbh, mbw), dtype=np.int64)
         self.cur_slice = 0
+        # CABAC-only neighbour context (maintained by the CabacReader/
+        # CabacWriter pair in kernels/h264_cabac.py; the CAVLC entropy
+        # layer never reads or writes these): per-MB kind enum
+        # (h264_cabac.MB_*), coded_block_pattern, intra chroma pred mode,
+        # per-list absolute-ish mvd, and the DC coded_block_flags that
+        # nzy/nzc (AC counts) cannot represent.  -1 = not decoded.
+        self.mb_kind = np.full((mbh, mbw), -1, dtype=np.int64)
+        self.mb_cbp = np.full((mbh, mbw), -1, dtype=np.int64)
+        self.mb_cmode = np.zeros((mbh, mbw), dtype=np.int64)
+        self.mvd_l = np.zeros((mbh, mbw, 2, 2), dtype=np.int64)
+        self.cbf_ydc = np.full((mbh, mbw), -1, dtype=np.int64)
+        self.cbf_cdc = np.full((2, mbh, mbw), -1, dtype=np.int64)
 
     def mb_same_slice(self, mbx: int, mby: int) -> bool:
         """In-frame AND belongs to the slice currently being coded."""
@@ -1397,6 +1447,140 @@ def hadamard2(m: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# entropy layer abstraction: the macroblock walk is entropy-agnostic; a
+# reader/writer pair supplies every syntax element.  CavlcReader/Writer
+# wrap the exp-Golomb + residual-VLC functions above; the CABAC pair
+# lives in kernels/h264_cabac.py (arithmetic engine in kernels/cabac.py).
+# ---------------------------------------------------------------------------
+
+
+class CavlcReader:
+    """CAVLC syntax-element reader (§9.1 exp-Golomb + §9.2 residuals).
+    Positional arguments carried for the CABAC twin's neighbour-context
+    needs are unused here."""
+
+    cabac = False
+
+    def __init__(self, r: BitReader):
+        self.r = r
+
+    def mb_type(self, st, mbx, mby, sl: str) -> int:
+        return self.r.ue()
+
+    def mvd_pair(self, st, mbx, mby, lst: int):
+        return self.r.se(), self.r.se()
+
+    def cbp(self, st, mbx, mby, intra: bool) -> int:
+        return (_CBP_INTRA if intra else _CBP_INTER)[self.r.ue()]
+
+    def qp_delta(self, st, mbx, mby) -> int:
+        return self.r.se()
+
+    def intra4_mode(self, st, by, bx, pred: int) -> int:
+        if self.r.u(1):
+            return pred
+        rem = self.r.u(3)
+        return rem if rem < pred else rem + 1
+
+    def chroma_mode(self, st, mbx, mby) -> int:
+        return self.r.ue()
+
+    def pcm_samples(self, st, mbx, mby):
+        r = self.r
+        r.byte_align()
+        lum = np.array([r.u(8) for _ in range(256)], dtype=np.int64)
+        cbs = np.array([r.u(8) for _ in range(64)], dtype=np.int64)
+        crs = np.array([r.u(8) for _ in range(64)], dtype=np.int64)
+        return lum.reshape(16, 16), cbs.reshape(8, 8), crs.reshape(8, 8)
+
+    def res_luma_dc16(self, st, mbx, mby) -> list:
+        nC = st.nC(st.nzy, mby * 4, mbx * 4)
+        return decode_residual(self.r, nC, 16)
+
+    def res_luma(self, st, by, bx, ac: bool) -> list:
+        nC = st.nC(st.nzy, by, bx)
+        return decode_residual(self.r, nC, 15 if ac else 16)
+
+    def res_chroma_dc(self, st, comp, mbx, mby) -> list:
+        return decode_residual(self.r, -1, 4)
+
+    def res_chroma_ac(self, st, comp, cby, cbx) -> list:
+        nC = st.nC(st.nzc[comp], cby, cbx, bsz=2)
+        return decode_residual(self.r, nC, 15)
+
+
+class CavlcWriter:
+    """CAVLC syntax-element writer, mirror of :class:`CavlcReader`.
+    Residual methods return the block's TotalCoeff (the nC context the
+    caller records in nzy/nzc) and may raise :class:`_NonVerbatimCode`
+    (the I_PCM fallback path)."""
+
+    cabac = False
+
+    def __init__(self, w: BitWriter):
+        self.w = w
+
+    def checkpoint(self):
+        """Bit-exact rollback point (the I_PCM fallback path unwinds a
+        partially written MB).  The CABAC writer has no checkpoint —
+        arithmetic coding is not unwindable — and never needs one: it
+        has no non-verbatim codes, so nothing raises."""
+        return len(self.w.buf), self.w.acc, self.w.nbits
+
+    def rollback(self, cp) -> None:
+        del self.w.buf[cp[0]:]
+        self.w.acc, self.w.nbits = cp[1], cp[2]
+
+    def mb_type(self, st, mbx, mby, sl: str, t: int) -> None:
+        self.w.ue(t)
+
+    def mvd_pair(self, st, mbx, mby, lst: int, mvd) -> None:
+        self.w.se(int(mvd[0]))
+        self.w.se(int(mvd[1]))
+
+    def cbp(self, st, mbx, mby, intra: bool, cbp: int) -> None:
+        self.w.ue((_CBP_INTRA_INV if intra else _CBP_INTER_INV)[cbp])
+
+    def qp_delta(self, st, mbx, mby, d: int) -> None:
+        self.w.se(d)
+
+    def intra4_mode(self, st, by, bx, pred: int, mode: int) -> None:
+        if mode == pred:
+            self.w.u(1, 1)
+        else:
+            self.w.u(0, 1)
+            self.w.u(mode if mode < pred else mode - 1, 3)
+
+    def chroma_mode(self, st, mbx, mby, mode: int) -> None:
+        self.w.ue(mode)
+
+    def pcm_samples(self, st, mbx, mby, lum, cbs, crs) -> None:
+        w = self.w
+        w.byte_align_zero()
+        for v in lum.reshape(-1):
+            w.u(int(v), 8)
+        for v in cbs.reshape(-1):
+            w.u(int(v), 8)
+        for v in crs.reshape(-1):
+            w.u(int(v), 8)
+
+    def res_luma_dc16(self, st, mbx, mby, zz: list) -> int:
+        nC = st.nC(st.nzy, mby * 4, mbx * 4)
+        return encode_residual(self.w, zz, nC)
+
+    def res_luma(self, st, by, bx, ac: bool, zz: list) -> int:
+        nC = st.nC(st.nzy, by, bx)
+        return encode_residual(self.w, zz, nC)
+
+    def res_chroma_dc(self, st, comp, mbx, mby, zz: list) -> int:
+        return encode_residual(self.w, zz, -1)
+
+    def res_chroma_ac(self, st, comp, cby, cbx, zz: list) -> int:
+        nC = st.nC(st.nzc[comp], cby, cbx, bsz=2)
+        return encode_residual(self.w, zz, nC)
+
+
+# ---------------------------------------------------------------------------
 # slice decode (§7.3.3 header + §7.3.5 macroblock layer, I and P slices)
 # ---------------------------------------------------------------------------
 
@@ -1472,6 +1656,8 @@ def _parse_slice_header(
     elif nal_ref_idc != 0:
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise NotImplementedError("adaptive ref-pic marking not supported")
+    if pps.get("cabac") and st_mod != 2:
+        r.ue()  # cabac_init_idc (ignored: uniform init, kernels/cabac.py)
     qp = pps["init_qp"] + r.se()
     if pps["deblocking_control_present"]:
         idc = r.ue()
@@ -1500,6 +1686,7 @@ def _decode_slice_mbs(
     mbw, mbh = sps["mb_width"], sps["mb_height"]
     n_mbs = mbw * mbh
     mb = mb_start
+    er = CavlcReader(r)
 
     def mark(m: int) -> tuple[int, int]:
         mbx, mby = m % mbw, m // mbw
@@ -1511,7 +1698,7 @@ def _decode_slice_mbs(
             if mb >= n_mbs:
                 raise ValueError("slice data continues past picture end")
             mbx, mby = mark(mb)
-            _decode_mb(r, st, mbx, mby, qp, pps)
+            _decode_mb(er, st, mbx, mby, qp, pps)
             mb += 1
     elif st_mod == 0:  # P
         while mb < n_mbs and r.more_rbsp_data():
@@ -1525,7 +1712,7 @@ def _decode_slice_mbs(
             if mb >= n_mbs or not r.more_rbsp_data():
                 break
             mbx, mby = mark(mb)
-            qp = _decode_mb_p(r, st, ref, mbx, mby, qp, pps)
+            qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps)
             mb += 1
     else:  # B
         while mb < n_mbs and r.more_rbsp_data():
@@ -1536,15 +1723,57 @@ def _decode_slice_mbs(
                     "supported — in-repo streams never emit them"
                 )
             mbx, mby = mark(mb)
-            qp = _decode_mb_b(r, st, ref, ref1, mbx, mby, qp, pps)
+            qp = _decode_mb_b(er, st, ref, ref1, mbx, mby, qp, pps)
             mb += 1
     return mb
+
+
+def _decode_slice_mbs_cabac(
+    r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
+    qp: int, ref, ref1, mb_start: int,
+) -> int:
+    """CABAC twin of :func:`_decode_slice_mbs`: per-MB mb_skip_flag
+    instead of skip runs, end_of_slice_flag (a terminate bin) instead of
+    more_rbsp_data.  The slice header's cabac_alignment_one_bit padding
+    is consumed here."""
+    from scanner_spark.kernels.h264_cabac import CabacReader
+
+    r.byte_align()
+    er = CabacReader(r)
+    mbw, mbh = sps["mb_width"], sps["mb_height"]
+    n_mbs = mbw * mbh
+    mb = mb_start
+    while True:
+        if mb >= n_mbs:
+            raise ValueError("slice data continues past picture end")
+        mbx, mby = mb % mbw, mb // mbw
+        st.slice_no[mby, mbx] = st.cur_slice
+        er.begin_mb(st, mbx, mby)
+        if st_mod == 2:  # I
+            qp = _decode_mb(er, st, mbx, mby, qp, pps)
+        elif st_mod == 0:  # P
+            if er.read_skip(st, mbx, mby, False):
+                _reconstruct_skip(st, ref, mbx, mby)
+            else:
+                qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps)
+        else:  # B
+            if er.read_skip(st, mbx, mby, True):
+                raise NotImplementedError(
+                    "B_Skip macroblocks (direct-mode derivation) not "
+                    "supported — in-repo streams never emit them"
+                )
+            qp = _decode_mb_b(er, st, ref, ref1, mbx, mby, qp, pps)
+        er.end_mb(st, mbx, mby)
+        mb += 1
+        if er.end_of_slice():
+            return mb
 
 
 def decode_picture(
     slices: "list[tuple[bytes, bool, int]]", sps: dict, pps: dict,
     strict: bool = True, ref: "_FrameState | None" = None,
     return_state: bool = False, ref1: "_FrameState | None" = None,
+    cabac_marked: bool = False,
 ):
     """All VCL slices of one access unit, in decode order, -> (y, cb, cr)
     uint8 planes (SPS crop applied).  ``slices`` holds
@@ -1568,6 +1797,16 @@ def decode_picture(
     header and select the §7.3.3 header layout (idr_pic_id and the
     dec_ref_pic_marking form differ — ADVICE r05: non-IDR slices
     previously misparsed against the IDR layout)."""
+    cabac = bool(pps.get("cabac"))
+    if cabac and not cabac_marked:
+        raise NotImplementedError(
+            "CABAC stream without this repo's origin-marker SEI: the "
+            "normative context-initialization tables are not available "
+            "here, so foreign CABAC payloads would decode to garbage — "
+            "refused instead (provenance note in kernels/cabac.py); "
+            "streams from this encoder carry the marker and decode "
+            "bit-exactly"
+        )
     mbw, mbh = sps["mb_width"], sps["mb_height"]
     n_mbs = mbw * mbh
     st = _FrameState(mbw, mbh)
@@ -1584,7 +1823,8 @@ def decode_picture(
                 f"slice {si} starts at mb {first_mb}, expected {mb_next}: "
                 "non-contiguous slice coverage (FMO/ASO) not supported"
             )
-        mb_next = _decode_slice_mbs(
+        loop = _decode_slice_mbs_cabac if cabac else _decode_slice_mbs
+        mb_next = loop(
             r, st, sps, pps, st_mod, qp, ref, ref1, mb_next
         )
     if mb_next != n_mbs:
@@ -1600,11 +1840,12 @@ def decode_slice(
     rbsp: bytes, sps: dict, pps: dict, strict: bool = True,
     idr: bool = True, nal_ref_idc: int = 3, ref: "_FrameState | None" = None,
     return_state: bool = False, ref1: "_FrameState | None" = None,
+    cabac_marked: bool = False,
 ):
     """Single-slice picture decode (see :func:`decode_picture`)."""
     return decode_picture(
         [(rbsp, idr, nal_ref_idc)], sps, pps, strict=strict, ref=ref,
-        return_state=return_state, ref1=ref1,
+        return_state=return_state, ref1=ref1, cabac_marked=cabac_marked,
     )
 
 
@@ -1624,13 +1865,13 @@ def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int) -> 
     st.mv[mby, mbx] = mv
 
 
-def _decode_mb_p(r: BitReader, st: _FrameState, ref: _FrameState,
+def _decode_mb_p(er, st: _FrameState, ref: _FrameState,
                  mbx: int, mby: int, qp: int, pps: dict) -> int:
     """One coded P-slice macroblock: P_L0_16x16 (type 0) or an intra type
     (offset 5, Table 7-13)."""
-    mb_type = r.ue()
+    mb_type = er.mb_type(st, mbx, mby, "P")
     if mb_type >= 5:
-        return _decode_mb_intra(r, st, mbx, mby, qp, pps, mb_type - 5)
+        return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 5)
     if mb_type != 0:
         raise NotImplementedError(
             f"P mb_type {mb_type}: only P_L0_16x16 partitions are "
@@ -1639,20 +1880,19 @@ def _decode_mb_p(r: BitReader, st: _FrameState, ref: _FrameState,
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
     # single ref (num_ref_idx_l0_active_minus1 == 0): no ref_idx_l0 coded
-    mvd = np.array([r.se(), r.se()], dtype=np.int64)
+    mvd = np.array(er.mvd_pair(st, mbx, mby, 0), dtype=np.int64)
     mv = st.mv_pred(mbx, mby) + mvd
     p16 = mc_luma(ref.y, oy, ox, mv)
-    cbp = _CBP_INTER[r.ue()]
+    cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     if cbp:
-        qp += r.se()
+        qp += er.qp_delta(st, mbx, mby)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
         gy, gx = oy + yb, ox + x
         by, bx = gy // 4, gx // 4
         if cbp_l & (1 << (blk // 4)):
-            nC = st.nC(st.nzy, by, bx)
-            coeffs = decode_residual(r, nC, 16)
+            coeffs = er.res_luma(st, by, bx, False)
             st.nzy[by, bx] = sum(1 for c in coeffs if c)
             d = dequant4(_zz_to_mat(coeffs), qp)
             rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
@@ -1665,7 +1905,7 @@ def _decode_mb_p(r: BitReader, st: _FrameState, ref: _FrameState,
         0: mc_chroma(ref.cb, cy, cx, mv),
         1: mc_chroma(ref.cr, cy, cx, mv),
     }
-    _decode_chroma(r, st, ox, oy, 0, cbp_c, qp, pps,
+    _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
                    pred_fn=lambda comp: preds[comp])
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
     st.mb_inter[mby, mbx] = True
@@ -1673,16 +1913,16 @@ def _decode_mb_p(r: BitReader, st: _FrameState, ref: _FrameState,
     return qp
 
 
-def _decode_mb_b(r: BitReader, st: _FrameState, ref0: _FrameState,
+def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
                  ref1: _FrameState, mbx: int, mby: int, qp: int,
                  pps: dict) -> int:
     """One coded B-slice macroblock (Table 7-14): B_L0_16x16 (1),
     B_L1_16x16 (2), B_Bi_16x16 (3) with default bi-prediction
     (p0 + p1 + 1) >> 1, or an intra type (offset 23).  B_Direct (0),
     partitioned types (4..22), and weighted prediction are refused."""
-    mb_type = r.ue()
+    mb_type = er.mb_type(st, mbx, mby, "B")
     if mb_type >= 23:
-        return _decode_mb_intra(r, st, mbx, mby, qp, pps, mb_type - 23)
+        return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 23)
     if mb_type == 0:
         raise NotImplementedError(
             "B_Direct_16x16 not supported (no direct-mode MV derivation)"
@@ -1699,23 +1939,22 @@ def _decode_mb_b(r: BitReader, st: _FrameState, ref0: _FrameState,
     # mvd_l0 then mvd_l1 (§7.3.5.1), single ref per list -> no ref_idx
     mvs = [None, None]
     if use0:
-        mvd0 = np.array([r.se(), r.se()], dtype=np.int64)
+        mvd0 = np.array(er.mvd_pair(st, mbx, mby, 0), dtype=np.int64)
         mvs[0] = st.mv_pred(mbx, mby, 0) + mvd0
     if use1:
-        mvd1 = np.array([r.se(), r.se()], dtype=np.int64)
+        mvd1 = np.array(er.mvd_pair(st, mbx, mby, 1), dtype=np.int64)
         mvs[1] = st.mv_pred(mbx, mby, 1) + mvd1
     p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma)
-    cbp = _CBP_INTER[r.ue()]
+    cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     if cbp:
-        qp += r.se()
+        qp += er.qp_delta(st, mbx, mby)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
         gy, gx = oy + yb, ox + x
         by, bx = gy // 4, gx // 4
         if cbp_l & (1 << (blk // 4)):
-            nC = st.nC(st.nzy, by, bx)
-            coeffs = decode_residual(r, nC, 16)
+            coeffs = er.res_luma(st, by, bx, False)
             st.nzy[by, bx] = sum(1 for c in coeffs if c)
             d = dequant4(_zz_to_mat(coeffs), qp)
             rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
@@ -1728,7 +1967,7 @@ def _decode_mb_b(r: BitReader, st: _FrameState, ref0: _FrameState,
         0: _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma),
         1: _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma),
     }
-    _decode_chroma(r, st, ox, oy, 0, cbp_c, qp, pps,
+    _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
                    pred_fn=lambda comp: preds[comp])
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
     st.mb_inter[mby, mbx] = True
@@ -1753,12 +1992,13 @@ def _bipred(plane0: np.ndarray, plane1: np.ndarray, oy: int, ox: int,
     return (p0 + p1 + 1) >> 1
 
 
-def _decode_mb(r: BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
+def _decode_mb(er, st: _FrameState, mbx: int, mby: int, qp: int,
                pps: dict) -> int:
-    return _decode_mb_intra(r, st, mbx, mby, qp, pps, r.ue())
+    return _decode_mb_intra(er, st, mbx, mby, qp, pps,
+                            er.mb_type(st, mbx, mby, "I"))
 
 
-def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
+def _decode_mb_intra(er, st: _FrameState, mbx: int, mby: int,
                      qp: int, pps: dict, mb_type: int) -> int:
     ox, oy = mbx * 16, mby * 16
     bx0, by0 = ox // 4, oy // 4
@@ -1767,10 +2007,7 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
     left_mb = st.left_ok(mbx, mby)
     ul_mb = st.ul_ok(mbx, mby)
     if mb_type == 25:  # I_PCM
-        r.byte_align()
-        lum = np.array([r.u(8) for _ in range(256)], dtype=np.int64).reshape(16, 16)
-        cbs = np.array([r.u(8) for _ in range(64)], dtype=np.int64).reshape(8, 8)
-        crs = np.array([r.u(8) for _ in range(64)], dtype=np.int64).reshape(8, 8)
+        lum, cbs, crs = er.pcm_samples(st, mbx, mby)
         st.y[oy : oy + 16, ox : ox + 16] = lum
         st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cbs
         st.cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = crs
@@ -1784,18 +2021,14 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
             x, yb = _BLK4_POS[blk]
             by, bx = (oy + yb) // 4, (ox + x) // 4
             pred = st.pred_mode4(by, bx)
-            if r.u(1):
-                mode = pred
-            else:
-                rem = r.u(3)
-                mode = rem if rem < pred else rem + 1
+            mode = er.intra4_mode(st, by, bx, pred)
             st.modes4[by, bx] = mode
             modes.append(mode)
-        chroma_mode = r.ue()
-        cbp = _CBP_INTRA[r.ue()]
+        chroma_mode = er.chroma_mode(st, mbx, mby)
+        cbp = er.cbp(st, mbx, mby, True)
         cbp_l, cbp_c = cbp & 15, cbp >> 4
         if cbp:
-            qp += r.se()
+            qp += er.qp_delta(st, mbx, mby)
         for blk in range(16):
             x, yb = _BLK4_POS[blk]
             gy, gx = oy + yb, ox + x
@@ -1805,8 +2038,7 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
             )
             p = pred4(st.y, gy, gx, modes[blk], upright, b_up, b_left, b_ul)
             if cbp_l & (1 << (blk // 4)):
-                nC = st.nC(st.nzy, by, bx)
-                coeffs = decode_residual(r, nC, 16)
+                coeffs = er.res_luma(st, by, bx, False)
                 st.nzy[by, bx] = sum(1 for c in coeffs if c)
                 d = dequant4(_zz_to_mat(coeffs), qp)
                 rec = p + idct4(d)
@@ -1814,7 +2046,7 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
                 st.nzy[by, bx] = 0
                 rec = p
             st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
-        _decode_chroma(r, st, ox, oy, chroma_mode, cbp_c, qp, pps,
+        _decode_chroma(er, st, ox, oy, chroma_mode, cbp_c, qp, pps,
                        up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
         return qp
     if not 1 <= mb_type <= 24:
@@ -1823,11 +2055,10 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
     pm = (mb_type - 1) % 4
     cbp_c = ((mb_type - 1) // 4) % 3
     cbp_l = 15 if mb_type - 1 >= 12 else 0
-    chroma_mode = r.ue()
-    qp += r.se()
+    chroma_mode = er.chroma_mode(st, mbx, mby)
+    qp += er.qp_delta(st, mbx, mby)
     p16 = pred16(st.y, oy, ox, pm, up_mb, left_mb, ul_mb)
-    nC_dc = st.nC(st.nzy, by0, bx0)
-    dc_zz = decode_residual(r, nC_dc, 16)
+    dc_zz = er.res_luma_dc16(st, mbx, mby)
     dc = dequant_dc4(hadamard4(_zz_to_mat(dc_zz)), qp)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
@@ -1835,8 +2066,7 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
         by, bx = gy // 4, gx // 4
         d = np.zeros((4, 4), dtype=np.int64)
         if cbp_l:
-            nC = st.nC(st.nzy, by, bx)
-            ac = decode_residual(r, nC, 15)
+            ac = er.res_luma(st, by, bx, True)
             st.nzy[by, bx] = sum(1 for c in ac if c)
             d = dequant4(_zz_to_mat([0] + ac), qp)
         else:
@@ -1844,7 +2074,7 @@ def _decode_mb_intra(r: BitReader, st: _FrameState, mbx: int, mby: int,
         d[0, 0] = dc[yb // 4, x // 4]
         rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
         st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
-    _decode_chroma(r, st, ox, oy, chroma_mode, cbp_c, qp, pps,
+    _decode_chroma(er, st, ox, oy, chroma_mode, cbp_c, qp, pps,
                    up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
     return qp
 
@@ -1877,7 +2107,7 @@ def _blk4_avail(st: _FrameState, mby: int, blk: int, x: int, yb: int,
     return upright, b_up, b_left, b_ul
 
 
-def _decode_chroma(r: BitReader, st: _FrameState, ox: int, oy: int,
+def _decode_chroma(er, st: _FrameState, ox: int, oy: int,
                    mode: int, cbp_c: int, qp: int, pps: dict,
                    pred_fn=None, up_ok: bool = True, left_ok: bool = True,
                    ul_ok: bool = True) -> None:
@@ -1885,10 +2115,11 @@ def _decode_chroma(r: BitReader, st: _FrameState, ox: int, oy: int,
     prediction — the inter path supplies motion-compensated blocks."""
     qpc = chroma_qp(qp + pps.get("chroma_qp_offset", 0))
     cx, cy = ox // 2, oy // 2
+    mbx, mby = ox // 16, oy // 16
     dcs = []
     for comp in range(2):
         if cbp_c:
-            zz = decode_residual(r, -1, 4)
+            zz = er.res_chroma_dc(st, comp, mbx, mby)
             m = np.array([[zz[0], zz[1]], [zz[2], zz[3]]], dtype=np.int64)
             dcs.append(dequant_dc2(hadamard2(m), qpc))
         else:
@@ -1903,8 +2134,7 @@ def _decode_chroma(r: BitReader, st: _FrameState, ox: int, oy: int,
             cby, cbx = (cy + yb) // 4, (cx + x) // 4
             d = np.zeros((4, 4), dtype=np.int64)
             if cbp_c == 2:
-                nC = st.nC(st.nzc[comp], cby, cbx, bsz=2)
-                ac = decode_residual(r, nC, 15)
+                ac = er.res_chroma_ac(st, comp, cby, cbx)
                 st.nzc[comp, cby, cbx] = sum(1 for c in ac if c)
                 d = dequant4(_zz_to_mat([0] + ac), qpc)
             else:
@@ -1964,7 +2194,7 @@ def _avail_modes4(up: bool, left: bool, ul: bool, upright: bool) -> list[int]:
     return m
 
 
-def _encode_chroma(w: BitWriter, st: _FrameState, ox: int, oy: int,
+def _encode_chroma(st: _FrameState, ox: int, oy: int,
                    src_cb: np.ndarray, src_cr: np.ndarray, qp: int,
                    mode: int, pred_fn=None, intra: bool = True,
                    up_ok: bool = True, left_ok: bool = True,
@@ -2004,7 +2234,7 @@ def _encode_chroma(w: BitWriter, st: _FrameState, ox: int, oy: int,
     for comp, (zdc, acs, p8) in enumerate(comps):
         if cbp_c:
             zz = [int(zdc[0, 0]), int(zdc[0, 1]), int(zdc[1, 0]), int(zdc[1, 1])]
-            emit_dc.append(("dc", zz))
+            emit_dc.append(("dc", comp, ox // 16, oy // 16, zz))
         dc = (
             dequant_dc2(hadamard2(zdc), qpc)
             if cbp_c
@@ -2028,14 +2258,14 @@ def _encode_chroma(w: BitWriter, st: _FrameState, ox: int, oy: int,
     return cbp_c, emit_dc + emit_ac
 
 
-def _flush_chroma(w: BitWriter, st: _FrameState, emit: list, cbp_c: int) -> None:
+def _flush_chroma(ew, st: _FrameState, emit: list, cbp_c: int) -> None:
     for e in emit:
         if e[0] == "dc":
-            encode_residual(w, e[1], -1)
+            _, comp, mbx, mby, zz = e
+            ew.res_chroma_dc(st, comp, mbx, mby, zz)
         else:
             _, comp, cby, cbx, ac_zz = e
-            nC = st.nC(st.nzc[comp], cby, cbx, bsz=2)
-            tc = encode_residual(w, ac_zz, nC)
+            tc = ew.res_chroma_ac(st, comp, cby, cbx, ac_zz)
             st.nzc[comp, cby, cbx] = tc
     if cbp_c != 2:
         # decoder records zeros; mirror it
@@ -2071,7 +2301,7 @@ def _mb_restore(st: _FrameState, mbx: int, mby: int, snap) -> None:
     st.mv[mby, mbx] = mv
 
 
-def _encode_mb_pcm(w: BitWriter, st: _FrameState, mbx: int, mby: int,
+def _encode_mb_pcm(ew, st: _FrameState, mbx: int, mby: int,
                    src_y: np.ndarray, src_cb: np.ndarray, src_cr: np.ndarray,
                    type_offset: int = 0) -> None:
     """I_PCM (mb_type 25, +5 inside P slices): raw samples, always
@@ -2079,17 +2309,12 @@ def _encode_mb_pcm(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     placeholder coeff_token row."""
     ox, oy = mbx * 16, mby * 16
     bx0, by0 = ox // 4, oy // 4
-    w.ue(25 + type_offset)
-    w.byte_align_zero()
+    sl = {0: "I", 5: "P", 23: "B"}[type_offset]
+    ew.mb_type(st, mbx, mby, sl, 25 + type_offset)
     lum = src_y[oy : oy + 16, ox : ox + 16]
     cbs = src_cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8]
     crs = src_cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8]
-    for v in lum.reshape(-1):
-        w.u(int(v), 8)
-    for v in cbs.reshape(-1):
-        w.u(int(v), 8)
-    for v in crs.reshape(-1):
-        w.u(int(v), 8)
+    ew.pcm_samples(st, mbx, mby, lum, cbs, crs)
     st.y[oy : oy + 16, ox : ox + 16] = lum
     st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cbs
     st.cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = crs
@@ -2099,7 +2324,7 @@ def _encode_mb_pcm(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     st.mb_inter[mby, mbx] = False
 
 
-def _encode_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
+def _encode_mb(ew, st: _FrameState, mbx: int, mby: int,
                src_y: np.ndarray, src_cb: np.ndarray, src_cr: np.ndarray,
                qp: int, mb_mode: str) -> None:
     ox, oy = mbx * 16, mby * 16
@@ -2107,22 +2332,27 @@ def _encode_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     src = src_y[oy : oy + 16, ox : ox + 16].astype(np.int64)
 
     if mb_mode == "pcm":
-        _encode_mb_pcm(w, st, mbx, mby, src_y, src_cb, src_cr)
+        _encode_mb_pcm(ew, st, mbx, mby, src_y, src_cb, src_cr)
         return
 
+    if ew.cabac:
+        # CABAC binarizes every residual exactly — no non-verbatim
+        # placeholder rows exist, so no fallback path is reachable
+        _encode_mb_coded(ew, st, mbx, mby, src, src_y, src_cb, src_cr,
+                         qp, mb_mode)
+        return
     snap = _mb_snapshot(st, mbx, mby)
-    wpos = (len(w.buf), w.acc, w.nbits)
+    wpos = ew.checkpoint()
     try:
-        _encode_mb_coded(w, st, mbx, mby, src, src_y, src_cb, src_cr,
+        _encode_mb_coded(ew, st, mbx, mby, src, src_y, src_cb, src_cr,
                          qp, mb_mode)
     except _NonVerbatimCode:
-        del w.buf[wpos[0]:]
-        w.acc, w.nbits = wpos[1], wpos[2]
+        ew.rollback(wpos)
         _mb_restore(st, mbx, mby, snap)
-        _encode_mb_pcm(w, st, mbx, mby, src_y, src_cb, src_cr)
+        _encode_mb_pcm(ew, st, mbx, mby, src_y, src_cb, src_cr)
 
 
-def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
+def _encode_mb_coded(ew, st: _FrameState, mbx: int, mby: int,
                      src: np.ndarray, src_y: np.ndarray,
                      src_cb: np.ndarray, src_cr: np.ndarray,
                      qp: int, mb_mode: str) -> None:
@@ -2153,7 +2383,7 @@ def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
                                                up_mb, left_mb, ul_mb)))
 
     if use_i4:
-        _encode_mb_i4(w, st, mbx, mby, src, src_cb, src_cr, qp, cmode)
+        _encode_mb_i4(ew, st, mbx, mby, src, src_cb, src_cr, qp, cmode)
         return
 
     # ---- I_16x16 ----
@@ -2171,14 +2401,13 @@ def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     zdc = quant_dc4(hadamard4(dcm), qp)
     cbp_l = 15 if any(a.any() for a in acs) else 0
     # chroma first to know cbp_c (emission order restores spec order)
-    cbp_c, cemit = _encode_chroma(w, st, ox, oy, src_cb, src_cr, qp, cmode,
+    cbp_c, cemit = _encode_chroma(st, ox, oy, src_cb, src_cr, qp, cmode,
                                   up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
     mb_type = 1 + m16 + 4 * cbp_c + 12 * (1 if cbp_l else 0)
-    w.ue(mb_type)
-    w.ue(cmode)
-    w.se(0)  # mb_qp_delta
-    nC_dc = st.nC(st.nzy, by0, bx0)
-    encode_residual(w, _mat_to_zz(zdc), nC_dc)
+    ew.mb_type(st, mbx, mby, "I", mb_type)
+    ew.chroma_mode(st, mbx, mby, cmode)
+    ew.qp_delta(st, mbx, mby, 0)
+    ew.res_luma_dc16(st, mbx, mby, _mat_to_zz(zdc))
     dc = dequant_dc4(hadamard4(zdc), qp)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
@@ -2186,8 +2415,7 @@ def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
         by, bx = gy // 4, gx // 4
         z = acs[blk]
         if cbp_l:
-            nC = st.nC(st.nzy, by, bx)
-            tc = encode_residual(w, _mat_to_zz(z)[1:], nC)
+            tc = ew.res_luma(st, by, bx, True, _mat_to_zz(z)[1:])
             st.nzy[by, bx] = tc
         else:
             st.nzy[by, bx] = 0
@@ -2196,10 +2424,10 @@ def _encode_mb_coded(w: BitWriter, st: _FrameState, mbx: int, mby: int,
         rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
         st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-    _flush_chroma(w, st, cemit, cbp_c)
+    _flush_chroma(ew, st, cemit, cbp_c)
 
 
-def _encode_mb_i4(w: BitWriter, st: _FrameState, mbx: int, mby: int,
+def _encode_mb_i4(ew, st: _FrameState, mbx: int, mby: int,
                   src: np.ndarray, src_cb: np.ndarray, src_cr: np.ndarray,
                   qp: int, cmode: int) -> None:
     ox, oy = mbx * 16, mby * 16
@@ -2232,10 +2460,10 @@ def _encode_mb_i4(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     for i8 in range(4):
         if any(any(blocks[i8 * 4 + k][1]) for k in range(4)):
             cbp_l |= 1 << i8
-    cbp_c, cemit = _encode_chroma(w, st, ox, oy, src_cb, src_cr, qp, cmode,
+    cbp_c, cemit = _encode_chroma(st, ox, oy, src_cb, src_cr, qp, cmode,
                                   up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
     cbp = cbp_l | (cbp_c << 4)
-    w.ue(0)  # mb_type I_NxN
+    ew.mb_type(st, mbx, mby, "I", 0)  # I_NxN
     # mode signalling (prediction replays the decoder's min rule)
     saved = st.modes4.copy()
     for blk in range(16):
@@ -2247,27 +2475,22 @@ def _encode_mb_i4(w: BitWriter, st: _FrameState, mbx: int, mby: int,
         by, bx = (oy + yb) // 4, (ox + x) // 4
         pred = st.pred_mode4(by, bx)
         mode = blocks[blk][0]
-        if mode == pred:
-            w.u(1, 1)
-        else:
-            w.u(0, 1)
-            w.u(mode if mode < pred else mode - 1, 3)
+        ew.intra4_mode(st, by, bx, pred, mode)
         st.modes4[by, bx] = mode
     st.modes4[:] = saved
-    w.ue(cmode)
-    w.ue(_CBP_INTRA_INV[cbp])
+    ew.chroma_mode(st, mbx, mby, cmode)
+    ew.cbp(st, mbx, mby, True, cbp)
     if cbp:
-        w.se(0)  # mb_qp_delta
+        ew.qp_delta(st, mbx, mby, 0)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
         by, bx = (oy + yb) // 4, (ox + x) // 4
         if cbp_l & (1 << (blk // 4)):
-            nC = st.nC(st.nzy, by, bx)
-            tc = encode_residual(w, blocks[blk][1], nC)
+            tc = ew.res_luma(st, by, bx, False, blocks[blk][1])
             st.nzy[by, bx] = tc
         else:
             st.nzy[by, bx] = 0
-    _flush_chroma(w, st, cemit, cbp_c)
+    _flush_chroma(ew, st, cemit, cbp_c)
 
 
 def _slice_bounds(n_mbs: int, slices: int) -> list[tuple[int, int]]:
@@ -2286,7 +2509,8 @@ def _slice_bounds(n_mbs: int, slices: int) -> list[tuple[int, int]]:
 def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      qp: int = 26, mb_mode: str = "auto",
                      poc_lsb: int | None = None,
-                     slices: int = 1) -> tuple[list[bytes], _FrameState]:
+                     slices: int = 1,
+                     entropy: str = "cavlc") -> tuple[list[bytes], _FrameState]:
     """(y, cb, cr) uint8 planes (padded to MB multiples by the caller via
     :func:`pad_planes`) -> (IDR slice RBSPs, reconstruction state) — the
     state seeds P-frame encoding of the following GOP frames.
@@ -2316,10 +2540,30 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(0, 1)  # long_term_reference
         w.se(0)  # slice_qp_delta (QP == pic_init_qp)
         w.ue(1)  # disable_deblocking_filter_idc: OFF (conformant skip)
+        if entropy == "cabac":
+            if mb_mode == "pcm":
+                raise ValueError(
+                    "I_PCM under CABAC not supported (never needed: "
+                    "arithmetic coding has no non-verbatim fallback)"
+                )
+            from scanner_spark.kernels.h264_cabac import CabacWriter
+
+            w.byte_align_one()
+            ew = CabacWriter()
+            for mb in range(mb0, mb1):
+                mbx, mby = mb % mbw, mb // mbw
+                st.slice_no[mby, mbx] = si
+                ew.begin_mb(st, mbx, mby)
+                _encode_mb(ew, st, mbx, mby, y, cb, cr, qp, mb_mode)
+                ew.end_mb(st, mbx, mby)
+                ew.end_of_slice(mb == mb1 - 1)
+            rbsps.append(w.bytes() + ew.bytes())
+            continue
+        ew = CavlcWriter(w)
         for mb in range(mb0, mb1):
             mbx, mby = mb % mbw, mb // mbw
             st.slice_no[mby, mbx] = si
-            _encode_mb(w, st, mbx, mby, y, cb, cr, qp, mb_mode)
+            _encode_mb(ew, st, mbx, mby, y, cb, cr, qp, mb_mode)
         w.rbsp_trailing()
         rbsps.append(w.bytes())
     return rbsps, st
@@ -2456,7 +2700,7 @@ def _reconstruct_inter(st: _FrameState, oy: int, ox: int, cbp: int,
             plane[cy + yb : cy + yb + 4, cx + x : cx + x + 4] = np.clip(rec, 0, 255)
 
 
-def _write_inter_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
+def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
                     mv, mvd, cbp: int, luma_z, comps, qp: int,
                     mb_type: int = 0, mvd2=None) -> None:
     """Bitstream emission for a 16x16 inter MB + nzy/nzc updates:
@@ -2464,36 +2708,34 @@ def _write_inter_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
     first coded list and ``mvd2`` for list 1 of B_Bi."""
     oy, ox = mby * 16, mbx * 16
     cbp_l, cbp_c = cbp & 15, cbp >> 4
-    w.ue(mb_type)
+    ew.mb_type(st, mbx, mby, "P" if mb_type == 0 else "B", mb_type)
     if mvd is not None:
-        w.se(int(mvd[0]))
-        w.se(int(mvd[1]))
+        # list 0 unless this is B_L1_16x16 (its single mvd is list 1)
+        ew.mvd_pair(st, mbx, mby, 1 if mb_type == 2 else 0, mvd)
     if mvd2 is not None:
-        w.se(int(mvd2[0]))
-        w.se(int(mvd2[1]))
-    w.ue(_CBP_INTER_INV[cbp])
+        ew.mvd_pair(st, mbx, mby, 1, mvd2)
+    ew.cbp(st, mbx, mby, False, cbp)
     if cbp:
-        w.se(0)  # mb_qp_delta
+        ew.qp_delta(st, mbx, mby, 0)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
         by, bx = (oy + yb) // 4, (ox + x) // 4
         if cbp_l & (1 << (blk // 4)):
-            nC = st.nC(st.nzy, by, bx)
-            tc = encode_residual(w, _mat_to_zz(luma_z[blk]), nC)
+            tc = ew.res_luma(st, by, bx, False, _mat_to_zz(luma_z[blk]))
             st.nzy[by, bx] = tc
         else:
             st.nzy[by, bx] = 0
     # chroma: both DCs, then Cb ACs, then Cr ACs (§7.3.5.3.2)
     if cbp_c:
-        for zdc, _acs, _p8 in comps:
+        for comp, (zdc, _acs, _p8) in enumerate(comps):
             zz = [int(zdc[0, 0]), int(zdc[0, 1]), int(zdc[1, 0]), int(zdc[1, 1])]
-            encode_residual(w, zz, -1)
+            ew.res_chroma_dc(st, comp, mbx, mby, zz)
     for comp, (_zdc, acs, _p8) in enumerate(comps):
         for blk, (x, yb) in enumerate(_CBLK_POS):
             cby, cbx = (oy // 2 + yb) // 4, (ox // 2 + x) // 4
             if cbp_c == 2:
-                nC = st.nC(st.nzc[comp], cby, cbx, bsz=2)
-                tc = encode_residual(w, _mat_to_zz(acs[blk])[1:], nC)
+                tc = ew.res_chroma_ac(st, comp, cby, cbx,
+                                      _mat_to_zz(acs[blk])[1:])
                 st.nzc[comp, cby, cbx] = tc
             else:
                 st.nzc[comp, cby, cbx] = 0
@@ -2502,7 +2744,8 @@ def _write_inter_mb(w: BitWriter, st: _FrameState, mbx: int, mby: int,
 def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      ref: _FrameState, qp: int = 26, frame_num: int = 1,
                      search: int = 4, poc_lsb: int | None = None,
-                     slices: int = 1) -> tuple[list[bytes], _FrameState]:
+                     slices: int = 1,
+                     entropy: str = "cavlc") -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
     zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
@@ -2529,14 +2772,26 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
+        if entropy == "cabac":
+            w.ue(0)  # cabac_init_idc (uniform init, kernels/cabac.py)
         w.se(0)  # slice_qp_delta
         w.ue(1)  # disable_deblocking_filter_idc: OFF
+        if entropy == "cabac":
+            from scanner_spark.kernels.h264_cabac import CabacWriter
+
+            w.byte_align_one()
+            cw = CabacWriter()
+        else:
+            cw = None
+        ew = cw if cw is not None else CavlcWriter(w)
         skip_run = 0
         for mb in range(mb0, mb1):
             mbx, mby = mb % mbw, mb // mbw
             st.slice_no[mby, mbx] = si
             oy, ox = mby * 16, mbx * 16
             src = ysrc[oy : oy + 16, ox : ox + 16]
+            if cw is not None:
+                cw.begin_mb(st, mbx, mby)
             # P_Skip trial: motion-compensate at the derived skip vector
             # (quarter-pel; the interpolator handles any fraction)
             mv_skip = st.skip_mv(mbx, mby)
@@ -2544,6 +2799,8 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 ref, src, cb, cr, oy, ox, mv_skip, qp
             )
             if cbp_s == 0:
+                if cw is not None:
+                    cw.write_skip(st, mbx, mby, False, True)
                 _reconstruct_inter(st, oy, ox, 0, lz_s, comps_s, p16_s, qp)
                 by0, bx0 = oy // 4, ox // 4
                 st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
@@ -2552,18 +2809,35 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 st.mb_inter[mby, mbx] = True
                 st.mv[mby, mbx] = mv_skip
                 skip_run += 1
+                if cw is not None:
+                    cw.end_mb(st, mbx, mby)
+                    cw.end_of_slice(mb == mb1 - 1)
                 continue
-            w.ue(skip_run)
+            if cw is not None:
+                cw.write_skip(st, mbx, mby, False, False)
+            else:
+                w.ue(skip_run)
             skip_run = 0
             mv = _motion_search(ref.y, src, oy, ox, search)
             mvp = st.mv_pred(mbx, mby)
             cbp, luma_z, comps, p16 = _inter_residuals(
                 ref, src, cb, cr, oy, ox, mv, qp
             )
+            if cw is not None:
+                _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
+                                luma_z, comps, qp)
+                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+                by0, bx0 = oy // 4, ox // 4
+                st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+                st.mb_inter[mby, mbx] = True
+                st.mv[mby, mbx] = mv
+                cw.end_mb(st, mbx, mby)
+                cw.end_of_slice(mb == mb1 - 1)
+                continue
             snap = _mb_snapshot(st, mbx, mby)
-            wpos = (len(w.buf), w.acc, w.nbits)
+            wpos = ew.checkpoint()
             try:
-                _write_inter_mb(w, st, mbx, mby, mv, mv - mvp, cbp,
+                _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
                                 luma_z, comps, qp)
                 _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
                 by0, bx0 = oy // 4, ox // 4
@@ -2571,10 +2845,12 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 st.mb_inter[mby, mbx] = True
                 st.mv[mby, mbx] = mv
             except _NonVerbatimCode:
-                del w.buf[wpos[0]:]
-                w.acc, w.nbits = wpos[1], wpos[2]
+                ew.rollback(wpos)
                 _mb_restore(st, mbx, mby, snap)
-                _encode_mb_pcm(w, st, mbx, mby, y, cb, cr, type_offset=5)
+                _encode_mb_pcm(ew, st, mbx, mby, y, cb, cr, type_offset=5)
+        if cw is not None:
+            rbsps.append(w.bytes() + cw.bytes())
+            continue
         if skip_run:
             w.ue(skip_run)
         w.rbsp_trailing()
@@ -2596,7 +2872,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      ref0: _FrameState, ref1: _FrameState, qp: int = 26,
                      frame_num: int = 1, search: int = 4,
                      poc_lsb: int = 0,
-                     slices: int = 1) -> tuple[list[bytes], _FrameState]:
+                     slices: int = 1,
+                     entropy: str = "cavlc") -> tuple[list[bytes], _FrameState]:
     """B picture (non-reference): per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
     the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
@@ -2626,8 +2903,18 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         w.u(0, 1)  # ref_pic_list_modification_flag_l1
         # nal_ref_idc == 0 (non-ref): no dec_ref_pic_marking
+        if entropy == "cabac":
+            w.ue(0)  # cabac_init_idc (uniform init, kernels/cabac.py)
         w.se(0)  # slice_qp_delta
         w.ue(1)  # disable_deblocking_filter_idc: OFF
+        if entropy == "cabac":
+            from scanner_spark.kernels.h264_cabac import CabacWriter
+
+            w.byte_align_one()
+            cw = CabacWriter()
+        else:
+            cw = None
+        ew = cw if cw is not None else CavlcWriter(w)
         for mb in range(mb0, mb1):
             mbx, mby = mb % mbw, mb // mbw
             st.slice_no[mby, mbx] = si
@@ -2663,13 +2950,35 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 (mvs[1] - st.mv_pred(mbx, mby, 1))
                 if mvs[1] is not None else None
             )
+            if cw is not None:
+                cw.begin_mb(st, mbx, mby)
+                cw.write_skip(st, mbx, mby, True, False)  # never B_Skip
+                _write_inter_mb(
+                    ew, st, mbx, mby, mvs[0],
+                    mvd0 if mvd0 is not None else mvd1,
+                    cbp, luma_z, comps, qp, mb_type=mb_type,
+                    mvd2=mvd1 if (mvd0 is not None and mvd1 is not None)
+                    else None,
+                )
+                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+                by0, bx0 = oy // 4, ox // 4
+                st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+                st.mb_inter[mby, mbx] = True
+                for lst in (0, 1):
+                    if mvs[lst] is not None:
+                        st.use_l[mby, mbx, lst] = True
+                        st.mv_l[mby, mbx, lst] = mvs[lst]
+                st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
+                cw.end_mb(st, mbx, mby)
+                cw.end_of_slice(mb == mb1 - 1)
+                continue
             snap = _mb_snapshot(st, mbx, mby)
             use_snap = (st.use_l[mby, mbx].copy(), st.mv_l[mby, mbx].copy())
-            wpos = (len(w.buf), w.acc, w.nbits)
+            wpos = ew.checkpoint()
             w.ue(0)  # mb_skip_run (never B_Skip)
             try:
                 _write_inter_mb(
-                    w, st, mbx, mby, mvs[0],
+                    ew, st, mbx, mby, mvs[0],
                     mvd0 if mvd0 is not None else mvd1,
                     cbp, luma_z, comps, qp, mb_type=mb_type,
                     mvd2=mvd1 if (mvd0 is not None and mvd1 is not None)
@@ -2685,12 +2994,14 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                         st.mv_l[mby, mbx, lst] = mvs[lst]
                 st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
             except _NonVerbatimCode:
-                del w.buf[wpos[0]:]
-                w.acc, w.nbits = wpos[1], wpos[2]
+                ew.rollback(wpos)
                 _mb_restore(st, mbx, mby, snap)
                 st.use_l[mby, mbx], st.mv_l[mby, mbx] = use_snap
                 w.ue(0)  # mb_skip_run before the replacement MB
-                _encode_mb_pcm(w, st, mbx, mby, y, cb, cr, type_offset=23)
+                _encode_mb_pcm(ew, st, mbx, mby, y, cb, cr, type_offset=23)
+        if cw is not None:
+            rbsps.append(w.bytes() + cw.bytes())
+            continue
         w.rbsp_trailing()
         rbsps.append(w.bytes())
     return rbsps, st
@@ -2720,14 +3031,14 @@ def pad_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
 
 def encode_frame_nals(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                       qp: int = 26, mb_mode: str = "auto",
-                      slices: int = 1) -> list:
+                      slices: int = 1, entropy: str = "cavlc") -> list:
     """One frame -> the picture's IDR slice NALs (no start code / length
     prefix), ALWAYS a list — one entry per slice.  Type-stable multi-slice
     API (ADVICE r08); :func:`encode_frame` is the scalar single-slice
     convenience."""
     yp, cbp_, crp = pad_planes(y, cb, cr)
     rbsps, _st = encode_picture_i(yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
-                                  slices=slices)
+                                  slices=slices, entropy=entropy)
     return [rbsp_to_nal(3, 5, r) for r in rbsps]
 
 
@@ -2741,7 +3052,8 @@ def encode_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        mb_mode: str = "auto", search: int = 4,
                        b_frames: int = 0,
-                       slices: int = 1) -> list[tuple[list, bool, int]]:
+                       slices: int = 1,
+                       entropy: str = "cavlc") -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
     IDR, reference P frames every ``b_frames + 1`` display positions
@@ -2773,7 +3085,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
         yp, cbp_, crp = frames[g0]
         rbsps, prev_st = encode_picture_i(
             yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
-            poc_lsb=0 if poc0 else None, slices=slices,
+            poc_lsb=0 if poc0 else None, slices=slices, entropy=entropy,
         )
         out.append((pack(rbsps, 3, 5), True, g0))
         fnum, prev_d = 1, 0
@@ -2783,6 +3095,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             rbsps, nxt_st = encode_picture_p(
                 yp, cbp_, crp, prev_st, qp=qp, frame_num=fnum, search=search,
                 poc_lsb=2 * nxt_d if poc0 else None, slices=slices,
+                entropy=entropy,
             )
             out.append((pack(rbsps, 2, 1), False, g0 + nxt_d))
             fnum = (fnum + 1) & 15
@@ -2791,6 +3104,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 rbsps, _ = encode_picture_b(
                     yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
                     search=search, poc_lsb=2 * d, slices=slices,
+                    entropy=entropy,
                 )
                 out.append((pack(rbsps, 0, 1), False, g0 + d))
             prev_st, prev_d = nxt_st, nxt_d
@@ -2813,7 +3127,8 @@ def encode_stream(frames_yuv, gop: int = 8, qp: int = 26,
 
 def decode_frame(nal: bytes, sps: dict, pps: dict, strict: bool = True,
                  ref: _FrameState | None = None, return_state: bool = False,
-                 ref1: _FrameState | None = None):
+                 ref1: _FrameState | None = None,
+                 cabac_marked: bool = False):
     """Slice NAL -> (y, cb, cr) uint8 planes (cropped).  IDR/non-IDR and
     the ref-marking form are selected from the NAL header (ADVICE r05);
     P slices need ``ref`` (previous reference's state), B slices ``ref``
@@ -2825,6 +3140,7 @@ def decode_frame(nal: bytes, sps: dict, pps: dict, strict: bool = True,
     return decode_slice(
         rbsp, sps, pps, strict=strict, idr=nal_type == 5,
         nal_ref_idc=ref_idc, ref=ref, return_state=return_state, ref1=ref1,
+        cabac_marked=cabac_marked,
     )
 
 
@@ -2832,19 +3148,24 @@ def decode_picture_nals(nals: "list[bytes]", sps: dict, pps: dict,
                         strict: bool = True,
                         ref: _FrameState | None = None,
                         return_state: bool = False,
-                        ref1: _FrameState | None = None):
-    """All slice NALs of one access unit -> decoded picture (the
-    multi-slice entry point for container layers; see
-    :func:`decode_picture`)."""
+                        ref1: _FrameState | None = None,
+                        cabac_marked: bool = False):
+    """All NALs of one access unit -> decoded picture (the multi-slice
+    entry point for container layers; see :func:`decode_picture`).  SEI
+    NALs are skipped, except that this repo's CABAC origin-marker SEI
+    unlocks CABAC decoding (kernels/cabac.py provenance note)."""
     slices = []
     for nal in nals:
         ref_idc, nal_type, rbsp = nal_to_rbsp(nal)
+        if nal_type == 6:
+            cabac_marked = cabac_marked or is_cabac_marker(nal)
+            continue
         if nal_type not in (1, 5):
             raise ValueError(f"not a slice NAL (type {nal_type})")
         slices.append((rbsp, nal_type == 5, ref_idc))
     return decode_picture(
         slices, sps, pps, strict=strict, ref=ref,
-        return_state=return_state, ref1=ref1,
+        return_state=return_state, ref1=ref1, cabac_marked=cabac_marked,
     )
 
 

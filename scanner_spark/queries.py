@@ -1708,6 +1708,19 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_ms_path)
+    # CABAC-entropy avc1 (round 9): same I/P/B GOP shape coded with the
+    # arithmetic engine (kernels/cabac.py + h264_cabac.py); samples carry
+    # the origin-marker SEI that unlocks the uniform-init CABAC decoder
+    # (foreign CABAC refuses loudly — provenance note in cabac.py)
+    avc_cabac_path = f"{tmp}/vid5.mp4"
+    with open(avc_cabac_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(5, i, 16, 16, 3) for i in range(8)],
+                qp=10, gop=4, b_frames=1, entropy="cabac",
+            )
+        )
+    paths.append(avc_cabac_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1715,6 +1728,7 @@ def q_video_decode_pruned(spark, sf_dir):
         mp4_path: [7, 31],
         avc_path: [1, 6],
         avc_ms_path: [2, 5],
+        avc_cabac_path: [1, 6],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1730,7 +1744,7 @@ def q_video_decode_pruned(spark, sf_dir):
         F.col("frame_no").cast("long").alias("frame_no"),
         cks(F.col("frame")).alias("c"),
     )
-    lossy = F.col("video").isin("vid3.mp4", "vid4.mp4")
+    lossy = F.col("video").isin("vid3.mp4", "vid4.mp4", "vid5.mp4")
     return out2.select(
         "video",
         "frame_no",

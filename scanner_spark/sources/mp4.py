@@ -396,7 +396,7 @@ def encode_mp4_raw(frames, fps: int = 30) -> bytes:
 
 def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     gop: int | None = None, b_frames: int = 0,
-                    slices: int = 1) -> bytes:
+                    slices: int = 1, entropy: str = "cavlc") -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -427,23 +427,29 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
         w, h, num_ref_frames=2 if b_frames else 1,
         poc_type=0 if b_frames else 2,
     )
-    pps = h264.write_pps(qp)
+    pps = h264.write_pps(qp, cabac=entropy == "cabac")
     yuv = [h264.yuv420_from_rgb(np.asarray(f)) for f in frames]
     if gop is None:
         nals = [
             (h264.encode_frame_nals(y, cb, cr, qp=qp, mb_mode=mb_mode,
-                                    slices=slices), True, i)
+                                    slices=slices, entropy=entropy), True, i)
             for i, (y, cb, cr) in enumerate(yuv)
         ]
     else:
         nals = h264.encode_stream_nals(
             yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames,
-            slices=slices,
+            slices=slices, entropy=entropy,
         )
+    # CABAC samples each carry the origin-marker SEI: the decoder's
+    # uniform-context-init CABAC accepts only marked (in-repo) streams
+    # (kernels/cabac.py provenance note)
+    marker = [h264.cabac_marker_nal()] if entropy == "cabac" else []
 
     def _sample(ns):
         # one sample = ALL of the picture's slice NALs, length-prefixed
-        return b"".join(len(n_).to_bytes(4, "big") + n_ for n_ in ns)
+        return b"".join(
+            len(n_).to_bytes(4, "big") + n_ for n_ in marker + ns
+        )
 
     samples = [_sample(nal) for nal, _, _ in nals]
     sync_nos = [i + 1 for i, (_, is_idr, _) in enumerate(nals) if is_idr]  # 1-based
@@ -563,11 +569,9 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
     from scanner_spark.kernels import h264
 
     sps, pps = sps_pps if sps_pps else _parse_avcc_params(sps_rbsp_list, pps_rbsp_list)
-    slices = [
-        nal
-        for nal in h264.split_length_prefixed(bytes(sample), length_size)
-        if nal and nal[0] & 0x1F in (1, 5)
-    ]
+    all_nals = list(h264.split_length_prefixed(bytes(sample), length_size))
+    cabac_marked = any(h264.is_cabac_marker(n) for n in all_nals)
+    slices = [nal for nal in all_nals if nal and nal[0] & 0x1F in (1, 5)]
     if not slices:
         raise ValueError("avc1 sample contains no slice NAL")
     if len(slices) > 1:
@@ -585,7 +589,8 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
                 "kind"
             )
     (y, cb, cr), st = h264.decode_picture_nals(
-        slices, sps, pps, ref=ref, return_state=True, ref1=ref1
+        slices, sps, pps, ref=ref, return_state=True, ref1=ref1,
+        cabac_marked=cabac_marked,
     )
     return h264.rgb_from_yuv420(y, cb, cr), st
 
