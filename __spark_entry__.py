@@ -391,6 +391,9 @@ def _video_decode_sql() -> str:
         ("vid4.mp4", 4, [2, 5], 16, 16, False),
         # CABAC-entropy avc1 (I/P/B GOP, arithmetic coding): lossy -> NULL
         ("vid5.mp4", 5, [1, 6], 16, 16, False),
+        # hierarchical-B avc1 (b-pyramid: referenced B + ref-list
+        # modification, 4-deep DPB walk): lossy -> NULL
+        ("vid6.mp4", 6, [5, 10], 16, 16, False),
     ):
         for f in frames:
             rows.append(

@@ -1084,7 +1084,7 @@ def parse_sps(rbsp: bytes) -> dict:
         r.se()
         for _ in range(r.ue()):
             r.se()
-    r.ue()  # max_num_ref_frames
+    num_ref_frames = r.ue()  # max_num_ref_frames: sizes the DPB walk
     r.u(1)
     mbw = r.ue() + 1
     mbh_units = r.ue() + 1
@@ -1099,6 +1099,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "profile": profile, "level": level, "sps_id": sps_id,
         "log2_max_frame_num": log2_mfn, "poc_type": poc_type,
         "log2_max_poc_lsb": log2_max_poc_lsb,
+        "num_ref_frames": num_ref_frames,
         "mb_width": mbw, "mb_height": mbh_units,
         "width": mbw * 16 - 2 * (crop[0] + crop[1]),
         "height": mbh_units * 16 - 2 * (crop[2] + crop[3]),
@@ -1643,10 +1644,13 @@ def _parse_slice_header(
                     "multiple reference frames not supported (single-ref "
                     "decode)"
                 )
-        if r.u(1):  # ref_pic_list_modification_flag_l0
-            raise NotImplementedError("ref_pic_list_modification not supported")
-        if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
-            raise NotImplementedError("ref_pic_list_modification not supported")
+        # ref_pic_list_modification: parsed and SKIPPED — by contract the
+        # caller supplies the FINAL list heads (ref = RefPicList0[0],
+        # ref1 = RefPicList1[0]); the container walk resolves the
+        # modification against its DPB via slice_header_info
+        _parse_list_mods(r)
+        if is_b:
+            _parse_list_mods(r)
     if pps.get("weighted_pred") and is_p:
         raise NotImplementedError("weighted prediction not supported")
     # dec_ref_pic_marking (§7.3.3.3)
@@ -2745,13 +2749,21 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      ref: _FrameState, qp: int = 26, frame_num: int = 1,
                      search: int = 4, poc_lsb: int | None = None,
                      slices: int = 1,
-                     entropy: str = "cavlc") -> tuple[list[bytes], _FrameState]:
+                     entropy: str = "cavlc",
+                     l0_ref_fn: int | None = None) -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
     zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
     macroblocks.  ``slices`` as in :func:`encode_picture_i` (skip runs
     and all prediction contexts reset at each slice boundary).  Returns
-    (slice RBSPs, reconstruction state)."""
+    (slice RBSPs, reconstruction state).
+
+    ``l0_ref_fn``: frame_num of the DPB picture ``ref`` holds.  When the
+    default RefPicList0 head (highest PicNum, i.e. the most recently
+    decoded reference) is NOT that picture — after a referenced B in a
+    pyramid mini-GOP — the header must carry a ref_pic_list_modification
+    reordering it to index 0 (§7.3.3.1); pass the frame_num and the op
+    is emitted, matching :func:`resolve_list_mod` on the decode side."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
@@ -2770,7 +2782,20 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         if poc_lsb is not None:
             w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
         w.u(0, 1)  # num_ref_idx_active_override_flag
-        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        if l0_ref_fn is None or (l0_ref_fn & 15) == (frame_num & 15):
+            w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        else:
+            # one §7.3.3.1 op: abs_diff_pic_num from picNumPred == curr
+            # frame_num down (idc 0) or up (idc 1) to the wanted PicNum
+            diff = (frame_num - l0_ref_fn) & 15
+            w.u(1, 1)  # ref_pic_list_modification_flag_l0
+            if diff <= 8:
+                w.ue(0)  # idc: subtract
+                w.ue(diff - 1)  # abs_diff_pic_num_minus1
+            else:
+                w.ue(1)  # idc: add (shorter walk the other way round)
+                w.ue(15 - diff)  # (16 - diff) - 1
+            w.ue(3)  # terminator
         w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
         if entropy == "cabac":
             w.ue(0)  # cabac_init_idc (uniform init, kernels/cabac.py)
@@ -2873,15 +2898,20 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      frame_num: int = 1, search: int = 4,
                      poc_lsb: int = 0,
                      slices: int = 1,
-                     entropy: str = "cavlc") -> tuple[list[bytes], _FrameState]:
-    """B picture (non-reference): per-MB motion search against BOTH the
+                     entropy: str = "cavlc",
+                     referenced: bool = False) -> tuple[list[bytes], _FrameState]:
+    """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
     the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
     SAD, I_PCM fallback for placeholder-code macroblocks.  No B_Skip /
     B_Direct is ever emitted (the decoder refuses them).  ``slices`` as
     in :func:`encode_picture_i`.  Returns (slice RBSPs, reconstruction
-    state) — the state is NOT a reference (B frames don't enter the DPB
-    at this scope)."""
+    state).
+
+    ``referenced=True`` emits the header of a REFERENCE B picture (the
+    middle level of a hierarchical mini-GOP): dec_ref_pic_marking is
+    written (sliding window) and the state DOES enter the DPB — pack the
+    NALs with nal_ref_idc > 0 and count the picture in frame_num."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
@@ -2902,7 +2932,9 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         w.u(0, 1)  # ref_pic_list_modification_flag_l1
-        # nal_ref_idc == 0 (non-ref): no dec_ref_pic_marking
+        if referenced:  # nal_ref_idc > 0: sliding-window ref marking
+            w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+        # else nal_ref_idc == 0: no dec_ref_pic_marking
         if entropy == "cabac":
             w.ue(0)  # cabac_init_idc (uniform init, kernels/cabac.py)
         w.se(0)  # slice_qp_delta
@@ -3053,7 +3085,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        mb_mode: str = "auto", search: int = 4,
                        b_frames: int = 0,
                        slices: int = 1,
-                       entropy: str = "cavlc") -> list[tuple[list, bool, int]]:
+                       entropy: str = "cavlc",
+                       b_pyramid: bool = False) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
     IDR, reference P frames every ``b_frames + 1`` display positions
@@ -3071,7 +3104,20 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
     decodable slices (encode_picture_*); every stream entry ALWAYS
     carries the picture's LIST of slice NALs (type-stable, ADVICE r08 —
     the mp4 layer packs them into one length-prefixed sample).  See
-    :func:`encode_stream` for the scalar single-slice convenience."""
+    :func:`encode_stream` for the scalar single-slice convenience.
+
+    ``b_pyramid=True`` (needs ``b_frames >= 2``) emits hierarchical B
+    mini-GOPs: the middle B of each inter-reference gap is itself a
+    REFERENCE picture (nal_ref_idc > 0, enters the DPB) and the outer Bs
+    predict from it — the x264 ``b-pyramid`` structure.  Consequences a
+    decoder must handle, all covered by the general DPB walk in
+    sources/mp4.decode_range: three live references (pair the stream
+    with ``write_sps(..., num_ref_frames=3, poc_type=0)``), default B
+    list initialization by POC distance, and an explicit
+    ref_pic_list_modification on each following P (its L0 default head
+    would be the B reference, not the P it predicts from)."""
+    if b_pyramid and b_frames < 2:
+        raise ValueError("b_pyramid needs b_frames >= 2 (a gap to split)")
     frames = [pad_planes(y, cb, cr) for y, cb, cr in frames_yuv]
     out: list[tuple[list, bool, int]] = []
     poc0 = b_frames > 0  # poc-type-0 headers carry display order
@@ -3089,6 +3135,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
         )
         out.append((pack(rbsps, 3, 5), True, g0))
         fnum, prev_d = 1, 0
+        prev_fn = 0  # frame_num of prev_st's picture
+        prev_gap_bref = False  # previous gap emitted a reference B
         while prev_d < gL - 1:
             nxt_d = min(prev_d + step, gL - 1)
             yp, cbp_, crp = frames[g0 + nxt_d]
@@ -3096,18 +3144,46 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 yp, cbp_, crp, prev_st, qp=qp, frame_num=fnum, search=search,
                 poc_lsb=2 * nxt_d if poc0 else None, slices=slices,
                 entropy=entropy,
+                # after a reference B, the default L0 head (highest
+                # PicNum) is that B, not prev_st — reorder explicitly
+                l0_ref_fn=prev_fn if prev_gap_bref else None,
             )
             out.append((pack(rbsps, 2, 1), False, g0 + nxt_d))
-            fnum = (fnum + 1) & 15
-            for d in range(prev_d + 1, nxt_d):
-                yp, cbp_, crp = frames[g0 + d]
-                rbsps, _ = encode_picture_b(
+            nxt_fn, fnum = fnum, (fnum + 1) & 15
+            bds = list(range(prev_d + 1, nxt_d))
+            if b_pyramid and len(bds) >= 2:
+                m = (prev_d + nxt_d) // 2
+                yp, cbp_, crp = frames[g0 + m]
+                rbsps, mid_st = encode_picture_b(
                     yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
-                    search=search, poc_lsb=2 * d, slices=slices,
-                    entropy=entropy,
+                    search=search, poc_lsb=2 * m, slices=slices,
+                    entropy=entropy, referenced=True,
                 )
-                out.append((pack(rbsps, 0, 1), False, g0 + d))
-            prev_st, prev_d = nxt_st, nxt_d
+                out.append((pack(rbsps, 2, 1), False, g0 + m))
+                fnum = (fnum + 1) & 15
+                for d in bds:
+                    if d == m:
+                        continue
+                    r0, r1 = (prev_st, mid_st) if d < m else (mid_st, nxt_st)
+                    yp, cbp_, crp = frames[g0 + d]
+                    rbsps, _ = encode_picture_b(
+                        yp, cbp_, crp, r0, r1, qp=qp, frame_num=fnum,
+                        search=search, poc_lsb=2 * d, slices=slices,
+                        entropy=entropy,
+                    )
+                    out.append((pack(rbsps, 0, 1), False, g0 + d))
+                prev_gap_bref = True
+            else:
+                for d in bds:
+                    yp, cbp_, crp = frames[g0 + d]
+                    rbsps, _ = encode_picture_b(
+                        yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
+                        search=search, poc_lsb=2 * d, slices=slices,
+                        entropy=entropy,
+                    )
+                    out.append((pack(rbsps, 0, 1), False, g0 + d))
+                prev_gap_bref = False
+            prev_st, prev_d, prev_fn = nxt_st, nxt_d, nxt_fn
     return out
 
 
@@ -3183,6 +3259,89 @@ def slice_kind(nal: bytes) -> tuple[str, bool]:
     if kind is None:
         raise NotImplementedError(f"slice_type mod 5 == {st_mod} unsupported")
     return kind, ref_idc != 0
+
+
+def _parse_list_mods(r: BitReader) -> list[tuple[int, int]] | None:
+    """ref_pic_list_modification op sequence for one list (§7.3.3.1):
+    None when the flag is 0, else [(idc, value), ...] up to the idc-3
+    terminator.  Only short-term ops (idc 0/1) are accepted."""
+    if not r.u(1):
+        return None
+    ops = []
+    while True:
+        idc = r.ue()
+        if idc == 3:
+            return ops
+        if idc not in (0, 1):
+            raise NotImplementedError(
+                f"ref_pic_list_modification idc {idc}: long-term "
+                "reference selection not supported"
+            )
+        ops.append((idc, r.ue()))
+        if len(ops) > 16:
+            raise ValueError("runaway ref_pic_list_modification")
+
+
+def resolve_list_mod(ops, curr_fn: int, max_fn: int) -> int:
+    """Apply short-term modification ops (§8.2.4.3.1's picNumPred walk)
+    and return the selected reference's frame_num (single-op scope: the
+    in-repo encoder reorders only the list HEAD, which is all a
+    one-ref-per-list decode consumes)."""
+    pred = curr_fn
+    target = None
+    for idc, val in ops:
+        if idc == 0:
+            pred = (pred - (val + 1)) % max_fn
+        else:
+            pred = (pred + val + 1) % max_fn
+        if target is None:
+            target = pred
+    return target if target is not None else curr_fn
+
+
+def slice_header_info(nal: bytes, sps: dict, pps: dict) -> dict:
+    """Peek the slice-header fields a DPB-maintaining GOP walk needs —
+    kind, reference-ness, frame_num, picture order count, and any
+    ref-list modification — without decoding pixels (§7.3.3).  Replaces
+    the two-slot prev/cur model's (kind, is_ref) peek: with these the
+    walk resolves RefPicList0[0]/RefPicList1[0] against an arbitrary-
+    depth decoded-picture buffer (hierarchical / referenced-B streams;
+    the reference decodes them via ffmpeg, decoder_automata.cpp)."""
+    ref_idc, nal_type, rbsp = nal_to_rbsp(nal)
+    if nal_type not in (1, 5):
+        raise ValueError(f"not a slice NAL (type {nal_type})")
+    idr = nal_type == 5
+    r = BitReader(rbsp)
+    r.ue()  # first_mb_in_slice
+    st_mod = r.ue() % 5
+    kind = {0: "P", 1: "B", 2: "I"}.get(st_mod)
+    if kind is None:
+        raise NotImplementedError(f"slice_type mod 5 == {st_mod} unsupported")
+    r.ue()  # pps_id
+    fn = r.u(sps["log2_max_frame_num"])
+    if idr:
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        poc = r.u(sps.get("log2_max_poc_lsb", 4))
+    else:
+        # poc_type 2: display order == decode order; 2*fn ranks refs and
+        # non-refs consistently at this walk's single-GOP scope
+        poc = 2 * fn
+    l0_mod = l1_mod = None
+    if kind == "B":
+        r.u(1)  # direct_spatial_mv_pred_flag
+    if kind in ("P", "B"):
+        if r.u(1):  # num_ref_idx_active_override_flag
+            r.ue()
+            if kind == "B":
+                r.ue()
+        l0_mod = _parse_list_mods(r)
+        if kind == "B":
+            l1_mod = _parse_list_mods(r)
+    return {
+        "kind": kind, "is_ref": ref_idc != 0, "idr": idr,
+        "frame_num": fn, "poc": poc, "l0_mod": l0_mod, "l1_mod": l1_mod,
+    }
 
 
 # ---------------------------------------------------------------------------

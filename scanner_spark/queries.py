@@ -1721,6 +1721,20 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_cabac_path)
+    # hierarchical-B avc1 (round 9): b-pyramid mini-GOPs — the middle B
+    # of each gap is itself a reference (enters the 4-deep sliding-window
+    # DPB) and trailing P frames carry an explicit
+    # ref_pic_list_modification; wanted display 5 is an OUTER B that
+    # back-predicts from the referenced B, display 10 a reference B
+    avc_pyr_path = f"{tmp}/vid6.mp4"
+    with open(avc_pyr_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(6, i, 16, 16, 3) for i in range(16)],
+                qp=10, gop=8, b_frames=3, b_pyramid=True,
+            )
+        )
+    paths.append(avc_pyr_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1729,6 +1743,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_path: [1, 6],
         avc_ms_path: [2, 5],
         avc_cabac_path: [1, 6],
+        avc_pyr_path: [5, 10],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1744,7 +1759,9 @@ def q_video_decode_pruned(spark, sf_dir):
         F.col("frame_no").cast("long").alias("frame_no"),
         cks(F.col("frame")).alias("c"),
     )
-    lossy = F.col("video").isin("vid3.mp4", "vid4.mp4", "vid5.mp4")
+    lossy = F.col("video").isin(
+        "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4"
+    )
     return out2.select(
         "video",
         "frame_no",

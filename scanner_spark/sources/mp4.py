@@ -396,7 +396,8 @@ def encode_mp4_raw(frames, fps: int = 30) -> bytes:
 
 def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     gop: int | None = None, b_frames: int = 0,
-                    slices: int = 1, entropy: str = "cavlc") -> bytes:
+                    slices: int = 1, entropy: str = "cavlc",
+                    b_pyramid: bool = False) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -410,7 +411,12 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     (decoder_automata.cpp; inplace ingest ingest.cpp:310-365).
     ``b_frames=n`` additionally inserts n non-reference B frames between
     consecutive references; samples are then stored in DECODE order with
-    a ctts box carrying the display (composition) reordering."""
+    a ctts box carrying the display (composition) reordering.
+    ``b_pyramid=True`` (with ``b_frames >= 2``) makes the middle B of
+    each gap a REFERENCE picture (hierarchical mini-GOPs, the x264
+    b-pyramid shape): the SPS advertises the 4-deep sliding-window DPB
+    the decode walk then maintains, and each following P carries an
+    explicit ref_pic_list_modification (see h264.encode_stream_nals)."""
     import numpy as np
 
     from scanner_spark.kernels import h264
@@ -423,8 +429,12 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             raise ValueError("all frames must be uint8 with identical shape")
     if b_frames and gop is None:
         raise ValueError("b_frames needs a GOP structure (pass gop=N)")
+    # DPB depth: pyramid keeps {prev P, prev mid-B, cur P, cur mid-B}
+    # live across mini-GOP seams -> 4; plain B gaps need the 2 bracketing
+    # references; I/P chains need 1
     sps = h264.write_sps(
-        w, h, num_ref_frames=2 if b_frames else 1,
+        w, h,
+        num_ref_frames=4 if b_pyramid else (2 if b_frames else 1),
         poc_type=0 if b_frames else 2,
     )
     pps = h264.write_pps(qp, cabac=entropy == "cabac")
@@ -438,7 +448,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     else:
         nals = h264.encode_stream_nals(
             yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames,
-            slices=slices, entropy=entropy,
+            slices=slices, entropy=entropy, b_pyramid=b_pyramid,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams
@@ -574,20 +584,6 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
     slices = [nal for nal in all_nals if nal and nal[0] & 0x1F in (1, 5)]
     if not slices:
         raise ValueError("avc1 sample contains no slice NAL")
-    if len(slices) > 1:
-        # real encoders slice frames for thread parallelism: decode the
-        # whole access unit as one picture (slice-aware neighbour
-        # availability lives in kernels/h264.decode_picture).  The GOP
-        # walk's two-slot DPB keys on ONE (kind, is_ref) per sample, so
-        # mixed-type pictures (legal but unseen in practice) refuse
-        # loudly rather than mis-drive the reference chain.
-        kinds = {h264.slice_kind(n_) for n_ in slices}
-        if len(kinds) > 1:
-            raise NotImplementedError(
-                f"avc1 sample mixes slice kinds {sorted(kinds)} in one "
-                "picture; the two-slot DPB walk needs a uniform sample "
-                "kind"
-            )
     (y, cb, cr), st = h264.decode_picture_nals(
         slices, sps, pps, ref=ref, return_state=True, ref1=ref1,
         cabac_marked=cabac_marked,
@@ -597,14 +593,61 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
 
 def _avc1_sample_kind(sample: bytes, length_size: int) -> tuple[str, bool]:
     """Peek ('I'|'P'|'B', is_reference) from a sample's first slice NAL
-    without decoding pixels — drives the GOP walk's two-slot DPB and
-    lets unwanted non-reference B samples be skipped entirely."""
+    without decoding pixels — lets unwanted non-reference samples be
+    skipped entirely by the GOP walk."""
     from scanner_spark.kernels import h264
 
     for nal in h264.split_length_prefixed(bytes(sample), length_size):
         if nal and nal[0] & 0x1F in (1, 5):
             return h264.slice_kind(nal)
     raise ValueError("avc1 sample contains no slice NAL")
+
+
+def _avc1_sample_info(sample: bytes, length_size: int,
+                      sps: dict, pps: dict) -> dict:
+    """Header-peek EVERY slice NAL of one sample (no pixel decode) and
+    merge to the picture-level facts the DPB walk needs: ``kinds`` (the
+    set of slice kinds — mixed I/P pictures are legal, §7.4.3),
+    ``is_ref``/``idr``/``frame_num``/``poc`` (identical across a
+    picture's slices), and the ref-list modification ops (must agree
+    across slices; a picture whose slices disagree would need per-slice
+    reference plumbing and is refused)."""
+    from scanner_spark.kernels import h264
+
+    infos = [
+        h264.slice_header_info(nal, sps, pps)
+        for nal in h264.split_length_prefixed(bytes(sample), length_size)
+        if nal and nal[0] & 0x1F in (1, 5)
+    ]
+    if not infos:
+        raise ValueError("avc1 sample contains no slice NAL")
+    kinds = {i["kind"] for i in infos}
+    if "P" in kinds and "B" in kinds:
+        raise NotImplementedError(
+            "avc1 picture mixes P and B slices: their default reference "
+            "lists initialize differently (PicNum vs POC order, "
+            "§8.2.4.2) — per-slice reference plumbing not supported"
+        )
+    mods = {
+        (
+            None if i["l0_mod"] is None else tuple(i["l0_mod"]),
+            None if i["l1_mod"] is None else tuple(i["l1_mod"]),
+        )
+        for i in infos
+        if i["kind"] in ("P", "B")
+    }
+    if len(mods) > 1:
+        raise NotImplementedError(
+            "avc1 picture's slices carry differing ref_pic_list_"
+            "modification ops — per-slice reference lists not supported"
+        )
+    first = infos[0]
+    pb = next((i for i in infos if i["kind"] in ("P", "B")), first)
+    return {
+        "kinds": kinds, "is_ref": first["is_ref"], "idr": first["idr"],
+        "frame_num": first["frame_num"], "poc": first["poc"],
+        "l0_mod": pb["l0_mod"], "l1_mod": pb["l1_mod"],
+    }
 
 
 def decode_range(
@@ -641,13 +684,26 @@ def decode_range(
             raise ValueError(f"frames not found in container: {sorted(missing)[:5]}")
         # keyframe-forward GOP decode (decoder_automata's model): each
         # wanted DISPLAY frame decodes from its governing sync sample
-        # forward in SAMPLE (decode) order, maintaining a two-slot DPB —
-        # I/P references slide through (prev, cur), B samples read both
-        # and never enter it.  Unwanted non-reference B samples are
-        # skipped without decoding (closed GOPs: nothing depends on
-        # them).  For all-sync tracks this degenerates to one direct
-        # decode per frame.
+        # forward in SAMPLE (decode) order, maintaining a general
+        # sliding-window DPB (§8.2.5.3) of the SPS's num_ref_frames most
+        # recent reference pictures — I/P/referenced-B all enter it, so
+        # hierarchical (pyramid) B streams decode.  Each picture's
+        # references resolve by header peek (_avc1_sample_info): default
+        # list initialization (P: highest PicNum = most recently decoded
+        # reference; B: nearest POC past / future, §8.2.4.2) unless the
+        # slice carries ref_pic_list_modification ops, which are
+        # replayed against PicNum (§8.2.4.3).  Unwanted non-reference
+        # samples are skipped without decoding (closed GOPs: nothing
+        # depends on them).  For all-sync tracks this degenerates to
+        # one direct decode per frame.
         import bisect
+
+        from scanner_spark.kernels import h264 as _h264
+
+        sps_d = sps_pps[0]
+        max_fn = 1 << sps_d["log2_max_frame_num"]
+        max_poc = 1 << sps_d.get("log2_max_poc_lsb", 4)
+        n_ref = max(1, sps_d.get("num_ref_frames", 1))
 
         # governing keyframe of display d = sync sample with the greatest
         # display number <= d (closed GOPs: display ranges don't straddle)
@@ -671,40 +727,91 @@ def decode_range(
             ):
                 remaining.add(targets[t_i])
                 t_i += 1
-            ref_prev = ref_cur = None
+            dpb: list[tuple[int, int, object]] = []  # (fn, poc, state), decode order
+            poc_msb, poc_lsb_prev = 0, 0  # of the last reference picture
             s = k_sample
             while remaining and s < len(entries):
                 e = entries[s]
                 sample = buf[e.offset - base : e.offset - base + e.size]
-                kind, _is_ref = _avc1_sample_kind(sample, ls)
-                if kind == "B" and _is_ref:
-                    # A referenced B picture (nal_ref_idc>0) needs a DPB
-                    # deeper than the two-slot prev/cur model — skipping it
-                    # or decoding it without a DPB update would silently
-                    # mis-predict later frames.  Refuse loudly, mirroring
-                    # the multi-slice refusal.
-                    raise NotImplementedError(
-                        "avc1: referenced B picture (nal_ref_idc>0) "
-                        "exceeds the two-slot DPB model"
-                    )
-                if kind == "B" and e.frame_no not in remaining:
+                info = _avc1_sample_info(sample, ls, sps_d, sps_pps[1])
+                if info["idr"]:
+                    dpb.clear()
+                    poc_msb = poc_lsb_prev = 0
+                # full POC: §8.2.1.1 lsb->msb wrap derivation for poc
+                # type 0; type 2 pictures already carry 2*frame_num
+                # (decode == display order, never B-bearing)
+                if sps_d["poc_type"] == 0:
+                    lsb = info["poc"]
+                    msb = poc_msb
+                    if lsb < poc_lsb_prev and poc_lsb_prev - lsb >= max_poc // 2:
+                        msb += max_poc
+                    elif lsb > poc_lsb_prev and lsb - poc_lsb_prev > max_poc // 2:
+                        msb -= max_poc
+                    poc = msb + lsb
+                    if info["is_ref"]:
+                        poc_msb, poc_lsb_prev = msb, lsb
+                else:
+                    poc = info["poc"]
+                if not info["is_ref"] and e.frame_no not in remaining:
                     s += 1
-                    continue  # non-ref sample nobody needs
-                if kind == "I":
-                    rgb, st = _decode_avc1_sample(
-                        sample, sps_l, pps_l, ls, sps_pps=sps_pps
-                    )
-                    ref_prev, ref_cur = None, st
-                elif kind == "P":
-                    rgb, st = _decode_avc1_sample(
-                        sample, sps_l, pps_l, ls, sps_pps=sps_pps, ref=ref_cur
-                    )
-                    ref_prev, ref_cur = ref_cur, st
-                else:  # B: past + future references, no DPB update
-                    rgb, _ = _decode_avc1_sample(
-                        sample, sps_l, pps_l, ls, sps_pps=sps_pps,
-                        ref=ref_prev, ref1=ref_cur,
-                    )
+                    continue  # non-reference sample nobody needs
+                kinds = info["kinds"]
+                ref_st = ref1_st = None
+                if kinds & {"P", "B"}:
+                    if not dpb:
+                        raise ValueError(
+                            f"display {e.frame_no}: inter picture with an "
+                            "empty DPB (open GOP / broken sync index)"
+                        )
+                    if info["l0_mod"] is not None:
+                        fn_t = _h264.resolve_list_mod(
+                            info["l0_mod"], info["frame_num"], max_fn
+                        )
+                        cand = [x for x in dpb if x[0] == fn_t]
+                        if not cand:
+                            raise ValueError(
+                                f"ref_pic_list_modification selects frame_num "
+                                f"{fn_t}, not in the DPB"
+                            )
+                        ref_st = cand[-1][2]
+                    elif "B" in kinds:
+                        past = [x for x in dpb if x[1] < poc]
+                        if not past:
+                            raise ValueError(
+                                f"display {e.frame_no}: B picture has no "
+                                "past reference in the DPB"
+                            )
+                        ref_st = max(past, key=lambda x: x[1])[2]
+                    else:  # P default L0[0]: most recently decoded ref
+                        ref_st = dpb[-1][2]
+                if "B" in kinds:
+                    if info["l1_mod"] is not None:
+                        fn_t = _h264.resolve_list_mod(
+                            info["l1_mod"], info["frame_num"], max_fn
+                        )
+                        cand = [x for x in dpb if x[0] == fn_t]
+                        if not cand:
+                            raise ValueError(
+                                f"ref_pic_list_modification (l1) selects "
+                                f"frame_num {fn_t}, not in the DPB"
+                            )
+                        ref1_st = cand[-1][2]
+                    else:
+                        future = [x for x in dpb if x[1] > poc]
+                        if not future:
+                            raise ValueError(
+                                f"display {e.frame_no}: B picture has no "
+                                "future reference in the DPB"
+                            )
+                        ref1_st = min(future, key=lambda x: x[1])[2]
+                rgb, st = _decode_avc1_sample(
+                    sample, sps_l, pps_l, ls, sps_pps=sps_pps,
+                    ref=ref_st, ref1=ref1_st,
+                )
+                if info["is_ref"]:
+                    dpb.append((info["frame_num"], poc, st))
+                    if len(dpb) > n_ref:  # sliding window: oldest out
+                        dpb.pop(0)
                 if e.frame_no in remaining:
                     out[e.frame_no] = rgb
                     remaining.discard(e.frame_no)

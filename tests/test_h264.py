@@ -787,20 +787,139 @@ def test_mp4_ctts_overcoverage_refuses():
         mp4.parse_index(bytes(buf))
 
 
-def test_mp4_referenced_b_frame_refuses():
-    """A B sample with nal_ref_idc>0 needs a DPB deeper than the two-slot
-    prev/cur model; decode_range must refuse loudly rather than skip or
-    mis-predict (ADVICE r7)."""
+def test_b_pyramid_referenced_b_exact():
+    """Hierarchical mini-GOP at the kernel level: I(0) P(4) Bref(2)
+    b(1) b(3) — the referenced B decodes bit-exactly AND serves as a
+    bit-exact reference for the outer Bs on both of its sides (the
+    zero-drift invariant extended to two pyramid levels)."""
+    from scanner_spark.frames import synthetic_frame
+
+    frames = [synthetic_frame(2, i, 16, 16, 3) for i in range(5)]
+    yuv = [H.yuv420_from_rgb(f) for f in frames]
+    qp = 12
+    e_i, st_i = H.encode_picture_i(*yuv[0], qp=qp, poc_lsb=0)
+    e_p, st_p = H.encode_picture_p(*yuv[4], st_i, qp=qp, frame_num=1,
+                                   poc_lsb=8)
+    e_m, st_m = H.encode_picture_b(*yuv[2], st_i, st_p, qp=qp, frame_num=2,
+                                   poc_lsb=4, referenced=True)
+    e_b1, st_b1 = H.encode_picture_b(*yuv[1], st_i, st_m, qp=qp, frame_num=3,
+                                     poc_lsb=2)
+    e_b3, st_b3 = H.encode_picture_b(*yuv[3], st_m, st_p, qp=qp, frame_num=3,
+                                     poc_lsb=6)
+    sps = H.parse_sps(H.write_sps(16, 16, num_ref_frames=4, poc_type=0))
+    pps = H.parse_pps(H.write_pps(qp))
+    _, d_i = H.decode_slice(e_i[0], sps, pps, idr=True, return_state=True)
+    _, d_p = H.decode_slice(e_p[0], sps, pps, idr=False, nal_ref_idc=2,
+                            ref=d_i, return_state=True)
+    # the referenced B: nal_ref_idc>0, carries dec_ref_pic_marking
+    _, d_m = H.decode_slice(e_m[0], sps, pps, idr=False, nal_ref_idc=2,
+                            ref=d_i, ref1=d_p, return_state=True)
+    _, d_b1 = H.decode_slice(e_b1[0], sps, pps, idr=False, nal_ref_idc=0,
+                             ref=d_i, ref1=d_m, return_state=True)
+    _, d_b3 = H.decode_slice(e_b3[0], sps, pps, idr=False, nal_ref_idc=0,
+                             ref=d_m, ref1=d_p, return_state=True)
+    for enc_st, dec_st in ((st_i, d_i), (st_p, d_p), (st_m, d_m),
+                           (st_b1, d_b1), (st_b3, d_b3)):
+        for pl in ("y", "cb", "cr"):
+            assert np.array_equal(getattr(enc_st, pl), getattr(dec_st, pl))
+
+
+def test_p_ref_list_modification_round_trip():
+    """encode_picture_p(l0_ref_fn=...) writes a §7.3.3.1 modification op
+    that slice_header_info reports and resolve_list_mod maps back to the
+    requested frame_num; the slice still decodes bit-exactly against the
+    picture it was encoded from."""
+    from scanner_spark.frames import synthetic_frame
+
+    frames = [synthetic_frame(3, i, 16, 16, 3) for i in range(2)]
+    yuv = [H.yuv420_from_rgb(f) for f in frames]
+    qp = 12
+    sps = H.parse_sps(H.write_sps(16, 16, num_ref_frames=4, poc_type=0))
+    pps = H.parse_pps(H.write_pps(qp))
+    e_i, st_i = H.encode_picture_i(*yuv[0], qp=qp, poc_lsb=0)
+    for fn, tgt in ((3, 1), (1, 6)):  # subtract op and wrap-around add op
+        e_p, st_p = H.encode_picture_p(*yuv[1], st_i, qp=qp, frame_num=fn,
+                                       poc_lsb=2, l0_ref_fn=tgt)
+        nal = H.rbsp_to_nal(2, 1, e_p[0])
+        info = H.slice_header_info(nal, sps, pps)
+        assert info["l0_mod"] is not None
+        assert H.resolve_list_mod(info["l0_mod"], fn, 16) == tgt
+        _, d_p = H.decode_frame(nal, sps, pps, ref=st_i, return_state=True)
+        for pl in ("y", "cb", "cr"):
+            assert np.array_equal(getattr(st_p, pl), getattr(d_p, pl))
+    # l0_ref_fn equal to the default head emits no op
+    e_p, _ = H.encode_picture_p(*yuv[1], st_i, qp=qp, frame_num=3,
+                                poc_lsb=2, l0_ref_fn=3)
+    info = H.slice_header_info(H.rbsp_to_nal(2, 1, e_p[0]), sps, pps)
+    assert info["l0_mod"] is None
+
+
+@pytest.mark.parametrize("entropy,slices", [("cavlc", 1), ("cavlc", 2),
+                                            ("cabac", 1)])
+def test_mp4_b_pyramid_decode_range(entropy, slices):
+    """e2e hierarchical-B mp4: referenced B samples and an explicit
+    ref_pic_list_modification on trailing P frames decode through the
+    general sliding-window DPB walk (the round-7/8 refusal, now decoded);
+    sparse loads are bit-identical to the full decode."""
     from scanner_spark.frames import synthetic_frame
     from scanner_spark.sources import mp4
 
-    frames = [synthetic_frame(0, i, 16, 16, 3) for i in range(6)]
-    buf = bytearray(mp4.encode_mp4_avc1(frames, qp=10, gop=6, b_frames=1))
+    n = 16
+    frames = [synthetic_frame(0, i, 32, 24, 3) for i in range(n)]
+    base = [H.rgb_from_yuv420(*H.yuv420_from_rgb(f)) for f in frames]
+    buf = mp4.encode_mp4_avc1(frames, qp=10, gop=8, b_frames=3,
+                              b_pyramid=True, entropy=entropy, slices=slices)
+    meta, entries = mp4.parse_index(buf)
+    sps, pps = mp4._parse_avcc_params(*meta["avcc"][:2])
+    assert sps["num_ref_frames"] == 4
+    ls = meta["avcc"][2]
+    infos = [
+        mp4._avc1_sample_info(buf[e.offset:e.offset + e.size], ls, sps, pps)
+        for e in sorted(entries, key=lambda e: e.offset)
+    ]
+    assert any(i["kinds"] == {"B"} and i["is_ref"] for i in infos)
+    assert any(i["l0_mod"] for i in infos)
+    out = mp4.decode_range(buf, 0, meta, set(range(n)))
+    for i in range(n):
+        assert np.abs(out[i].astype(int) - base[i].astype(int)).max() <= 14
+    # sparse loads (single outer B, single referenced B, trailing P)
+    for want in (3, 2, 7):
+        sparse = mp4.decode_range(buf, 0, meta, {want})
+        assert np.array_equal(sparse[want], out[want])
+
+
+def test_mp4_mixed_p_b_slices_refuse():
+    """A picture mixing P and B slices would need per-slice reference
+    lists (PicNum vs POC default init, §8.2.4.2) — refused loudly."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(0, i, 32, 32, 3) for i in range(6)]
+    buf = bytearray(mp4.encode_mp4_avc1(frames, qp=10, gop=6, b_frames=1,
+                                        slices=2))
     meta, entries = mp4.parse_index(bytes(buf))
-    # decode order I,P,B,...: entries[2] is the first B sample; flip its
-    # first NAL's nal_ref_idc from 0 to 2 (byte 0x01 -> 0x41)
-    e = entries[2]
-    assert buf[e.offset + 4] == 0x01  # non-ref non-IDR slice NAL header
-    buf[e.offset + 4] = 0x41
-    with pytest.raises(NotImplementedError, match="referenced B"):
-        mp4.decode_range(bytes(buf), 0, meta, {e.frame_no})
+    sps, pps = mp4._parse_avcc_params(*meta["avcc"][:2])
+    ls = meta["avcc"][2]
+    # find a B sample (two B slices) and rewrite its SECOND slice NAL as
+    # a P slice header would start -- cheapest legal-looking corruption:
+    # splice a P sample's second slice into the B sample's second slot
+    by_decode = sorted(entries, key=lambda e: e.offset)
+    b_e = next(
+        e for e in by_decode
+        if mp4._avc1_sample_info(
+            buf[e.offset:e.offset + e.size], ls, sps, pps)["kinds"] == {"B"}
+    )
+    p_e = next(
+        e for e in by_decode
+        if mp4._avc1_sample_info(
+            buf[e.offset:e.offset + e.size], ls, sps, pps)["kinds"] == {"P"}
+    )
+    b_nals = list(H.split_length_prefixed(
+        bytes(buf[b_e.offset:b_e.offset + b_e.size]), ls))
+    p_nals = list(H.split_length_prefixed(
+        bytes(buf[p_e.offset:p_e.offset + p_e.size]), ls))
+    mixed = b"".join(
+        len(x).to_bytes(ls, "big") + x for x in [b_nals[0], p_nals[1]]
+    )
+    with pytest.raises(NotImplementedError, match="mixes P and B"):
+        mp4._avc1_sample_info(mixed, ls, sps, pps)

@@ -374,3 +374,39 @@ def test_h264_b_gop_stream_decode_matches_encoder_recon(hw, gop, b_frames,
         assert dy.shape == (h, w)
         seen.add(d)
     assert seen == set(range(7))
+
+@settings(max_examples=6, deadline=None)
+@given(
+    hw=st.sampled_from([(16, 16), (32, 16)]),
+    gop=st.integers(6, 9),
+    b_frames=st.integers(2, 3),
+    n_frames=st.integers(8, 14),
+    qp=st.sampled_from([6, 14]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_h264_b_pyramid_mp4_decode_exhaustive(hw, gop, b_frames, n_frames,
+                                              qp, seed):
+    """Any random hierarchical-B (b_pyramid) mp4 decodes every display
+    frame through the general sliding-window DPB walk — referenced B
+    pictures enter the DPB, trailing P frames resolve their explicit
+    ref_pic_list_modification, and any single-frame sparse load is
+    bit-identical to the full decode (GOP-walk determinism)."""
+    import numpy as np
+
+    from scanner_spark.kernels import h264 as H
+    from scanner_spark.sources import mp4
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    frames = [
+        np.roll(base, i * int(rng.integers(0, 3)), axis=1) for i in range(n_frames)
+    ]
+    buf = mp4.encode_mp4_avc1(frames, qp=qp, gop=gop, b_frames=b_frames,
+                              b_pyramid=True)
+    meta, _entries = mp4.parse_index(buf)
+    out = mp4.decode_range(buf, 0, meta, set(range(n_frames)))
+    assert set(out) == set(range(n_frames))
+    pick = int(rng.integers(0, n_frames))
+    sparse = mp4.decode_range(buf, 0, meta, {pick})
+    assert np.array_equal(sparse[pick], out[pick])
