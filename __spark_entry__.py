@@ -394,6 +394,9 @@ def _video_decode_sql() -> str:
         # hierarchical-B avc1 (b-pyramid: referenced B + ref-list
         # modification, 4-deep DPB walk): lossy -> NULL
         ("vid6.mp4", 6, [5, 10], 16, 16, False),
+        # mixed slice-kind avc1 (intra-refresh: I + P slices in one
+        # picture): lossy -> NULL
+        ("vid7.mp4", 7, [3, 6], 32, 32, False),
     ):
         for f in frames:
             rows.append(

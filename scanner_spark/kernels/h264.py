@@ -2750,7 +2750,9 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      search: int = 4, poc_lsb: int | None = None,
                      slices: int = 1,
                      entropy: str = "cavlc",
-                     l0_ref_fn: int | None = None) -> tuple[list[bytes], _FrameState]:
+                     l0_ref_fn: int | None = None,
+                     intra_slices: int = 0,
+                     mb_mode: str = "auto") -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
     zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
@@ -2763,11 +2765,21 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     decoded reference) is NOT that picture — after a referenced B in a
     pyramid mini-GOP — the header must carry a ref_pic_list_modification
     reordering it to index 0 (§7.3.3.1); pass the frame_num and the op
-    is emitted, matching :func:`resolve_list_mod` on the decode side."""
+    is emitted, matching :func:`resolve_list_mod` on the decode side.
+
+    ``intra_slices=k`` codes the picture's FIRST k slices as I slices
+    (slice_type 2, intra MBs only) and the rest as P — the legal
+    mixed-slice-kind picture real encoders emit for intra refresh
+    (§7.4.3: slice_type may vary per slice unless the picture signals
+    7/5).  Leading placement keeps intra prediction from ever reading
+    inter-coded neighbours (slice boundaries block cross-slice
+    prediction, so constrained_intra_pred is not needed)."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
     assert (ref.H, ref.W) == (H_, W_), "reference dims mismatch"
+    if not 0 <= intra_slices < max(slices, 1):
+        raise ValueError("intra_slices must leave at least one P slice")
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1
     rbsps = []
@@ -2775,8 +2787,43 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     for si, (mb0, mb1) in enumerate(_slice_bounds(mbw * mbh, slices)):
         st.cur_slice = si
         w = BitWriter()
+        if si < intra_slices:
+            # I slice inside a non-IDR reference picture: slice_type 2
+            # (NOT 7 — the picture is mixed), no ref fields, sliding-
+            # window marking like any reference slice
+            w.ue(mb0)  # first_mb_in_slice
+            w.ue(2)  # slice_type: I (this slice only)
+            w.ue(0)  # pps_id
+            w.u(frame_num & 15, 4)  # frame_num
+            if poc_lsb is not None:
+                w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
+            w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+            w.se(0)  # slice_qp_delta
+            w.ue(1)  # disable_deblocking_filter_idc: OFF
+            if entropy == "cabac":
+                from scanner_spark.kernels.h264_cabac import CabacWriter
+
+                w.byte_align_one()
+                cw_i = CabacWriter()
+                for mb in range(mb0, mb1):
+                    mbx, mby = mb % mbw, mb // mbw
+                    st.slice_no[mby, mbx] = si
+                    cw_i.begin_mb(st, mbx, mby)
+                    _encode_mb(cw_i, st, mbx, mby, y, cb, cr, qp, mb_mode)
+                    cw_i.end_mb(st, mbx, mby)
+                    cw_i.end_of_slice(mb == mb1 - 1)
+                rbsps.append(w.bytes() + cw_i.bytes())
+            else:
+                ew_i = CavlcWriter(w)
+                for mb in range(mb0, mb1):
+                    mbx, mby = mb % mbw, mb // mbw
+                    st.slice_no[mby, mbx] = si
+                    _encode_mb(ew_i, st, mbx, mby, y, cb, cr, qp, mb_mode)
+                w.rbsp_trailing()
+                rbsps.append(w.bytes())
+            continue
         w.ue(mb0)  # first_mb_in_slice
-        w.ue(5)  # slice_type: P (all slices in picture)
+        w.ue(5)  # slice_type: P (this slice)
         w.ue(0)  # pps_id
         w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
         if poc_lsb is not None:
@@ -3086,7 +3133,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        b_frames: int = 0,
                        slices: int = 1,
                        entropy: str = "cavlc",
-                       b_pyramid: bool = False) -> list[tuple[list, bool, int]]:
+                       b_pyramid: bool = False,
+                       p_intra_slices: int = 0) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
     IDR, reference P frames every ``b_frames + 1`` display positions
@@ -3115,7 +3163,11 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
     with ``write_sps(..., num_ref_frames=3, poc_type=0)``), default B
     list initialization by POC distance, and an explicit
     ref_pic_list_modification on each following P (its L0 default head
-    would be the B reference, not the P it predicts from)."""
+    would be the B reference, not the P it predicts from).
+
+    ``p_intra_slices=k`` (needs ``slices > k``) codes the first k slices
+    of every P picture as I slices — mixed slice-kind pictures (intra
+    refresh, §7.4.3; see encode_picture_p)."""
     if b_pyramid and b_frames < 2:
         raise ValueError("b_pyramid needs b_frames >= 2 (a gap to split)")
     frames = [pad_planes(y, cb, cr) for y, cb, cr in frames_yuv]
@@ -3143,7 +3195,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             rbsps, nxt_st = encode_picture_p(
                 yp, cbp_, crp, prev_st, qp=qp, frame_num=fnum, search=search,
                 poc_lsb=2 * nxt_d if poc0 else None, slices=slices,
-                entropy=entropy,
+                entropy=entropy, intra_slices=p_intra_slices,
+                mb_mode=mb_mode,
                 # after a reference B, the default L0 head (highest
                 # PicNum) is that B, not prev_st — reorder explicitly
                 l0_ref_fn=prev_fn if prev_gap_bref else None,

@@ -1654,8 +1654,11 @@ def q_video_decode_pruned(spark, sf_dir):
     track has full I/P/B GOP structure (gop=4, b_frames=1: decode-order
     samples + ctts reordering) with the wanted set hitting BOTH a
     bi-predicted B frame (display 1) and a non-IDR P (display 6) —
-    keyframe-forward inter decode with a two-slot DPB (CAVLC + intra +
-    quarter-pel MC + bi-prediction).
+    keyframe-forward inter decode through a general sliding-window DPB
+    (CAVLC + intra + quarter-pel MC + bi-prediction).  Sibling tracks
+    exercise multi-slice pictures, CABAC entropy, hierarchical-B
+    pyramids (referenced B + ref_pic_list_modification), and mixed
+    I/P slice-kind pictures.
     Driver testdata has no video table, so the videos are synthesized
     deterministically per call.  Oracle-checked: lossless (SVF/raw-mp4)
     frames get exact closed-form checksums; avc1 rows NULL (pixel bounds
@@ -1735,6 +1738,18 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_pyr_path)
+    # mixed slice-kind avc1 (round 9): every P picture's first slice is
+    # coded as an I slice (intra refresh, §7.4.3) — the DPB walk derives
+    # the picture's reference needs from ALL slice kinds, not one
+    avc_mix_path = f"{tmp}/vid7.mp4"
+    with open(avc_mix_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(7, i, 32, 32, 3) for i in range(8)],
+                qp=10, gop=4, slices=2, p_intra_slices=1,
+            )
+        )
+    paths.append(avc_mix_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1744,6 +1759,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_ms_path: [2, 5],
         avc_cabac_path: [1, 6],
         avc_pyr_path: [5, 10],
+        avc_mix_path: [3, 6],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1760,7 +1776,7 @@ def q_video_decode_pruned(spark, sf_dir):
         cks(F.col("frame")).alias("c"),
     )
     lossy = F.col("video").isin(
-        "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4"
+        "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4"
     )
     return out2.select(
         "video",

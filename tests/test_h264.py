@@ -923,3 +923,64 @@ def test_mp4_mixed_p_b_slices_refuse():
     )
     with pytest.raises(NotImplementedError, match="mixes P and B"):
         mp4._avc1_sample_info(mixed, ls, sps, pps)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_mixed_intra_p_slice_picture_exact(entropy):
+    """A picture whose first slice is I and second is P (intra refresh,
+    §7.4.3) decodes bit-exactly: per-slice slice_type drives each MB
+    run, intra prediction stays inside the I slice, and the picture
+    enters the reference chain as one unit."""
+    from scanner_spark.frames import synthetic_frame
+
+    frames = [synthetic_frame(4, i, 32, 32, 3) for i in range(2)]
+    yuv = [H.yuv420_from_rgb(f) for f in frames]
+    qp = 12
+    e_i, st_i = H.encode_picture_i(*yuv[0], qp=qp, entropy=entropy)
+    e_m, st_m = H.encode_picture_p(*yuv[1], st_i, qp=qp, frame_num=1,
+                                   slices=2, intra_slices=1,
+                                   entropy=entropy)
+    assert len(e_m) == 2
+    sps = H.parse_sps(H.write_sps(32, 32))
+    pps = H.parse_pps(H.write_pps(qp, cabac=entropy == "cabac"))
+    _, d_i = H.decode_picture(
+        [(r, True, 3) for r in e_i], sps, pps, return_state=True,
+        cabac_marked=True,
+    )
+    _, d_m = H.decode_picture(
+        [(r, False, 2) for r in e_m], sps, pps, ref=d_i,
+        return_state=True, cabac_marked=True,
+    )
+    for enc_st, dec_st in ((st_i, d_i), (st_m, d_m)):
+        for pl in ("y", "cb", "cr"):
+            assert np.array_equal(getattr(enc_st, pl), getattr(dec_st, pl))
+    # header facts: slice 0 is an I slice, slice 1 a P slice
+    kinds = [H.slice_kind(H.rbsp_to_nal(2, 1, r))[0] for r in e_m]
+    assert kinds == ["I", "P"]
+
+
+def test_mp4_mixed_slice_kind_decode_range():
+    """e2e intra-refresh mp4 (every P picture's first slice coded I):
+    the DPB walk derives the picture's needs from ALL slice kinds — the
+    round-8 uniform-kind refusal, now decoded."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    n = 8
+    frames = [synthetic_frame(0, i, 32, 32, 3) for i in range(n)]
+    base = [H.rgb_from_yuv420(*H.yuv420_from_rgb(f)) for f in frames]
+    buf = mp4.encode_mp4_avc1(frames, qp=10, gop=4, slices=2,
+                              p_intra_slices=1)
+    meta, entries = mp4.parse_index(buf)
+    sps, pps = mp4._parse_avcc_params(*meta["avcc"][:2])
+    ls = meta["avcc"][2]
+    infos = [
+        mp4._avc1_sample_info(buf[e.offset:e.offset + e.size], ls, sps, pps)
+        for e in sorted(entries, key=lambda e: e.offset)
+    ]
+    assert any(i["kinds"] == {"I", "P"} for i in infos)
+    out = mp4.decode_range(buf, 0, meta, set(range(n)))
+    for i in range(n):
+        assert np.abs(out[i].astype(int) - base[i].astype(int)).max() <= 12
+    sparse = mp4.decode_range(buf, 0, meta, {5})
+    assert np.array_equal(sparse[5], out[5])
