@@ -1107,7 +1107,11 @@ def parse_sps(rbsp: bytes) -> dict:
     }
 
 
-def write_pps(qp: int, cabac: bool = False) -> bytes:
+def write_pps(qp: int, cabac: bool = False, weighted_pred: bool = False,
+              weighted_bipred_idc: int = 0) -> bytes:
+    if weighted_bipred_idc not in (0, 1):
+        raise ValueError("writer supports weighted_bipred_idc 0 (default) "
+                         "and 1 (explicit) only")
     w = BitWriter()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
@@ -1116,8 +1120,8 @@ def write_pps(qp: int, cabac: bool = False) -> bytes:
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)  # weighted_pred
-    w.u(0, 2)  # weighted_bipred_idc
+    w.u(1 if weighted_pred else 0, 1)  # weighted_pred (P explicit WP)
+    w.u(weighted_bipred_idc, 2)  # weighted_bipred_idc (B: 1 = explicit)
     w.se(qp - 26)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(0)  # chroma_qp_index_offset
@@ -1600,10 +1604,11 @@ def _parse_slice_header(
     r: BitReader, sps: dict, pps: dict, strict: bool,
     idr: bool, nal_ref_idc: int,
     ref: "_FrameState | None", ref1: "_FrameState | None",
-) -> tuple[int, int, int]:
-    """§7.3.3 slice header -> (first_mb_in_slice, slice_type mod 5, qp).
-    Validates the feature envelope (refusing loudly outside it) and that
-    the needed reference states were supplied."""
+) -> tuple[int, int, int, "dict | None"]:
+    """§7.3.3 slice header -> (first_mb_in_slice, slice_type mod 5, qp,
+    weighted-prediction table or None).  Validates the feature envelope
+    (refusing loudly outside it) and that the needed reference states
+    were supplied."""
     first_mb = r.ue()
     slice_type = r.ue()
     st_mod = slice_type % 5
@@ -1620,9 +1625,11 @@ def _parse_slice_header(
         raise ValueError(
             "B slice needs both reference states (ref= past, ref1= future)"
         )
-    if is_b and pps.get("weighted_bipred_idc", 0) != 0:
+    if is_b and pps.get("weighted_bipred_idc", 0) == 2:
         raise NotImplementedError(
-            "weighted bi-prediction not supported (default (p0+p1+1)>>1 only)"
+            "implicit weighted bi-prediction (weighted_bipred_idc 2) not "
+            "supported — POC-distance weight derivation out of scope; "
+            "explicit tables (idc 1) and the default combine decode"
         )
     r.ue()  # pps_id
     r.u(sps["log2_max_frame_num"])  # frame_num
@@ -1651,8 +1658,11 @@ def _parse_slice_header(
         _parse_list_mods(r)
         if is_b:
             _parse_list_mods(r)
-    if pps.get("weighted_pred") and is_p:
-        raise NotImplementedError("weighted prediction not supported")
+    wp = None
+    if (pps.get("weighted_pred") and is_p) or (
+        is_b and pps.get("weighted_bipred_idc", 0) == 1
+    ):
+        wp = _parse_pred_weight_table(r, is_b)
     # dec_ref_pic_marking (§7.3.3.3)
     if idr:
         r.u(1)  # no_output_of_prior_pics
@@ -1675,12 +1685,12 @@ def _parse_slice_header(
                 )
             r.se()
             r.se()
-    return first_mb, st_mod, qp
+    return first_mb, st_mod, qp, wp
 
 
 def _decode_slice_mbs(
     r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
-    qp: int, ref, ref1, mb_start: int,
+    qp: int, ref, ref1, mb_start: int, wp: dict | None = None,
 ) -> int:
     """Decode one slice's macroblock run starting at ``mb_start``,
     marking each MB with the current slice id.  The run length is not
@@ -1711,12 +1721,12 @@ def _decode_slice_mbs(
                 if mb >= n_mbs:
                     raise ValueError("mb_skip_run past end of slice")
                 mbx, mby = mark(mb)
-                _reconstruct_skip(st, ref, mbx, mby)
+                _reconstruct_skip(st, ref, mbx, mby, wp)
                 mb += 1
             if mb >= n_mbs or not r.more_rbsp_data():
                 break
             mbx, mby = mark(mb)
-            qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps)
+            qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps, wp)
             mb += 1
     else:  # B
         while mb < n_mbs and r.more_rbsp_data():
@@ -1734,7 +1744,7 @@ def _decode_slice_mbs(
 
 def _decode_slice_mbs_cabac(
     r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
-    qp: int, ref, ref1, mb_start: int,
+    qp: int, ref, ref1, mb_start: int, wp: dict | None = None,
 ) -> int:
     """CABAC twin of :func:`_decode_slice_mbs`: per-MB mb_skip_flag
     instead of skip runs, end_of_slice_flag (a terminate bin) instead of
@@ -1757,16 +1767,16 @@ def _decode_slice_mbs_cabac(
             qp = _decode_mb(er, st, mbx, mby, qp, pps)
         elif st_mod == 0:  # P
             if er.read_skip(st, mbx, mby, False):
-                _reconstruct_skip(st, ref, mbx, mby)
+                _reconstruct_skip(st, ref, mbx, mby, wp)
             else:
-                qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps)
+                qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps, wp)
         else:  # B
             if er.read_skip(st, mbx, mby, True):
                 raise NotImplementedError(
                     "B_Skip macroblocks (direct-mode derivation) not "
                     "supported — in-repo streams never emit them"
                 )
-            qp = _decode_mb_b(er, st, ref, ref1, mbx, mby, qp, pps)
+            qp = _decode_mb_b(er, st, ref, ref1, mbx, mby, qp, pps, wp)
         er.end_mb(st, mbx, mby)
         mb += 1
         if er.end_of_slice():
@@ -1819,7 +1829,7 @@ def decode_picture(
     for si, (rbsp, idr, nal_ref_idc) in enumerate(slices):
         st.cur_slice = si
         r = BitReader(rbsp)
-        first_mb, st_mod, qp = _parse_slice_header(
+        first_mb, st_mod, qp, wp = _parse_slice_header(
             r, sps, pps, strict, idr, nal_ref_idc, ref, ref1
         )
         if first_mb != mb_next:
@@ -1829,7 +1839,7 @@ def decode_picture(
             )
         loop = _decode_slice_mbs_cabac if cabac else _decode_slice_mbs
         mb_next = loop(
-            r, st, sps, pps, st_mod, qp, ref, ref1, mb_next
+            r, st, sps, pps, st_mod, qp, ref, ref1, mb_next, wp
         )
     if mb_next != n_mbs:
         raise ValueError(
@@ -1853,14 +1863,24 @@ def decode_slice(
     )
 
 
-def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int) -> None:
-    """P_Skip: motion-compensate with the §8.4.1.1 vector, no residual."""
+def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int,
+                      wp: dict | None = None) -> None:
+    """P_Skip: motion-compensate with the §8.4.1.1 vector, no residual.
+    Explicit weighted prediction applies to skip MBs like any inter MB."""
     ox, oy = mbx * 16, mby * 16
     mv = st.skip_mv(mbx, mby)
-    st.y[oy : oy + 16, ox : ox + 16] = mc_luma(ref.y, oy, ox, mv)
+    py = mc_luma(ref.y, oy, ox, mv)
     cy, cx = oy // 2, ox // 2
-    st.cb[cy : cy + 8, cx : cx + 8] = mc_chroma(ref.cb, cy, cx, mv)
-    st.cr[cy : cy + 8, cx : cx + 8] = mc_chroma(ref.cr, cy, cx, mv)
+    pcb = mc_chroma(ref.cb, cy, cx, mv)
+    pcr = mc_chroma(ref.cr, cy, cx, mv)
+    if wp is not None:
+        l0 = wp["l0"]
+        py = _wp_single(py, l0[0], l0[1], wp["logwd_y"])
+        pcb = _wp_single(pcb, l0[2], l0[3], wp["logwd_c"])
+        pcr = _wp_single(pcr, l0[4], l0[5], wp["logwd_c"])
+    st.y[oy : oy + 16, ox : ox + 16] = py
+    st.cb[cy : cy + 8, cx : cx + 8] = pcb
+    st.cr[cy : cy + 8, cx : cx + 8] = pcr
     by0, bx0 = oy // 4, ox // 4
     st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
     st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
@@ -1870,9 +1890,11 @@ def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int) -> 
 
 
 def _decode_mb_p(er, st: _FrameState, ref: _FrameState,
-                 mbx: int, mby: int, qp: int, pps: dict) -> int:
+                 mbx: int, mby: int, qp: int, pps: dict,
+                 wp: dict | None = None) -> int:
     """One coded P-slice macroblock: P_L0_16x16 (type 0) or an intra type
-    (offset 5, Table 7-13)."""
+    (offset 5, Table 7-13).  ``wp`` applies explicit weighted prediction
+    (§8.4.2.3.2) to the compensated samples."""
     mb_type = er.mb_type(st, mbx, mby, "P")
     if mb_type >= 5:
         return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 5)
@@ -1887,6 +1909,8 @@ def _decode_mb_p(er, st: _FrameState, ref: _FrameState,
     mvd = np.array(er.mvd_pair(st, mbx, mby, 0), dtype=np.int64)
     mv = st.mv_pred(mbx, mby) + mvd
     p16 = mc_luma(ref.y, oy, ox, mv)
+    if wp is not None:
+        p16 = _wp_single(p16, wp["l0"][0], wp["l0"][1], wp["logwd_y"])
     cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     if cbp:
@@ -1909,6 +1933,11 @@ def _decode_mb_p(er, st: _FrameState, ref: _FrameState,
         0: mc_chroma(ref.cb, cy, cx, mv),
         1: mc_chroma(ref.cr, cy, cx, mv),
     }
+    if wp is not None:
+        preds[0] = _wp_single(preds[0], wp["l0"][2], wp["l0"][3],
+                              wp["logwd_c"])
+        preds[1] = _wp_single(preds[1], wp["l0"][4], wp["l0"][5],
+                              wp["logwd_c"])
     _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
                    pred_fn=lambda comp: preds[comp])
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
@@ -1919,11 +1948,12 @@ def _decode_mb_p(er, st: _FrameState, ref: _FrameState,
 
 def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
                  ref1: _FrameState, mbx: int, mby: int, qp: int,
-                 pps: dict) -> int:
+                 pps: dict, wp: dict | None = None) -> int:
     """One coded B-slice macroblock (Table 7-14): B_L0_16x16 (1),
-    B_L1_16x16 (2), B_Bi_16x16 (3) with default bi-prediction
-    (p0 + p1 + 1) >> 1, or an intra type (offset 23).  B_Direct (0),
-    partitioned types (4..22), and weighted prediction are refused."""
+    B_L1_16x16 (2), B_Bi_16x16 (3) — default bi-prediction
+    (p0 + p1 + 1) >> 1 or the explicit weighted forms when ``wp`` is
+    set — or an intra type (offset 23).  B_Direct (0) and partitioned
+    types (4..22) are refused."""
     mb_type = er.mb_type(st, mbx, mby, "B")
     if mb_type >= 23:
         return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 23)
@@ -1948,7 +1978,7 @@ def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
     if use1:
         mvd1 = np.array(er.mvd_pair(st, mbx, mby, 1), dtype=np.int64)
         mvs[1] = st.mv_pred(mbx, mby, 1) + mvd1
-    p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma)
+    p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y")
     cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     if cbp:
@@ -1968,8 +1998,8 @@ def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
         st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
     cy, cx = oy // 2, ox // 2
     preds = {
-        0: _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma),
-        1: _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma),
+        0: _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma, wp, "cb"),
+        1: _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma, wp, "cr"),
     }
     _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
                    pred_fn=lambda comp: preds[comp])
@@ -1983,17 +2013,103 @@ def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
     return qp
 
 
+def _wp_single(p: np.ndarray, w: int, o: int, logwd: int) -> np.ndarray:
+    """Explicit single-list weighted sample prediction (§8.4.2.3.2):
+    Clip1(((p*w + 2^(logWD-1)) >> logWD) + o), degenerate shift at 0."""
+    if logwd >= 1:
+        return np.clip(((p * w + (1 << (logwd - 1))) >> logwd) + o, 0, 255)
+    return np.clip(p * w + o, 0, 255)
+
+
+def _wp_bi(p0, p1, w0: int, o0: int, w1: int, o1: int, logwd: int):
+    """Explicit bi-predictive weighted combine (§8.4.2.3.2):
+    Clip1(((p0*w0 + p1*w1 + 2^logWD) >> (logWD+1)) + (o0+o1+1)>>1)."""
+    return np.clip(
+        ((p0 * w0 + p1 * w1 + (1 << logwd)) >> (logwd + 1))
+        + ((o0 + o1 + 1) >> 1),
+        0, 255,
+    )
+
+
+# column layout of a per-list weight tuple: (w_y, o_y, w_cb, o_cb, w_cr, o_cr)
+_WP_COMP = {"y": (0, 1, "logwd_y"), "cb": (2, 3, "logwd_c"),
+            "cr": (4, 5, "logwd_c")}
+
+
+def _parse_pred_weight_table(r: BitReader, is_b: bool) -> dict:
+    """§7.3.3.2 pred_weight_table at the one-active-ref-per-list scope:
+    log2 denominators, then flagged (weight, offset) pairs for luma and
+    chroma of RefPicList0[0] (and RefPicList1[0] for B slices)."""
+    logwd_y = r.ue()
+    logwd_c = r.ue()  # chroma_format_idc != 0 (always 4:2:0 here)
+    if logwd_y > 7 or logwd_c > 7:
+        raise ValueError("pred_weight_table log2 denominator out of range")
+
+    def one_list():
+        wy, oy = 1 << logwd_y, 0
+        wcb = wcr = 1 << logwd_c
+        ocb = ocr = 0
+        if r.u(1):  # luma_weight_flag
+            wy, oy = r.se(), r.se()
+        if r.u(1):  # chroma_weight_flag
+            wcb, ocb = r.se(), r.se()
+            wcr, ocr = r.se(), r.se()
+        return (wy, oy, wcb, ocb, wcr, ocr)
+
+    l0 = one_list()
+    l1 = one_list() if is_b else None
+    return {"logwd_y": logwd_y, "logwd_c": logwd_c, "l0": l0, "l1": l1}
+
+
+def _write_pred_weight_table(w: BitWriter, wp: dict) -> None:
+    """Mirror of :func:`_parse_pred_weight_table` for the encoder."""
+    w.ue(wp["logwd_y"])
+    w.ue(wp["logwd_c"])
+    for lst in ("l0", "l1"):
+        t = wp.get(lst)
+        if t is None:
+            continue
+        wy, oy, wcb, ocb, wcr, ocr = t
+        if wy == (1 << wp["logwd_y"]) and oy == 0:
+            w.u(0, 1)
+        else:
+            w.u(1, 1)
+            w.se(wy)
+            w.se(oy)
+        dc = 1 << wp["logwd_c"]
+        if (wcb, ocb, wcr, ocr) == (dc, 0, dc, 0):
+            w.u(0, 1)
+        else:
+            w.u(1, 1)
+            w.se(wcb)
+            w.se(ocb)
+            w.se(wcr)
+            w.se(ocr)
+
+
 def _bipred(plane0: np.ndarray, plane1: np.ndarray, oy: int, ox: int,
-            mvs, mc_fn) -> np.ndarray:
-    """List prediction for one B partition: single-list MC, or the
-    default (§8.4.2.3.1, no weighting) rounded average for B_Bi."""
+            mvs, mc_fn, wp: dict | None = None,
+            comp: str = "y") -> np.ndarray:
+    """List prediction for one B partition: single-list MC or the B_Bi
+    combine — default (p0+p1+1)>>1 (§8.4.2.3.1) when ``wp`` is None,
+    else the explicit weighted forms (§8.4.2.3.2) using ``comp``'s
+    column of the per-list weight tuples."""
     p0 = mc_fn(plane0, oy, ox, mvs[0]) if mvs[0] is not None else None
     p1 = mc_fn(plane1, oy, ox, mvs[1]) if mvs[1] is not None else None
+    if wp is None:
+        if p0 is None:
+            return p1
+        if p1 is None:
+            return p0
+        return (p0 + p1 + 1) >> 1
+    wi, oi, ld = _WP_COMP[comp]
+    logwd = wp[ld]
     if p0 is None:
-        return p1
+        return _wp_single(p1, wp["l1"][wi], wp["l1"][oi], logwd)
     if p1 is None:
-        return p0
-    return (p0 + p1 + 1) >> 1
+        return _wp_single(p0, wp["l0"][wi], wp["l0"][oi], logwd)
+    return _wp_bi(p0, p1, wp["l0"][wi], wp["l0"][oi],
+                  wp["l1"][wi], wp["l1"][oi], logwd)
 
 
 def _decode_mb(er, st: _FrameState, mbx: int, mby: int, qp: int,
@@ -2625,12 +2741,20 @@ def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
 
 def _inter_residuals(ref: _FrameState, src: np.ndarray,
                      src_cb: np.ndarray, src_cr: np.ndarray,
-                     oy: int, ox: int, mv, qp: int):
+                     oy: int, ox: int, mv, qp: int,
+                     wp: dict | None = None):
     """Quantized inter residuals for one MB at ``mv``: returns
-    (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16)."""
+    (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16).  ``wp``
+    weights the compensated samples (normative order: interpolate, then
+    weight — §8.4.2.3.2)."""
     cy, cx = oy // 2, ox // 2
     p16 = mc_luma(ref.y, oy, ox, mv)
     p8s = (mc_chroma(ref.cb, cy, cx, mv), mc_chroma(ref.cr, cy, cx, mv))
+    if wp is not None:
+        l0, ly, lc = wp["l0"], wp["logwd_y"], wp["logwd_c"]
+        p16 = _wp_single(p16, l0[0], l0[1], ly)
+        p8s = (_wp_single(p8s[0], l0[2], l0[3], lc),
+               _wp_single(p8s[1], l0[4], l0[5], lc))
     return _inter_residuals_from_pred(src, src_cb, src_cr, oy, ox, p16, p8s, qp)
 
 
@@ -2752,7 +2876,8 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      entropy: str = "cavlc",
                      l0_ref_fn: int | None = None,
                      intra_slices: int = 0,
-                     mb_mode: str = "auto") -> tuple[list[bytes], _FrameState]:
+                     mb_mode: str = "auto",
+                     weight: tuple | None = None) -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
     zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
@@ -2773,13 +2898,29 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     (§7.4.3: slice_type may vary per slice unless the picture signals
     7/5).  Leading placement keeps intra prediction from ever reading
     inter-coded neighbours (slice boundaries block cross-slice
-    prediction, so constrained_intra_pred is not needed)."""
+    prediction, so constrained_intra_pred is not needed).
+
+    ``weight=(logwd, w_y, o_y, w_c, o_c)`` emits an explicit
+    pred_weight_table (§7.3.3.2) and predicts through the §8.4.2.3.2
+    weighted forms — the x264 ``weightp`` fade tool.  Requires a PPS
+    with ``weighted_pred=True`` (every P slice must then carry a
+    table)."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
     assert (ref.H, ref.W) == (H_, W_), "reference dims mismatch"
     if not 0 <= intra_slices < max(slices, 1):
         raise ValueError("intra_slices must leave at least one P slice")
+    wp = None
+    search_ref_y = ref.y
+    if weight is not None:
+        logwd, wy_, oy_, wc_, oc_ = weight
+        wp = {"logwd_y": logwd, "logwd_c": logwd,
+              "l0": (wy_, oy_, wc_, oc_, wc_, oc_), "l1": None}
+        # motion-search proxy: a pre-weighted full-pel reference plane
+        # (the per-MB residual below re-applies the weight through the
+        # NORMATIVE interpolate-then-weight order)
+        search_ref_y = _wp_single(ref.y.astype(np.int64), wy_, oy_, logwd)
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1
     rbsps = []
@@ -2843,6 +2984,8 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 w.ue(1)  # idc: add (shorter walk the other way round)
                 w.ue(15 - diff)  # (16 - diff) - 1
             w.ue(3)  # terminator
+        if wp is not None:
+            _write_pred_weight_table(w, wp)  # §7.3.3: after rplm
         w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
         if entropy == "cabac":
             w.ue(0)  # cabac_init_idc (uniform init, kernels/cabac.py)
@@ -2868,7 +3011,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             # (quarter-pel; the interpolator handles any fraction)
             mv_skip = st.skip_mv(mbx, mby)
             cbp_s, lz_s, comps_s, p16_s = _inter_residuals(
-                ref, src, cb, cr, oy, ox, mv_skip, qp
+                ref, src, cb, cr, oy, ox, mv_skip, qp, wp
             )
             if cbp_s == 0:
                 if cw is not None:
@@ -2890,10 +3033,10 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             else:
                 w.ue(skip_run)
             skip_run = 0
-            mv = _motion_search(ref.y, src, oy, ox, search)
+            mv = _motion_search(search_ref_y, src, oy, ox, search)
             mvp = st.mv_pred(mbx, mby)
             cbp, luma_z, comps, p16 = _inter_residuals(
-                ref, src, cb, cr, oy, ox, mv, qp
+                ref, src, cb, cr, oy, ox, mv, qp, wp
             )
             if cw is not None:
                 _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
@@ -2946,7 +3089,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      poc_lsb: int = 0,
                      slices: int = 1,
                      entropy: str = "cavlc",
-                     referenced: bool = False) -> tuple[list[bytes], _FrameState]:
+                     referenced: bool = False,
+                     weights: tuple | None = None) -> tuple[list[bytes], _FrameState]:
     """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
     the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
@@ -2958,11 +3102,25 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     ``referenced=True`` emits the header of a REFERENCE B picture (the
     middle level of a hierarchical mini-GOP): dec_ref_pic_marking is
     written (sliding window) and the state DOES enter the DPB — pack the
-    NALs with nal_ref_idc > 0 and count the picture in frame_num."""
+    NALs with nal_ref_idc > 0 and count the picture in frame_num.
+
+    ``weights=(logwd, (w_y0, o_y0, w_c0, o_c0), (w_y1, o_y1, w_c1,
+    o_c1))`` emits explicit pred_weight_tables for both lists and
+    combines through the §8.4.2.3.2 weighted forms — requires a PPS with
+    ``weighted_bipred_idc=1``."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
     assert (ref0.H, ref0.W) == (H_, W_) == (ref1.H, ref1.W), "ref dims mismatch"
+    wp = None
+    search0_y, search1_y = ref0.y, ref1.y
+    if weights is not None:
+        logwd, (wy0, oy0_, wc0, oc0), (wy1, oy1_, wc1, oc1) = weights
+        wp = {"logwd_y": logwd, "logwd_c": logwd,
+              "l0": (wy0, oy0_, wc0, oc0, wc0, oc0),
+              "l1": (wy1, oy1_, wc1, oc1, wc1, oc1)}
+        search0_y = _wp_single(ref0.y.astype(np.int64), wy0, oy0_, logwd)
+        search1_y = _wp_single(ref1.y.astype(np.int64), wy1, oy1_, logwd)
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1
     rbsps = []
@@ -2979,6 +3137,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         w.u(0, 1)  # ref_pic_list_modification_flag_l1
+        if wp is not None:
+            _write_pred_weight_table(w, wp)  # weighted_bipred_idc == 1
         if referenced:  # nal_ref_idc > 0: sliding-window ref marking
             w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
         # else nal_ref_idc == 0: no dec_ref_pic_marking
@@ -2999,14 +3159,20 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             st.slice_no[mby, mbx] = si
             oy, ox = mby * 16, mbx * 16
             src = ysrc[oy : oy + 16, ox : ox + 16]
-            mv0 = _motion_search(ref0.y, src, oy, ox, search)
-            mv1 = _motion_search(ref1.y, src, oy, ox, search)
+            mv0 = _motion_search(search0_y, src, oy, ox, search)
+            mv1 = _motion_search(search1_y, src, oy, ox, search)
             p0 = mc_luma(ref0.y, oy, ox, mv0)
             p1 = mc_luma(ref1.y, oy, ox, mv1)
-            pbi = (p0 + p1 + 1) >> 1
+            if wp is None:
+                p0c, p1c, pbi = p0, p1, (p0 + p1 + 1) >> 1
+            else:
+                l0w, l1w, ld = wp["l0"], wp["l1"], wp["logwd_y"]
+                p0c = _wp_single(p0, l0w[0], l0w[1], ld)
+                p1c = _wp_single(p1, l1w[0], l1w[1], ld)
+                pbi = _wp_bi(p0, p1, l0w[0], l0w[1], l1w[0], l1w[1], ld)
             cands = [
-                (1, [mv0, None], p0),
-                (2, [None, mv1], p1),
+                (1, [mv0, None], p0c),
+                (2, [None, mv1], p1c),
                 (3, [mv0, mv1], pbi),
             ]
             mb_type, mvs, p16 = min(
@@ -3015,7 +3181,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             cy, cx = oy // 2, ox // 2
             p8s = tuple(
                 _bipred(getattr(ref0, pl), getattr(ref1, pl), cy, cx, mvs,
-                        mc_chroma)
+                        mc_chroma, wp, pl)
                 for pl in ("cb", "cr")
             )
             cbp, luma_z, comps, _ = _inter_residuals_from_pred(
