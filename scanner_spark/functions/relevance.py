@@ -158,20 +158,24 @@ def bigram_familiarity(
     need transcendental parity; frequency sums are integers and hash-equal
     everywhere).  Low = atypical/gibberish, high = corpus-fluent.
 
-    Two shuffles: per-(doc,bigram) counts, then the global bigram model
-    (vocabulary-bigram-sized — AQE broadcasts it when small).  Bigram
-    identity is the shared 60-bit ``hashing.h60`` of the bigram string,
-    computed BEFORE the first shuffle: both shuffles and the model join
-    then carry 8-byte longs instead of wide strings (~4-8x fewer shuffle
-    bytes on typical text; the r7 plan audit measured the string-keyed
-    variant at 3.5x its DuckDB twin for exactly this reason).  The oracle
-    mirrors the hash bit-for-bit, so frequencies group identically in
-    both engines.  ``bg`` is both the join's left side and the source of
-    ``model``, so it is ``track()``-persisted (the dedup-family shingle
-    pattern) — without it the explode+shuffle, the heaviest relation
-    here, executes twice.  The tokens array crosses a 1-element-explode
-    Generate barrier first so ``word_bigrams``' slices see an attribute
-    (evaluate-once; see its docstring)."""
+    ONE shuffle: the per-(doc, bigram) counts are computed entirely inside
+    the row — the hashed bigram array is ``array_sort``-ed and run-length
+    encoded with higher-order functions, so what explodes is one row per
+    DISTINCT (doc, bigram) with its count, never one row per occurrence.
+    That deletes the per-(doc,bigram) groupBy shuffle outright (the r10
+    plan audit's remaining scale-weak spot: at sf10 the exploded-occurrence
+    relation dominated the 53 s runtime); the only shuffle left is the
+    vocabulary-bigram-sized model aggregation + join (AQE broadcasts the
+    model when it fits).  Bigram identity is the shared 60-bit
+    ``hashing.h60`` of the bigram string, computed before anything moves:
+    every relation carries 8-byte longs instead of wide strings.  The
+    oracle mirrors the hash bit-for-bit and per-doc pre-aggregation is
+    sum-commutative, so both engines see identical numbers.  ``bg`` is
+    both the join's left side and the source of ``model``, so it is
+    ``track()``-persisted (the dedup-family shingle pattern).  Each HOF
+    stage crosses a 1-element-explode Generate barrier so the lambdas
+    reference ATTRIBUTES, not inlineable expressions (the evaluate-once
+    trap ``word_bigrams`` documents)."""
     from scanner_spark.caching import track
     from scanner_spark.functions.hashing import h60
 
@@ -179,11 +183,43 @@ def bigram_familiarity(
         F.col(id_col).alias("doc"),
         F.explode(F.array(_toks(F.col(text_col)))).alias("toks"),
     )
+    # Barrier 2: sorted hashed-bigram array as an attribute, so the RLE
+    # lambdas' element_at() hits an UnsafeArrayData attribute (O(1)/access)
+    # instead of re-inlining the tokenizer/hash chain per element.
+    sortd = toksed.select(
+        "doc",
+        F.explode(
+            F.array(F.array_sort(F.transform(word_bigrams(F.col("toks")), h60)))
+        ).alias("sbg"),
+    )
+    sbg = F.col("sbg")
+    n = F.size(sbg)
+    idx = F.sequence(F.lit(1), n)  # guarded: only evaluated when n >= 1
+    starts = F.filter(
+        idx,
+        lambda i: (i == F.lit(1))
+        | (F.element_at(sbg, i) != F.element_at(sbg, i - F.lit(1))),
+    )
+    ends = F.filter(
+        idx,
+        lambda i: (i == n)
+        | (F.element_at(sbg, i) != F.element_at(sbg, i + F.lit(1))),
+    )
+    runs = F.when(
+        n >= F.lit(1),
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                F.element_at(sbg, s).alias("bg"),
+                (e - s + F.lit(1)).cast("long").alias("n"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bg:long,n:long>>"))
     bg = track(
-        toksed.select(
-            "doc",
-            F.explode(F.transform(word_bigrams(F.col("toks")), h60)).alias("bg"),
-        ).groupBy("doc", "bg").agg(F.count("*").alias("n"))
+        sortd.select("doc", F.explode(runs).alias("r")).select(
+            "doc", F.col("r.bg").alias("bg"), F.col("r.n").alias("n")
+        )
     )
     model = bg.groupBy("bg").agg(F.sum("n").alias("global_n"))
     return (
