@@ -397,6 +397,8 @@ def _video_decode_sql() -> str:
         # mixed slice-kind avc1 (intra-refresh: I + P slices in one
         # picture): lossy -> NULL
         ("vid7.mp4", 7, [3, 6], 32, 32, False),
+        # deblocked avc1 (in-loop §8.7 filter active, qp=30): lossy -> NULL
+        ("vid8.mp4", 8, [1, 6], 32, 32, False),
     ):
         for f in frames:
             rows.append(

@@ -1214,6 +1214,10 @@ class _FrameState:
         self.mvd_l = np.zeros((mbh, mbw, 2, 2), dtype=np.int64)
         self.cbf_ydc = np.full((mbh, mbw), -1, dtype=np.int64)
         self.cbf_cdc = np.full((2, mbh, mbw), -1, dtype=np.int64)
+        # per-MB luma QP (the running slice QP after the MB's qp_delta):
+        # the §8.7 deblocking filter's alpha/beta/tc0 lookups need QPp and
+        # QPq per macroblock pair.  -1 = not yet coded.
+        self.mb_qp = np.full((mbh, mbw), -1, dtype=np.int64)
 
     def mb_same_slice(self, mbx: int, mby: int) -> bool:
         """In-frame AND belongs to the slice currently being coded."""
@@ -1673,19 +1677,17 @@ def _parse_slice_header(
     if pps.get("cabac") and st_mod != 2:
         r.ue()  # cabac_init_idc (ignored: uniform init, kernels/cabac.py)
     qp = pps["init_qp"] + r.se()
+    # deblocking control (§7.3.3): absent syntax means "filter with zero
+    # offsets" (§8.7's inferred idc 0), NOT "skip" — the pre-round-11
+    # refusal is replaced by the shared kernels/h264_deblock.py filter
+    dbl = (0, 0, 0)
     if pps["deblocking_control_present"]:
         idc = r.ue()
         if idc != 1:
-            if strict:
-                raise NotImplementedError(
-                    "stream requires the in-loop deblocking filter "
-                    "(disable_deblocking_filter_idc != 1); decoding without "
-                    "it would not be conformant — pass strict=False to "
-                    "accept unfiltered reconstruction"
-                )
-            r.se()
-            r.se()
-    return first_mb, st_mod, qp, wp
+            dbl = (idc, r.se() * 2, r.se() * 2)
+        else:
+            dbl = (1, 0, 0)
+    return first_mb, st_mod, qp, wp, dbl
 
 
 def _decode_slice_mbs(
@@ -1712,7 +1714,8 @@ def _decode_slice_mbs(
             if mb >= n_mbs:
                 raise ValueError("slice data continues past picture end")
             mbx, mby = mark(mb)
-            _decode_mb(er, st, mbx, mby, qp, pps)
+            qp = _decode_mb(er, st, mbx, mby, qp, pps)
+            st.mb_qp[mby, mbx] = qp
             mb += 1
     elif st_mod == 0:  # P
         while mb < n_mbs and r.more_rbsp_data():
@@ -1722,11 +1725,13 @@ def _decode_slice_mbs(
                     raise ValueError("mb_skip_run past end of slice")
                 mbx, mby = mark(mb)
                 _reconstruct_skip(st, ref, mbx, mby, wp)
+                st.mb_qp[mby, mbx] = qp  # skip MBs keep the running QP
                 mb += 1
             if mb >= n_mbs or not r.more_rbsp_data():
                 break
             mbx, mby = mark(mb)
             qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps, wp)
+            st.mb_qp[mby, mbx] = qp
             mb += 1
     else:  # B
         while mb < n_mbs and r.more_rbsp_data():
@@ -1738,6 +1743,7 @@ def _decode_slice_mbs(
                 )
             mbx, mby = mark(mb)
             qp = _decode_mb_b(er, st, ref, ref1, mbx, mby, qp, pps)
+            st.mb_qp[mby, mbx] = qp
             mb += 1
     return mb
 
@@ -1777,6 +1783,7 @@ def _decode_slice_mbs_cabac(
                     "supported — in-repo streams never emit them"
                 )
             qp = _decode_mb_b(er, st, ref, ref1, mbx, mby, qp, pps, wp)
+        st.mb_qp[mby, mbx] = qp
         er.end_mb(st, mbx, mby)
         mb += 1
         if er.end_of_slice():
@@ -1826,12 +1833,14 @@ def decode_picture(
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1  # nothing decoded yet
     mb_next = 0
+    slice_dbl: dict[int, tuple[int, int, int]] = {}
     for si, (rbsp, idr, nal_ref_idc) in enumerate(slices):
         st.cur_slice = si
         r = BitReader(rbsp)
-        first_mb, st_mod, qp, wp = _parse_slice_header(
+        first_mb, st_mod, qp, wp, dbl = _parse_slice_header(
             r, sps, pps, strict, idr, nal_ref_idc, ref, ref1
         )
+        slice_dbl[si] = dbl
         if first_mb != mb_next:
             raise NotImplementedError(
                 f"slice {si} starts at mb {first_mb}, expected {mb_next}: "
@@ -1846,6 +1855,11 @@ def decode_picture(
             f"picture ended at mb {mb_next} of {n_mbs} — remaining "
             "slices missing from the access unit"
         )
+    if any(d[0] != 1 for d in slice_dbl.values()):
+        from scanner_spark.kernels.h264_deblock import deblock_picture
+
+        deblock_picture(st, slice_dbl,
+                        chroma_qp_offset=pps.get("chroma_qp_offset", 0))
     planes = _crop_planes(st, sps)
     return (planes, st) if return_state else planes
 
@@ -2626,11 +2640,35 @@ def _slice_bounds(n_mbs: int, slices: int) -> list[tuple[int, int]]:
     return out
 
 
+def _write_deblock(w: BitWriter, deblock: bool) -> None:
+    """Slice-header deblocking control (§7.3.3): idc 0 + zero offsets when
+    the encoder runs the shared kernels/h264_deblock.py loop filter on its
+    reconstruction, idc 1 (conformant skip) otherwise."""
+    if deblock:
+        w.ue(0)  # disable_deblocking_filter_idc: filter all edges
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
+    else:
+        w.ue(1)  # disable_deblocking_filter_idc: OFF (conformant skip)
+
+
+def _encoder_deblock(st: "_FrameState", n_slices: int,
+                     deblock: bool) -> None:
+    """Apply the in-loop filter to a fully encoded picture's recon so the
+    state used as a reference (and returned to callers) matches what a
+    decoder reconstructs."""
+    if deblock:
+        from scanner_spark.kernels.h264_deblock import deblock_picture
+
+        deblock_picture(st, {si: (0, 0, 0) for si in range(n_slices)})
+
+
 def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      qp: int = 26, mb_mode: str = "auto",
                      poc_lsb: int | None = None,
                      slices: int = 1,
-                     entropy: str = "cavlc") -> tuple[list[bytes], _FrameState]:
+                     entropy: str = "cavlc",
+                     deblock: bool = False) -> tuple[list[bytes], _FrameState]:
     """(y, cb, cr) uint8 planes (padded to MB multiples by the caller via
     :func:`pad_planes`) -> (IDR slice RBSPs, reconstruction state) — the
     state seeds P-frame encoding of the following GOP frames.
@@ -2659,7 +2697,7 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(0, 1)  # no_output_of_prior_pics
         w.u(0, 1)  # long_term_reference
         w.se(0)  # slice_qp_delta (QP == pic_init_qp)
-        w.ue(1)  # disable_deblocking_filter_idc: OFF (conformant skip)
+        _write_deblock(w, deblock)
         if entropy == "cabac":
             if mb_mode == "pcm":
                 raise ValueError(
@@ -2673,6 +2711,7 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             for mb in range(mb0, mb1):
                 mbx, mby = mb % mbw, mb // mbw
                 st.slice_no[mby, mbx] = si
+                st.mb_qp[mby, mbx] = qp
                 ew.begin_mb(st, mbx, mby)
                 _encode_mb(ew, st, mbx, mby, y, cb, cr, qp, mb_mode)
                 ew.end_mb(st, mbx, mby)
@@ -2683,9 +2722,11 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         for mb in range(mb0, mb1):
             mbx, mby = mb % mbw, mb // mbw
             st.slice_no[mby, mbx] = si
+            st.mb_qp[mby, mbx] = qp
             _encode_mb(ew, st, mbx, mby, y, cb, cr, qp, mb_mode)
         w.rbsp_trailing()
         rbsps.append(w.bytes())
+    _encoder_deblock(st, max(slices, 1), deblock)
     return rbsps, st
 
 
@@ -2877,7 +2918,8 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      l0_ref_fn: int | None = None,
                      intra_slices: int = 0,
                      mb_mode: str = "auto",
-                     weight: tuple | None = None) -> tuple[list[bytes], _FrameState]:
+                     weight: tuple | None = None,
+                     deblock: bool = False) -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
     zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
@@ -2940,7 +2982,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
             w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
             w.se(0)  # slice_qp_delta
-            w.ue(1)  # disable_deblocking_filter_idc: OFF
+            _write_deblock(w, deblock)
             if entropy == "cabac":
                 from scanner_spark.kernels.h264_cabac import CabacWriter
 
@@ -2949,6 +2991,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 for mb in range(mb0, mb1):
                     mbx, mby = mb % mbw, mb // mbw
                     st.slice_no[mby, mbx] = si
+                    st.mb_qp[mby, mbx] = qp
                     cw_i.begin_mb(st, mbx, mby)
                     _encode_mb(cw_i, st, mbx, mby, y, cb, cr, qp, mb_mode)
                     cw_i.end_mb(st, mbx, mby)
@@ -2959,6 +3002,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 for mb in range(mb0, mb1):
                     mbx, mby = mb % mbw, mb // mbw
                     st.slice_no[mby, mbx] = si
+                    st.mb_qp[mby, mbx] = qp
                     _encode_mb(ew_i, st, mbx, mby, y, cb, cr, qp, mb_mode)
                 w.rbsp_trailing()
                 rbsps.append(w.bytes())
@@ -2990,7 +3034,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         if entropy == "cabac":
             w.ue(0)  # cabac_init_idc (uniform init, kernels/cabac.py)
         w.se(0)  # slice_qp_delta
-        w.ue(1)  # disable_deblocking_filter_idc: OFF
+        _write_deblock(w, deblock)
         if entropy == "cabac":
             from scanner_spark.kernels.h264_cabac import CabacWriter
 
@@ -3003,6 +3047,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         for mb in range(mb0, mb1):
             mbx, mby = mb % mbw, mb // mbw
             st.slice_no[mby, mbx] = si
+            st.mb_qp[mby, mbx] = qp
             oy, ox = mby * 16, mbx * 16
             src = ysrc[oy : oy + 16, ox : ox + 16]
             if cw is not None:
@@ -3070,6 +3115,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             w.ue(skip_run)
         w.rbsp_trailing()
         rbsps.append(w.bytes())
+    _encoder_deblock(st, max(slices, 1), deblock)
     return rbsps, st
 
 
@@ -3090,7 +3136,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      slices: int = 1,
                      entropy: str = "cavlc",
                      referenced: bool = False,
-                     weights: tuple | None = None) -> tuple[list[bytes], _FrameState]:
+                     weights: tuple | None = None,
+                     deblock: bool = False) -> tuple[list[bytes], _FrameState]:
     """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
     the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
@@ -3145,7 +3192,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         if entropy == "cabac":
             w.ue(0)  # cabac_init_idc (uniform init, kernels/cabac.py)
         w.se(0)  # slice_qp_delta
-        w.ue(1)  # disable_deblocking_filter_idc: OFF
+        _write_deblock(w, deblock)
         if entropy == "cabac":
             from scanner_spark.kernels.h264_cabac import CabacWriter
 
@@ -3157,6 +3204,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         for mb in range(mb0, mb1):
             mbx, mby = mb % mbw, mb // mbw
             st.slice_no[mby, mbx] = si
+            st.mb_qp[mby, mbx] = qp
             oy, ox = mby * 16, mbx * 16
             src = ysrc[oy : oy + 16, ox : ox + 16]
             mv0 = _motion_search(search0_y, src, oy, ox, search)
@@ -3249,6 +3297,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             continue
         w.rbsp_trailing()
         rbsps.append(w.bytes())
+    _encoder_deblock(st, max(slices, 1), deblock)
     return rbsps, st
 
 
@@ -3276,14 +3325,16 @@ def pad_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
 
 def encode_frame_nals(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                       qp: int = 26, mb_mode: str = "auto",
-                      slices: int = 1, entropy: str = "cavlc") -> list:
+                      slices: int = 1, entropy: str = "cavlc",
+                      deblock: bool = False) -> list:
     """One frame -> the picture's IDR slice NALs (no start code / length
     prefix), ALWAYS a list — one entry per slice.  Type-stable multi-slice
     API (ADVICE r08); :func:`encode_frame` is the scalar single-slice
     convenience."""
     yp, cbp_, crp = pad_planes(y, cb, cr)
     rbsps, _st = encode_picture_i(yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
-                                  slices=slices, entropy=entropy)
+                                  slices=slices, entropy=entropy,
+                                  deblock=deblock)
     return [rbsp_to_nal(3, 5, r) for r in rbsps]
 
 
@@ -3300,7 +3351,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        slices: int = 1,
                        entropy: str = "cavlc",
                        b_pyramid: bool = False,
-                       p_intra_slices: int = 0) -> list[tuple[list, bool, int]]:
+                       p_intra_slices: int = 0,
+                       deblock: bool = False) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
     IDR, reference P frames every ``b_frames + 1`` display positions
@@ -3350,6 +3402,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
         rbsps, prev_st = encode_picture_i(
             yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
             poc_lsb=0 if poc0 else None, slices=slices, entropy=entropy,
+            deblock=deblock,
         )
         out.append((pack(rbsps, 3, 5), True, g0))
         fnum, prev_d = 1, 0
@@ -3362,7 +3415,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 yp, cbp_, crp, prev_st, qp=qp, frame_num=fnum, search=search,
                 poc_lsb=2 * nxt_d if poc0 else None, slices=slices,
                 entropy=entropy, intra_slices=p_intra_slices,
-                mb_mode=mb_mode,
+                mb_mode=mb_mode, deblock=deblock,
                 # after a reference B, the default L0 head (highest
                 # PicNum) is that B, not prev_st — reorder explicitly
                 l0_ref_fn=prev_fn if prev_gap_bref else None,
@@ -3376,7 +3429,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 rbsps, mid_st = encode_picture_b(
                     yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
                     search=search, poc_lsb=2 * m, slices=slices,
-                    entropy=entropy, referenced=True,
+                    entropy=entropy, referenced=True, deblock=deblock,
                 )
                 out.append((pack(rbsps, 2, 1), False, g0 + m))
                 fnum = (fnum + 1) & 15
@@ -3388,7 +3441,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     rbsps, _ = encode_picture_b(
                         yp, cbp_, crp, r0, r1, qp=qp, frame_num=fnum,
                         search=search, poc_lsb=2 * d, slices=slices,
-                        entropy=entropy,
+                        entropy=entropy, deblock=deblock,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = True
@@ -3398,7 +3451,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     rbsps, _ = encode_picture_b(
                         yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
                         search=search, poc_lsb=2 * d, slices=slices,
-                        entropy=entropy,
+                        entropy=entropy, deblock=deblock,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = False

@@ -1750,6 +1750,19 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_mix_path)
+    # deblocked avc1 (round 11): disable_deblocking_filter_idc=0 — every
+    # picture runs the §8.7 in-loop filter (kernels/h264_deblock.py) on
+    # both sides; qp=30 so the filter is actually active (alpha/beta are
+    # zero below index 16, making low-qp streams filter no-ops)
+    avc_dbl_path = f"{tmp}/vid8.mp4"
+    with open(avc_dbl_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(8, i, 32, 32, 3) for i in range(8)],
+                qp=30, gop=4, b_frames=1, deblock=True,
+            )
+        )
+    paths.append(avc_dbl_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1760,6 +1773,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_cabac_path: [1, 6],
         avc_pyr_path: [5, 10],
         avc_mix_path: [3, 6],
+        avc_dbl_path: [1, 6],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1776,7 +1790,8 @@ def q_video_decode_pruned(spark, sf_dir):
         cks(F.col("frame")).alias("c"),
     )
     lossy = F.col("video").isin(
-        "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4"
+        "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
+        "vid8.mp4",
     )
     return out2.select(
         "video",

@@ -398,7 +398,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     gop: int | None = None, b_frames: int = 0,
                     slices: int = 1, entropy: str = "cavlc",
                     b_pyramid: bool = False,
-                    p_intra_slices: int = 0) -> bytes:
+                    p_intra_slices: int = 0,
+                    deblock: bool = False) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -443,14 +444,15 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     if gop is None:
         nals = [
             (h264.encode_frame_nals(y, cb, cr, qp=qp, mb_mode=mb_mode,
-                                    slices=slices, entropy=entropy), True, i)
+                                    slices=slices, entropy=entropy,
+                                    deblock=deblock), True, i)
             for i, (y, cb, cr) in enumerate(yuv)
         ]
     else:
         nals = h264.encode_stream_nals(
             yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames,
             slices=slices, entropy=entropy, b_pyramid=b_pyramid,
-            p_intra_slices=p_intra_slices,
+            p_intra_slices=p_intra_slices, deblock=deblock,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams

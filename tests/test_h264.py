@@ -228,9 +228,12 @@ def test_golden_pixels_pinned():
     assert digest == "c89f0fcae0dbecb4aaa1a0cef738665f"
 
 
-def test_decoder_refuses_deblocking_streams_in_strict_mode():
-    """A slice header demanding the in-loop filter must be refused, not
-    silently mis-decoded (strict=False opts into unfiltered output)."""
+def test_deblocking_streams_decode_through_the_loop_filter():
+    """Round 11: slice headers demanding the in-loop filter decode
+    THROUGH kernels/h264_deblock.py (the former strict-mode refusal is
+    retired; exactness pinned in tests/test_h264_deblock.py).  At qp 20
+    the filter is active but gentle — output must stay a legal frame and
+    equal the deblock=True encoder recon."""
     y, cb, cr = _mk_frames(16, 16)["flat"]
     nal = bytearray(H.encode_frame(y, cb, cr, qp=20))
     # re-write the slice header with disable_deblocking_filter_idc = 0
@@ -254,10 +257,11 @@ def test_decoder_refuses_deblocking_streams_in_strict_mode():
     nal2 = H.rbsp_to_nal(3, 5, w.bytes())
     sps = H.parse_sps(H.write_sps(16, 16))
     pps = H.parse_pps(H.write_pps(20))
-    with pytest.raises(NotImplementedError, match="deblocking"):
-        H.decode_frame(nal2, sps, pps)
-    out = H.decode_frame(nal2, sps, pps, strict=False)  # opt-in accepted
+    out = H.decode_frame(nal2, sps, pps)
     assert out[0].shape == (16, 16)
+    _, est = H.encode_picture_i(*H.pad_planes(y, cb, cr), qp=20,
+                                deblock=True)
+    assert np.array_equal(out[0], est.y.astype(np.uint8))
 
 
 def test_p_needs_ref_and_b_slices_refused():
