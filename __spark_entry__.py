@@ -399,6 +399,9 @@ def _video_decode_sql() -> str:
         ("vid7.mp4", 7, [3, 6], 32, 32, False),
         # deblocked avc1 (in-loop §8.7 filter active, qp=30): lossy -> NULL
         ("vid8.mp4", 8, [1, 6], 32, 32, False),
+        # multi-reference avc1 (2-deep RefPicList0, te(v) ref_idx,
+        # deblocked): lossy -> NULL
+        ("vid9.mp4", 9, [2, 6], 32, 32, False),
     ):
         for f in frames:
             rows.append(

@@ -1193,6 +1193,10 @@ class _FrameState:
         # (a B_L0 MB uses only list 0, B_L1 only list 1, B_Bi both)
         self.mv_l = np.zeros((mbh, mbw, 2, 2), dtype=np.int64)
         self.use_l = np.zeros((mbh, mbw, 2), dtype=bool)
+        # per-MB reference index per list (§8.4.1.3.2's refIdxLXN): -1 =
+        # intra/unused list; P MBs record list 0.  Feeds the multi-ref MV
+        # predictor's same-refIdx rule and the deblocking bS ref compare.
+        self.ref_l = np.full((mbh, mbw, 2), -1, dtype=np.int64)
         # multi-slice context: which slice decoded/encoded each MB, and
         # the slice being worked on.  Neighbours in a DIFFERENT slice are
         # unavailable for intra prediction, mv prediction, and CAVLC nC
@@ -1237,35 +1241,43 @@ class _FrameState:
         return self.mb_same_slice(mbx - 1, mby - 1)
 
     def _mv_neighbor(self, mbx: int, mby: int, lst: int | None = None):
-        """(available_inter, mv) for a neighbour MB; unavailable or intra
-        neighbours contribute mv (0,0) with ref -1 (§8.4.1.3.2).  With
-        ``lst`` the availability additionally requires the neighbour to
-        predict from that reference list (B slices)."""
+        """(available_inter, mv, refIdx) for a neighbour MB; unavailable
+        or intra neighbours contribute mv (0,0) with ref -1
+        (§8.4.1.3.2).  With ``lst`` the availability additionally
+        requires the neighbour to predict from that reference list
+        (B slices)."""
+        zero = np.zeros(2, dtype=np.int64)
         if not self.mb_same_slice(mbx, mby):
-            return False, np.zeros(2, dtype=np.int64)
+            return False, zero, -1
         if lst is None:
             if not self.mb_inter[mby, mbx]:
-                return False, np.zeros(2, dtype=np.int64)
-            return True, self.mv[mby, mbx]
+                return False, zero, -1
+            # unset ref_l on an inter MB reads as refIdx 0 (states built
+            # before multi-ref recording existed stay bit-compatible)
+            return True, self.mv[mby, mbx], max(int(self.ref_l[mby, mbx, 0]), 0)
         if not self.use_l[mby, mbx, lst]:
-            return False, np.zeros(2, dtype=np.int64)
-        return True, self.mv_l[mby, mbx, lst]
+            return False, zero, -1
+        return True, self.mv_l[mby, mbx, lst], max(
+            int(self.ref_l[mby, mbx, lst]), 0)
 
-    def mv_pred(self, mbx: int, mby: int, lst: int | None = None) -> np.ndarray:
-        """Median MV predictor for a 16x16 partition, single ref per list
-        (§8.4.1.3): C = above-right, replaced by D = above-left when
-        unavailable; exactly-one-inter-neighbour shortcut; top-row
-        fallback to A.  ``lst`` selects the B-slice reference list
-        (neighbours not predicting from it count as unavailable,
-        §8.4.1.3.2's refIdxLXN test at our single-ref-per-list scope)."""
-        availA, mvA = self._mv_neighbor(mbx - 1, mby, lst)
-        availB, mvB = self._mv_neighbor(mbx, mby - 1, lst)
+    def mv_pred(self, mbx: int, mby: int, lst: int | None = None,
+                ref_idx: int = 0) -> np.ndarray:
+        """Median MV predictor for a 16x16 partition (§8.4.1.3): C =
+        above-right, replaced by D = above-left when unavailable; the
+        one-and-only-one-neighbour-with-the-same-refIdx shortcut
+        (§8.4.1.3.1 — with one active reference this reduces to the
+        exactly-one-inter-neighbour shortcut); top-row fallback to A.
+        ``lst`` selects the B-slice reference list (neighbours not
+        predicting from it count as unavailable, §8.4.1.3.2's refIdxLXN
+        test); ``ref_idx`` is the current partition's refIdxLX."""
+        availA, mvA, refA = self._mv_neighbor(mbx - 1, mby, lst)
+        availB, mvB, refB = self._mv_neighbor(mbx, mby - 1, lst)
         # C exists (decoded) iff above-right is inside the frame AND the
         # current slice; when not, substitute D = above-left (§8.4.1.3.1)
         if self.mb_same_slice(mbx + 1, mby - 1):
-            availC, mvC = self._mv_neighbor(mbx + 1, mby - 1, lst)
+            availC, mvC, refC = self._mv_neighbor(mbx + 1, mby - 1, lst)
         else:
-            availC, mvC = self._mv_neighbor(mbx - 1, mby - 1, lst)
+            availC, mvC, refC = self._mv_neighbor(mbx - 1, mby - 1, lst)
         # B, C, D all MB-unavailable (outside the frame or the slice):
         # the §8.4.1.3.2 "use A" shortcut
         b_edge = not (
@@ -1275,26 +1287,31 @@ class _FrameState:
         )
         if b_edge and availA:
             return mvA.copy()
-        n_avail = int(availA) + int(availB) + int(availC)
-        if n_avail == 1:
-            return (mvA if availA else mvB if availB else mvC).copy()
+        same = [
+            (avail and ref == ref_idx, mv)
+            for avail, mv, ref in
+            ((availA, mvA, refA), (availB, mvB, refB), (availC, mvC, refC))
+        ]
+        n_same = sum(1 for s, _ in same if s)
+        if n_same == 1:
+            return next(mv for s, mv in same if s).copy()
         stacked = np.stack([mvA, mvB, mvC])
         return np.median(stacked, axis=0).astype(np.int64)
 
     def skip_mv(self, mbx: int, mby: int) -> np.ndarray:
         """P_Skip motion vector (§8.4.1.1): zero when at the left/top
-        edge or when either A or B is a zero-MV ref-0 inter block, else
-        the median predictor."""
-        availA, mvA = self._mv_neighbor(mbx - 1, mby)
-        availB, mvB = self._mv_neighbor(mbx, mby - 1)
+        edge or when either A or B is a zero-MV refIdx-0 inter block,
+        else the median predictor with refIdxL0 = 0."""
+        availA, mvA, refA = self._mv_neighbor(mbx - 1, mby)
+        availB, mvB, refB = self._mv_neighbor(mbx, mby - 1)
         # A/B MB-unavailable (frame edge OR slice boundary) -> zero MV
         edgeA = not self.mb_same_slice(mbx - 1, mby)
         edgeB = not self.mb_same_slice(mbx, mby - 1)
         if edgeA or edgeB:
             return np.zeros(2, dtype=np.int64)
-        if availA and mvA[0] == 0 and mvA[1] == 0:
+        if availA and refA == 0 and mvA[0] == 0 and mvA[1] == 0:
             return np.zeros(2, dtype=np.int64)
-        if availB and mvB[0] == 0 and mvB[1] == 0:
+        if availB and refB == 0 and mvB[0] == 0 and mvB[1] == 0:
             return np.zeros(2, dtype=np.int64)
         return self.mv_pred(mbx, mby)
 
@@ -1479,6 +1496,13 @@ class CavlcReader:
     def mvd_pair(self, st, mbx, mby, lst: int):
         return self.r.se(), self.r.se()
 
+    def ref_idx(self, st, mbx, mby, n_active: int) -> int:
+        # te(v), §9.1.1: one inverted bit when the range max is 1, ue(v)
+        # otherwise
+        if n_active == 2:
+            return 1 - self.r.u(1)
+        return self.r.ue()
+
     def cbp(self, st, mbx, mby, intra: bool) -> int:
         return (_CBP_INTRA if intra else _CBP_INTER)[self.r.ue()]
 
@@ -1546,6 +1570,13 @@ class CavlcWriter:
     def mvd_pair(self, st, mbx, mby, lst: int, mvd) -> None:
         self.w.se(int(mvd[0]))
         self.w.se(int(mvd[1]))
+
+    def ref_idx(self, st, mbx, mby, n_active: int, v: int) -> None:
+        # te(v) mirror of CavlcReader.ref_idx
+        if n_active == 2:
+            self.w.u(1 - v, 1)
+        else:
+            self.w.ue(v)
 
     def cbp(self, st, mbx, mby, intra: bool, cbp: int) -> None:
         self.w.ue((_CBP_INTRA_INV if intra else _CBP_INTER_INV)[cbp])
@@ -1643,18 +1674,13 @@ def _parse_slice_header(
         r.u(sps.get("log2_max_poc_lsb", 4))  # pic_order_cnt_lsb
     if is_b:
         r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs decoded)
+    n_l0 = pps.get("num_ref_l0", 0) + 1
+    n_l1 = pps.get("num_ref_l1", 0) + 1
     if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override_flag
-            if r.ue() != 0:  # num_ref_idx_l0_active_minus1
-                raise NotImplementedError(
-                    "multiple reference frames not supported (single-ref "
-                    "decode)"
-                )
-            if is_b and r.ue() != 0:  # num_ref_idx_l1_active_minus1
-                raise NotImplementedError(
-                    "multiple reference frames not supported (single-ref "
-                    "decode)"
-                )
+            n_l0 = r.ue() + 1  # num_ref_idx_l0_active_minus1
+            if is_b:
+                n_l1 = r.ue() + 1  # num_ref_idx_l1_active_minus1
         # ref_pic_list_modification: parsed and SKIPPED — by contract the
         # caller supplies the FINAL list heads (ref = RefPicList0[0],
         # ref1 = RefPicList1[0]); the container walk resolves the
@@ -1662,10 +1688,25 @@ def _parse_slice_header(
         _parse_list_mods(r)
         if is_b:
             _parse_list_mods(r)
+    if is_b and (n_l0 > 1 or n_l1 > 1):
+        raise NotImplementedError(
+            "multi-reference B lists not supported (B slices decode with "
+            "one reference per list; P multi-ref is supported)"
+        )
+    if pps.get("cabac") and n_l0 > 1:
+        raise NotImplementedError(
+            "multi-reference P under CABAC not supported (ref_idx_l0 "
+            "context models not implemented; use CAVLC for multi-ref)"
+        )
     wp = None
     if (pps.get("weighted_pred") and is_p) or (
         is_b and pps.get("weighted_bipred_idc", 0) == 1
     ):
+        if n_l0 > 1:
+            raise NotImplementedError(
+                "explicit weighted prediction with multiple references "
+                "not supported (per-ref weight tables unparsed)"
+            )
         wp = _parse_pred_weight_table(r, is_b)
     # dec_ref_pic_marking (§7.3.3.3)
     if idr:
@@ -1687,12 +1728,13 @@ def _parse_slice_header(
             dbl = (idc, r.se() * 2, r.se() * 2)
         else:
             dbl = (1, 0, 0)
-    return first_mb, st_mod, qp, wp, dbl
+    return first_mb, st_mod, qp, wp, dbl, n_l0
 
 
 def _decode_slice_mbs(
     r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
-    qp: int, ref, ref1, mb_start: int, wp: dict | None = None,
+    qp: int, refs, ref1, mb_start: int, wp: dict | None = None,
+    n_l0: int = 1,
 ) -> int:
     """Decode one slice's macroblock run starting at ``mb_start``,
     marking each MB with the current slice id.  The run length is not
@@ -1724,13 +1766,14 @@ def _decode_slice_mbs(
                 if mb >= n_mbs:
                     raise ValueError("mb_skip_run past end of slice")
                 mbx, mby = mark(mb)
-                _reconstruct_skip(st, ref, mbx, mby, wp)
+                _reconstruct_skip(st, refs[0], mbx, mby, wp)
                 st.mb_qp[mby, mbx] = qp  # skip MBs keep the running QP
                 mb += 1
             if mb >= n_mbs or not r.more_rbsp_data():
                 break
             mbx, mby = mark(mb)
-            qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps, wp)
+            qp = _decode_mb_p(er, st, refs, mbx, mby, qp, pps, wp,
+                              n_ref=n_l0)
             st.mb_qp[mby, mbx] = qp
             mb += 1
     else:  # B
@@ -1742,7 +1785,8 @@ def _decode_slice_mbs(
                     "supported — in-repo streams never emit them"
                 )
             mbx, mby = mark(mb)
-            qp = _decode_mb_b(er, st, ref, ref1, mbx, mby, qp, pps)
+            qp = _decode_mb_b(er, st, refs[0] if refs else None, ref1,
+                              mbx, mby, qp, pps)
             st.mb_qp[mby, mbx] = qp
             mb += 1
     return mb
@@ -1750,7 +1794,8 @@ def _decode_slice_mbs(
 
 def _decode_slice_mbs_cabac(
     r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
-    qp: int, ref, ref1, mb_start: int, wp: dict | None = None,
+    qp: int, refs, ref1, mb_start: int, wp: dict | None = None,
+    n_l0: int = 1,
 ) -> int:
     """CABAC twin of :func:`_decode_slice_mbs`: per-MB mb_skip_flag
     instead of skip runs, end_of_slice_flag (a terminate bin) instead of
@@ -1773,16 +1818,17 @@ def _decode_slice_mbs_cabac(
             qp = _decode_mb(er, st, mbx, mby, qp, pps)
         elif st_mod == 0:  # P
             if er.read_skip(st, mbx, mby, False):
-                _reconstruct_skip(st, ref, mbx, mby, wp)
+                _reconstruct_skip(st, refs[0], mbx, mby, wp)
             else:
-                qp = _decode_mb_p(er, st, ref, mbx, mby, qp, pps, wp)
+                qp = _decode_mb_p(er, st, refs, mbx, mby, qp, pps, wp)
         else:  # B
             if er.read_skip(st, mbx, mby, True):
                 raise NotImplementedError(
                     "B_Skip macroblocks (direct-mode derivation) not "
                     "supported — in-repo streams never emit them"
                 )
-            qp = _decode_mb_b(er, st, ref, ref1, mbx, mby, qp, pps, wp)
+            qp = _decode_mb_b(er, st, refs[0] if refs else None, ref1,
+                              mbx, mby, qp, pps, wp)
         st.mb_qp[mby, mbx] = qp
         er.end_mb(st, mbx, mby)
         mb += 1
@@ -1832,15 +1878,26 @@ def decode_picture(
     n_mbs = mbw * mbh
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1  # nothing decoded yet
+    # RefPicList0 may be a single state (the list head — the historical
+    # contract) or the full ordered list for multi-ref P slices
+    refs0 = list(ref) if isinstance(ref, (list, tuple)) else (
+        [ref] if ref is not None else []
+    )
     mb_next = 0
     slice_dbl: dict[int, tuple[int, int, int]] = {}
     for si, (rbsp, idr, nal_ref_idc) in enumerate(slices):
         st.cur_slice = si
         r = BitReader(rbsp)
-        first_mb, st_mod, qp, wp, dbl = _parse_slice_header(
-            r, sps, pps, strict, idr, nal_ref_idc, ref, ref1
+        first_mb, st_mod, qp, wp, dbl, n_l0 = _parse_slice_header(
+            r, sps, pps, strict, idr, nal_ref_idc,
+            refs0[0] if refs0 else None, ref1
         )
         slice_dbl[si] = dbl
+        if st_mod == 0 and n_l0 > len(refs0):
+            raise ValueError(
+                f"slice {si} needs {n_l0} list-0 references, caller "
+                f"supplied {len(refs0)}"
+            )
         if first_mb != mb_next:
             raise NotImplementedError(
                 f"slice {si} starts at mb {first_mb}, expected {mb_next}: "
@@ -1848,7 +1905,8 @@ def decode_picture(
             )
         loop = _decode_slice_mbs_cabac if cabac else _decode_slice_mbs
         mb_next = loop(
-            r, st, sps, pps, st_mod, qp, ref, ref1, mb_next, wp
+            r, st, sps, pps, st_mod, qp, refs0, ref1, mb_next, wp,
+            n_l0,
         )
     if mb_next != n_mbs:
         raise ValueError(
@@ -1901,14 +1959,18 @@ def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int,
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
     st.mb_inter[mby, mbx] = True
     st.mv[mby, mbx] = mv
+    st.ref_l[mby, mbx, 0] = 0  # P_Skip predicts from refIdxL0 = 0
 
 
-def _decode_mb_p(er, st: _FrameState, ref: _FrameState,
+def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
                  mbx: int, mby: int, qp: int, pps: dict,
-                 wp: dict | None = None) -> int:
+                 wp: dict | None = None, n_ref: int = 1) -> int:
     """One coded P-slice macroblock: P_L0_16x16 (type 0) or an intra type
-    (offset 5, Table 7-13).  ``wp`` applies explicit weighted prediction
-    (§8.4.2.3.2) to the compensated samples."""
+    (offset 5, Table 7-13).  ``refs`` is the final ordered RefPicList0
+    (§8.2.4); with ``n_ref > 1`` each MB codes ref_idx_l0 as te(v) and
+    the §8.4.1.3.1 same-refIdx MV-predictor rule applies.  ``wp`` applies
+    explicit weighted prediction (§8.4.2.3.2) to the compensated
+    samples."""
     mb_type = er.mb_type(st, mbx, mby, "P")
     if mb_type >= 5:
         return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 5)
@@ -1919,9 +1981,12 @@ def _decode_mb_p(er, st: _FrameState, ref: _FrameState,
         )
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
-    # single ref (num_ref_idx_l0_active_minus1 == 0): no ref_idx_l0 coded
+    ridx = er.ref_idx(st, mbx, mby, n_ref) if n_ref > 1 else 0
+    if ridx >= len(refs):
+        raise ValueError(f"ref_idx_l0 {ridx} beyond RefPicList0")
+    ref = refs[ridx]
     mvd = np.array(er.mvd_pair(st, mbx, mby, 0), dtype=np.int64)
-    mv = st.mv_pred(mbx, mby) + mvd
+    mv = st.mv_pred(mbx, mby, ref_idx=ridx) + mvd
     p16 = mc_luma(ref.y, oy, ox, mv)
     if wp is not None:
         p16 = _wp_single(p16, wp["l0"][0], wp["l0"][1], wp["logwd_y"])
@@ -1957,6 +2022,7 @@ def _decode_mb_p(er, st: _FrameState, ref: _FrameState,
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
     st.mb_inter[mby, mbx] = True
     st.mv[mby, mbx] = mv
+    st.ref_l[mby, mbx, 0] = ridx
     return qp
 
 
@@ -2023,6 +2089,7 @@ def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
         if mvs[lst] is not None:
             st.use_l[mby, mbx, lst] = True
             st.mv_l[mby, mbx, lst] = mvs[lst]
+            st.ref_l[mby, mbx, lst] = 0  # B lists stay single-ref
     st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
     return qp
 
@@ -2419,12 +2486,13 @@ def _mb_snapshot(st: _FrameState, mbx: int, mby: int):
         st.modes4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4].copy(),
         bool(st.mb_inter[mby, mbx]),
         st.mv[mby, mbx].copy(),
+        st.ref_l[mby, mbx].copy(),
     )
 
 
 def _mb_restore(st: _FrameState, mbx: int, mby: int, snap) -> None:
     ox, oy = mbx * 16, mby * 16
-    y, cb, cr, nzy, nzc, modes4, inter, mv = snap
+    y, cb, cr, nzy, nzc, modes4, inter, mv, ref_l = snap
     st.y[oy : oy + 16, ox : ox + 16] = y
     st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cb
     st.cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cr
@@ -2433,6 +2501,7 @@ def _mb_restore(st: _FrameState, mbx: int, mby: int, snap) -> None:
     st.modes4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4] = modes4
     st.mb_inter[mby, mbx] = inter
     st.mv[mby, mbx] = mv
+    st.ref_l[mby, mbx] = ref_l
 
 
 def _encode_mb_pcm(ew, st: _FrameState, mbx: int, mby: int,
@@ -2871,13 +2940,18 @@ def _reconstruct_inter(st: _FrameState, oy: int, ox: int, cbp: int,
 
 def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
                     mv, mvd, cbp: int, luma_z, comps, qp: int,
-                    mb_type: int = 0, mvd2=None) -> None:
+                    mb_type: int = 0, mvd2=None,
+                    ref_idx: int | None = None, n_ref: int = 1) -> None:
     """Bitstream emission for a 16x16 inter MB + nzy/nzc updates:
     P_L0_16x16 (mb_type 0) or a B 16x16 type (1/2/3) with ``mvd`` for the
-    first coded list and ``mvd2`` for list 1 of B_Bi."""
+    first coded list and ``mvd2`` for list 1 of B_Bi.  With ``n_ref > 1``
+    the P MB codes ``ref_idx`` as te(v) between mb_type and mvd
+    (§7.3.5.1)."""
     oy, ox = mby * 16, mbx * 16
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     ew.mb_type(st, mbx, mby, "P" if mb_type == 0 else "B", mb_type)
+    if n_ref > 1 and mb_type == 0:
+        ew.ref_idx(st, mbx, mby, n_ref, int(ref_idx))
     if mvd is not None:
         # list 0 unless this is B_L1_16x16 (its single mvd is list 1)
         ew.mvd_pair(st, mbx, mby, 1 if mb_type == 2 else 0, mvd)
@@ -2950,7 +3024,30 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
-    assert (ref.H, ref.W) == (H_, W_), "reference dims mismatch"
+    # multi-reference P: ``ref`` may be the full ordered RefPicList0
+    # (most-recent-first); each MB then picks its reference by SAD and
+    # codes ref_idx_l0 (decoder twin in _decode_mb_p)
+    refs = list(ref) if isinstance(ref, (list, tuple)) else [ref]
+    n0 = len(refs)
+    ref = refs[0]
+    for rf in refs:
+        assert (rf.H, rf.W) == (H_, W_), "reference dims mismatch"
+    if n0 > 1:
+        if entropy == "cabac":
+            raise NotImplementedError(
+                "multi-reference P under CABAC not supported (matches the "
+                "decoder's refusal)"
+            )
+        if weight is not None:
+            raise NotImplementedError(
+                "explicit weighted prediction with multiple references "
+                "not supported"
+            )
+        if l0_ref_fn is not None:
+            raise NotImplementedError(
+                "ref-list modification with an explicit multi-ref list "
+                "not supported (pass the final ordered list instead)"
+            )
     if not 0 <= intra_slices < max(slices, 1):
         raise ValueError("intra_slices must leave at least one P slice")
     wp = None
@@ -3013,7 +3110,11 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
         if poc_lsb is not None:
             w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
-        w.u(0, 1)  # num_ref_idx_active_override_flag
+        if n0 > 1:
+            w.u(1, 1)  # num_ref_idx_active_override_flag
+            w.ue(n0 - 1)  # num_ref_idx_l0_active_minus1
+        else:
+            w.u(0, 1)  # num_ref_idx_active_override_flag
         if l0_ref_fn is None or (l0_ref_fn & 15) == (frame_num & 15):
             w.u(0, 1)  # ref_pic_list_modification_flag_l0
         else:
@@ -3068,6 +3169,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
                 st.mv[mby, mbx] = mv_skip
+                st.ref_l[mby, mbx, 0] = 0
                 skip_run += 1
                 if cw is not None:
                     cw.end_mb(st, mbx, mby)
@@ -3078,10 +3180,22 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             else:
                 w.ue(skip_run)
             skip_run = 0
-            mv = _motion_search(search_ref_y, src, oy, ox, search)
-            mvp = st.mv_pred(mbx, mby)
+            if n0 > 1:
+                # per-reference search: cheapest compensated SAD wins,
+                # ties to the lowest index (shorter te(v) code)
+                cands = []
+                for ri, rf in enumerate(refs):
+                    mvi = _motion_search(rf.y, src, oy, ox, search)
+                    sad = int(np.abs(
+                        mc_luma(rf.y, oy, ox, mvi) - src).sum())
+                    cands.append((sad, ri, mvi))
+                _, best, mv = min(cands, key=lambda c: (c[0], c[1]))
+            else:
+                best = 0
+                mv = _motion_search(search_ref_y, src, oy, ox, search)
+            mvp = st.mv_pred(mbx, mby, ref_idx=best)
             cbp, luma_z, comps, p16 = _inter_residuals(
-                ref, src, cb, cr, oy, ox, mv, qp, wp
+                refs[best], src, cb, cr, oy, ox, mv, qp, wp
             )
             if cw is not None:
                 _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
@@ -3091,6 +3205,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
                 st.mv[mby, mbx] = mv
+                st.ref_l[mby, mbx, 0] = best
                 cw.end_mb(st, mbx, mby)
                 cw.end_of_slice(mb == mb1 - 1)
                 continue
@@ -3098,12 +3213,13 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             wpos = ew.checkpoint()
             try:
                 _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
-                                luma_z, comps, qp)
+                                luma_z, comps, qp, ref_idx=best, n_ref=n0)
                 _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
                 st.mv[mby, mbx] = mv
+                st.ref_l[mby, mbx, 0] = best
             except _NonVerbatimCode:
                 ew.rollback(wpos)
                 _mb_restore(st, mbx, mby, snap)
@@ -3261,6 +3377,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     if mvs[lst] is not None:
                         st.use_l[mby, mbx, lst] = True
                         st.mv_l[mby, mbx, lst] = mvs[lst]
+                        st.ref_l[mby, mbx, lst] = 0
                 st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
                 cw.end_mb(st, mbx, mby)
                 cw.end_of_slice(mb == mb1 - 1)
@@ -3285,6 +3402,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     if mvs[lst] is not None:
                         st.use_l[mby, mbx, lst] = True
                         st.mv_l[mby, mbx, lst] = mvs[lst]
+                        st.ref_l[mby, mbx, lst] = 0
                 st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
             except _NonVerbatimCode:
                 ew.rollback(wpos)
@@ -3352,7 +3470,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        entropy: str = "cavlc",
                        b_pyramid: bool = False,
                        p_intra_slices: int = 0,
-                       deblock: bool = False) -> list[tuple[list, bool, int]]:
+                       deblock: bool = False,
+                       p_refs: int = 1) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
     IDR, reference P frames every ``b_frames + 1`` display positions
@@ -3386,6 +3505,17 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
     ``p_intra_slices=k`` (needs ``slices > k``) codes the first k slices
     of every P picture as I slices — mixed slice-kind pictures (intra
     refresh, §7.4.3; see encode_picture_p)."""
+    if p_refs > 1:
+        if b_frames:
+            raise NotImplementedError(
+                "multi-reference P with B frames not supported (the "
+                "decoder's default list would interleave referenced Bs; "
+                "use p_refs with plain I-P GOPs)"
+            )
+        if entropy == "cabac":
+            raise NotImplementedError(
+                "multi-reference P under CABAC not supported"
+            )
     if b_pyramid and b_frames < 2:
         raise ValueError("b_pyramid needs b_frames >= 2 (a gap to split)")
     frames = [pad_planes(y, cb, cr) for y, cb, cr in frames_yuv]
@@ -3405,6 +3535,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             deblock=deblock,
         )
         out.append((pack(rbsps, 3, 5), True, g0))
+        ref_list = [prev_st]  # decode-order-recent first (RefPicList0)
         fnum, prev_d = 1, 0
         prev_fn = 0  # frame_num of prev_st's picture
         prev_gap_bref = False  # previous gap emitted a reference B
@@ -3412,7 +3543,9 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             nxt_d = min(prev_d + step, gL - 1)
             yp, cbp_, crp = frames[g0 + nxt_d]
             rbsps, nxt_st = encode_picture_p(
-                yp, cbp_, crp, prev_st, qp=qp, frame_num=fnum, search=search,
+                yp, cbp_, crp,
+                ref_list[:p_refs] if p_refs > 1 else prev_st,
+                qp=qp, frame_num=fnum, search=search,
                 poc_lsb=2 * nxt_d if poc0 else None, slices=slices,
                 entropy=entropy, intra_slices=p_intra_slices,
                 mb_mode=mb_mode, deblock=deblock,
@@ -3455,6 +3588,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = False
+            ref_list.insert(0, nxt_st)
+            ref_list = ref_list[:max(p_refs, 1)]
             prev_st, prev_d, prev_fn = nxt_st, nxt_d, nxt_fn
     return out
 
@@ -3571,6 +3706,35 @@ def resolve_list_mod(ops, curr_fn: int, max_fn: int) -> int:
     return target if target is not None else curr_fn
 
 
+def resolve_list_mods_full(ops, curr_fn: int, max_fn: int,
+                           default_fns: "list[int]",
+                           n_active: int) -> "list[int]":
+    """§8.2.4.3.1 in full: apply short-term modification ops to the
+    default RefPicList0 frame_num order, returning the final list
+    truncated to ``n_active``.  Each op inserts the selected PicNum at
+    the next index and removes its later duplicate."""
+    lst = list(default_fns)
+    pred = curr_fn
+    ridx = 0
+    for idc, val in ops:
+        if idc == 0:
+            pred = (pred - (val + 1)) % max_fn
+        elif idc == 1:
+            pred = (pred + val + 1) % max_fn
+        else:
+            raise NotImplementedError(
+                f"ref_pic_list_modification idc {idc} (long-term) not "
+                "supported"
+            )
+        lst.insert(ridx, pred)
+        ridx += 1
+        for j in range(ridx, len(lst)):
+            if lst[j] == pred:
+                del lst[j]
+                break
+    return lst[:n_active]
+
+
 def slice_header_info(nal: bytes, sps: dict, pps: dict) -> dict:
     """Peek the slice-header fields a DPB-maintaining GOP walk needs —
     kind, reference-ness, frame_num, picture order count, and any
@@ -3600,11 +3764,12 @@ def slice_header_info(nal: bytes, sps: dict, pps: dict) -> dict:
         # non-refs consistently at this walk's single-GOP scope
         poc = 2 * fn
     l0_mod = l1_mod = None
+    n_l0 = pps.get("num_ref_l0", 0) + 1
     if kind == "B":
         r.u(1)  # direct_spatial_mv_pred_flag
     if kind in ("P", "B"):
         if r.u(1):  # num_ref_idx_active_override_flag
-            r.ue()
+            n_l0 = r.ue() + 1
             if kind == "B":
                 r.ue()
         l0_mod = _parse_list_mods(r)
@@ -3613,6 +3778,7 @@ def slice_header_info(nal: bytes, sps: dict, pps: dict) -> dict:
     return {
         "kind": kind, "is_ref": ref_idc != 0, "idr": idr,
         "frame_num": fn, "poc": poc, "l0_mod": l0_mod, "l1_mod": l1_mod,
+        "n_l0": n_l0,
     }
 
 

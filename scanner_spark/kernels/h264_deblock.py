@@ -109,32 +109,40 @@ def _clip3(lo, hi, v):
 
 
 def _mb_motion(st, mby: int, mbx: int):
-    """(is_intra, uses_lists(2,), mvs(2,2)) for one decoded MB at this
-    codec's 16x16-partition scope.  P-coded MBs present as list-0-only."""
+    """(is_intra, uses_lists(2,), mvs(2,2), refs(2,)) for one decoded MB
+    at this codec's 16x16-partition scope.  P-coded MBs present as
+    list-0-only."""
     u = st.use_l[mby, mbx]
+    # unset ref_l on used lists reads as refIdx 0 (legacy-populated
+    # states; mirrors _FrameState._mv_neighbor)
+    refs = np.maximum(st.ref_l[mby, mbx], 0)
     if u.any():
-        return False, u.copy(), st.mv_l[mby, mbx].copy()
+        return False, u.copy(), st.mv_l[mby, mbx].copy(), refs
     if st.mb_inter[mby, mbx]:
         mvs = np.zeros((2, 2), dtype=np.int64)
         mvs[0] = st.mv[mby, mbx]
-        return False, np.array([True, False]), mvs
-    return True, np.array([False, False]), np.zeros((2, 2), dtype=np.int64)
+        return False, np.array([True, False]), mvs, refs
+    return (True, np.array([False, False]),
+            np.zeros((2, 2), dtype=np.int64), refs.copy())
 
 
 def _bs_group(st, pmby, pmbx, qmby, qmbx, pby, pbx, qby, qbx,
               mb_edge: bool) -> int:
     """Boundary strength for one 4-sample edge group (§8.7.2.1 at our
-    single-ref-per-list, whole-MB-partition scope: within one picture a
-    list index denotes the same reference picture for every slice, so
-    list-usage equality stands in for reference-picture equality)."""
-    p_intra, pu, pmv = _mb_motion(st, pmby, pmbx)
-    q_intra, qu, qmv = _mb_motion(st, qmby, qmbx)
+    whole-MB-partition scope: within one picture a (list, ref_idx) pair
+    denotes the same reference picture for every slice, so list-usage +
+    ref-index equality stands in for reference-picture equality)."""
+    p_intra, pu, pmv, pref = _mb_motion(st, pmby, pmbx)
+    q_intra, qu, qmv, qref = _mb_motion(st, qmby, qmbx)
     if p_intra or q_intra:
         return 4 if mb_edge else 3
     if st.nzy[pby, pbx] > 0 or st.nzy[qby, qbx] > 0:
         return 2
     if not np.array_equal(pu, qu):
-        return 1  # different reference pictures / number of MVs
+        return 1  # different number of MVs
+    for lst in range(2):
+        if pu[lst] and pref[lst] != qref[lst]:
+            return 1  # different reference pictures
     for lst in range(2):
         if pu[lst] and np.abs(pmv[lst] - qmv[lst]).max() >= 4:
             return 1

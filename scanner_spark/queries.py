@@ -1763,6 +1763,19 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_dbl_path)
+    # multi-reference avc1 (round 11): each P slice carries
+    # num_ref_idx_l0_active = 2 and per-MB te(v) ref_idx_l0; the DPB walk
+    # builds the full RefPicList0 (default PicNum order) instead of a
+    # single head (kernels/h264.py _decode_mb_p, sources/mp4.decode_range)
+    avc_mref_path = f"{tmp}/vid9.mp4"
+    with open(avc_mref_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(9, i, 32, 32, 3) for i in range(8)],
+                qp=30, gop=8, p_refs=2, deblock=True,
+            )
+        )
+    paths.append(avc_mref_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1774,6 +1787,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_pyr_path: [5, 10],
         avc_mix_path: [3, 6],
         avc_dbl_path: [1, 6],
+        avc_mref_path: [2, 6],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1791,7 +1805,7 @@ def q_video_decode_pruned(spark, sf_dir):
     )
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
-        "vid8.mp4",
+        "vid8.mp4", "vid9.mp4",
     )
     return out2.select(
         "video",

@@ -399,7 +399,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     slices: int = 1, entropy: str = "cavlc",
                     b_pyramid: bool = False,
                     p_intra_slices: int = 0,
-                    deblock: bool = False) -> bytes:
+                    deblock: bool = False,
+                    p_refs: int = 1) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -434,9 +435,13 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     # DPB depth: pyramid keeps {prev P, prev mid-B, cur P, cur mid-B}
     # live across mini-GOP seams -> 4; plain B gaps need the 2 bracketing
     # references; I/P chains need 1
+    if p_refs > 1 and gop is None:
+        raise ValueError("p_refs needs a GOP structure (pass gop=N)")
     sps = h264.write_sps(
         w, h,
-        num_ref_frames=4 if b_pyramid else (2 if b_frames else 1),
+        num_ref_frames=max(
+            4 if b_pyramid else (2 if b_frames else 1), p_refs
+        ),
         poc_type=0 if b_frames else 2,
     )
     pps = h264.write_pps(qp, cabac=entropy == "cabac")
@@ -453,6 +458,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames,
             slices=slices, entropy=entropy, b_pyramid=b_pyramid,
             p_intra_slices=p_intra_slices, deblock=deblock,
+            p_refs=p_refs,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams
@@ -651,6 +657,7 @@ def _avc1_sample_info(sample: bytes, length_size: int,
         "kinds": kinds, "is_ref": first["is_ref"], "idr": first["idr"],
         "frame_num": first["frame_num"], "poc": first["poc"],
         "l0_mod": pb["l0_mod"], "l1_mod": pb["l1_mod"],
+        "n_l0": pb.get("n_l0", 1),
     }
 
 
@@ -767,27 +774,56 @@ def decode_range(
                             f"display {e.frame_no}: inter picture with an "
                             "empty DPB (open GOP / broken sync index)"
                         )
-                    if info["l0_mod"] is not None:
-                        fn_t = _h264.resolve_list_mod(
-                            info["l0_mod"], info["frame_num"], max_fn
-                        )
-                        cand = [x for x in dpb if x[0] == fn_t]
-                        if not cand:
-                            raise ValueError(
-                                f"ref_pic_list_modification selects frame_num "
-                                f"{fn_t}, not in the DPB"
+                    if "B" in kinds:
+                        if info["l0_mod"] is not None:
+                            fn_t = _h264.resolve_list_mod(
+                                info["l0_mod"], info["frame_num"], max_fn
                             )
-                        ref_st = cand[-1][2]
-                    elif "B" in kinds:
-                        past = [x for x in dpb if x[1] < poc]
-                        if not past:
-                            raise ValueError(
-                                f"display {e.frame_no}: B picture has no "
-                                "past reference in the DPB"
+                            cand = [x for x in dpb if x[0] == fn_t]
+                            if not cand:
+                                raise ValueError(
+                                    f"ref_pic_list_modification selects "
+                                    f"frame_num {fn_t}, not in the DPB"
+                                )
+                            ref_st = cand[-1][2]
+                        else:
+                            past = [x for x in dpb if x[1] < poc]
+                            if not past:
+                                raise ValueError(
+                                    f"display {e.frame_no}: B picture has "
+                                    "no past reference in the DPB"
+                                )
+                            ref_st = max(past, key=lambda x: x[1])[2]
+                    else:
+                        # P: full RefPicList0 — default order is most
+                        # recently decoded first (PicNum descending at
+                        # sliding-window depth, §8.2.4.2.1), then any
+                        # modification ops replay §8.2.4.3.1, then
+                        # truncate to the slice's active count
+                        default_fns = [fn_ for fn_, _, _ in reversed(dpb)]
+                        n0 = max(info.get("n_l0", 1), 1)
+                        if info["l0_mod"] is not None:
+                            fns = _h264.resolve_list_mods_full(
+                                info["l0_mod"], info["frame_num"], max_fn,
+                                default_fns, n0,
                             )
-                        ref_st = max(past, key=lambda x: x[1])[2]
-                    else:  # P default L0[0]: most recently decoded ref
-                        ref_st = dpb[-1][2]
+                        else:
+                            fns = default_fns[:n0]
+                        ref_l = []
+                        for fn_t in fns:
+                            cand = [x for x in dpb if x[0] == fn_t]
+                            if not cand:
+                                raise ValueError(
+                                    f"RefPicList0 needs frame_num {fn_t}, "
+                                    "not in the DPB"
+                                )
+                            ref_l.append(cand[-1][2])
+                        if len(ref_l) < n0:
+                            raise ValueError(
+                                f"display {e.frame_no}: RefPicList0 has "
+                                f"{len(ref_l)} entries, slice needs {n0}"
+                            )
+                        ref_st = ref_l if n0 > 1 else ref_l[0]
                 if "B" in kinds:
                     if info["l1_mod"] is not None:
                         fn_t = _h264.resolve_list_mod(

@@ -988,3 +988,146 @@ def test_mp4_mixed_slice_kind_decode_range():
         assert np.abs(out[i].astype(int) - base[i].astype(int)).max() <= 12
     sparse = mp4.decode_range(buf, 0, meta, {5})
     assert np.array_equal(sparse[5], out[5])
+
+
+# ---------------------------------------------------------------------------
+# multi-reference P prediction (round 11: §8.4.1.3.1 same-refIdx MV rule,
+# te(v) ref_idx_l0, full RefPicList0 through the DPB walk)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_rgb(seed, h=48, w=64):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, 3)).astype(np.int64)
+    return ((a + np.roll(a, 1, 0) + np.roll(a, 1, 1)) // 3).astype(np.uint8)
+
+
+def test_multi_ref_p_round_trip_exact():
+    """I, P(1 ref), P(2 refs) chain: the decoder reproduces the encoder's
+    reconstruction bit-exactly, and on alternating content the second P
+    actually selects ref_idx 1 (the older reference)."""
+    A, B = _smooth_rgb(3), _smooth_rgb(4)
+    fr = [H.yuv420_from_rgb(f) for f in (A, B, A)]
+    _, st0 = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=28)
+    rb1, st1 = H.encode_picture_p(*H.pad_planes(*fr[1]), [st0], qp=28,
+                                  frame_num=1)
+    rb2, st2 = H.encode_picture_p(*H.pad_planes(*fr[2]), [st1, st0],
+                                  qp=28, frame_num=2)
+    assert (st2.ref_l[:, :, 0] == 1).any(), "no MB picked the older ref"
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2))
+    pps = H.parse_pps(H.write_pps(28))
+    _, d1 = H.decode_picture([(rb1[0], False, 2)], sps, pps, ref=[st0],
+                             return_state=True)
+    assert np.array_equal(d1.y, st1.y)
+    _, d2 = H.decode_picture([(rb2[0], False, 2)], sps, pps,
+                             ref=[d1, st0], return_state=True)
+    for a, b in ((d2.y, st2.y), (d2.cb, st2.cb), (d2.cr, st2.cr)):
+        assert np.array_equal(a, b)
+    # per-MB ref choices survived the round trip (feeds deblock bS)
+    assert np.array_equal(d2.ref_l, st2.ref_l)
+
+
+def test_multi_ref_needs_enough_references():
+    A = _smooth_rgb(5)
+    fr = H.yuv420_from_rgb(A)
+    _, st0 = H.encode_picture_i(*H.pad_planes(*fr), qp=28)
+    rb, _ = H.encode_picture_p(*H.pad_planes(*fr), [st0, st0], qp=28,
+                               frame_num=1)
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2))
+    pps = H.parse_pps(H.write_pps(28))
+    with pytest.raises(ValueError, match="references"):
+        H.decode_picture([(rb[0], False, 2)], sps, pps, ref=[st0])
+
+
+def test_multi_ref_te_v_ref_idx_coding():
+    """te(v): with 2 active refs ref_idx is one inverted bit; with 3+ it
+    is ue(v) — writer/reader mirror."""
+    for n_active, vals in ((2, [0, 1]), (3, [0, 1, 2]), (5, [0, 4])):
+        w = H.BitWriter()
+        cw = H.CavlcWriter(w)
+        for v in vals:
+            cw.ref_idx(None, 0, 0, n_active, v)
+        w.rbsp_trailing()
+        r = H.BitReader(w.bytes())
+        cr = H.CavlcReader(r)
+        got = [cr.ref_idx(None, 0, 0, n_active) for _ in vals]
+        assert got == vals, (n_active, vals, got)
+
+
+def test_multi_ref_mp4_end_to_end_with_deblock():
+    """p_refs=2 through the full container walk (header-peeked active
+    counts, default-list construction, sliding-window DPB), composed
+    with the in-loop filter; alternating content must compress smaller
+    than single-ref."""
+    from scanner_spark.sources import mp4
+
+    A, B = _smooth_rgb(6), _smooth_rgb(7)
+
+    def jig(f, i):
+        g = f.copy()
+        g[(i * 4) % 48 : (i * 4) % 48 + 2, :, :] ^= 3
+        return g
+
+    frames = [jig((A, B)[i % 2], i) for i in range(6)]
+    buf2 = mp4.encode_mp4_avc1(frames, qp=28, gop=6, p_refs=2,
+                               deblock=True)
+    buf1 = mp4.encode_mp4_avc1(frames, qp=28, gop=6, p_refs=1,
+                               deblock=True)
+    assert len(buf2) < len(buf1)
+    meta, entries = mp4.parse_index(buf2)
+    out = mp4.decode_range(buf2, entries[0].offset, meta, set(range(6)))
+    for f in range(6):
+        err = int(np.abs(out[f].astype(int) - frames[f].astype(int)).max())
+        assert err < 160, (f, err)
+
+
+def test_multi_ref_fuzz_chain_no_drift():
+    """Property fuzz: random smooth GOPs, p_refs in {2, 3} — re-decoding
+    every P against the DECODER's own reference chain must equal the
+    encoder chain exactly (any MV-predictor / ref_idx / bS divergence
+    drifts and fails)."""
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        p_refs = 2 + trial % 2
+        n = 5
+        frames = [
+            H.yuv420_from_rgb(_smooth_rgb(100 + trial * 10 + i))
+            for i in range(n)
+        ]
+        deblock = trial % 2 == 0
+        qp = int(rng.integers(24, 34))
+        _, est = H.encode_picture_i(*H.pad_planes(*frames[0]), qp=qp,
+                                    deblock=deblock)
+        enc_chain = [est]
+        for i in range(1, n):
+            _, est = H.encode_picture_p(
+                *H.pad_planes(*frames[i]),
+                list(reversed(enc_chain))[:p_refs] if len(enc_chain) > 1
+                else [enc_chain[0]],
+                qp=qp, frame_num=i, deblock=deblock,
+            )
+            enc_chain.append(est)
+        # decoder twin
+        stream = []
+        _, est = H.encode_picture_i(*H.pad_planes(*frames[0]), qp=qp,
+                                    deblock=deblock)
+        chain2 = [est]
+        for i in range(1, n):
+            rb, est = H.encode_picture_p(
+                *H.pad_planes(*frames[i]),
+                list(reversed(chain2))[:p_refs] if len(chain2) > 1
+                else [chain2[0]],
+                qp=qp, frame_num=i, deblock=deblock,
+            )
+            chain2.append(est)
+            stream.append(rb[0])
+        sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=p_refs))
+        pps = H.parse_pps(H.write_pps(qp))
+        dec_chain = [enc_chain[0]]
+        for i, rbsp in enumerate(stream):
+            refs = list(reversed(dec_chain))[: min(i + 1, p_refs)]
+            _, d = H.decode_picture([(rbsp, False, 2)], sps, pps,
+                                    ref=refs, return_state=True)
+            assert np.array_equal(d.y, enc_chain[i + 1].y), (trial, i)
+            assert np.array_equal(d.cb, enc_chain[i + 1].cb), (trial, i)
+            dec_chain.append(d)
