@@ -402,6 +402,8 @@ def _video_decode_sql() -> str:
         # multi-reference avc1 (2-deep RefPicList0, te(v) ref_idx,
         # deblocked): lossy -> NULL
         ("vid9.mp4", 9, [2, 6], 32, 32, False),
+        # implicit weighted-bipred avc1 (POC-distance weights): lossy -> NULL
+        ("vid10.mp4", 10, [1, 5], 32, 32, False),
     ):
         for f in frames:
             rows.append(

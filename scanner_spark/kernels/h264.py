@@ -1109,9 +1109,9 @@ def parse_sps(rbsp: bytes) -> dict:
 
 def write_pps(qp: int, cabac: bool = False, weighted_pred: bool = False,
               weighted_bipred_idc: int = 0) -> bytes:
-    if weighted_bipred_idc not in (0, 1):
-        raise ValueError("writer supports weighted_bipred_idc 0 (default) "
-                         "and 1 (explicit) only")
+    if weighted_bipred_idc not in (0, 1, 2):
+        raise ValueError("weighted_bipred_idc must be 0 (default), "
+                         "1 (explicit) or 2 (implicit)")
     w = BitWriter()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
@@ -1660,12 +1660,6 @@ def _parse_slice_header(
         raise ValueError(
             "B slice needs both reference states (ref= past, ref1= future)"
         )
-    if is_b and pps.get("weighted_bipred_idc", 0) == 2:
-        raise NotImplementedError(
-            "implicit weighted bi-prediction (weighted_bipred_idc 2) not "
-            "supported — POC-distance weight derivation out of scope; "
-            "explicit tables (idc 1) and the default combine decode"
-        )
     r.ue()  # pps_id
     r.u(sps["log2_max_frame_num"])  # frame_num
     if idr:
@@ -1708,6 +1702,10 @@ def _parse_slice_header(
                 "not supported (per-ref weight tables unparsed)"
             )
         wp = _parse_pred_weight_table(r, is_b)
+    elif is_b and pps.get("weighted_bipred_idc", 0) == 2:
+        # implicit mode carries NO pred_weight_table (§7.3.3): weights
+        # derive from POC distances, resolved by decode_picture's pocs
+        wp = "implicit"
     # dec_ref_pic_marking (§7.3.3.3)
     if idr:
         r.u(1)  # no_output_of_prior_pics
@@ -1786,7 +1784,7 @@ def _decode_slice_mbs(
                 )
             mbx, mby = mark(mb)
             qp = _decode_mb_b(er, st, refs[0] if refs else None, ref1,
-                              mbx, mby, qp, pps)
+                              mbx, mby, qp, pps, wp)
             st.mb_qp[mby, mbx] = qp
             mb += 1
     return mb
@@ -1841,6 +1839,7 @@ def decode_picture(
     strict: bool = True, ref: "_FrameState | None" = None,
     return_state: bool = False, ref1: "_FrameState | None" = None,
     cabac_marked: bool = False,
+    pocs: "tuple[int, int, int] | None" = None,
 ):
     """All VCL slices of one access unit, in decode order, -> (y, cb, cr)
     uint8 planes (SPS crop applied).  ``slices`` holds
@@ -1893,6 +1892,16 @@ def decode_picture(
             refs0[0] if refs0 else None, ref1
         )
         slice_dbl[si] = dbl
+        if wp == "implicit":
+            # weighted_bipred_idc 2: weights derive from POC distances
+            # (cur, RefPicList0[0], RefPicList1[0]) — the container walk
+            # supplies full POCs
+            if pocs is None:
+                raise ValueError(
+                    "implicit weighted bi-prediction needs pocs=(cur, "
+                    "poc0, poc1)"
+                )
+            wp = _implicit_wp(*pocs)
         if st_mod == 0 and n_l0 > len(refs0):
             raise ValueError(
                 f"slice {si} needs {n_l0} list-0 references, caller "
@@ -2112,6 +2121,37 @@ def _wp_bi(p0, p1, w0: int, o0: int, w1: int, o1: int, logwd: int):
     )
 
 
+def implicit_bipred_weights(poc_cur: int, poc0: int, poc1: int
+                            ) -> tuple[int, int]:
+    """Implicit-mode bi-prediction weights (w0, w1), logWD = 5, zero
+    offsets (§8.4.2.3.1, weighted_bipred_idc == 2): the POC-distance
+    scale DistScaleFactor = (tb * tx + 32) >> 6 with the same tb/td/tx
+    derivation temporal direct mode uses; equal ref POCs or an
+    out-of-range scale fall back to the 32/32 average."""
+    if poc1 == poc0:
+        return 32, 32
+    tb = min(max(poc_cur - poc0, -128), 127)
+    td = min(max(poc1 - poc0, -128), 127)
+    # C-style truncating division: tx = (16384 + Abs(td / 2)) / td
+    tx = (16384 + (abs(td) >> 1)) // abs(td)
+    if td < 0:
+        tx = -tx
+    dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
+def _implicit_wp(poc_cur: int, poc0: int, poc1: int) -> dict:
+    """wp dict for implicit mode: weights apply ONLY to bi-predicted
+    partitions — single-list B partitions use default prediction
+    (§8.4.2.3.1), which _bipred honours via the ``implicit`` flag."""
+    w0, w1 = implicit_bipred_weights(poc_cur, poc0, poc1)
+    return {"implicit": True, "logwd_y": 5, "logwd_c": 5,
+            "l0": (w0, 0, w0, 0, w0, 0), "l1": (w1, 0, w1, 0, w1, 0)}
+
+
 # column layout of a per-list weight tuple: (w_y, o_y, w_cb, o_cb, w_cr, o_cr)
 _WP_COMP = {"y": (0, 1, "logwd_y"), "cb": (2, 3, "logwd_c"),
             "cr": (4, 5, "logwd_c")}
@@ -2183,6 +2223,8 @@ def _bipred(plane0: np.ndarray, plane1: np.ndarray, oy: int, ox: int,
         if p1 is None:
             return p0
         return (p0 + p1 + 1) >> 1
+    if wp.get("implicit") and (p0 is None or p1 is None):
+        return p1 if p0 is None else p0  # implicit mode weights bi only
     wi, oi, ld = _WP_COMP[comp]
     logwd = wp[ld]
     if p0 is None:
@@ -3253,7 +3295,9 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      entropy: str = "cavlc",
                      referenced: bool = False,
                      weights: tuple | None = None,
-                     deblock: bool = False) -> tuple[list[bytes], _FrameState]:
+                     deblock: bool = False,
+                     implicit_pocs: "tuple[int, int, int] | None" = None,
+                     ) -> tuple[list[bytes], _FrameState]:
     """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
     the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
@@ -3277,6 +3321,13 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     assert (ref0.H, ref0.W) == (H_, W_) == (ref1.H, ref1.W), "ref dims mismatch"
     wp = None
     search0_y, search1_y = ref0.y, ref1.y
+    if implicit_pocs is not None:
+        # weighted_bipred_idc == 2: POC-distance weights for B_Bi only,
+        # nothing coded in the header (pair with
+        # write_pps(weighted_bipred_idc=2))
+        if weights is not None:
+            raise ValueError("weights and implicit_pocs are exclusive")
+        wp = _implicit_wp(*implicit_pocs)
     if weights is not None:
         logwd, (wy0, oy0_, wc0, oc0), (wy1, oy1_, wc1, oc1) = weights
         wp = {"logwd_y": logwd, "logwd_c": logwd,
@@ -3300,7 +3351,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         w.u(0, 1)  # ref_pic_list_modification_flag_l1
-        if wp is not None:
+        if wp is not None and not wp.get("implicit"):
             _write_pred_weight_table(w, wp)  # weighted_bipred_idc == 1
         if referenced:  # nal_ref_idc > 0: sliding-window ref marking
             w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
@@ -3329,6 +3380,12 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             p1 = mc_luma(ref1.y, oy, ox, mv1)
             if wp is None:
                 p0c, p1c, pbi = p0, p1, (p0 + p1 + 1) >> 1
+            elif wp.get("implicit"):
+                # single-list candidates stay default; only Bi weighted
+                l0w, l1w = wp["l0"], wp["l1"]
+                p0c, p1c = p0, p1
+                pbi = _wp_bi(p0, p1, l0w[0], l0w[1], l1w[0], l1w[1],
+                             wp["logwd_y"])
             else:
                 l0w, l1w, ld = wp["l0"], wp["l1"], wp["logwd_y"]
                 p0c = _wp_single(p0, l0w[0], l0w[1], ld)
@@ -3471,7 +3528,9 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        b_pyramid: bool = False,
                        p_intra_slices: int = 0,
                        deblock: bool = False,
-                       p_refs: int = 1) -> list[tuple[list, bool, int]]:
+                       p_refs: int = 1,
+                       implicit_bipred: bool = False,
+                       ) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
     IDR, reference P frames every ``b_frames + 1`` display positions
@@ -3516,6 +3575,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             raise NotImplementedError(
                 "multi-reference P under CABAC not supported"
             )
+    if implicit_bipred and not b_frames:
+        raise ValueError("implicit_bipred needs B frames (b_frames > 0)")
     if b_pyramid and b_frames < 2:
         raise ValueError("b_pyramid needs b_frames >= 2 (a gap to split)")
     frames = [pad_planes(y, cb, cr) for y, cb, cr in frames_yuv]
@@ -3563,6 +3624,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
                     search=search, poc_lsb=2 * m, slices=slices,
                     entropy=entropy, referenced=True, deblock=deblock,
+                    implicit_pocs=(2 * m, 2 * prev_d, 2 * nxt_d)
+                    if implicit_bipred else None,
                 )
                 out.append((pack(rbsps, 2, 1), False, g0 + m))
                 fnum = (fnum + 1) & 15
@@ -3570,11 +3633,14 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     if d == m:
                         continue
                     r0, r1 = (prev_st, mid_st) if d < m else (mid_st, nxt_st)
+                    p0d, p1d = (prev_d, m) if d < m else (m, nxt_d)
                     yp, cbp_, crp = frames[g0 + d]
                     rbsps, _ = encode_picture_b(
                         yp, cbp_, crp, r0, r1, qp=qp, frame_num=fnum,
                         search=search, poc_lsb=2 * d, slices=slices,
                         entropy=entropy, deblock=deblock,
+                        implicit_pocs=(2 * d, 2 * p0d, 2 * p1d)
+                        if implicit_bipred else None,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = True
@@ -3585,6 +3651,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
                         search=search, poc_lsb=2 * d, slices=slices,
                         entropy=entropy, deblock=deblock,
+                        implicit_pocs=(2 * d, 2 * prev_d, 2 * nxt_d)
+                        if implicit_bipred else None,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = False
@@ -3632,7 +3700,8 @@ def decode_picture_nals(nals: "list[bytes]", sps: dict, pps: dict,
                         ref: _FrameState | None = None,
                         return_state: bool = False,
                         ref1: _FrameState | None = None,
-                        cabac_marked: bool = False):
+                        cabac_marked: bool = False,
+                        pocs: "tuple[int, int, int] | None" = None):
     """All NALs of one access unit -> decoded picture (the multi-slice
     entry point for container layers; see :func:`decode_picture`).  SEI
     NALs are skipped, except that this repo's CABAC origin-marker SEI
@@ -3649,6 +3718,7 @@ def decode_picture_nals(nals: "list[bytes]", sps: dict, pps: dict,
     return decode_picture(
         slices, sps, pps, strict=strict, ref=ref,
         return_state=return_state, ref1=ref1, cabac_marked=cabac_marked,
+        pocs=pocs,
     )
 
 

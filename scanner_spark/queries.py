@@ -1776,6 +1776,19 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_mref_path)
+    # implicit weighted-bipred avc1 (round 11): weighted_bipred_idc=2 —
+    # B pictures at asymmetric POC distances (b_frames=2) combine with
+    # §8.4.2.3.1 POC-derived weights instead of the plain average
+    avc_iwp_path = f"{tmp}/vid10.mp4"
+    with open(avc_iwp_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(10, i, 32, 32, 3) for i in range(8)],
+                qp=30, gop=4, b_frames=2, implicit_bipred=True,
+                deblock=True,
+            )
+        )
+    paths.append(avc_iwp_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1788,6 +1801,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_mix_path: [3, 6],
         avc_dbl_path: [1, 6],
         avc_mref_path: [2, 6],
+        avc_iwp_path: [1, 5],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1805,7 +1819,7 @@ def q_video_decode_pruned(spark, sf_dir):
     )
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
-        "vid8.mp4", "vid9.mp4",
+        "vid8.mp4", "vid9.mp4", "vid10.mp4",
     )
     return out2.select(
         "video",

@@ -400,7 +400,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     b_pyramid: bool = False,
                     p_intra_slices: int = 0,
                     deblock: bool = False,
-                    p_refs: int = 1) -> bytes:
+                    p_refs: int = 1,
+                    implicit_bipred: bool = False) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -444,7 +445,10 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
         ),
         poc_type=0 if b_frames else 2,
     )
-    pps = h264.write_pps(qp, cabac=entropy == "cabac")
+    pps = h264.write_pps(
+        qp, cabac=entropy == "cabac",
+        weighted_bipred_idc=2 if implicit_bipred else 0,
+    )
     yuv = [h264.yuv420_from_rgb(np.asarray(f)) for f in frames]
     if gop is None:
         nals = [
@@ -458,7 +462,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             yuv, gop=gop, qp=qp, mb_mode=mb_mode, b_frames=b_frames,
             slices=slices, entropy=entropy, b_pyramid=b_pyramid,
             p_intra_slices=p_intra_slices, deblock=deblock,
-            p_refs=p_refs,
+            p_refs=p_refs, implicit_bipred=implicit_bipred,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams
@@ -582,7 +586,8 @@ def _parse_avcc_params(sps_rbsp_list, pps_rbsp_list):
 
 
 def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
-                        length_size: int, sps_pps=None, ref=None, ref1=None):
+                        length_size: int, sps_pps=None, ref=None, ref1=None,
+                        pocs=None):
     """One avc1 sample (length-prefixed NALs) -> ((H, W, 3) RGB frame,
     reconstruction state).  ``ref`` chains P-frame decode through a GOP;
     B samples additionally take ``ref1`` (the future reference)."""
@@ -596,7 +601,7 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
         raise ValueError("avc1 sample contains no slice NAL")
     (y, cb, cr), st = h264.decode_picture_nals(
         slices, sps, pps, ref=ref, return_state=True, ref1=ref1,
-        cabac_marked=cabac_marked,
+        cabac_marked=cabac_marked, pocs=pocs,
     )
     return h264.rgb_from_yuv420(y, cb, cr), st
 
@@ -768,6 +773,7 @@ def decode_range(
                     continue  # non-reference sample nobody needs
                 kinds = info["kinds"]
                 ref_st = ref1_st = None
+                poc0 = poc1 = None  # ref POCs for implicit bipred weights
                 if kinds & {"P", "B"}:
                     if not dpb:
                         raise ValueError(
@@ -785,7 +791,7 @@ def decode_range(
                                     f"ref_pic_list_modification selects "
                                     f"frame_num {fn_t}, not in the DPB"
                                 )
-                            ref_st = cand[-1][2]
+                            poc0, ref_st = cand[-1][1], cand[-1][2]
                         else:
                             past = [x for x in dpb if x[1] < poc]
                             if not past:
@@ -793,7 +799,8 @@ def decode_range(
                                     f"display {e.frame_no}: B picture has "
                                     "no past reference in the DPB"
                                 )
-                            ref_st = max(past, key=lambda x: x[1])[2]
+                            pe = max(past, key=lambda x: x[1])
+                            poc0, ref_st = pe[1], pe[2]
                     else:
                         # P: full RefPicList0 — default order is most
                         # recently decoded first (PicNum descending at
@@ -835,7 +842,7 @@ def decode_range(
                                 f"ref_pic_list_modification (l1) selects "
                                 f"frame_num {fn_t}, not in the DPB"
                             )
-                        ref1_st = cand[-1][2]
+                        poc1, ref1_st = cand[-1][1], cand[-1][2]
                     else:
                         future = [x for x in dpb if x[1] > poc]
                         if not future:
@@ -843,10 +850,15 @@ def decode_range(
                                 f"display {e.frame_no}: B picture has no "
                                 "future reference in the DPB"
                             )
-                        ref1_st = min(future, key=lambda x: x[1])[2]
+                        fe = min(future, key=lambda x: x[1])
+                        poc1, ref1_st = fe[1], fe[2]
+                pocs = None
+                if ("B" in kinds
+                        and sps_pps[1].get("weighted_bipred_idc", 0) == 2):
+                    pocs = (poc, poc0, poc1)
                 rgb, st = _decode_avc1_sample(
                     sample, sps_l, pps_l, ls, sps_pps=sps_pps,
-                    ref=ref_st, ref1=ref1_st,
+                    ref=ref_st, ref1=ref1_st, pocs=pocs,
                 )
                 if info["is_ref"]:
                     dpb.append((info["frame_num"], poc, st))

@@ -1131,3 +1131,120 @@ def test_multi_ref_fuzz_chain_no_drift():
             assert np.array_equal(d.y, enc_chain[i + 1].y), (trial, i)
             assert np.array_equal(d.cb, enc_chain[i + 1].cb), (trial, i)
             dec_chain.append(d)
+
+
+# ---------------------------------------------------------------------------
+# implicit weighted bi-prediction (round 11: weighted_bipred_idc == 2,
+# §8.4.2.3.1 POC-distance weights)
+# ---------------------------------------------------------------------------
+
+
+def test_implicit_weight_derivation():
+    # equidistant -> 32/32 (identical to the default combine)
+    assert H.implicit_bipred_weights(4, 0, 8) == (32, 32)
+    # near ref0 -> ref0 weighted up
+    assert H.implicit_bipred_weights(2, 0, 8) == (48, 16)
+    assert H.implicit_bipred_weights(6, 0, 8) == (16, 48)
+    # equal ref POCs -> default
+    assert H.implicit_bipred_weights(4, 8, 8) == (32, 32)
+    # weights always sum to 64 and derivation is antisymmetric
+    for cur in range(1, 8):
+        w0, w1 = H.implicit_bipred_weights(cur, 0, 8)
+        assert w0 + w1 == 64
+        r0, r1 = H.implicit_bipred_weights(8 - cur, 0, 8)
+        assert (r0, r1) == (w1, w0)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_implicit_bipred_round_trip_exact(entropy):
+    """An asymmetric B (poc 2 in a 0..8 gap) reconstructs bit-exactly and
+    differs from the default combine (weights actually applied)."""
+    f0, f1, f2 = (_smooth_rgb(30 + i) for i in range(3))
+    fr = [H.yuv420_from_rgb(f) for f in (f0, f1, f2)]
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(30, weighted_bipred_idc=2,
+                                  cabac=entropy == "cabac"))
+    _, st0 = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=30, poc_lsb=0,
+                                entropy=entropy)
+    _, st2 = H.encode_picture_p(*H.pad_planes(*fr[2]), st0, qp=30,
+                                frame_num=1, poc_lsb=8, entropy=entropy)
+    rbb, st1 = H.encode_picture_b(*H.pad_planes(*fr[1]), st0, st2, qp=30,
+                                  frame_num=2, poc_lsb=2, entropy=entropy,
+                                  implicit_pocs=(2, 0, 8))
+    _, db = H.decode_picture([(rbb[0], False, 0)], sps, pps, ref=st0,
+                             ref1=st2, return_state=True, pocs=(2, 0, 8),
+                             cabac_marked=entropy == "cabac")
+    for a, b in ((db.y, st1.y), (db.cb, st1.cb), (db.cr, st1.cr)):
+        assert np.array_equal(a, b)
+    _, st1d = H.encode_picture_b(*H.pad_planes(*fr[1]), st0, st2, qp=30,
+                                 frame_num=2, poc_lsb=2, entropy=entropy)
+    assert not np.array_equal(st1.y, st1d.y)
+
+
+def test_implicit_bipred_needs_pocs():
+    f0 = H.yuv420_from_rgb(_smooth_rgb(33))
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(30, weighted_bipred_idc=2))
+    _, st0 = H.encode_picture_i(*H.pad_planes(*f0), qp=30, poc_lsb=0)
+    rbb, _ = H.encode_picture_b(*H.pad_planes(*f0), st0, st0, qp=30,
+                                frame_num=1, poc_lsb=2,
+                                implicit_pocs=(2, 0, 8))
+    with pytest.raises(ValueError, match="pocs"):
+        H.decode_picture([(rbb[0], False, 0)], sps, pps, ref=st0, ref1=st0)
+
+
+def test_explicit_weighted_b_cavlc_round_trip_exact():
+    """Regression (round 11): the CAVLC B-slice loop dropped the parsed
+    pred_weight_table on the floor — explicit-weighted CAVLC B streams
+    decoded with the default combine.  Pin the weighted round trip under
+    BOTH entropy coders."""
+    f0, f1, f2 = (_smooth_rgb(40 + i) for i in range(3))
+    fr = [H.yuv420_from_rgb(f) for f in (f0, f1, f2)]
+    weights = (5, (40, 2, 36, 0), (24, -2, 28, 0))
+    for entropy in ("cavlc", "cabac"):
+        sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2,
+                                      poc_type=0))
+        pps = H.parse_pps(H.write_pps(30, weighted_bipred_idc=1,
+                                      cabac=entropy == "cabac"))
+        _, st0 = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=30,
+                                    poc_lsb=0, entropy=entropy)
+        _, st2 = H.encode_picture_p(*H.pad_planes(*fr[2]), st0, qp=30,
+                                    frame_num=1, poc_lsb=4,
+                                    entropy=entropy)
+        rbb, st1 = H.encode_picture_b(*H.pad_planes(*fr[1]), st0, st2,
+                                      qp=30, frame_num=2, poc_lsb=2,
+                                      entropy=entropy, weights=weights)
+        _, db = H.decode_picture([(rbb[0], False, 0)], sps, pps, ref=st0,
+                                 ref1=st2, return_state=True,
+                                 cabac_marked=entropy == "cabac")
+        assert np.array_equal(db.y, st1.y), entropy
+        assert np.array_equal(db.cb, st1.cb), entropy
+
+
+def test_implicit_bipred_mp4_end_to_end():
+    """b_frames=2 (asymmetric gaps) through the container walk: the DPB
+    walk derives POCs and the output must differ from the unweighted
+    stream; b_frames=1 (equidistant) must NOT differ (32/32 == default,
+    the §8.4.2.3.1 identity)."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(4, i, 32, 48, 3) for i in range(12)]
+    for bf, expect_diff in ((2, True), (1, False)):
+        buf = mp4.encode_mp4_avc1(frames, qp=30, gop=6, b_frames=bf,
+                                  implicit_bipred=True, deblock=True)
+        bufd = mp4.encode_mp4_avc1(frames, qp=30, gop=6, b_frames=bf,
+                                   deblock=True)
+        meta, entries = mp4.parse_index(buf)
+        out = mp4.decode_range(buf, entries[0].offset, meta,
+                               set(range(12)))
+        md, ed = mp4.parse_index(bufd)
+        outd = mp4.decode_range(bufd, ed[0].offset, md, set(range(12)))
+        diff = any(
+            not np.array_equal(out[f], outd[f]) for f in range(12)
+        )
+        assert diff == expect_diff, bf
+        for f in range(12):
+            err = int(np.abs(out[f].astype(int)
+                             - frames[f].astype(int)).max())
+            assert err <= 255  # decodes; envelope pinned by other tests
