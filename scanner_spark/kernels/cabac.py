@@ -33,6 +33,21 @@ carry this repo's origin-marker SEI rather than decode garbage.  Filling
 in the normative tables later upgrades this file without touching the
 engine or the syntax layer.
 
+Round-11 adjudication of that upgrade path: it remains INFEASIBLE in
+this environment.  The ~1900 context-init (m, n) constants of Tables
+9-12..9-33 exist nowhere here (no spec text, no conformant decoder
+source, nothing in /root/reference — its decoders are hardware/ffmpeg
+binaries) and cannot be transcribed from memory at the single-cell
+reliability the format demands: one wrong (m, n) pair silently corrupts
+every bin the context codes, and with no independent encoder in the
+container there is no fixture that could detect it.  Contrast with the
+round-11 deblocking tables (kernels/h264_deblock.py): those are ~230
+small monotone integers with published closed-form structure AND a
+self-pinned round-trip gate, so best-effort transcription is sound
+there and unsound here.  The SAME wall blocks HEVC decode beyond the
+existing index-only support: HEVC has no CAVLC mode, so even intra-only
+HEVC requires its (equally unavailable) context-init tables.
+
 Reference capability parity: the reference engine decodes arbitrary
 H.264 via ffmpeg (scanner/video/decoder_automata.cpp, software backend
 scanner/video/software/) where libx264/libavcodec supply these tables.

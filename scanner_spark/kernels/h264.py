@@ -31,22 +31,29 @@ What is implemented, per the spec's clause numbers:
 - B slices (§7.3.5, Table 7-14): B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
   with one reference per list (RefPicList0[0] = nearest past,
   RefPicList1[0] = nearest future, §8.2.4.2.3), per-list median MV
-  prediction, and the default unweighted bi-prediction (p0+p1+1)>>1
-  (§8.4.2.3.1).  B pictures are non-reference (nal_ref_idc 0) and
-  B-bearing streams are poc-type-0 / Main profile (poc type 2 forbids
-  reordering).  B_Skip, B_Direct, sub-partitions, and weighted
-  prediction are REFUSED with NotImplementedError — the in-repo encoder
-  never emits them, and misparsing a foreign stream is worse than
-  refusing it.
+  prediction, and default (p0+p1+1)>>1, explicit weighted (idc 1), or
+  implicit POC-distance weighted (idc 2) bi-prediction (§8.4.2.3).
+  B pictures may be references (hierarchical pyramids) and B-bearing
+  streams are poc-type-0 / Main profile.  B_Skip, B_Direct, and
+  sub-partitions are REFUSED with NotImplementedError — the in-repo
+  encoder never emits them, and misparsing a foreign stream is worse
+  than refusing it.
+- Multi-reference P prediction (round 11): num_ref_idx_l0_active > 1
+  with te(v) ref_idx_l0 per MB, the §8.4.1.3.1 same-refIdx MV-predictor
+  rule, and the full RefPicList0 ordering/modification resolved by the
+  container walk (sources/mp4.decode_range).  Multi-ref B lists and
+  CABAC multi-ref stay refusals.
 - CAVLC residual (§9.2): coeff_token (Table 9-5 incl. the chroma-DC nC=-1
   column), trailing-one signs, adaptive-suffix level decoding,
   total_zeros (Tables 9-7/9-8/9-9a) and run_before (Table 9-10).
 - Transforms (§8.5): 4x4 integer core transform, 4x4 luma-DC Hadamard,
   2x2 chroma-DC Hadamard, with the standard V/MF scale tables.
-- The encoder (non-normative side) emits streams at a fixed QP with
-  ``disable_deblocking_filter_idc=1``; the decoder therefore skips the
-  in-loop filter CONFORMANTLY for in-repo streams and refuses (strict
-  mode) streams that require it rather than emit wrong pixels.
+- In-loop deblocking (§8.7, round 11): streams signalling
+  ``disable_deblocking_filter_idc != 1`` decode THROUGH the shared
+  filter in kernels/h264_deblock.py; the encoder's ``deblock=True``
+  emits idc 0 and filters its reconstruction identically (threshold-
+  table provenance documented in that module).  ``deblock=False``
+  (default) keeps the conformant idc=1 skip.
 
 Conformance posture: the VLC tables are transcribed from the spec and
 checked structurally in tests (prefix-freeness, Kraft completeness); no
