@@ -1434,23 +1434,27 @@ SELECT doc, matched, tf_sum,
 FROM hits
 ORDER BY rank LIMIT 20
 """.format(terms=", ".join(f"'{t}'" for t in Q.SEARCH_TERMS)),
-        # bigram identity = the shared 60-bit md5 hash (hashing.h60) of
-        # the bigram string, mirroring bigram_familiarity's pre-shuffle
-        # hashing (long shuffle/join keys instead of wide strings)
+        # bigram identity = the PAIR of per-token 60-bit hashes
+        # (hashing.h60), mirroring bigram_familiarity's round-11 plan:
+        # one md5 per token occurrence, arithmetic pair keys, no string
+        # concat per bigram on either engine
         "doc_lm_familiarity": f"""
 WITH tok AS (
-  SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS toks FROM documents
+  SELECT doc_id,
+         list_transform(list_filter({_TOKS}, x -> x <> ''),
+                        t -> {h60_sql('t')}) AS th
+  FROM documents
 ),
 big AS (
-  SELECT doc_id AS doc, {h60_sql("toks[i] || ' ' || toks[i + 1]")} AS bg,
-         COUNT(*) AS n
-  FROM tok, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)
-  GROUP BY 1, 2
+  SELECT doc_id AS doc, th[i] AS ha, th[i + 1] AS hb, COUNT(*) AS n
+  FROM tok, unnest(generate_series(1, greatest(len(th) - 1, 0))) AS g(i)
+  GROUP BY 1, 2, 3
 ),
-model AS (SELECT bg, CAST(SUM(n) AS BIGINT) AS global_n FROM big GROUP BY bg)
+model AS (SELECT ha, hb, CAST(SUM(n) AS BIGINT) AS global_n
+          FROM big GROUP BY ha, hb)
 SELECT doc, CAST(SUM(n * global_n) AS BIGINT) AS fam_total,
        CAST(SUM(n) AS BIGINT) AS n_bigrams
-FROM big JOIN model USING (bg) GROUP BY doc
+FROM big JOIN model USING (ha, hb) GROUP BY doc
 """,
         "emb_kmeans_assign": f"""
 WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -158,72 +158,55 @@ def bigram_familiarity(
     need transcendental parity; frequency sums are integers and hash-equal
     everywhere).  Low = atypical/gibberish, high = corpus-fluent.
 
-    ONE shuffle: the per-(doc, bigram) counts are computed entirely inside
-    the row — the hashed bigram array is ``array_sort``-ed and run-length
-    encoded with higher-order functions, so what explodes is one row per
-    DISTINCT (doc, bigram) with its count, never one row per occurrence.
-    That deletes the per-(doc,bigram) groupBy shuffle outright (the r10
-    plan audit's remaining scale-weak spot: at sf10 the exploded-occurrence
-    relation dominated the 53 s runtime); the only shuffle left is the
-    vocabulary-bigram-sized model aggregation + join (AQE broadcasts the
-    model when it fits).  Bigram identity is the shared 60-bit
-    ``hashing.h60`` of the bigram string, computed before anything moves:
-    every relation carries 8-byte longs instead of wide strings.  The
-    oracle mirrors the hash bit-for-bit and per-doc pre-aggregation is
-    sum-commutative, so both engines see identical numbers.  ``bg`` is
-    both the join's left side and the source of ``model``, so it is
-    ``track()``-persisted (the dedup-family shingle pattern).  Each HOF
-    stage crosses a 1-element-explode Generate barrier so the lambdas
-    reference ATTRIBUTES, not inlineable expressions (the evaluate-once
-    trap ``word_bigrams`` documents)."""
-    from scanner_spark.caching import track
+    Round-11 plan (third iteration, each measured at scale):
+    - r7 hashed the CONCATENATED bigram string per bigram — md5 over
+      ~2x the corpus text bytes plus a string concat per bigram.
+    - r11's first attempt run-length-encoded sorted hashed bigrams
+      in-row; the higher-order-function lambdas are INTERPRETED (no
+      whole-stage codegen), and that lost to the codegen hash aggregate
+      at scale (sf3 +63%% measured) despite deleting a shuffle.
+    - Current: hash each TOKEN once (``h60`` inside one transform — the
+      only interpreted stage left, over half the md5 bytes of the r7
+      plan and no concats), form bigram identity as the (ha, hb) LONG
+      PAIR via a cheap arithmetic zip_with, then explode into the
+      fully codegen'd hash aggregate — map-side partial combine already
+      shuffles one row per distinct (doc, bigram).
+    The oracle mirrors the per-token hash and the pair identity
+    bit-for-bit; collisions are those of h60 itself (2^60 space).  The
+    model term ``global_n`` comes from a WINDOW sum over (ha, hb)
+    instead of a separate aggregate + self-join: every row of one
+    bigram is colocated by a single hash shuffle and the per-partition
+    sort replaces the sort-merge join's two shuffles + two sorts of the
+    same relation (measured 7%% faster at sf10 and strictly fewer
+    passes at scale); no persist is needed because the relation is
+    consumed once.  The tokens array crosses a 1-element-explode
+    Generate barrier so the transform sees an ATTRIBUTE (the
+    evaluate-once trap ``word_bigrams`` documents)."""
     from scanner_spark.functions.hashing import h60
 
     toksed = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array(_toks(F.col(text_col)))).alias("toks"),
     )
-    # Barrier 2: sorted hashed-bigram array as an attribute, so the RLE
-    # lambdas' element_at() hits an UnsafeArrayData attribute (O(1)/access)
-    # instead of re-inlining the tokenizer/hash chain per element.
-    sortd = toksed.select(
+    hashed = toksed.select(
         "doc",
-        F.explode(
-            F.array(F.array_sort(F.transform(word_bigrams(F.col("toks")), h60)))
-        ).alias("sbg"),
+        F.explode(F.array(F.transform(F.col("toks"), h60))).alias("th"),
     )
-    sbg = F.col("sbg")
-    n = F.size(sbg)
-    idx = F.sequence(F.lit(1), n)  # guarded: only evaluated when n >= 1
-    starts = F.filter(
-        idx,
-        lambda i: (i == F.lit(1))
-        | (F.element_at(sbg, i) != F.element_at(sbg, i - F.lit(1))),
+    th = F.col("th")
+    n1 = F.greatest(F.size(th) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(th, F.lit(1), n1),
+        F.slice(th, F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("ha"), b.alias("hb")),
     )
-    ends = F.filter(
-        idx,
-        lambda i: (i == n)
-        | (F.element_at(sbg, i) != F.element_at(sbg, i + F.lit(1))),
+    bg = (
+        hashed.select("doc", F.explode(pairs).alias("p"))
+        .groupBy("doc", F.col("p.ha").alias("ha"), F.col("p.hb").alias("hb"))
+        .agg(F.count("*").alias("n"))
     )
-    runs = F.when(
-        n >= F.lit(1),
-        F.zip_with(
-            starts,
-            ends,
-            lambda s, e: F.struct(
-                F.element_at(sbg, s).alias("bg"),
-                (e - s + F.lit(1)).cast("long").alias("n"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<bg:long,n:long>>"))
-    bg = track(
-        sortd.select("doc", F.explode(runs).alias("r")).select(
-            "doc", F.col("r.bg").alias("bg"), F.col("r.n").alias("n")
-        )
-    )
-    model = bg.groupBy("bg").agg(F.sum("n").alias("global_n"))
+    w = Window.partitionBy("ha", "hb")
     return (
-        bg.join(model, "bg")
+        bg.withColumn("global_n", F.sum("n").over(w))
         .groupBy("doc")
         .agg(
             F.sum(F.col("n") * F.col("global_n")).alias("fam_total"),
