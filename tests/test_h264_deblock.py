@@ -226,3 +226,44 @@ def test_foreign_deblock_header_now_decodes():
                                 deblock=True)
     assert np.array_equal(out[0], est.y.astype(np.uint8))
     assert np.array_equal(out[1], est.cb.astype(np.uint8))
+
+
+def test_boundary_strength_decision_table():
+    """§8.7.2.1 bS decisions pinned directly against a hand-built state:
+    intra MB edges 4, intra internal 3, residual-bearing inter 2, motion
+    difference >= 1 integer pel 1, different refs 1, still inter 0."""
+    st = H._FrameState(3, 1)
+    # MB0 intra; MB1 inter ref0 mv (0,0) no residual; MB2 inter ref0
+    st.slice_no[:] = 0
+    st.mb_qp[:] = 30
+    st.mb_inter[0, 1] = st.mb_inter[0, 2] = True
+    st.ref_l[0, 1, 0] = st.ref_l[0, 2, 0] = 0
+    st.nzy[:] = 0
+
+    def bs(e, mbx=1):
+        return list(D._edge_bs(st, 0, mbx, e, True))
+
+    # intra(0) | inter(1) MB edge -> 4
+    assert bs(0) == [4, 4, 4, 4]
+    # internal edges of the intra MB -> 3
+    assert list(D._edge_bs(st, 0, 0, 2, True)) == [3, 3, 3, 3]
+    # inter | inter, same ref, same mv, no residual -> 0
+    assert bs(0, mbx=2) == [0, 0, 0, 0]
+    # residual on one side -> 2 (only the groups containing the block)
+    st.nzy[0, 8] = 3  # first 4x4 row of MB2's left column
+    assert bs(0, mbx=2) == [2, 0, 0, 0]
+    st.nzy[0, 8] = 0
+    # quarter-pel mv difference < 4 -> 0, >= 4 (one integer pel) -> 1
+    st.mv[0, 2] = (3, 0)
+    assert bs(0, mbx=2) == [0, 0, 0, 0]
+    st.mv[0, 2] = (4, 0)
+    assert bs(0, mbx=2) == [1, 1, 1, 1]
+    st.mv[0, 2] = (0, 0)
+    # different reference indices -> 1
+    st.ref_l[0, 2, 0] = 1
+    assert bs(0, mbx=2) == [1, 1, 1, 1]
+    st.ref_l[0, 2, 0] = 0
+    # different list usage (L0-only vs bi) -> 1
+    st.use_l[0, 2] = [True, True]
+    st.ref_l[0, 2] = [0, 0]
+    assert bs(0, mbx=2) == [1, 1, 1, 1]
