@@ -1229,6 +1229,9 @@ class _FrameState:
         # the §8.7 deblocking filter's alpha/beta/tc0 lookups need QPp and
         # QPq per macroblock pair.  -1 = not yet coded.
         self.mb_qp = np.full((mbh, mbw), -1, dtype=np.int64)
+        # §8.7: I_PCM macroblocks contribute qP = 0 to the deblocking
+        # alpha/beta/tc0 lookups regardless of the running slice QP.
+        self.mb_pcm = np.zeros((mbh, mbw), dtype=bool)
 
     def mb_same_slice(self, mbx: int, mby: int) -> bool:
         """In-frame AND belongs to the slice currently being coded."""
@@ -2257,6 +2260,7 @@ def _decode_mb_intra(er, st: _FrameState, mbx: int, mby: int,
     left_mb = st.left_ok(mbx, mby)
     ul_mb = st.ul_ok(mbx, mby)
     if mb_type == 25:  # I_PCM
+        st.mb_pcm[mby, mbx] = True
         lum, cbs, crs = er.pcm_samples(st, mbx, mby)
         st.y[oy : oy + 16, ox : ox + 16] = lum
         st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cbs
@@ -2562,6 +2566,7 @@ def _encode_mb_pcm(ew, st: _FrameState, mbx: int, mby: int,
     ox, oy = mbx * 16, mby * 16
     bx0, by0 = ox // 4, oy // 4
     sl = {0: "I", 5: "P", 23: "B"}[type_offset]
+    st.mb_pcm[mby, mbx] = True
     ew.mb_type(st, mbx, mby, sl, 25 + type_offset)
     lum = src_y[oy : oy + 16, ox : ox + 16]
     cbs = src_cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8]

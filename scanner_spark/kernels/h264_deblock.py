@@ -27,9 +27,11 @@ threshold tables are transcribed from memory of the published standard
 (Table 8-16/8-17, widely reprinted, e.g. Wiegand/Sullivan/Bjontegaard/
 Luthra, IEEE TCSVT 2003):
 
-- ``ALPHA``  — verified cell-by-cell against its published closed form
-  ``round(0.8 * (2^(idx/6) - 1))`` (clipped to 255): every cell matches,
-  so this table is reliable.
+- ``ALPHA``  — direct recall of the published Table 8-16 values,
+  structurally cross-checked against the approximate closed form
+  ``round(0.8 * (2^(idx/6) - 1))`` (clipped to 255): the form tracks the
+  table to within a few counts everywhere (e.g. the table's 226 at index
+  49 vs the form's 229), so the check validates the shape, not each cell.
 - ``BETA``   — high-confidence recall of the published ramp (the
   characteristic ``4,4,4,6`` skip-5 step included); structurally checked
   (monotone, zero below index 16, endpoint 18).
@@ -274,11 +276,19 @@ def deblock_picture(st, slice_params: dict, chroma_qp_offset: int = 0,
             idc, off_a, off_b = slice_params.get(si, (0, 0, 0))
             if idc == 1:
                 continue
-            qp_q = int(st.mb_qp[mby, mbx])
+            def mbqp(pmby, pmbx):
+                # §8.7: I_PCM macroblocks contribute qP = 0 to the
+                # alpha/beta/tc0 lookups, not the running slice QP.
+                pcm = getattr(st, "mb_pcm", None)
+                if pcm is not None and pcm[pmby, pmbx]:
+                    return 0
+                return int(st.mb_qp[pmby, pmbx])
+
+            qp_q = mbqp(mby, mbx)
             ox, oy = mbx * 16, mby * 16
 
             def qpair(pmby, pmbx):
-                return (int(st.mb_qp[pmby, pmbx]) + qp_q + 1) >> 1
+                return (mbqp(pmby, pmbx) + qp_q + 1) >> 1
 
             def boundary_ok(pmby, pmbx):
                 if idc == 2 and st.slice_no[pmby, pmbx] != si:
@@ -330,48 +340,51 @@ def deblock_picture(st, slice_params: dict, chroma_qp_offset: int = 0,
                     TC0[idx_a],
                 ).T
             # --- chroma edges (4:2:0: luma edges 0 and 2) ---
+            # §8.7 ordering: ALL vertical chroma edges left-to-right,
+            # THEN the horizontal ones (matching the luma pass above);
+            # interleaving them changes the sample recursion where a
+            # vertical and a horizontal edge both trigger near their
+            # intersection (ADVICE r11).
             cqp_q = chroma_qp_fn(
                 min(max(qp_q + chroma_qp_offset, 0), 51)
             )
             cx0, cy0 = ox // 2, oy // 2
+
+            def cqpav_for(e, pmby, pmbx):
+                if e != 0:
+                    return cqp_q
+                qp_p = chroma_qp_fn(min(max(
+                    mbqp(pmby, pmbx) + chroma_qp_offset, 0), 51))
+                return (qp_p + cqp_q + 1) >> 1
+
             for e in (0, 2):
                 # vertical chroma edge at cx0 + 2*e
                 if e == 0 and (mbx == 0 or not boundary_ok(mby, mbx - 1)):
-                    pass
-                else:
-                    if e == 0:
-                        qp_p = chroma_qp_fn(min(max(
-                            int(st.mb_qp[mby, mbx - 1]) + chroma_qp_offset,
-                            0), 51))
-                        cqpav = (qp_p + cqp_q + 1) >> 1
-                    else:
-                        cqpav = cqp_q
-                    idx_a = min(max(cqpav + off_a, 0), 51)
-                    idx_b = min(max(cqpav + off_b, 0), 51)
-                    alpha, beta = int(ALPHA[idx_a]), int(BETA[idx_b])
-                    if alpha and beta:
-                        bs4 = _edge_bs(st, mby, mbx, e, True)
-                        if bs4.any():
-                            cx = cx0 + 2 * e
-                            bs8 = np.repeat(bs4, 2)
-                            for plane in (st.cb, st.cr):
-                                S = plane[cy0 : cy0 + 8, cx - 2 : cx + 2]
-                                plane[cy0 : cy0 + 8, cx - 2 : cx + 2] = (
-                                    _filter_chroma_edge(
-                                        S.astype(np.int64), bs8, alpha,
-                                        beta, TC0[idx_a],
-                                    )
-                                )
+                    continue
+                cqpav = cqpav_for(e, mby, mbx - 1)
+                idx_a = min(max(cqpav + off_a, 0), 51)
+                idx_b = min(max(cqpav + off_b, 0), 51)
+                alpha, beta = int(ALPHA[idx_a]), int(BETA[idx_b])
+                if alpha == 0 or beta == 0:
+                    continue
+                bs4 = _edge_bs(st, mby, mbx, e, True)
+                if not bs4.any():
+                    continue
+                cx = cx0 + 2 * e
+                bs8 = np.repeat(bs4, 2)
+                for plane in (st.cb, st.cr):
+                    S = plane[cy0 : cy0 + 8, cx - 2 : cx + 2]
+                    plane[cy0 : cy0 + 8, cx - 2 : cx + 2] = (
+                        _filter_chroma_edge(
+                            S.astype(np.int64), bs8, alpha, beta,
+                            TC0[idx_a],
+                        )
+                    )
+            for e in (0, 2):
                 # horizontal chroma edge at cy0 + 2*e
                 if e == 0 and (mby == 0 or not boundary_ok(mby - 1, mbx)):
                     continue
-                if e == 0:
-                    qp_p = chroma_qp_fn(min(max(
-                        int(st.mb_qp[mby - 1, mbx]) + chroma_qp_offset,
-                        0), 51))
-                    cqpav = (qp_p + cqp_q + 1) >> 1
-                else:
-                    cqpav = cqp_q
+                cqpav = cqpav_for(e, mby - 1, mbx)
                 idx_a = min(max(cqpav + off_a, 0), 51)
                 idx_b = min(max(cqpav + off_b, 0), 51)
                 alpha, beta = int(ALPHA[idx_a]), int(BETA[idx_b])

@@ -267,3 +267,50 @@ def test_boundary_strength_decision_table():
     st.use_l[0, 2] = [True, True]
     st.ref_l[0, 2] = [0, 0]
     assert bs(0, mbx=2) == [1, 1, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# §8.7 I_PCM handling: qP = 0 in the threshold lookups
+# ---------------------------------------------------------------------------
+
+
+def test_pcm_mb_uses_qp_zero_in_lookups():
+    """A PCM|PCM edge looks up alpha/beta at qPav = 0 -> unfiltered,
+    even when the running slice QP would otherwise fire the filter."""
+    # flat MBs with a 10-level step at the MB edge: |p0-q0| < alpha(40),
+    # gradients 0 < beta -> the qp-40 filter fires unless PCM zeros qPav
+    y = np.full((16, 32), 100, np.uint8)
+    y[:, 16:] = 110
+
+    def run(pcm):
+        st = H._FrameState(2, 1)
+        st.slice_no[:] = 0
+        st.mb_qp[:] = 40
+        st.mb_pcm[:] = pcm
+        st.nzy[:] = 3  # residual everywhere -> bS >= 2 on the MB edge
+        st.y = y.astype(np.int64).copy()
+        st.cb = np.full((8, 16), 90, np.int64)
+        st.cr = np.full((8, 16), 170, np.int64)
+        D.deblock_picture(st, {0: (0, 0, 0)})
+        return st.y
+
+    assert not np.array_equal(run(False), y)   # filter fires at qp 40
+    assert np.array_equal(run(True), y)        # PCM edges: qPav 0 -> off
+
+
+def test_pcm_round_trip_exact_with_deblock():
+    """All-PCM picture with deblocking signalled round-trips bit-exactly
+    and the decoder marks every MB as PCM."""
+    y, cb, cr = _mk(11)
+    rbsps, est = H.encode_picture_i(
+        *H.pad_planes(y, cb, cr), qp=36, mb_mode="pcm", deblock=True,
+    )
+    sps = H.parse_sps(H.write_sps(48, 32))
+    pps = H.parse_pps(H.write_pps(36))
+    _, st = H.decode_picture([(r, True, 3) for r in rbsps], sps, pps,
+                             return_state=True)
+    assert st.mb_pcm.all()
+    assert np.array_equal(st.y, est.y)
+    # PCM with qP = 0 in the lookups -> the filter must not have touched
+    # the raw samples at all
+    assert np.array_equal(st.y.astype(np.uint8), H.pad_planes(y, cb, cr)[0])
