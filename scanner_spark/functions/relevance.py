@@ -158,19 +158,27 @@ def bigram_familiarity(
     need transcendental parity; frequency sums are integers and hash-equal
     everywhere).  Low = atypical/gibberish, high = corpus-fluent.
 
-    Round-11 plan (third iteration, each measured at scale):
+    Round-12 plan (fourth iteration, each measured at scale):
     - r7 hashed the CONCATENATED bigram string per bigram — md5 over
       ~2x the corpus text bytes plus a string concat per bigram.
     - r11's first attempt run-length-encoded sorted hashed bigrams
       in-row; the higher-order-function lambdas are INTERPRETED (no
       whole-stage codegen), and that lost to the codegen hash aggregate
       at scale (sf3 +63%% measured) despite deleting a shuffle.
-    - Current: hash each TOKEN once (``h60`` inside one transform — the
-      only interpreted stage left, over half the md5 bytes of the r7
-      plan and no concats), form bigram identity as the (ha, hb) LONG
-      PAIR via a cheap arithmetic zip_with, then explode into the
-      fully codegen'd hash aggregate — map-side partial combine already
-      shuffles one row per distinct (doc, bigram).
+    - r11 shipped: hash each TOKEN once (one transform), zip_with the
+      (ha, hb) pair structs, each stage behind its own 1-element-explode
+      Generate barrier — 47-53 s at sf10.
+    - Current (r12, the fused tokenizer-to-pair generator): ONE barrier
+      Generate produces the hashed-token array directly —
+      ``transform``'s single array input evaluates once, so the
+      intermediate tokens barrier was redundant — and the pair
+      construction is ``arrays_zip`` over two slices instead of a
+      ``zip_with`` lambda: arrays_zip is a plain codegen expression
+      (no lambda), so only the per-token h60 transform remains on the
+      interpreted HOF path.  Measured (.bench_out/lm_variants_r12*):
+      sf0.1 1.76→1.17 s, sf3 26.9→21.1 s, sf10 47.2→38.6 s vs the
+      DuckDB twin's 26.7 s — same three-exchange shape, smaller
+      constant.
     The oracle mirrors the per-token hash and the pair identity
     bit-for-bit; collisions are those of h60 itself (2^60 space).  The
     model term ``global_n`` comes from a WINDOW sum over (ha, hb)
@@ -179,25 +187,22 @@ def bigram_familiarity(
     sort replaces the sort-merge join's two shuffles + two sorts of the
     same relation (measured 7%% faster at sf10 and strictly fewer
     passes at scale); no persist is needed because the relation is
-    consumed once.  The tokens array crosses a 1-element-explode
-    Generate barrier so the transform sees an ATTRIBUTE (the
+    consumed once.  The hashed array crosses a 1-element-explode
+    Generate barrier so the two slices see an ATTRIBUTE (the
     evaluate-once trap ``word_bigrams`` documents)."""
     from scanner_spark.functions.hashing import h60
 
-    toksed = df.select(
+    hashed = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array(_toks(F.col(text_col)))).alias("toks"),
-    )
-    hashed = toksed.select(
-        "doc",
-        F.explode(F.array(F.transform(F.col("toks"), h60))).alias("th"),
+        F.explode(
+            F.array(F.transform(_toks(F.col(text_col)), h60))
+        ).alias("th"),
     )
     th = F.col("th")
     n1 = F.greatest(F.size(th) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(th, F.lit(1), n1),
-        F.slice(th, F.lit(2), n1),
-        lambda a, b: F.struct(a.alias("ha"), b.alias("hb")),
+    pairs = F.arrays_zip(
+        F.slice(th, F.lit(1), n1).alias("ha"),
+        F.slice(th, F.lit(2), n1).alias("hb"),
     )
     bg = (
         hashed.select("doc", F.explode(pairs).alias("p"))
