@@ -404,6 +404,9 @@ def _video_decode_sql() -> str:
         ("vid9.mp4", 9, [2, 6], 32, 32, False),
         # implicit weighted-bipred avc1 (POC-distance weights): lossy -> NULL
         ("vid10.mp4", 10, [1, 5], 32, 32, False),
+        # adaptive ref-pic marking avc1 (MMCO 4+6 long-term anchor,
+        # idc-2 list modification): lossy -> NULL
+        ("vid11.mp4", 11, [3, 7], 32, 32, False),
     ):
         for f in frames:
             rows.append(

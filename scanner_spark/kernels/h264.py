@@ -1706,23 +1706,21 @@ def _parse_slice_header(
     if (pps.get("weighted_pred") and is_p) or (
         is_b and pps.get("weighted_bipred_idc", 0) == 1
     ):
-        if n_l0 > 1:
-            raise NotImplementedError(
-                "explicit weighted prediction with multiple references "
-                "not supported (per-ref weight tables unparsed)"
-            )
-        wp = _parse_pred_weight_table(r, is_b)
+        wp = _parse_pred_weight_table(r, is_b, n_l0, n_l1)
     elif is_b and pps.get("weighted_bipred_idc", 0) == 2:
         # implicit mode carries NO pred_weight_table (§7.3.3): weights
         # derive from POC distances, resolved by decode_picture's pocs
         wp = "implicit"
-    # dec_ref_pic_marking (§7.3.3.3)
+    # dec_ref_pic_marking (§7.3.3.3): parsed and DISCARDED — reference
+    # marking is a DPB operation owned by the container walk
+    # (sources/mp4.decode_range), which re-reads it via slice_header_info;
+    # pixel decode only needs the syntax consumed so the QP/deblock
+    # fields that follow parse correctly
     if idr:
         r.u(1)  # no_output_of_prior_pics
         r.u(1)  # long_term_reference
     elif nal_ref_idc != 0:
-        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
-            raise NotImplementedError("adaptive ref-pic marking not supported")
+        _parse_mmco_ops(r)
     if pps.get("cabac") and st_mod != 2:
         r.ue()  # cabac_init_idc (ignored: uniform init, kernels/cabac.py)
     qp = pps["init_qp"] + r.se()
@@ -1965,7 +1963,7 @@ def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int,
     pcb = mc_chroma(ref.cb, cy, cx, mv)
     pcr = mc_chroma(ref.cr, cy, cx, mv)
     if wp is not None:
-        l0 = wp["l0"]
+        l0 = wp["l0"][0]  # P_Skip predicts from refIdxL0 = 0
         py = _wp_single(py, l0[0], l0[1], wp["logwd_y"])
         pcb = _wp_single(pcb, l0[2], l0[3], wp["logwd_c"])
         pcr = _wp_single(pcr, l0[4], l0[5], wp["logwd_c"])
@@ -2008,7 +2006,8 @@ def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
     mv = st.mv_pred(mbx, mby, ref_idx=ridx) + mvd
     p16 = mc_luma(ref.y, oy, ox, mv)
     if wp is not None:
-        p16 = _wp_single(p16, wp["l0"][0], wp["l0"][1], wp["logwd_y"])
+        w0 = wp["l0"][ridx]  # per-ref_idx explicit weights (§8.4.2.3.2)
+        p16 = _wp_single(p16, w0[0], w0[1], wp["logwd_y"])
     cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     if cbp:
@@ -2032,10 +2031,9 @@ def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
         1: mc_chroma(ref.cr, cy, cx, mv),
     }
     if wp is not None:
-        preds[0] = _wp_single(preds[0], wp["l0"][2], wp["l0"][3],
-                              wp["logwd_c"])
-        preds[1] = _wp_single(preds[1], wp["l0"][4], wp["l0"][5],
-                              wp["logwd_c"])
+        w0 = wp["l0"][ridx]
+        preds[0] = _wp_single(preds[0], w0[2], w0[3], wp["logwd_c"])
+        preds[1] = _wp_single(preds[1], w0[4], w0[5], wp["logwd_c"])
     _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
                    pred_fn=lambda comp: preds[comp])
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
@@ -2159,7 +2157,7 @@ def _implicit_wp(poc_cur: int, poc0: int, poc1: int) -> dict:
     (§8.4.2.3.1), which _bipred honours via the ``implicit`` flag."""
     w0, w1 = implicit_bipred_weights(poc_cur, poc0, poc1)
     return {"implicit": True, "logwd_y": 5, "logwd_c": 5,
-            "l0": (w0, 0, w0, 0, w0, 0), "l1": (w1, 0, w1, 0, w1, 0)}
+            "l0": [(w0, 0, w0, 0, w0, 0)], "l1": [(w1, 0, w1, 0, w1, 0)]}
 
 
 # column layout of a per-list weight tuple: (w_y, o_y, w_cb, o_cb, w_cr, o_cr)
@@ -2167,16 +2165,18 @@ _WP_COMP = {"y": (0, 1, "logwd_y"), "cb": (2, 3, "logwd_c"),
             "cr": (4, 5, "logwd_c")}
 
 
-def _parse_pred_weight_table(r: BitReader, is_b: bool) -> dict:
-    """§7.3.3.2 pred_weight_table at the one-active-ref-per-list scope:
-    log2 denominators, then flagged (weight, offset) pairs for luma and
-    chroma of RefPicList0[0] (and RefPicList1[0] for B slices)."""
+def _parse_pred_weight_table(r: BitReader, is_b: bool,
+                             n_l0: int = 1, n_l1: int = 1) -> dict:
+    """§7.3.3.2 pred_weight_table: log2 denominators, then flagged
+    (weight, offset) pairs for luma and chroma of EACH active reference
+    of RefPicList0 (and RefPicList1 for B slices).  ``l0``/``l1`` in the
+    result are per-ref_idx lists of (wy, oy, wcb, ocb, wcr, ocr)."""
     logwd_y = r.ue()
     logwd_c = r.ue()  # chroma_format_idc != 0 (always 4:2:0 here)
     if logwd_y > 7 or logwd_c > 7:
         raise ValueError("pred_weight_table log2 denominator out of range")
 
-    def one_list():
+    def one_ref():
         wy, oy = 1 << logwd_y, 0
         wcb = wcr = 1 << logwd_c
         ocb = ocr = 0
@@ -2187,44 +2187,51 @@ def _parse_pred_weight_table(r: BitReader, is_b: bool) -> dict:
             wcr, ocr = r.se(), r.se()
         return (wy, oy, wcb, ocb, wcr, ocr)
 
-    l0 = one_list()
-    l1 = one_list() if is_b else None
+    l0 = [one_ref() for _ in range(max(n_l0, 1))]
+    l1 = [one_ref() for _ in range(max(n_l1, 1))] if is_b else None
     return {"logwd_y": logwd_y, "logwd_c": logwd_c, "l0": l0, "l1": l1}
 
 
 def _write_pred_weight_table(w: BitWriter, wp: dict) -> None:
-    """Mirror of :func:`_parse_pred_weight_table` for the encoder."""
+    """Mirror of :func:`_parse_pred_weight_table` for the encoder —
+    ``l0``/``l1`` are per-ref_idx lists."""
     w.ue(wp["logwd_y"])
     w.ue(wp["logwd_c"])
     for lst in ("l0", "l1"):
-        t = wp.get(lst)
-        if t is None:
+        refs = wp.get(lst)
+        if refs is None:
             continue
-        wy, oy, wcb, ocb, wcr, ocr = t
-        if wy == (1 << wp["logwd_y"]) and oy == 0:
-            w.u(0, 1)
-        else:
-            w.u(1, 1)
-            w.se(wy)
-            w.se(oy)
-        dc = 1 << wp["logwd_c"]
-        if (wcb, ocb, wcr, ocr) == (dc, 0, dc, 0):
-            w.u(0, 1)
-        else:
-            w.u(1, 1)
-            w.se(wcb)
-            w.se(ocb)
-            w.se(wcr)
-            w.se(ocr)
+        for t in refs:
+            _write_one_weight_ref(w, wp, t)
+
+
+def _write_one_weight_ref(w: BitWriter, wp: dict, t: tuple) -> None:
+    wy, oy, wcb, ocb, wcr, ocr = t
+    if wy == (1 << wp["logwd_y"]) and oy == 0:
+        w.u(0, 1)
+    else:
+        w.u(1, 1)
+        w.se(wy)
+        w.se(oy)
+    dc = 1 << wp["logwd_c"]
+    if (wcb, ocb, wcr, ocr) == (dc, 0, dc, 0):
+        w.u(0, 1)
+    else:
+        w.u(1, 1)
+        w.se(wcb)
+        w.se(ocb)
+        w.se(wcr)
+        w.se(ocr)
 
 
 def _bipred(plane0: np.ndarray, plane1: np.ndarray, oy: int, ox: int,
             mvs, mc_fn, wp: dict | None = None,
-            comp: str = "y") -> np.ndarray:
+            comp: str = "y", ridx: tuple = (0, 0)) -> np.ndarray:
     """List prediction for one B partition: single-list MC or the B_Bi
     combine — default (p0+p1+1)>>1 (§8.4.2.3.1) when ``wp`` is None,
     else the explicit weighted forms (§8.4.2.3.2) using ``comp``'s
-    column of the per-list weight tuples."""
+    column of the weight tuples for the partition's (refIdxL0,
+    refIdxL1) = ``ridx``."""
     p0 = mc_fn(plane0, oy, ox, mvs[0]) if mvs[0] is not None else None
     p1 = mc_fn(plane1, oy, ox, mvs[1]) if mvs[1] is not None else None
     if wp is None:
@@ -2238,11 +2245,13 @@ def _bipred(plane0: np.ndarray, plane1: np.ndarray, oy: int, ox: int,
     wi, oi, ld = _WP_COMP[comp]
     logwd = wp[ld]
     if p0 is None:
-        return _wp_single(p1, wp["l1"][wi], wp["l1"][oi], logwd)
+        t1 = wp["l1"][ridx[1]]
+        return _wp_single(p1, t1[wi], t1[oi], logwd)
     if p1 is None:
-        return _wp_single(p0, wp["l0"][wi], wp["l0"][oi], logwd)
-    return _wp_bi(p0, p1, wp["l0"][wi], wp["l0"][oi],
-                  wp["l1"][wi], wp["l1"][oi], logwd)
+        t0 = wp["l0"][ridx[0]]
+        return _wp_single(p0, t0[wi], t0[oi], logwd)
+    t0, t1 = wp["l0"][ridx[0]], wp["l1"][ridx[1]]
+    return _wp_bi(p0, p1, t0[wi], t0[oi], t1[wi], t1[oi], logwd)
 
 
 def _decode_mb(er, st: _FrameState, mbx: int, mby: int, qp: int,
@@ -2791,7 +2800,8 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      poc_lsb: int | None = None,
                      slices: int = 1,
                      entropy: str = "cavlc",
-                     deblock: bool = False) -> tuple[list[bytes], _FrameState]:
+                     deblock: bool = False,
+                     long_term: bool = False) -> tuple[list[bytes], _FrameState]:
     """(y, cb, cr) uint8 planes (padded to MB multiples by the caller via
     :func:`pad_planes`) -> (IDR slice RBSPs, reconstruction state) — the
     state seeds P-frame encoding of the following GOP frames.
@@ -2818,7 +2828,10 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         if poc_lsb is not None:
             w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0)
         w.u(0, 1)  # no_output_of_prior_pics
-        w.u(0, 1)  # long_term_reference
+        # long_term_reference_flag: the IDR enters the DPB as
+        # LongTermFrameIdx 0 (§8.2.5.1) — the walk keeps it past the
+        # sliding window until an MMCO releases it
+        w.u(1 if long_term else 0, 1)
         w.se(0)  # slice_qp_delta (QP == pic_init_qp)
         _write_deblock(w, deblock)
         if entropy == "cabac":
@@ -2906,16 +2919,16 @@ def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
 def _inter_residuals(ref: _FrameState, src: np.ndarray,
                      src_cb: np.ndarray, src_cr: np.ndarray,
                      oy: int, ox: int, mv, qp: int,
-                     wp: dict | None = None):
+                     wp: dict | None = None, l0_idx: int = 0):
     """Quantized inter residuals for one MB at ``mv``: returns
     (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16).  ``wp``
-    weights the compensated samples (normative order: interpolate, then
-    weight — §8.4.2.3.2)."""
+    weights the compensated samples with ``l0_idx``'s tuple (normative
+    order: interpolate, then weight — §8.4.2.3.2)."""
     cy, cx = oy // 2, ox // 2
     p16 = mc_luma(ref.y, oy, ox, mv)
     p8s = (mc_chroma(ref.cb, cy, cx, mv), mc_chroma(ref.cr, cy, cx, mv))
     if wp is not None:
-        l0, ly, lc = wp["l0"], wp["logwd_y"], wp["logwd_c"]
+        l0, ly, lc = wp["l0"][l0_idx], wp["logwd_y"], wp["logwd_c"]
         p16 = _wp_single(p16, l0[0], l0[1], ly)
         p8s = (_wp_single(p8s[0], l0[2], l0[3], lc),
                _wp_single(p8s[1], l0[4], l0[5], lc))
@@ -3047,7 +3060,10 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      intra_slices: int = 0,
                      mb_mode: str = "auto",
                      weight: tuple | None = None,
-                     deblock: bool = False) -> tuple[list[bytes], _FrameState]:
+                     deblock: bool = False,
+                     mmco: "list[tuple[int, int, int]] | None" = None,
+                     l0_mods: "list[tuple[int, int]] | None" = None,
+                     ) -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
     zero, P_L0_16x16 otherwise, I_PCM fallback for placeholder-code
@@ -3109,7 +3125,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     if weight is not None:
         logwd, wy_, oy_, wc_, oc_ = weight
         wp = {"logwd_y": logwd, "logwd_c": logwd,
-              "l0": (wy_, oy_, wc_, oc_, wc_, oc_), "l1": None}
+              "l0": [(wy_, oy_, wc_, oc_, wc_, oc_)], "l1": None}
         # motion-search proxy: a pre-weighted full-pel reference plane
         # (the per-MB residual below re-applies the weight through the
         # NORMATIVE interpolate-then-weight order)
@@ -3169,7 +3185,16 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             w.ue(n0 - 1)  # num_ref_idx_l0_active_minus1
         else:
             w.u(0, 1)  # num_ref_idx_active_override_flag
-        if l0_ref_fn is None or (l0_ref_fn & 15) == (frame_num & 15):
+        if l0_mods is not None:
+            # caller-supplied §7.3.3.1 op sequence (e.g. idc 2 moving a
+            # long-term anchor to the list head) — must describe the
+            # order of the ``ref`` list actually searched against
+            w.u(1, 1)  # ref_pic_list_modification_flag_l0
+            for idc_, val_ in l0_mods:
+                w.ue(idc_)
+                w.ue(val_)
+            w.ue(3)  # terminator
+        elif l0_ref_fn is None or (l0_ref_fn & 15) == (frame_num & 15):
             w.u(0, 1)  # ref_pic_list_modification_flag_l0
         else:
             # one §7.3.3.1 op: abs_diff_pic_num from picNumPred == curr
@@ -3185,7 +3210,20 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             w.ue(3)  # terminator
         if wp is not None:
             _write_pred_weight_table(w, wp)  # §7.3.3: after rplm
-        w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc > 0)
+        if mmco is not None:
+            # adaptive dec_ref_pic_marking (§7.3.3.3): the decode walk
+            # replays these through apply_ref_pic_marking
+            w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag
+            for op_, a_, b_ in mmco:
+                w.ue(op_)
+                if op_ == 3:
+                    w.ue(a_)
+                    w.ue(b_)
+                elif op_ in (1, 2, 4, 6):
+                    w.ue(a_)
+            w.ue(0)  # terminator
+        else:
+            w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding)
         if entropy == "cabac":
             w.ue(0)  # cabac_init_idc (uniform init, kernels/cabac.py)
         w.se(0)  # slice_qp_delta
@@ -3343,8 +3381,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     if weights is not None:
         logwd, (wy0, oy0_, wc0, oc0), (wy1, oy1_, wc1, oc1) = weights
         wp = {"logwd_y": logwd, "logwd_c": logwd,
-              "l0": (wy0, oy0_, wc0, oc0, wc0, oc0),
-              "l1": (wy1, oy1_, wc1, oc1, wc1, oc1)}
+              "l0": [(wy0, oy0_, wc0, oc0, wc0, oc0)],
+              "l1": [(wy1, oy1_, wc1, oc1, wc1, oc1)]}
         search0_y = _wp_single(ref0.y.astype(np.int64), wy0, oy0_, logwd)
         search1_y = _wp_single(ref1.y.astype(np.int64), wy1, oy1_, logwd)
     st = _FrameState(mbw, mbh)
@@ -3394,12 +3432,12 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 p0c, p1c, pbi = p0, p1, (p0 + p1 + 1) >> 1
             elif wp.get("implicit"):
                 # single-list candidates stay default; only Bi weighted
-                l0w, l1w = wp["l0"], wp["l1"]
+                l0w, l1w = wp["l0"][0], wp["l1"][0]
                 p0c, p1c = p0, p1
                 pbi = _wp_bi(p0, p1, l0w[0], l0w[1], l1w[0], l1w[1],
                              wp["logwd_y"])
             else:
-                l0w, l1w, ld = wp["l0"], wp["l1"], wp["logwd_y"]
+                l0w, l1w, ld = wp["l0"][0], wp["l1"][0], wp["logwd_y"]
                 p0c = _wp_single(p0, l0w[0], l0w[1], ld)
                 p1c = _wp_single(p1, l1w[0], l1w[1], ld)
                 pbi = _wp_bi(p0, p1, l0w[0], l0w[1], l1w[0], l1w[1], ld)
@@ -3542,6 +3580,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        deblock: bool = False,
                        p_refs: int = 1,
                        implicit_bipred: bool = False,
+                       ref_mode: str = "sliding",
                        ) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
@@ -3576,6 +3615,32 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
     ``p_intra_slices=k`` (needs ``slices > k``) codes the first k slices
     of every P picture as I slices — mixed slice-kind pictures (intra
     refresh, §7.4.3; see encode_picture_p)."""
+    if ref_mode not in ("sliding", "mmco_anchor", "lt_idr", "lt_anchor"):
+        raise ValueError(f"unknown ref_mode {ref_mode!r}")
+    if ref_mode != "sliding":
+        # §8.2.5 adaptive-marking GOP shapes (all keep a GOP-head anchor
+        # reachable beyond the sliding window, so a decoder that ignores
+        # the marking MISSES a reference and fails loudly — the
+        # observable-difference property the fixtures need):
+        #   mmco_anchor: every P from the 2nd on emits MMCO 1 removing
+        #     the short-term ref it just replaced, keeping the IDR as a
+        #     SHORT-TERM anchor the window would have evicted
+        #   lt_idr: the IDR signals long_term_reference_flag and anchors
+        #     as LongTermFrameIdx 0; P pictures window normally
+        #   lt_anchor: the first P marks ITSELF long-term (MMCO 4 + 6)
+        #     and the next P reorders it to the list head with a
+        #     long-term (idc 2) ref_pic_list_modification
+        if b_frames:
+            raise NotImplementedError(
+                f"ref_mode {ref_mode!r} is an I-P GOP shape (b_frames=0)"
+            )
+        if p_refs != 2:
+            raise ValueError(f"ref_mode {ref_mode!r} needs p_refs=2")
+        if gop > 15:
+            raise ValueError(
+                "anchor ref_modes need gop <= 15: at log2_max_frame_num "
+                "= 4 a longer GOP wraps frame_num onto the anchor's"
+            )
     if p_refs > 1:
         if b_frames:
             raise NotImplementedError(
@@ -3605,19 +3670,56 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
         rbsps, prev_st = encode_picture_i(
             yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
             poc_lsb=0 if poc0 else None, slices=slices, entropy=entropy,
-            deblock=deblock,
+            deblock=deblock, long_term=ref_mode == "lt_idr",
         )
         out.append((pack(rbsps, 3, 5), True, g0))
         ref_list = [prev_st]  # decode-order-recent first (RefPicList0)
+        idr_st = anchor_st = prev_st  # GOP-head anchor (adaptive modes)
+        p_idx = 0  # P pictures emitted in this GOP so far
         fnum, prev_d = 1, 0
         prev_fn = 0  # frame_num of prev_st's picture
         prev_gap_bref = False  # previous gap emitted a reference B
         while prev_d < gL - 1:
             nxt_d = min(prev_d + step, gL - 1)
             yp, cbp_, crp = frames[g0 + nxt_d]
+            # adaptive-marking GOP shapes: choose this P's reference
+            # list, MMCO ops, and list-modification ops (see the
+            # ref_mode note above; the decode walk must replay each
+            # piece or the anchor reference goes missing)
+            mmco_ops = l0_mods = None
+            if ref_mode == "sliding":
+                enc_ref = ref_list[:p_refs] if p_refs > 1 else prev_st
+            elif p_idx == 0:
+                # first P: only the GOP head is referenceable
+                enc_ref = prev_st
+                if ref_mode == "lt_anchor":
+                    # this P becomes the long-term anchor (MMCO 4 caps
+                    # MaxLongTermFrameIdx, MMCO 6 marks current as LT 0)
+                    mmco_ops = [(4, 1, 0), (6, 0, 0)]
+            else:
+                enc_ref = [prev_st, anchor_st]
+                # every adaptive-mode P names BOTH refs with explicit
+                # §7.3.3.1 ops (the default order would match too, but
+                # positional defaults resolve against ANY two-deep DPB —
+                # explicit PicNum / LongTermFrameIdx naming makes a
+                # decoder that ignored the marking fail loudly instead
+                # of silently predicting from the wrong picture)
+                if ref_mode == "mmco_anchor":
+                    # drop the short-term ref just replaced (PicNum =
+                    # CurrPicNum - 1), keeping the GOP head as a
+                    # SHORT-TERM anchor the sliding window would evict
+                    mmco_ops = [(1, 0, 0)]
+                    l0_mods = [(0, 0), (0, (fnum - 2) & 15)]
+                elif ref_mode == "lt_anchor" and p_idx == 1:
+                    # anchor (prev) is long-term: the default list is
+                    # [IDR(st), anchor(lt)] — reorder LT 0 to the head
+                    enc_ref = [prev_st, idr_st]
+                    l0_mods = [(2, 0), (0, fnum - 1)]
+                else:  # lt_idr, or lt_anchor past the second P
+                    l0_mods = [(0, 0), (2, 0)]
             rbsps, nxt_st = encode_picture_p(
                 yp, cbp_, crp,
-                ref_list[:p_refs] if p_refs > 1 else prev_st,
+                enc_ref,
                 qp=qp, frame_num=fnum, search=search,
                 poc_lsb=2 * nxt_d if poc0 else None, slices=slices,
                 entropy=entropy, intra_slices=p_intra_slices,
@@ -3625,7 +3727,11 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 # after a reference B, the default L0 head (highest
                 # PicNum) is that B, not prev_st — reorder explicitly
                 l0_ref_fn=prev_fn if prev_gap_bref else None,
+                mmco=mmco_ops, l0_mods=l0_mods,
             )
+            if ref_mode == "lt_anchor" and p_idx == 0:
+                anchor_st = nxt_st  # the self-marked LT picture
+            p_idx += 1
             out.append((pack(rbsps, 2, 1), False, g0 + nxt_d))
             nxt_fn, fnum = fnum, (fnum + 1) & 15
             bds = list(range(prev_d + 1, nxt_d))
@@ -3753,7 +3859,8 @@ def slice_kind(nal: bytes) -> tuple[str, bool]:
 def _parse_list_mods(r: BitReader) -> list[tuple[int, int]] | None:
     """ref_pic_list_modification op sequence for one list (§7.3.3.1):
     None when the flag is 0, else [(idc, value), ...] up to the idc-3
-    terminator.  Only short-term ops (idc 0/1) are accepted."""
+    terminator.  idc 0/1 select short-term PicNums, idc 2 a
+    long_term_pic_num (resolved in :func:`resolve_list_mods_full`)."""
     if not r.u(1):
         return None
     ops = []
@@ -3761,14 +3868,39 @@ def _parse_list_mods(r: BitReader) -> list[tuple[int, int]] | None:
         idc = r.ue()
         if idc == 3:
             return ops
-        if idc not in (0, 1):
-            raise NotImplementedError(
-                f"ref_pic_list_modification idc {idc}: long-term "
-                "reference selection not supported"
-            )
+        if idc not in (0, 1, 2):
+            raise ValueError(f"ref_pic_list_modification idc {idc} invalid")
         ops.append((idc, r.ue()))
         if len(ops) > 16:
             raise ValueError("runaway ref_pic_list_modification")
+
+
+def _parse_mmco_ops(r: BitReader) -> "list[tuple[int, int, int]] | None":
+    """Non-IDR dec_ref_pic_marking (§7.3.3.3): None when
+    adaptive_ref_pic_marking_mode_flag is 0 (the §8.2.5.3 sliding
+    window), else the [(op, a, b)] memory_management_control_operation
+    list (terminator op 0 consumed, not returned).  Operands: op 1/3 →
+    difference_of_pic_nums_minus1, op 2 → long_term_pic_num, op 3's b /
+    op 6 → long_term_frame_idx, op 4 → max_long_term_frame_idx_plus1."""
+    if not r.u(1):  # adaptive_ref_pic_marking_mode_flag
+        return None
+    ops = []
+    while True:
+        op = r.ue()
+        if op == 0:
+            return ops
+        if op == 3:
+            ops.append((3, r.ue(), r.ue()))
+        elif op in (1, 2, 4, 6):
+            ops.append((op, r.ue(), 0))
+        elif op == 5:
+            ops.append((5, 0, 0))
+        else:
+            raise ValueError(
+                f"memory_management_control_operation {op} invalid"
+            )
+        if len(ops) > 32:
+            raise ValueError("runaway dec_ref_pic_marking")
 
 
 def resolve_list_mod(ops, curr_fn: int, max_fn: int) -> int:
@@ -3789,32 +3921,126 @@ def resolve_list_mod(ops, curr_fn: int, max_fn: int) -> int:
 
 
 def resolve_list_mods_full(ops, curr_fn: int, max_fn: int,
-                           default_fns: "list[int]",
-                           n_active: int) -> "list[int]":
-    """§8.2.4.3.1 in full: apply short-term modification ops to the
-    default RefPicList0 frame_num order, returning the final list
-    truncated to ``n_active``.  Each op inserts the selected PicNum at
-    the next index and removes its later duplicate."""
-    lst = list(default_fns)
+                           default_refs: "list",
+                           n_active: int) -> "list":
+    """§8.2.4.3.1 in full: apply modification ops to the default
+    RefPicList order, returning the final list truncated to
+    ``n_active``.  Entries are tagged ``("st", frame_num)`` /
+    ``("lt", long_term_frame_idx)``; plain ints are accepted (and
+    returned) as short-term frame_nums for short-term-only streams.
+    idc 0/1 walk picNumPred over short-term PicNums; idc 2 selects a
+    long-term picture by long_term_pic_num (== LongTermFrameIdx at
+    frame-coding scope).  Each op inserts the selected picture at the
+    next index and removes its later duplicate."""
+    plain = all(not isinstance(x, tuple) for x in default_refs)
+    lst = [x if isinstance(x, tuple) else ("st", x) for x in default_refs]
     pred = curr_fn
     ridx = 0
     for idc, val in ops:
         if idc == 0:
             pred = (pred - (val + 1)) % max_fn
+            ent = ("st", pred)
         elif idc == 1:
             pred = (pred + val + 1) % max_fn
-        else:
-            raise NotImplementedError(
-                f"ref_pic_list_modification idc {idc} (long-term) not "
-                "supported"
-            )
-        lst.insert(ridx, pred)
+            ent = ("st", pred)
+        else:  # idc 2: long-term selection
+            ent = ("lt", val)
+            if plain:
+                raise ValueError(
+                    "long-term list modification against a short-term-"
+                    "only default list"
+                )
+        lst.insert(ridx, ent)
         ridx += 1
         for j in range(ridx, len(lst)):
-            if lst[j] == pred:
+            if lst[j] == ent:
                 del lst[j]
                 break
-    return lst[:n_active]
+    lst = lst[:n_active]
+    return [fn for _, fn in lst] if plain else lst
+
+
+def apply_ref_pic_marking(dpb: "list[tuple]", cur: tuple,
+                          mmco: "list[tuple[int, int, int]] | None",
+                          max_fn: int, n_ref: int) -> "list[tuple]":
+    """§8.2.5 decoded-reference-picture marking, applied after decoding
+    reference picture ``cur`` = (frame_num, poc, state, lt).  ``dpb`` is
+    a decode-order list of the same 4-tuples with ``lt`` None for
+    short-term pictures, else the picture's LongTermFrameIdx.
+
+    ``mmco`` None runs the §8.2.5.3 sliding window: when the reference
+    count has reached ``n_ref``, the OLDEST short-term picture (smallest
+    FrameNumWrap = earliest decode order at this walk's scope) is
+    removed before ``cur`` enters; long-term pictures are never evicted
+    by the window.  Otherwise the §8.2.5.4 adaptive operations run IN
+    ORDER and no sliding window applies this picture.  MMCO 5 (mark all
+    unused + frame_num/POC rebase of the current picture) is refused —
+    the rebase would have to rewrite this walk's POC chain.  Returns a
+    new list; the input is not mutated."""
+    dpb = list(dpb)
+    cur_fn, cur_poc, cur_st, cur_lt = cur
+    if mmco is None:
+        while len(dpb) >= max(n_ref, 1) and any(
+            e[3] is None for e in dpb
+        ):
+            i = next(i for i, e in enumerate(dpb) if e[3] is None)
+            del dpb[i]
+        dpb.append(cur)
+        return dpb
+
+    def pic_num(fn: int) -> int:
+        # §8.2.4.1 PicNum: FrameNumWrap at frame-coding scope
+        return fn if fn <= cur_fn else fn - max_fn
+
+    for op, a, b in mmco:
+        if op == 1:  # mark a short-term picture unused
+            x = cur_fn - (a + 1)
+            hits = [i for i, e in enumerate(dpb)
+                    if e[3] is None and pic_num(e[0]) == x]
+            if not hits:
+                raise ValueError(f"MMCO 1 targets PicNum {x}, not in DPB")
+            del dpb[hits[-1]]
+        elif op == 2:  # mark a long-term picture unused
+            hits = [i for i, e in enumerate(dpb) if e[3] == a]
+            if not hits:
+                raise ValueError(
+                    f"MMCO 2 targets LongTermPicNum {a}, not in DPB"
+                )
+            del dpb[hits[-1]]
+        elif op == 3:  # short-term -> long-term with idx b
+            x = cur_fn - (a + 1)
+            dpb = [e for e in dpb if e[3] != b]  # idx b is reassigned
+            hits = [i for i, e in enumerate(dpb)
+                    if e[3] is None and pic_num(e[0]) == x]
+            if not hits:
+                raise ValueError(f"MMCO 3 targets PicNum {x}, not in DPB")
+            fn_, poc_, st_, _ = dpb[hits[-1]]
+            dpb[hits[-1]] = (fn_, poc_, st_, b)
+        elif op == 4:  # cap MaxLongTermFrameIdx at a - 1
+            dpb = [e for e in dpb if e[3] is None or e[3] <= a - 1]
+        elif op == 6:  # current picture becomes long-term with idx a
+            dpb = [e for e in dpb if e[3] != a]
+            cur_lt = a
+        else:  # op 5
+            raise NotImplementedError(
+                "MMCO 5 (mark all references unused + rebase the "
+                "current picture's frame_num/POC) not supported"
+            )
+    dpb.append((cur_fn, cur_poc, cur_st, cur_lt))
+    return dpb
+
+
+def default_ref_list0_p(dpb: "list[tuple]") -> "list[tuple]":
+    """§8.2.4.2.1 default P RefPicList0 over tagged DPB entries:
+    short-term pictures by PicNum descending (== most recent decode
+    order at this walk's scope), then long-term pictures by
+    LongTermFrameIdx ascending.  Returns [("st", frame_num) | ("lt",
+    idx)] for :func:`resolve_list_mods_full`."""
+    st_part = [("st", e[0]) for e in reversed(dpb) if e[3] is None]
+    lt_part = [("lt", e[3]) for e in
+               sorted((e for e in dpb if e[3] is not None),
+                      key=lambda e: e[3])]
+    return st_part + lt_part
 
 
 def slice_header_info(nal: bytes, sps: dict, pps: dict) -> dict:
@@ -3847,20 +4073,37 @@ def slice_header_info(nal: bytes, sps: dict, pps: dict) -> dict:
         poc = 2 * fn
     l0_mod = l1_mod = None
     n_l0 = pps.get("num_ref_l0", 0) + 1
+    n_l1 = pps.get("num_ref_l1", 0) + 1
     if kind == "B":
         r.u(1)  # direct_spatial_mv_pred_flag
     if kind in ("P", "B"):
         if r.u(1):  # num_ref_idx_active_override_flag
             n_l0 = r.ue() + 1
             if kind == "B":
-                r.ue()
+                n_l1 = r.ue() + 1
         l0_mod = _parse_list_mods(r)
         if kind == "B":
             l1_mod = _parse_list_mods(r)
+    # pred_weight_table sits between the list mods and
+    # dec_ref_pic_marking (§7.3.3) — consume it so marking parses
+    if (pps.get("weighted_pred") and kind == "P") or (
+        kind == "B" and pps.get("weighted_bipred_idc", 0) == 1
+    ):
+        _parse_pred_weight_table(r, kind == "B", n_l0, n_l1)
+    # dec_ref_pic_marking: the DPB facts this walk exists to collect —
+    # mmco is None for sliding-window pictures, [] is impossible (op 0
+    # alone still means adaptive mode chose to mark nothing)
+    idr_lt = False
+    mmco = None
+    if idr:
+        r.u(1)  # no_output_of_prior_pics_flag
+        idr_lt = bool(r.u(1))  # long_term_reference_flag
+    elif ref_idc != 0:
+        mmco = _parse_mmco_ops(r)
     return {
         "kind": kind, "is_ref": ref_idc != 0, "idr": idr,
         "frame_num": fn, "poc": poc, "l0_mod": l0_mod, "l1_mod": l1_mod,
-        "n_l0": n_l0,
+        "n_l0": n_l0, "n_l1": n_l1, "mmco": mmco, "idr_lt": idr_lt,
     }
 
 

@@ -1789,6 +1789,22 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_iwp_path)
+    # adaptive ref-pic marking avc1 (round 12): MMCO 4+6 mark the first P
+    # long-term, every later P names its two references explicitly
+    # (LongTermFrameIdx 0 via an idc-2 list modification + PicNum) — a
+    # decoder ignoring §8.2.5.4 marking cannot build these lists
+    # (kernels/h264.py apply_ref_pic_marking, exercised by
+    # sources/mp4.decode_range's DPB walk)
+    avc_mmco_path = f"{tmp}/vid11.mp4"
+    with open(avc_mmco_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(11, i, 32, 32, 3) for i in range(8)],
+                qp=30, gop=8, p_refs=2, ref_mode="lt_anchor",
+                deblock=True,
+            )
+        )
+    paths.append(avc_mmco_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1802,6 +1818,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_dbl_path: [1, 6],
         avc_mref_path: [2, 6],
         avc_iwp_path: [1, 5],
+        avc_mmco_path: [3, 7],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1819,7 +1836,7 @@ def q_video_decode_pruned(spark, sf_dir):
     )
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
-        "vid8.mp4", "vid9.mp4", "vid10.mp4",
+        "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4",
     )
     return out2.select(
         "video",

@@ -401,7 +401,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     p_intra_slices: int = 0,
                     deblock: bool = False,
                     p_refs: int = 1,
-                    implicit_bipred: bool = False) -> bytes:
+                    implicit_bipred: bool = False,
+                    ref_mode: str = "sliding") -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -438,6 +439,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     # references; I/P chains need 1
     if p_refs > 1 and gop is None:
         raise ValueError("p_refs needs a GOP structure (pass gop=N)")
+    if ref_mode != "sliding" and gop is None:
+        raise ValueError("adaptive ref_mode needs a GOP structure")
     sps = h264.write_sps(
         w, h,
         num_ref_frames=max(
@@ -463,6 +466,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             slices=slices, entropy=entropy, b_pyramid=b_pyramid,
             p_intra_slices=p_intra_slices, deblock=deblock,
             p_refs=p_refs, implicit_bipred=implicit_bipred,
+            ref_mode=ref_mode,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams
@@ -656,13 +660,26 @@ def _avc1_sample_info(sample: bytes, length_size: int,
             "avc1 picture's slices carry differing ref_pic_list_"
             "modification ops — per-slice reference lists not supported"
         )
+    marks = {
+        (None if i["mmco"] is None else tuple(i["mmco"]), i["idr_lt"])
+        for i in infos
+        if i["is_ref"]
+    }
+    if len(marks) > 1:
+        raise ValueError(
+            "avc1 picture's slices carry differing dec_ref_pic_marking "
+            "— §7.4.3.3 requires them identical across a picture"
+        )
     first = infos[0]
     pb = next((i for i in infos if i["kind"] in ("P", "B")), first)
+    mmco, idr_lt = next(iter(marks)) if marks else (None, False)
     return {
         "kinds": kinds, "is_ref": first["is_ref"], "idr": first["idr"],
         "frame_num": first["frame_num"], "poc": first["poc"],
         "l0_mod": pb["l0_mod"], "l1_mod": pb["l1_mod"],
-        "n_l0": pb.get("n_l0", 1),
+        "n_l0": pb.get("n_l0", 1), "n_l1": pb.get("n_l1", 1),
+        "mmco": list(mmco) if mmco is not None else None,
+        "idr_lt": idr_lt,
     }
 
 
@@ -743,7 +760,9 @@ def decode_range(
             ):
                 remaining.add(targets[t_i])
                 t_i += 1
-            dpb: list[tuple[int, int, object]] = []  # (fn, poc, state), decode order
+            # (fn, poc, state, lt) in decode order; lt None = short-term,
+            # else the picture's LongTermFrameIdx (§8.2.5 marking)
+            dpb: list[tuple[int, int, object, object]] = []
             poc_msb, poc_lsb_prev = 0, 0  # of the last reference picture
             s = k_sample
             while remaining and s < len(entries):
@@ -785,7 +804,8 @@ def decode_range(
                             fn_t = _h264.resolve_list_mod(
                                 info["l0_mod"], info["frame_num"], max_fn
                             )
-                            cand = [x for x in dpb if x[0] == fn_t]
+                            cand = [x for x in dpb
+                                    if x[0] == fn_t and x[3] is None]
                             if not cand:
                                 raise ValueError(
                                     f"ref_pic_list_modification selects "
@@ -793,7 +813,10 @@ def decode_range(
                                 )
                             poc0, ref_st = cand[-1][1], cand[-1][2]
                         else:
-                            past = [x for x in dpb if x[1] < poc]
+                            # §8.2.4.2.3 heads are short-term; long-term
+                            # pictures sit at the list tail
+                            past = [x for x in dpb
+                                    if x[3] is None and x[1] < poc]
                             if not past:
                                 raise ValueError(
                                     f"display {e.frame_no}: B picture has "
@@ -807,21 +830,27 @@ def decode_range(
                         # sliding-window depth, §8.2.4.2.1), then any
                         # modification ops replay §8.2.4.3.1, then
                         # truncate to the slice's active count
-                        default_fns = [fn_ for fn_, _, _ in reversed(dpb)]
+                        defaults = _h264.default_ref_list0_p(dpb)
                         n0 = max(info.get("n_l0", 1), 1)
                         if info["l0_mod"] is not None:
-                            fns = _h264.resolve_list_mods_full(
+                            tags = _h264.resolve_list_mods_full(
                                 info["l0_mod"], info["frame_num"], max_fn,
-                                default_fns, n0,
+                                defaults, n0,
                             )
                         else:
-                            fns = default_fns[:n0]
+                            tags = defaults[:n0]
                         ref_l = []
-                        for fn_t in fns:
-                            cand = [x for x in dpb if x[0] == fn_t]
+                        for tag, v in tags:
+                            if tag == "st":
+                                cand = [x for x in dpb
+                                        if x[0] == v and x[3] is None]
+                                what = f"frame_num {v}"
+                            else:
+                                cand = [x for x in dpb if x[3] == v]
+                                what = f"LongTermFrameIdx {v}"
                             if not cand:
                                 raise ValueError(
-                                    f"RefPicList0 needs frame_num {fn_t}, "
+                                    f"RefPicList0 needs {what}, "
                                     "not in the DPB"
                                 )
                             ref_l.append(cand[-1][2])
@@ -836,7 +865,8 @@ def decode_range(
                         fn_t = _h264.resolve_list_mod(
                             info["l1_mod"], info["frame_num"], max_fn
                         )
-                        cand = [x for x in dpb if x[0] == fn_t]
+                        cand = [x for x in dpb
+                                if x[0] == fn_t and x[3] is None]
                         if not cand:
                             raise ValueError(
                                 f"ref_pic_list_modification (l1) selects "
@@ -844,7 +874,8 @@ def decode_range(
                             )
                         poc1, ref1_st = cand[-1][1], cand[-1][2]
                     else:
-                        future = [x for x in dpb if x[1] > poc]
+                        future = [x for x in dpb
+                                  if x[3] is None and x[1] > poc]
                         if not future:
                             raise ValueError(
                                 f"display {e.frame_no}: B picture has no "
@@ -861,9 +892,16 @@ def decode_range(
                     ref=ref_st, ref1=ref1_st, pocs=pocs,
                 )
                 if info["is_ref"]:
-                    dpb.append((info["frame_num"], poc, st))
-                    if len(dpb) > n_ref:  # sliding window: oldest out
-                        dpb.pop(0)
+                    # §8.2.5 marking: sliding window, or the slice's
+                    # adaptive MMCO ops (IDR long_term_reference_flag
+                    # admits the IDR as LongTermFrameIdx 0)
+                    cur = (
+                        info["frame_num"], poc, st,
+                        0 if (info["idr"] and info["idr_lt"]) else None,
+                    )
+                    dpb = _h264.apply_ref_pic_marking(
+                        dpb, cur, info["mmco"], max_fn, n_ref
+                    )
                 if e.frame_no in remaining:
                     out[e.frame_no] = rgb
                     remaining.discard(e.frame_no)
