@@ -407,6 +407,8 @@ def _video_decode_sql() -> str:
         # adaptive ref-pic marking avc1 (MMCO 4+6 long-term anchor,
         # idc-2 list modification): lossy -> NULL
         ("vid11.mp4", 11, [3, 7], 32, 32, False),
+        # multi-reference B avc1 (2-deep list 0, te(v) ref_idx): lossy -> NULL
+        ("vid12.mp4", 12, [3, 8], 32, 32, False),
     ):
         for f in frames:
             rows.append(

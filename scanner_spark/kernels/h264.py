@@ -1692,14 +1692,9 @@ def _parse_slice_header(
         _parse_list_mods(r)
         if is_b:
             _parse_list_mods(r)
-    if is_b and (n_l0 > 1 or n_l1 > 1):
+    if pps.get("cabac") and (n_l0 > 1 or (is_b and n_l1 > 1)):
         raise NotImplementedError(
-            "multi-reference B lists not supported (B slices decode with "
-            "one reference per list; P multi-ref is supported)"
-        )
-    if pps.get("cabac") and n_l0 > 1:
-        raise NotImplementedError(
-            "multi-reference P under CABAC not supported (ref_idx_l0 "
+            "multi-reference lists under CABAC not supported (ref_idx "
             "context models not implemented; use CAVLC for multi-ref)"
         )
     wp = None
@@ -1710,6 +1705,12 @@ def _parse_slice_header(
     elif is_b and pps.get("weighted_bipred_idc", 0) == 2:
         # implicit mode carries NO pred_weight_table (§7.3.3): weights
         # derive from POC distances, resolved by decode_picture's pocs
+        if n_l0 > 1 or n_l1 > 1:
+            raise NotImplementedError(
+                "implicit weighted bi-prediction with multi-reference "
+                "lists not supported (weights would need per-MB POC "
+                "distances of the chosen references)"
+            )
         wp = "implicit"
     # dec_ref_pic_marking (§7.3.3.3): parsed and DISCARDED — reference
     # marking is a DPB operation owned by the container walk
@@ -1734,13 +1735,13 @@ def _parse_slice_header(
             dbl = (idc, r.se() * 2, r.se() * 2)
         else:
             dbl = (1, 0, 0)
-    return first_mb, st_mod, qp, wp, dbl, n_l0
+    return first_mb, st_mod, qp, wp, dbl, n_l0, n_l1
 
 
 def _decode_slice_mbs(
     r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
-    qp: int, refs, ref1, mb_start: int, wp: dict | None = None,
-    n_l0: int = 1,
+    qp: int, refs, refs1, mb_start: int, wp: dict | None = None,
+    n_l0: int = 1, n_l1: int = 1,
 ) -> int:
     """Decode one slice's macroblock run starting at ``mb_start``,
     marking each MB with the current slice id.  The run length is not
@@ -1791,8 +1792,8 @@ def _decode_slice_mbs(
                     "supported — in-repo streams never emit them"
                 )
             mbx, mby = mark(mb)
-            qp = _decode_mb_b(er, st, refs[0] if refs else None, ref1,
-                              mbx, mby, qp, pps, wp)
+            qp = _decode_mb_b(er, st, refs, refs1,
+                              mbx, mby, qp, pps, wp, n_l0, n_l1)
             st.mb_qp[mby, mbx] = qp
             mb += 1
     return mb
@@ -1800,8 +1801,8 @@ def _decode_slice_mbs(
 
 def _decode_slice_mbs_cabac(
     r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
-    qp: int, refs, ref1, mb_start: int, wp: dict | None = None,
-    n_l0: int = 1,
+    qp: int, refs, refs1, mb_start: int, wp: dict | None = None,
+    n_l0: int = 1, n_l1: int = 1,
 ) -> int:
     """CABAC twin of :func:`_decode_slice_mbs`: per-MB mb_skip_flag
     instead of skip runs, end_of_slice_flag (a terminate bin) instead of
@@ -1833,7 +1834,7 @@ def _decode_slice_mbs_cabac(
                     "B_Skip macroblocks (direct-mode derivation) not "
                     "supported — in-repo streams never emit them"
                 )
-            qp = _decode_mb_b(er, st, refs[0] if refs else None, ref1,
+            qp = _decode_mb_b(er, st, refs, refs1,
                               mbx, mby, qp, pps, wp)
         st.mb_qp[mby, mbx] = qp
         er.end_mb(st, mbx, mby)
@@ -1890,14 +1891,18 @@ def decode_picture(
     refs0 = list(ref) if isinstance(ref, (list, tuple)) else (
         [ref] if ref is not None else []
     )
+    # RefPicList1 takes the same single-state-or-list contract
+    refs1 = list(ref1) if isinstance(ref1, (list, tuple)) else (
+        [ref1] if ref1 is not None else []
+    )
     mb_next = 0
     slice_dbl: dict[int, tuple[int, int, int]] = {}
     for si, (rbsp, idr, nal_ref_idc) in enumerate(slices):
         st.cur_slice = si
         r = BitReader(rbsp)
-        first_mb, st_mod, qp, wp, dbl, n_l0 = _parse_slice_header(
+        first_mb, st_mod, qp, wp, dbl, n_l0, n_l1 = _parse_slice_header(
             r, sps, pps, strict, idr, nal_ref_idc,
-            refs0[0] if refs0 else None, ref1
+            refs0[0] if refs0 else None, refs1[0] if refs1 else None
         )
         slice_dbl[si] = dbl
         if wp == "implicit":
@@ -1910,10 +1915,15 @@ def decode_picture(
                     "poc0, poc1)"
                 )
             wp = _implicit_wp(*pocs)
-        if st_mod == 0 and n_l0 > len(refs0):
+        if st_mod in (0, 1) and n_l0 > len(refs0):
             raise ValueError(
                 f"slice {si} needs {n_l0} list-0 references, caller "
                 f"supplied {len(refs0)}"
+            )
+        if st_mod == 1 and n_l1 > len(refs1):
+            raise ValueError(
+                f"slice {si} needs {n_l1} list-1 references, caller "
+                f"supplied {len(refs1)}"
             )
         if first_mb != mb_next:
             raise NotImplementedError(
@@ -1922,8 +1932,8 @@ def decode_picture(
             )
         loop = _decode_slice_mbs_cabac if cabac else _decode_slice_mbs
         mb_next = loop(
-            r, st, sps, pps, st_mod, qp, refs0, ref1, mb_next, wp,
-            n_l0,
+            r, st, sps, pps, st_mod, qp, refs0, refs1, mb_next, wp,
+            n_l0, n_l1,
         )
     if mb_next != n_mbs:
         raise ValueError(
@@ -2043,14 +2053,18 @@ def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
     return qp
 
 
-def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
-                 ref1: _FrameState, mbx: int, mby: int, qp: int,
-                 pps: dict, wp: dict | None = None) -> int:
+def _decode_mb_b(er, st: _FrameState, refs0, refs1,
+                 mbx: int, mby: int, qp: int,
+                 pps: dict, wp: dict | None = None,
+                 n_l0: int = 1, n_l1: int = 1) -> int:
     """One coded B-slice macroblock (Table 7-14): B_L0_16x16 (1),
     B_L1_16x16 (2), B_Bi_16x16 (3) — default bi-prediction
     (p0 + p1 + 1) >> 1 or the explicit weighted forms when ``wp`` is
-    set — or an intra type (offset 23).  B_Direct (0) and partitioned
-    types (4..22) are refused."""
+    set — or an intra type (offset 23).  ``refs0``/``refs1`` are the
+    final ordered RefPicList0/1 (§8.2.4); with multiple active refs the
+    MB codes te(v) ref_idx_lX per used list, and weighted prediction /
+    the §8.4.1.3.1 MV predictor follow the chosen index.  B_Direct (0)
+    and partitioned types (4..22) are refused."""
     mb_type = er.mb_type(st, mbx, mby, "B")
     if mb_type >= 23:
         return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 23)
@@ -2067,15 +2081,24 @@ def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
     use1 = mb_type in (2, 3)
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
-    # mvd_l0 then mvd_l1 (§7.3.5.1), single ref per list -> no ref_idx
+    # §7.3.5.1 order: ref_idx_l0, ref_idx_l1, mvd_l0, mvd_l1
+    ridx0 = er.ref_idx(st, mbx, mby, n_l0) if (use0 and n_l0 > 1) else 0
+    ridx1 = er.ref_idx(st, mbx, mby, n_l1) if (use1 and n_l1 > 1) else 0
+    if use0 and ridx0 >= len(refs0):
+        raise ValueError(f"ref_idx_l0 {ridx0} beyond RefPicList0")
+    if use1 and ridx1 >= len(refs1):
+        raise ValueError(f"ref_idx_l1 {ridx1} beyond RefPicList1")
+    ref0 = refs0[ridx0 if use0 else 0]
+    ref1 = refs1[ridx1 if use1 else 0]
     mvs = [None, None]
     if use0:
         mvd0 = np.array(er.mvd_pair(st, mbx, mby, 0), dtype=np.int64)
-        mvs[0] = st.mv_pred(mbx, mby, 0) + mvd0
+        mvs[0] = st.mv_pred(mbx, mby, 0, ref_idx=ridx0) + mvd0
     if use1:
         mvd1 = np.array(er.mvd_pair(st, mbx, mby, 1), dtype=np.int64)
-        mvs[1] = st.mv_pred(mbx, mby, 1) + mvd1
-    p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y")
+        mvs[1] = st.mv_pred(mbx, mby, 1, ref_idx=ridx1) + mvd1
+    rpair = (ridx0, ridx1)
+    p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y", rpair)
     cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     if cbp:
@@ -2095,18 +2118,20 @@ def _decode_mb_b(er, st: _FrameState, ref0: _FrameState,
         st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
     cy, cx = oy // 2, ox // 2
     preds = {
-        0: _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma, wp, "cb"),
-        1: _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma, wp, "cr"),
+        0: _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma, wp, "cb",
+                   rpair),
+        1: _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma, wp, "cr",
+                   rpair),
     }
     _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
                    pred_fn=lambda comp: preds[comp])
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
     st.mb_inter[mby, mbx] = True
-    for lst in (0, 1):
+    for lst, ridx in ((0, ridx0), (1, ridx1)):
         if mvs[lst] is not None:
             st.use_l[mby, mbx, lst] = True
             st.mv_l[mby, mbx, lst] = mvs[lst]
-            st.ref_l[mby, mbx, lst] = 0  # B lists stay single-ref
+            st.ref_l[mby, mbx, lst] = ridx
     st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
     return qp
 
@@ -3008,17 +3033,23 @@ def _reconstruct_inter(st: _FrameState, oy: int, ox: int, cbp: int,
 def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
                     mv, mvd, cbp: int, luma_z, comps, qp: int,
                     mb_type: int = 0, mvd2=None,
-                    ref_idx: int | None = None, n_ref: int = 1) -> None:
+                    ref_idx: int | None = None, n_ref: int = 1,
+                    ref_idx1: int | None = None, n_ref1: int = 1) -> None:
     """Bitstream emission for a 16x16 inter MB + nzy/nzc updates:
     P_L0_16x16 (mb_type 0) or a B 16x16 type (1/2/3) with ``mvd`` for the
     first coded list and ``mvd2`` for list 1 of B_Bi.  With ``n_ref > 1``
-    the P MB codes ``ref_idx`` as te(v) between mb_type and mvd
-    (§7.3.5.1)."""
+    (active list-0 refs) ``ref_idx`` is coded te(v) between mb_type and
+    the mvds, and ``n_ref1``/``ref_idx1`` likewise for list 1 of B types
+    (§7.3.5.1 order: ref_idx_l0, ref_idx_l1, mvd_l0, mvd_l1)."""
     oy, ox = mby * 16, mbx * 16
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     ew.mb_type(st, mbx, mby, "P" if mb_type == 0 else "B", mb_type)
-    if n_ref > 1 and mb_type == 0:
+    uses0 = mb_type in (0, 1, 3)
+    uses1 = mb_type in (2, 3)
+    if n_ref > 1 and uses0:
         ew.ref_idx(st, mbx, mby, n_ref, int(ref_idx))
+    if n_ref1 > 1 and uses1:
+        ew.ref_idx(st, mbx, mby, n_ref1, int(ref_idx1))
     if mvd is not None:
         # list 0 unless this is B_L1_16x16 (its single mvd is list 1)
         ew.mvd_pair(st, mbx, mby, 1 if mb_type == 2 else 0, mvd)
@@ -3108,11 +3139,6 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 "multi-reference P under CABAC not supported (matches the "
                 "decoder's refusal)"
             )
-        if weight is not None:
-            raise NotImplementedError(
-                "explicit weighted prediction with multiple references "
-                "not supported"
-            )
         if l0_ref_fn is not None:
             raise NotImplementedError(
                 "ref-list modification with an explicit multi-ref list "
@@ -3121,15 +3147,32 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     if not 0 <= intra_slices < max(slices, 1):
         raise ValueError("intra_slices must leave at least one P slice")
     wp = None
-    search_ref_y = ref.y
+    search_refs = [rf.y for rf in refs]
     if weight is not None:
-        logwd, wy_, oy_, wc_, oc_ = weight
+        # single-ref form (logwd, w_y, o_y, w_c, o_c), or the multi-ref
+        # form (logwd, [(w_y, o_y, w_c, o_c) per active reference])
+        if isinstance(weight[1], (list, tuple)) and not np.isscalar(
+            weight[1]
+        ):
+            logwd, wl = weight
+        else:
+            logwd, wy_, oy_, wc_, oc_ = weight
+            wl = [(wy_, oy_, wc_, oc_)]
+        if len(wl) != n0:
+            raise ValueError(
+                "weight must carry one (w_y, o_y, w_c, o_c) tuple per "
+                "active reference"
+            )
         wp = {"logwd_y": logwd, "logwd_c": logwd,
-              "l0": [(wy_, oy_, wc_, oc_, wc_, oc_)], "l1": None}
-        # motion-search proxy: a pre-weighted full-pel reference plane
+              "l0": [(wy, oy_, wc, oc, wc, oc) for wy, oy_, wc, oc in wl],
+              "l1": None}
+        # motion-search proxies: pre-weighted full-pel reference planes
         # (the per-MB residual below re-applies the weight through the
         # NORMATIVE interpolate-then-weight order)
-        search_ref_y = _wp_single(ref.y.astype(np.int64), wy_, oy_, logwd)
+        search_refs = [
+            _wp_single(rf.y.astype(np.int64), t[0], t[1], logwd)
+            for rf, t in zip(refs, wp["l0"])
+        ]
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1
     rbsps = []
@@ -3273,21 +3316,24 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 w.ue(skip_run)
             skip_run = 0
             if n0 > 1:
-                # per-reference search: cheapest compensated SAD wins,
-                # ties to the lowest index (shorter te(v) code)
+                # per-reference search: cheapest (weighted) compensated
+                # SAD wins, ties to the lowest index (shorter te(v))
                 cands = []
-                for ri, rf in enumerate(refs):
-                    mvi = _motion_search(rf.y, src, oy, ox, search)
-                    sad = int(np.abs(
-                        mc_luma(rf.y, oy, ox, mvi) - src).sum())
+                for ri, (rf, sy) in enumerate(zip(refs, search_refs)):
+                    mvi = _motion_search(sy, src, oy, ox, search)
+                    pi = mc_luma(rf.y, oy, ox, mvi)
+                    if wp is not None:
+                        t = wp["l0"][ri]
+                        pi = _wp_single(pi, t[0], t[1], wp["logwd_y"])
+                    sad = int(np.abs(pi - src).sum())
                     cands.append((sad, ri, mvi))
                 _, best, mv = min(cands, key=lambda c: (c[0], c[1]))
             else:
                 best = 0
-                mv = _motion_search(search_ref_y, src, oy, ox, search)
+                mv = _motion_search(search_refs[0], src, oy, ox, search)
             mvp = st.mv_pred(mbx, mby, ref_idx=best)
             cbp, luma_z, comps, p16 = _inter_residuals(
-                refs[best], src, cb, cr, oy, ox, mv, qp, wp
+                refs[best], src, cb, cr, oy, ox, mv, qp, wp, l0_idx=best
             )
             if cw is not None:
                 _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
@@ -3364,13 +3410,34 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     ``weights=(logwd, (w_y0, o_y0, w_c0, o_c0), (w_y1, o_y1, w_c1,
     o_c1))`` emits explicit pred_weight_tables for both lists and
     combines through the §8.4.2.3.2 weighted forms — requires a PPS with
-    ``weighted_bipred_idc=1``."""
+    ``weighted_bipred_idc=1``.  ``ref0``/``ref1`` may each be the full
+    ordered RefPicList (multi-reference B, CAVLC only): each MB then
+    picks its reference per list by weighted-prediction SAD and codes
+    te(v) ref_idx_lX; with multi-ref, each ``weights`` list entry is a
+    PER-REF list of (w_y, o_y, w_c, o_c) tuples."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
-    assert (ref0.H, ref0.W) == (H_, W_) == (ref1.H, ref1.W), "ref dims mismatch"
+    refs0 = list(ref0) if isinstance(ref0, (list, tuple)) else [ref0]
+    refs1 = list(ref1) if isinstance(ref1, (list, tuple)) else [ref1]
+    n0, n1 = len(refs0), len(refs1)
+    ref0, ref1 = refs0[0], refs1[0]
+    for rf in refs0 + refs1:
+        assert (rf.H, rf.W) == (H_, W_), "reference dims mismatch"
+    if n0 > 1 or n1 > 1:
+        if entropy == "cabac":
+            raise NotImplementedError(
+                "multi-reference B under CABAC not supported (matches "
+                "the decoder's refusal)"
+            )
+        if implicit_pocs is not None:
+            raise NotImplementedError(
+                "implicit weighted bi-prediction with multi-reference "
+                "lists not supported (matches the decoder's refusal)"
+            )
     wp = None
-    search0_y, search1_y = ref0.y, ref1.y
+    search0 = [rf.y for rf in refs0]
+    search1 = [rf.y for rf in refs1]
     if implicit_pocs is not None:
         # weighted_bipred_idc == 2: POC-distance weights for B_Bi only,
         # nothing coded in the header (pair with
@@ -3379,12 +3446,28 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             raise ValueError("weights and implicit_pocs are exclusive")
         wp = _implicit_wp(*implicit_pocs)
     if weights is not None:
-        logwd, (wy0, oy0_, wc0, oc0), (wy1, oy1_, wc1, oc1) = weights
+        logwd, wl0, wl1 = weights
+        if not isinstance(wl0[0], (list, tuple)):
+            wl0 = [wl0]
+        if not isinstance(wl1[0], (list, tuple)):
+            wl1 = [wl1]
+        if len(wl0) != n0 or len(wl1) != n1:
+            raise ValueError(
+                "weights must carry one (w_y, o_y, w_c, o_c) tuple per "
+                "active reference of each list"
+            )
         wp = {"logwd_y": logwd, "logwd_c": logwd,
-              "l0": [(wy0, oy0_, wc0, oc0, wc0, oc0)],
-              "l1": [(wy1, oy1_, wc1, oc1, wc1, oc1)]}
-        search0_y = _wp_single(ref0.y.astype(np.int64), wy0, oy0_, logwd)
-        search1_y = _wp_single(ref1.y.astype(np.int64), wy1, oy1_, logwd)
+              "l0": [(wy, oy_, wc, oc, wc, oc) for wy, oy_, wc, oc in wl0],
+              "l1": [(wy, oy_, wc, oc, wc, oc) for wy, oy_, wc, oc in wl1]}
+        # motion-search proxies: pre-weighted full-pel reference planes
+        search0 = [
+            _wp_single(rf.y.astype(np.int64), t[0], t[1], logwd)
+            for rf, t in zip(refs0, wp["l0"])
+        ]
+        search1 = [
+            _wp_single(rf.y.astype(np.int64), t[0], t[1], logwd)
+            for rf, t in zip(refs1, wp["l1"])
+        ]
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1
     rbsps = []
@@ -3398,7 +3481,12 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
         w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0 required)
         w.u(0, 1)  # direct_spatial_mv_pred_flag
-        w.u(0, 1)  # num_ref_idx_active_override_flag
+        if n0 > 1 or n1 > 1:
+            w.u(1, 1)  # num_ref_idx_active_override_flag
+            w.ue(n0 - 1)  # num_ref_idx_l0_active_minus1
+            w.ue(n1 - 1)  # num_ref_idx_l1_active_minus1
+        else:
+            w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         w.u(0, 1)  # ref_pic_list_modification_flag_l1
         if wp is not None and not wp.get("implicit"):
@@ -3424,23 +3512,37 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             st.mb_qp[mby, mbx] = qp
             oy, ox = mby * 16, mbx * 16
             src = ysrc[oy : oy + 16, ox : ox + 16]
-            mv0 = _motion_search(search0_y, src, oy, ox, search)
-            mv1 = _motion_search(search1_y, src, oy, ox, search)
-            p0 = mc_luma(ref0.y, oy, ox, mv0)
-            p1 = mc_luma(ref1.y, oy, ox, mv1)
+
+            def best_for(refs, searches, key):
+                # per-reference search: cheapest WEIGHTED compensated
+                # SAD wins, ties to the lowest index (shorter te(v))
+                cands_ = []
+                for ri, (rf, sy) in enumerate(zip(refs, searches)):
+                    mvi = _motion_search(sy, src, oy, ox, search)
+                    pi = mc_luma(rf.y, oy, ox, mvi)
+                    if wp is not None and not wp.get("implicit"):
+                        t = wp[key][ri]
+                        pc = _wp_single(pi, t[0], t[1], wp["logwd_y"])
+                    else:
+                        pc = pi
+                    cands_.append(
+                        (int(np.abs(src - pc).sum()), ri, mvi, pi, pc)
+                    )
+                return min(cands_, key=lambda c: (c[0], c[1]))
+
+            _, ridx0, mv0, p0, p0c = best_for(refs0, search0, "l0")
+            _, ridx1, mv1, p1, p1c = best_for(refs1, search1, "l1")
             if wp is None:
-                p0c, p1c, pbi = p0, p1, (p0 + p1 + 1) >> 1
+                pbi = (p0 + p1 + 1) >> 1
             elif wp.get("implicit"):
                 # single-list candidates stay default; only Bi weighted
                 l0w, l1w = wp["l0"][0], wp["l1"][0]
-                p0c, p1c = p0, p1
                 pbi = _wp_bi(p0, p1, l0w[0], l0w[1], l1w[0], l1w[1],
                              wp["logwd_y"])
             else:
-                l0w, l1w, ld = wp["l0"][0], wp["l1"][0], wp["logwd_y"]
-                p0c = _wp_single(p0, l0w[0], l0w[1], ld)
-                p1c = _wp_single(p1, l1w[0], l1w[1], ld)
-                pbi = _wp_bi(p0, p1, l0w[0], l0w[1], l1w[0], l1w[1], ld)
+                t0, t1 = wp["l0"][ridx0], wp["l1"][ridx1]
+                pbi = _wp_bi(p0, p1, t0[0], t0[1], t1[0], t1[1],
+                             wp["logwd_y"])
             cands = [
                 (1, [mv0, None], p0c),
                 (2, [None, mv1], p1c),
@@ -3449,21 +3551,24 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             mb_type, mvs, p16 = min(
                 cands, key=lambda c: int(np.abs(src - c[2]).sum())
             )
+            rpair = (ridx0 if mvs[0] is not None else 0,
+                     ridx1 if mvs[1] is not None else 0)
             cy, cx = oy // 2, ox // 2
             p8s = tuple(
-                _bipred(getattr(ref0, pl), getattr(ref1, pl), cy, cx, mvs,
-                        mc_chroma, wp, pl)
+                _bipred(getattr(refs0[rpair[0]], pl),
+                        getattr(refs1[rpair[1]], pl), cy, cx, mvs,
+                        mc_chroma, wp, pl, rpair)
                 for pl in ("cb", "cr")
             )
             cbp, luma_z, comps, _ = _inter_residuals_from_pred(
                 src, cb, cr, oy, ox, p16, p8s, qp
             )
             mvd0 = (
-                (mvs[0] - st.mv_pred(mbx, mby, 0))
+                (mvs[0] - st.mv_pred(mbx, mby, 0, ref_idx=rpair[0]))
                 if mvs[0] is not None else None
             )
             mvd1 = (
-                (mvs[1] - st.mv_pred(mbx, mby, 1))
+                (mvs[1] - st.mv_pred(mbx, mby, 1, ref_idx=rpair[1]))
                 if mvs[1] is not None else None
             )
             if cw is not None:
@@ -3484,7 +3589,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     if mvs[lst] is not None:
                         st.use_l[mby, mbx, lst] = True
                         st.mv_l[mby, mbx, lst] = mvs[lst]
-                        st.ref_l[mby, mbx, lst] = 0
+                        st.ref_l[mby, mbx, lst] = rpair[lst]
                 st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
                 cw.end_mb(st, mbx, mby)
                 cw.end_of_slice(mb == mb1 - 1)
@@ -3500,6 +3605,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     cbp, luma_z, comps, qp, mb_type=mb_type,
                     mvd2=mvd1 if (mvd0 is not None and mvd1 is not None)
                     else None,
+                    ref_idx=rpair[0], n_ref=n0,
+                    ref_idx1=rpair[1], n_ref1=n1,
                 )
                 _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
                 by0, bx0 = oy // 4, ox // 4
@@ -3509,7 +3616,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     if mvs[lst] is not None:
                         st.use_l[mby, mbx, lst] = True
                         st.mv_l[mby, mbx, lst] = mvs[lst]
-                        st.ref_l[mby, mbx, lst] = 0
+                        st.ref_l[mby, mbx, lst] = rpair[lst]
                 st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
             except _NonVerbatimCode:
                 ew.rollback(wpos)
@@ -3581,6 +3688,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        p_refs: int = 1,
                        implicit_bipred: bool = False,
                        ref_mode: str = "sliding",
+                       b_refs: int = 1,
                        ) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
@@ -3656,6 +3764,28 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
         raise ValueError("implicit_bipred needs B frames (b_frames > 0)")
     if b_pyramid and b_frames < 2:
         raise ValueError("b_pyramid needs b_frames >= 2 (a gap to split)")
+    if b_refs > 1:
+        # multi-reference B: each B's list 0 is [nearest past ref, the
+        # reference before it] (the walk's default POC-descending order
+        # at num_ref_frames=3); list 1 stays the bracketing future ref
+        if not b_frames:
+            raise ValueError("b_refs needs B frames (b_frames > 0)")
+        if b_pyramid:
+            raise NotImplementedError(
+                "b_refs with b_pyramid not supported (the mid-B reference "
+                "would interleave the default past order)"
+            )
+        if implicit_bipred:
+            raise NotImplementedError(
+                "implicit weighted bi-prediction with multi-reference "
+                "lists not supported (matches the decoder's refusal)"
+            )
+        if entropy == "cabac":
+            raise NotImplementedError(
+                "multi-reference B under CABAC not supported"
+            )
+        if b_refs != 2:
+            raise ValueError("b_refs must be 1 or 2")
     frames = [pad_planes(y, cb, cr) for y, cb, cr in frames_yuv]
     out: list[tuple[list, bool, int]] = []
     poc0 = b_frames > 0  # poc-type-0 headers carry display order
@@ -3675,6 +3805,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
         out.append((pack(rbsps, 3, 5), True, g0))
         ref_list = [prev_st]  # decode-order-recent first (RefPicList0)
         idr_st = anchor_st = prev_st  # GOP-head anchor (adaptive modes)
+        older_st = None  # the reference before prev (b_refs=2 list tail)
         p_idx = 0  # P pictures emitted in this GOP so far
         fnum, prev_d = 1, 0
         prev_fn = 0  # frame_num of prev_st's picture
@@ -3765,8 +3896,14 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             else:
                 for d in bds:
                     yp, cbp_, crp = frames[g0 + d]
+                    b_ref0 = (
+                        [prev_st, older_st]
+                        if b_refs > 1 and older_st is not None
+                        else prev_st
+                    )
                     rbsps, _ = encode_picture_b(
-                        yp, cbp_, crp, prev_st, nxt_st, qp=qp, frame_num=fnum,
+                        yp, cbp_, crp, b_ref0, nxt_st, qp=qp,
+                        frame_num=fnum,
                         search=search, poc_lsb=2 * d, slices=slices,
                         entropy=entropy, deblock=deblock,
                         implicit_pocs=(2 * d, 2 * prev_d, 2 * nxt_d)
@@ -3776,6 +3913,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 prev_gap_bref = False
             ref_list.insert(0, nxt_st)
             ref_list = ref_list[:max(p_refs, 1)]
+            older_st = prev_st
             prev_st, prev_d, prev_fn = nxt_st, nxt_d, nxt_fn
     return out
 

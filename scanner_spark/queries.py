@@ -1805,6 +1805,19 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_mmco_path)
+    # multi-reference B avc1 (round 12): each B slice past the first gap
+    # carries num_ref_idx_l0_active = 2 (te(v) ref_idx_l0 per MB), the
+    # walk builds §8.2.4.2.3 default B lists (past POC-desc + future
+    # POC-asc) over a 3-deep DPB (kernels/h264.py _decode_mb_b)
+    avc_bref_path = f"{tmp}/vid12.mp4"
+    with open(avc_bref_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(12, i, 32, 32, 3) for i in range(9)],
+                qp=30, gop=9, b_frames=1, b_refs=2, deblock=True,
+            )
+        )
+    paths.append(avc_bref_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1819,6 +1832,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_mref_path: [2, 6],
         avc_iwp_path: [1, 5],
         avc_mmco_path: [3, 7],
+        avc_bref_path: [3, 8],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1836,7 +1850,7 @@ def q_video_decode_pruned(spark, sf_dir):
     )
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
-        "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4",
+        "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4", "vid12.mp4",
     )
     return out2.select(
         "video",

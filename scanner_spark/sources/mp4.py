@@ -402,7 +402,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     deblock: bool = False,
                     p_refs: int = 1,
                     implicit_bipred: bool = False,
-                    ref_mode: str = "sliding") -> bytes:
+                    ref_mode: str = "sliding",
+                    b_refs: int = 1) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -444,7 +445,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
     sps = h264.write_sps(
         w, h,
         num_ref_frames=max(
-            4 if b_pyramid else (2 if b_frames else 1), p_refs
+            4 if b_pyramid else (2 if b_frames else 1), p_refs,
+            3 if b_refs > 1 else 1,
         ),
         poc_type=0 if b_frames else 2,
     )
@@ -466,7 +468,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             slices=slices, entropy=entropy, b_pyramid=b_pyramid,
             p_intra_slices=p_intra_slices, deblock=deblock,
             p_refs=p_refs, implicit_bipred=implicit_bipred,
-            ref_mode=ref_mode,
+            ref_mode=ref_mode, b_refs=b_refs,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams
@@ -800,30 +802,76 @@ def decode_range(
                             "empty DPB (open GOP / broken sync index)"
                         )
                     if "B" in kinds:
-                        if info["l0_mod"] is not None:
-                            fn_t = _h264.resolve_list_mod(
-                                info["l0_mod"], info["frame_num"], max_fn
+                        # §8.2.4.2.3 default B lists over the tagged DPB:
+                        # list0 = past short-terms by POC descending, then
+                        # future by POC ascending; list1 mirrored; both
+                        # with long-terms at the tail by LongTermFrameIdx
+                        past = sorted(
+                            (x for x in dpb if x[3] is None and x[1] < poc),
+                            key=lambda x: -x[1],
+                        )
+                        future = sorted(
+                            (x for x in dpb if x[3] is None and x[1] > poc),
+                            key=lambda x: x[1],
+                        )
+                        lts = sorted(
+                            (x for x in dpb if x[3] is not None),
+                            key=lambda x: x[3],
+                        )
+                        if not past:
+                            raise ValueError(
+                                f"display {e.frame_no}: B picture has "
+                                "no past reference in the DPB"
                             )
-                            cand = [x for x in dpb
-                                    if x[0] == fn_t and x[3] is None]
-                            if not cand:
-                                raise ValueError(
-                                    f"ref_pic_list_modification selects "
-                                    f"frame_num {fn_t}, not in the DPB"
+                        if not future:
+                            raise ValueError(
+                                f"display {e.frame_no}: B picture has no "
+                                "future reference in the DPB"
+                            )
+                        lt_tags = [("lt", x[3]) for x in lts]
+                        d0 = [("st", x[0]) for x in past + future] + lt_tags
+                        d1 = [("st", x[0]) for x in future + past] + lt_tags
+                        n0b = max(info.get("n_l0", 1), 1)
+                        n1b = max(info.get("n_l1", 1), 1)
+
+                        def build_list(defaults, mods, n_act, which):
+                            if mods is not None:
+                                tags = _h264.resolve_list_mods_full(
+                                    mods, info["frame_num"], max_fn,
+                                    defaults, n_act,
                                 )
-                            poc0, ref_st = cand[-1][1], cand[-1][2]
-                        else:
-                            # §8.2.4.2.3 heads are short-term; long-term
-                            # pictures sit at the list tail
-                            past = [x for x in dpb
-                                    if x[3] is None and x[1] < poc]
-                            if not past:
+                            else:
+                                tags = defaults[:n_act]
+                            ents = []
+                            for tag, v in tags:
+                                if tag == "st":
+                                    cand = [x for x in dpb
+                                            if x[0] == v and x[3] is None]
+                                    what = f"frame_num {v}"
+                                else:
+                                    cand = [x for x in dpb if x[3] == v]
+                                    what = f"LongTermFrameIdx {v}"
+                                if not cand:
+                                    raise ValueError(
+                                        f"RefPicList{which} needs {what}, "
+                                        "not in the DPB"
+                                    )
+                                ents.append(cand[-1])
+                            if len(ents) < n_act:
                                 raise ValueError(
-                                    f"display {e.frame_no}: B picture has "
-                                    "no past reference in the DPB"
+                                    f"display {e.frame_no}: RefPicList"
+                                    f"{which} has {len(ents)} entries, "
+                                    f"slice needs {n_act}"
                                 )
-                            pe = max(past, key=lambda x: x[1])
-                            poc0, ref_st = pe[1], pe[2]
+                            return ents
+
+                        ents0 = build_list(d0, info["l0_mod"], n0b, 0)
+                        ents1 = build_list(d1, info["l1_mod"], n1b, 1)
+                        poc0, poc1 = ents0[0][1], ents1[0][1]
+                        ref_st = ([x[2] for x in ents0] if n0b > 1
+                                  else ents0[0][2])
+                        ref1_st = ([x[2] for x in ents1] if n1b > 1
+                                   else ents1[0][2])
                     else:
                         # P: full RefPicList0 — default order is most
                         # recently decoded first (PicNum descending at
@@ -860,29 +908,6 @@ def decode_range(
                                 f"{len(ref_l)} entries, slice needs {n0}"
                             )
                         ref_st = ref_l if n0 > 1 else ref_l[0]
-                if "B" in kinds:
-                    if info["l1_mod"] is not None:
-                        fn_t = _h264.resolve_list_mod(
-                            info["l1_mod"], info["frame_num"], max_fn
-                        )
-                        cand = [x for x in dpb
-                                if x[0] == fn_t and x[3] is None]
-                        if not cand:
-                            raise ValueError(
-                                f"ref_pic_list_modification (l1) selects "
-                                f"frame_num {fn_t}, not in the DPB"
-                            )
-                        poc1, ref1_st = cand[-1][1], cand[-1][2]
-                    else:
-                        future = [x for x in dpb
-                                  if x[3] is None and x[1] > poc]
-                        if not future:
-                            raise ValueError(
-                                f"display {e.frame_no}: B picture has no "
-                                "future reference in the DPB"
-                            )
-                        fe = min(future, key=lambda x: x[1])
-                        poc1, ref1_st = fe[1], fe[2]
                 pocs = None
                 if ("B" in kinds
                         and sps_pps[1].get("weighted_bipred_idc", 0) == 2):

@@ -1407,3 +1407,139 @@ def test_adaptive_ref_mode_marking_is_load_bearing(ref_mode, monkeypatch):
     monkeypatch.setattr(H, "apply_ref_pic_marking", sliding_only)
     with pytest.raises(ValueError, match="not in the DPB"):
         mp4.decode_range(buf, entries[0].offset, meta, set(range(7)))
+
+
+# ---------------------------------------------------------------------------
+# multi-reference B lists + explicit weighted prediction with multi-ref
+# ---------------------------------------------------------------------------
+
+
+def test_multi_ref_b_round_trip_exact():
+    """B with a 2-deep list 0: per-MB te(v) ref_idx_l0, §8.4.1.3.1
+    same-refIdx MV prediction — decoder reproduces the encoder recon
+    bit-exactly and some MBs actually pick the older reference."""
+    A, B, C = _smooth_rgb(61), _smooth_rgb(62), _smooth_rgb(61)
+    fr = [H.yuv420_from_rgb(f) for f in (A, B, C, A)]
+    _, st0 = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=28, poc_lsb=0)
+    _, st1 = H.encode_picture_p(*H.pad_planes(*fr[1]), st0, qp=28,
+                                frame_num=1, poc_lsb=6)
+    _, st2 = H.encode_picture_p(*H.pad_planes(*fr[2]), st1, qp=28,
+                                frame_num=2, poc_lsb=8)
+    rbb, stb = H.encode_picture_b(*H.pad_planes(*fr[3]), [st1, st0],
+                                  [st2], qp=28, frame_num=3, poc_lsb=7)
+    assert (stb.ref_l[:, :, 0] == 1).any(), "no MB picked the older ref"
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=3, poc_type=0))
+    pps = H.parse_pps(H.write_pps(28))
+    _, d = H.decode_picture([(rbb[0], False, 0)], sps, pps,
+                            ref=[st1, st0], ref1=[st2], return_state=True)
+    for a, b in ((d.y, stb.y), (d.cb, stb.cb), (d.cr, stb.cr)):
+        assert np.array_equal(a, b)
+    assert np.array_equal(d.ref_l, stb.ref_l)
+
+
+def test_wp_multi_ref_p_and_b_round_trip_exact():
+    """Explicit weighted prediction with PER-REFERENCE weight tables
+    (§7.3.3.2 loops each active ref): the decode applies the CHOSEN
+    ref_idx's tuple, bit-exact both slice kinds."""
+    A, B, C = _smooth_rgb(63), _smooth_rgb(64), _smooth_rgb(63)
+    fr = [H.yuv420_from_rgb(f) for f in (A, B, C, A)]
+    _, st0 = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=28)
+    _, st1 = H.encode_picture_p(*H.pad_planes(*fr[1]), st0, qp=28,
+                                frame_num=1)
+    rbw, stw = H.encode_picture_p(
+        *H.pad_planes(*fr[2]), [st1, st0], qp=28, frame_num=2,
+        weight=(5, [(40, 2, 32, 0), (28, -1, 30, 1)]))
+    assert (stw.ref_l[:, :, 0] == 1).any()
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2))
+    pps = H.parse_pps(H.write_pps(28, weighted_pred=True))
+    _, d = H.decode_picture([(rbw[0], False, 2)], sps, pps,
+                            ref=[st1, st0], return_state=True)
+    assert np.array_equal(d.y, stw.y)
+    assert np.array_equal(d.cb, stw.cb)
+    assert np.array_equal(d.ref_l, stw.ref_l)
+    # B twin: 2-deep l0 with distinct per-ref weights, 1-deep l1
+    rbb, stb = H.encode_picture_b(
+        *H.pad_planes(*fr[3]), [st1, st0], [stw], qp=28, frame_num=3,
+        poc_lsb=5,
+        weights=(5, [(40, 2, 32, 0), (28, -1, 30, 1)], [(33, 0, 32, 0)]))
+    spsb = H.parse_sps(H.write_sps(64, 48, num_ref_frames=3, poc_type=0))
+    ppsb = H.parse_pps(H.write_pps(28, weighted_bipred_idc=1))
+    _, db = H.decode_picture([(rbb[0], False, 0)], spsb, ppsb,
+                             ref=[st1, st0], ref1=[stw],
+                             return_state=True)
+    assert np.array_equal(db.y, stb.y)
+    assert np.array_equal(db.cr, stb.cr)
+    assert np.array_equal(db.ref_l, stb.ref_l)
+
+
+def test_multi_ref_b_mp4_end_to_end():
+    """b_refs=2 through the full container walk: header-peeked n_l0/n_l1,
+    §8.2.4.2.3 default list construction over the DPB, te(v) ref_idx."""
+    from scanner_spark.sources import mp4
+
+    A, B = _smooth_rgb(65), _smooth_rgb(66)
+    frames = [(A, B)[i % 2] for i in range(9)]
+    buf = mp4.encode_mp4_avc1(frames, qp=28, gop=9, b_frames=1, b_refs=2)
+    meta, entries = mp4.parse_index(buf)
+    out = mp4.decode_range(buf, entries[0].offset, meta, set(range(9)))
+    for f in range(9):
+        err = int(np.abs(out[f].astype(int) - frames[f].astype(int)).max())
+        assert err < 160, (f, err)
+    # at least two B slices actually carry 2-deep list 0
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=3, poc_type=0))
+    pps = H.parse_pps(H.write_pps(28))
+    n_multi = 0
+    for e in entries:
+        for n in H.split_length_prefixed(
+            bytes(buf[e.offset : e.offset + e.size]), 4
+        ):
+            if n and n[0] & 0x1F == 1:
+                info = H.slice_header_info(n, sps, pps)
+                if info["kind"] == "B" and info["n_l0"] == 2:
+                    n_multi += 1
+    assert n_multi >= 2
+
+
+def test_multi_ref_b_fuzz_chain_no_drift():
+    """Property fuzz: random smooth I-P-B GOPs with 2-deep B list 0 —
+    re-decoding every picture against the DECODER's own reference chain
+    must equal the encoder chain exactly."""
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        qp = int(rng.integers(24, 34))
+        deblock = trial % 2 == 0
+        fr = [H.yuv420_from_rgb(_smooth_rgb(200 + trial * 10 + i))
+              for i in range(5)]
+        # I0 P1 P2, then Bs predicting [P, older] x [future]
+        _, st0 = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=qp,
+                                    poc_lsb=0, deblock=deblock)
+        _, st1 = H.encode_picture_p(*H.pad_planes(*fr[1]), st0, qp=qp,
+                                    frame_num=1, poc_lsb=4,
+                                    deblock=deblock)
+        _, st2 = H.encode_picture_p(*H.pad_planes(*fr[2]), st1, qp=qp,
+                                    frame_num=2, poc_lsb=8,
+                                    deblock=deblock)
+        sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=3,
+                                      poc_type=0))
+        pps = H.parse_pps(H.write_pps(qp))
+        # decoder twin chain
+        rb1, _ = H.encode_picture_p(*H.pad_planes(*fr[1]), st0, qp=qp,
+                                    frame_num=1, poc_lsb=4,
+                                    deblock=deblock)
+        _, d1 = H.decode_picture([(r, False, 2) for r in rb1], sps, pps,
+                                 ref=[st0], return_state=True)
+        rb2, _ = H.encode_picture_p(*H.pad_planes(*fr[2]), d1, qp=qp,
+                                    frame_num=2, poc_lsb=8,
+                                    deblock=deblock)
+        _, d2 = H.decode_picture([(r, False, 2) for r in rb2], sps, pps,
+                                 ref=[d1], return_state=True)
+        for i, poc in ((3, 5), (4, 6)):
+            rbb, stb = H.encode_picture_b(
+                *H.pad_planes(*fr[i]), [st1, st0], [st2], qp=qp,
+                frame_num=3, poc_lsb=poc, deblock=deblock)
+            _, db = H.decode_picture([(r, False, 0) for r in rbb], sps,
+                                     pps, ref=[d1, st0], ref1=[d2],
+                                     return_state=True)
+            assert np.array_equal(db.y, stb.y), (trial, i)
+            assert np.array_equal(db.cb, stb.cb), (trial, i)
+            assert np.array_equal(db.ref_l, stb.ref_l), (trial, i)
