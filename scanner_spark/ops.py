@@ -73,6 +73,7 @@ class Op:
         name: str | None = None,
         on_error: str = "raise",
         expr: Callable | None = None,
+        state_expr: Callable | None = None,
     ):
         if on_error not in ("raise", "null"):
             raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
@@ -82,6 +83,11 @@ class Op:
             raise ValueError("stencil and state are mutually exclusive attributes")
         if expr is not None and stencil is None:
             raise ValueError("expr fast path currently applies to stencil ops only")
+        if state_expr is not None and not unbounded_state:
+            raise ValueError(
+                "state_expr fast path applies to unbounded-state ops only "
+                "(bounded-state warmup semantics need the rows path)"
+            )
         self.fn = fn
         self.batch = batch
         self.stencil = sorted(stencil) if stencil else None
@@ -94,6 +100,12 @@ class Op:
         # compiles to lag/lead window expressions (whole-stage codegen, no
         # Python in the hot path).  fn stays as the rows-path twin.
         self.expr = expr
+        # optional JVM compilation of an arithmetic UNBOUNDED-STATE kernel:
+        # state_expr(cols, w) -> Column, where w is the running
+        # (unboundedPreceding..currentRow) window over (stream, slice)
+        # ordered by idx — e.g. a cumulative sum compiles to one window
+        # aggregate in codegen instead of ordered per-group Python.
+        self.state_expr = state_expr
         self.name = name or fn.__name__
         functools.update_wrapper(self, fn)
 
@@ -352,6 +364,23 @@ class Op:
         iterator).  With many small slices this beats ``applyInPandas`` by
         the per-group invocation overhead; parallelism is unchanged (all
         of a group's rows land in one partition)."""
+        if self.state_expr is not None and self.on_error == "raise":
+            # JVM fast path: the kernel is a running window expression —
+            # one hash partition on the group key + per-partition sort,
+            # evaluated in whole-stage codegen (the on_error='null'
+            # blacklisting contract needs the Python rows path)
+            part = [STREAM_COL] + (
+                [SLICE_COL] if SLICE_COL in df.columns else []
+            )
+            w = (
+                Window.partitionBy(*part)
+                .orderBy(IDX_COL)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return df.withColumn(
+                output,
+                self.state_expr([F.col(c) for c in inputs], w).cast(out_dt),
+            )
         part = [STREAM_COL] + ([SLICE_COL] if SLICE_COL in df.columns else [])
         out_schema = StructType(list(df.schema.fields) + [StructField(output, out_dt, True)])
         fn = self.fn
@@ -489,13 +518,21 @@ def register_op(
     name: str | None = None,
     on_error: str = "raise",
     expr: Callable | None = None,
+    state_expr: Callable | None = None,
 ):
     """Decorator mirroring ``@scannerpy.register_python_op`` (reference:
     python/scannerpy/op.py:317-615) with the same attribute surface.
 
     ``expr``: optional Column-level twin of ``fn`` for arithmetic stencil
     kernels — when given, the stencil compiles to JVM lag/lead expressions
-    instead of a collect_list + pandas UDF."""
+    instead of a collect_list + pandas UDF.
+
+    ``state_expr``: optional Column-level twin for arithmetic
+    UNBOUNDED-STATE kernels — ``state_expr(cols, w) -> Column`` with
+    ``w`` the running (unboundedPreceding..currentRow) window over
+    (stream, slice) ordered by idx; the op then compiles to one codegen
+    window aggregate instead of ordered per-group Python (used when
+    ``on_error='raise'``; blacklisting keeps the rows path)."""
 
     def wrap(f):
         return Op(
@@ -508,6 +545,7 @@ def register_op(
             name=name,
             on_error=on_error,
             expr=expr,
+            state_expr=state_expr,
         )
 
     return wrap(fn) if fn is not None else wrap

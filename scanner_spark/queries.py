@@ -152,7 +152,19 @@ class CumCentsKernel:
         return pd.Series(cents.cumsum())
 
 
-cum_cents_op = register_op(CumCentsKernel, unbounded_state=True, name="CumCents")
+def _cum_cents_expr(cols, w):
+    # Column twin of CumCentsKernel.execute: identical IEEE double steps
+    # (x*100, half-away-from-zero via signum*floor(abs+0.5)), then an
+    # exact long window sum — compiles to ONE codegen window aggregate
+    # (VERDICT r11 "do this" #5: the rows path spent 16 s at sf10 in
+    # ordered per-group Python that this computes JVM-side)
+    x = cols[0] * F.lit(100.0)
+    cents = (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast("long")
+    return F.sum(cents).over(w)
+
+
+cum_cents_op = register_op(CumCentsKernel, unbounded_state=True,
+                           name="CumCents", state_expr=_cum_cents_expr)
 
 
 def q_scanner_slice_state_unslice(spark, sf_dir):

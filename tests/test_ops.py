@@ -191,3 +191,39 @@ def test_on_error_raise_is_default(two_streams):
 
     with pytest.raises(Exception):
         bad(two_streams, ["value"], "out", "double").collect()
+
+
+def test_unbounded_state_expr_fast_path_matches_rows_path(spark):
+    """state_expr (codegen window aggregate) must equal the Python rows
+    path bit-for-bit — including slice-boundary resets and exact .5-cent
+    values where half-away-from-zero differs from banker's rounding."""
+    import pandas as pd
+
+    from scanner_spark import streams as S
+    from scanner_spark.ops import register_op
+    from scanner_spark.queries import CumCentsKernel, _cum_cents_expr
+
+    rows = []
+    vals = [1.005, -2.335, 0.125, 3.0, -0.005, 7.77, 0.015, -1.115]
+    for st_i in range(3):
+        for i in range(40):
+            rows.append((f"s{st_i}", i, vals[(i + st_i) % len(vals)] * (i + 1)))
+    df = spark.createDataFrame(rows, "stream_id string, idx long, value double")
+    st = S.make_stream(df, stream_col="stream_id", order_col="idx")
+    sliced = S.slice_strided(st, 16)
+    rows_op = register_op(CumCentsKernel, unbounded_state=True,
+                          name="CumCentsRows")
+    expr_op = register_op(CumCentsKernel, unbounded_state=True,
+                          name="CumCentsExpr", state_expr=_cum_cents_expr)
+    a = rows_op(sliced, ["value"], "c", "long").orderBy(
+        "stream_id", "slice_id", "idx").select(
+        "stream_id", "slice_id", "idx", "c").toPandas()
+    b = expr_op(sliced, ["value"], "c", "long").orderBy(
+        "stream_id", "slice_id", "idx").select(
+        "stream_id", "slice_id", "idx", "c").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    # the expr plan must contain a window aggregate and NO Python stage
+    plan = expr_op(sliced, ["value"], "c", "long")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
