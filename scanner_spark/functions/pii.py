@@ -19,6 +19,24 @@ Design for 100 TB:
   phone).  Order matters: an SSN is a substring a loose phone pattern can
   shadow, so the more specific classes run first.  Every consumer
   (Spark query, SQL oracle) must apply the same order.
+
+Why the four passes are NOT fused into one alternation (measured
+adjudication, round 12): a single ``(email)|(ssn)|(ipv4)|(phone)`` pass
+is not byte-identical to the chain — the chained passes re-evaluate
+``\\b`` against REPLACEMENT-token neighbours, so on ``"a@b.co123-45-6789"``
+the chain scrubs the SSN (the boundary between ``<EMAIL>`` and ``1``
+exists after the email pass) while the single pass, matching against
+original-text context (``o`` then ``1``, no boundary), leaves it —
+and the lookbehind that would fix it is outside the Java∩RE2 subset
+(``test_pii.py`` pins the example).  Measured anyway at sf1: the fused
+replace is only ~8%% faster than the 4-pass chain (1.73 s vs 1.89 s
+replace-only; Java's alternation automaton costs nearly as much as four
+simple scans) and the query's other half is the four ``regexp_count``
+scans, so the ceiling is ~3%% of the query for a semantics change.  The
+chain stays.  For PII-free rows a ``rlike`` guard IS provably identity
+(every class replace is a no-op) — ``pii_scrub(guard=True)`` offers it
+for real corpora; the driver corpus seeds PII into every row, so the
+benchmark query keeps the unguarded chain.
 """
 
 from __future__ import annotations
@@ -51,15 +69,26 @@ def pii_count(col: Column, pattern: str) -> Column:
     return F.regexp_count(col, F.lit(pattern))
 
 
-def pii_scrub(col: Column) -> Column:
+def pii_scrub(col: Column, guard: bool = False) -> Column:
     """Redact all PII classes from ``col`` in the documented order.
 
     Chained ``regexp_replace`` — one codegen'd pass per class, narrow, no
     Python.  The oracle twin is the same chain of RE2 ``regexp_replace``
-    with the ``'g'`` flag."""
+    with the ``'g'`` flag.
+
+    ``guard=True`` wraps the chain in a single-pass any-class ``rlike``
+    pre-filter: rows with no candidate match skip all four replaces.
+    Provably byte-identical (when no class matches anywhere, every
+    replace is the identity) and the ``rlike`` scan short-circuits at
+    the first hit — the right default for real corpora, where most rows
+    are PII-free; pointless for the seeded benchmark corpus (every row
+    carries PII), which is why the query keeps ``guard=False``."""
     out = col
     for _name, pat, repl in PII_CLASSES:
         out = F.regexp_replace(out, pat, repl)
+    if guard:
+        any_pii = "|".join(f"(?:{p})" for _n, p, _r in PII_CLASSES)
+        return F.when(col.rlike(any_pii), out).otherwise(col)
     return out
 
 
