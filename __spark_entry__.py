@@ -409,6 +409,9 @@ def _video_decode_sql() -> str:
         ("vid11.mp4", 11, [3, 7], 32, 32, False),
         # multi-reference B avc1 (2-deep list 0, te(v) ref_idx): lossy -> NULL
         ("vid12.mp4", 12, [3, 8], 32, 32, False),
+        # scaling-matrix avc1 (High-profile coded 4x4 lists, §8.5.12.2
+        # weighted dequant): lossy -> NULL
+        ("vid13.mp4", 13, [2, 5], 32, 32, False),
     ):
         for f in frames:
             rows.append(

@@ -682,51 +682,116 @@ def hadamard4(block: np.ndarray) -> np.ndarray:
     return h @ block.astype(np.int64) @ h.T
 
 
-def quant4(w: np.ndarray, qp: int, intra: bool = True) -> np.ndarray:
+# --- scaling matrices (§7.3.2.1.1 / §8.5.9) -------------------------------
+# The active 4x4 weight matrices for the CURRENT picture being coded or
+# decoded: a tuple of six (4, 4) int64 arrays in the §8.5.9 list order
+# (Sl_4x4_Intra_Y, _Cb, _Cr, Sl_4x4_Inter_Y, _Cb, _Cr), or None for the
+# flat-16 default (Baseline/Main; also High without coded matrices).
+# decode_picture / encode_picture_* set it around the picture body — a
+# ContextVar so concurrent decodes in one worker cannot cross-pollute.
+import contextvars as _contextvars
+
+_SCALING4: "_contextvars.ContextVar" = _contextvars.ContextVar(
+    "h264_scaling4", default=None
+)
+
+
+def _set_encoder_scaling(scaling4) -> None:
+    """Activate (or clear) the picture's weight matrices for an encode
+    call.  Set unconditionally at every encode_picture_* entry — no
+    reset needed, because every encode/decode entry point establishes
+    its own value (decode_picture additionally restores the previous
+    one around its body)."""
+    if scaling4 is None:
+        _SCALING4.set(None)
+        return
+    _SCALING4.set(
+        tuple(np.asarray(m, dtype=np.int64).reshape(4, 4) for m in scaling4)
+    )
+
+
+def _wsl(sl: "int | None") -> "np.ndarray | None":
+    """The (4,4) weightScale for scaling-list index ``sl`` (0..5), or
+    None when flat (no matrices active / site opted out)."""
+    if sl is None:
+        return None
+    sc = _SCALING4.get()
+    return None if sc is None else sc[sl]
+
+
+def quant4(w: np.ndarray, qp: int, intra: bool = True,
+           sl: "int | None" = None) -> np.ndarray:
     mf = np.array(_MF[qp % 6], dtype=np.int64)[_POS_CLASS]
+    w16 = _wsl(sl)
+    if w16 is not None:
+        # encoder-side: scale the multiplier by 16/weight so dequant with
+        # weight W reconstructs the intended magnitude (an encoder
+        # CHOICE — conformance constrains only the decoder's dequant)
+        mf = (mf * 16) // w16
     shift = 15 + qp // 6
     f = (1 << shift) // 3 if intra else (1 << shift) // 6
     s = np.sign(w)
     return (s * ((np.abs(w) * mf + f) >> shift)).astype(np.int64)
 
 
-def dequant4(z: np.ndarray, qp: int) -> np.ndarray:
+def dequant4(z: np.ndarray, qp: int, sl: "int | None" = None) -> np.ndarray:
     v = np.array(_V[qp % 6], dtype=np.int64)[_POS_CLASS]
-    return (z.astype(np.int64) * v) << (qp // 6)
+    w16 = _wsl(sl)
+    if w16 is None:
+        return (z.astype(np.int64) * v) << (qp // 6)
+    # §8.5.12.2 general form: LevelScale4x4 = weightScale * normAdjust;
+    # with flat weight 16 this reduces bit-exactly to the fast path
+    ls = w16 * v
+    z = z.astype(np.int64)
+    if qp >= 24:
+        return (z * ls) << (qp // 6 - 4)
+    return (z * ls + (1 << (3 - qp // 6))) >> (4 - qp // 6)
 
 
-def quant_dc4(wd: np.ndarray, qp: int) -> np.ndarray:
+def quant_dc4(wd: np.ndarray, qp: int, sl: "int | None" = None) -> np.ndarray:
     """Luma 16x16 DC: forward Hadamard output /2 then quant with MF[0,0]."""
     mf = _MF[qp % 6][0]
+    w16 = _wsl(sl)
+    if w16 is not None:
+        mf = (mf * 16) // int(w16[0, 0])
     shift = 16 + qp // 6
     f = (1 << shift) // 3
     s = np.sign(wd)
     return (s * ((np.abs(wd // 2) * mf + f) >> shift)).astype(np.int64)
 
 
-def dequant_dc4(cd: np.ndarray, qp: int) -> np.ndarray:
+def dequant_dc4(cd: np.ndarray, qp: int,
+                sl: "int | None" = None) -> np.ndarray:
     """Luma DC dequant after inverse Hadamard (§8.5.10).  The normative
-    LevelScale(m,0,0) = weightScale(flat)=16 times _V[m][0] — forgetting
-    the 16 makes the whole DC path reconstruct 16x too small."""
-    ls = 16 * _V[qp % 6][0]
+    LevelScale(m,0,0) = weightScale(i,j=0,0) times _V[m][0] — weightScale
+    is 16 (flat) unless the SPS/PPS carries scaling matrices."""
+    w16 = _wsl(sl)
+    w00 = 16 if w16 is None else int(w16[0, 0])
+    ls = w00 * _V[qp % 6][0]
     if qp >= 36:
         return (cd * ls) << (qp // 6 - 6)
     return (cd * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
 
 
-def quant_dc2(wd: np.ndarray, qp: int) -> np.ndarray:
+def quant_dc2(wd: np.ndarray, qp: int, sl: "int | None" = None) -> np.ndarray:
     """Chroma 2x2 DC quant."""
     mf = _MF[qp % 6][0]
+    w16 = _wsl(sl)
+    if w16 is not None:
+        mf = (mf * 16) // int(w16[0, 0])
     shift = 16 + qp // 6
     f = (1 << shift) // 3
     s = np.sign(wd)
     return (s * ((np.abs(wd) * mf + f) >> shift)).astype(np.int64)
 
 
-def dequant_dc2(cd: np.ndarray, qp: int) -> np.ndarray:
-    """Chroma DC dequant (§8.5.11): ((f * LS00) << (qp/6)) >> 5 with the
-    same LevelScale = 16 * _V[m][0] as the luma DC path."""
-    ls = 16 * _V[qp % 6][0]
+def dequant_dc2(cd: np.ndarray, qp: int,
+                sl: "int | None" = None) -> np.ndarray:
+    """Chroma DC dequant (§8.5.11): ((f * LS00) << (qp/6)) >> 5 with
+    LevelScale = weightScale(0,0) * _V[m][0]."""
+    w16 = _wsl(sl)
+    w00 = 16 if w16 is None else int(w16[0, 0])
+    ls = w00 * _V[qp % 6][0]
     return ((cd * ls) << (qp // 6)) >> 5
 
 
@@ -1019,7 +1084,8 @@ _CBLK_POS = [(0, 0), (4, 0), (0, 4), (4, 4)]
 
 
 def write_sps(w_pix: int, h_pix: int, num_ref_frames: int = 1,
-              poc_type: int = 2) -> bytes:
+              poc_type: int = 2,
+              scaling4: "tuple | list | None" = None) -> bytes:
     """SPS for a frame_mbs_only stream with ``num_ref_frames`` references
     (1 covers the P-GOP encoder; 0 is legal for all-IDR); crops encode
     non-multiple-of-16 sizes (even, 4:2:0).  ``poc_type=2`` (display ==
@@ -1035,10 +1101,40 @@ def write_sps(w_pix: int, h_pix: int, num_ref_frames: int = 1,
     crop_r = (mbw * 16 - w_pix) // 2  # crop units: 2 luma px (4:2:0)
     crop_b = (mbh * 16 - h_pix) // 2
     w = BitWriter()
-    w.u(66 if poc_type == 2 else 77, 8)  # profile_idc: Baseline / Main
+    if scaling4 is not None:
+        # scaling matrices need the High-profile SPS layout (§7.3.2.1's
+        # chroma/bit-depth block carries the seq_scaling syntax)
+        w.u(100, 8)  # profile_idc: High
+    else:
+        w.u(66 if poc_type == 2 else 77, 8)  # profile_idc: Baseline / Main
     w.u(0, 8)  # constraint flags + reserved
     w.u(30, 8)  # level_idc 3.0
     w.ue(0)  # sps_id
+    if scaling4 is not None:
+        if len(scaling4) != 6:
+            raise ValueError("scaling4 must carry six 4x4 lists")
+        w.ue(1)  # chroma_format_idc: 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass
+        w.u(1, 1)  # seq_scaling_matrix_present_flag
+        for i in range(8):
+            if i >= 6:
+                # 8x8 lists: absent (the 4x4-only transform never reads
+                # them; parse side ignores them for the same reason)
+                w.u(0, 1)
+                continue
+            w.u(1, 1)  # seq_scaling_list_present_flag[i]
+            vals = _mat_to_zz(np.asarray(scaling4[i], dtype=np.int64))
+            last = 8
+            for v in vals:
+                if not 1 <= v <= 255:
+                    raise ValueError("scaling weights must be 1..255")
+                delta = (v - last) % 256
+                if delta > 127:
+                    delta -= 256
+                w.se(delta)
+                last = v
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(poc_type)  # pic_order_cnt_type
     if poc_type == 0:
@@ -1062,12 +1158,93 @@ def write_sps(w_pix: int, h_pix: int, num_ref_frames: int = 1,
     return w.bytes()
 
 
+def _parse_scaling_list(r: BitReader, size: int):
+    """§7.3.2.1.1 scaling_list(): returns the decoded list in SCAN order
+    (zigzag for 4x4) or the string "default" when the
+    use-default marker (first delta driving nextScale to 0) is coded."""
+    out = []
+    last, nxt = 8, 8
+    for j in range(size):
+        if nxt != 0:
+            delta = r.se()
+            nxt = (last + delta + 256) % 256
+            if j == 0 and nxt == 0:
+                # consume nothing further: the marker means "use the
+                # normative default list" for the whole list
+                return "default"
+        v = last if nxt == 0 else nxt
+        out.append(v)
+        last = v
+    return out
+
+
+def _scaling4_from_lists(lists: "list") -> tuple:
+    """Six scan-order 4x4 lists -> tuple of (4,4) weightScale arrays
+    (raster order via the inverse zigzag)."""
+    mats = []
+    for vals in lists:
+        m = np.zeros(16, dtype=np.int64)
+        for i, pos in enumerate(ZIGZAG_4x4):
+            m[pos] = vals[i]
+        mats.append(m.reshape(4, 4))
+    return tuple(mats)
+
+
+def _parse_scaling_matrix(r: BitReader, n_lists: int,
+                          base: "tuple | None") -> tuple:
+    """The seq/pic scaling-matrix list loop (§7.3.2.1/§7.3.2.2).
+
+    Supported subset — zero memorized tables: every used 4x4 list must be
+    EXPLICITLY CODED or fall back to the PREVIOUS list of the same
+    matrix / the same index of ``base`` (rule B's seq fallback).  The
+    normative DEFAULT lists (fall-back rule A for absent list 0/3, or
+    the in-list use-default marker) are not transcribable from memory
+    here, so those streams refuse loudly.  8x8 lists (indices >= 6) are
+    parsed and ignored: the 8x8 transform is never enabled by a
+    supported PPS, so their values are unreachable."""
+    lists: list = []
+    for i in range(n_lists):
+        present = r.u(1)
+        size = 16 if i < 6 else 64
+        if not present:
+            if i >= 6:
+                lists.append(None)  # 8x8: unreachable, ignore
+                continue
+            if i in (0, 3):
+                if base is not None:
+                    # fall-back rule B: list 0/3 falls back to the seq
+                    # matrix's same-index list
+                    lists.append(_mat_to_zz(base[i]))
+                    continue
+                raise NotImplementedError(
+                    "scaling matrix falls back to the normative DEFAULT "
+                    "list (absent list 0/3 without a seq matrix) — the "
+                    "default tables are not available in this "
+                    "environment; streams must code their lists"
+                )
+            lists.append(lists[i - 1])  # fall-back: previous list
+            continue
+        got = _parse_scaling_list(r, size)
+        if got == "default":
+            if i >= 6:
+                lists.append(None)
+                continue
+            raise NotImplementedError(
+                "scaling list codes the use-default marker — the "
+                "normative default tables are not available in this "
+                "environment"
+            )
+        lists.append(got)
+    return _scaling4_from_lists(lists[:6])
+
+
 def parse_sps(rbsp: bytes) -> dict:
     r = BitReader(rbsp)
     profile = r.u(8)
     r.u(8)
     level = r.u(8)
     sps_id = r.ue()
+    scaling4 = None
     if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
         chroma = r.ue()
         if chroma == 3:
@@ -1075,8 +1252,10 @@ def parse_sps(rbsp: bytes) -> dict:
         r.ue()
         r.ue()
         r.u(1)
-        if r.u(1):  # seq_scaling_matrix: not supported
-            raise NotImplementedError("scaling matrices not supported")
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            scaling4 = _parse_scaling_matrix(
+                r, 12 if chroma == 3 else 8, None
+            )
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
     log2_max_poc_lsb = 4
@@ -1111,6 +1290,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "width": mbw * 16 - 2 * (crop[0] + crop[1]),
         "height": mbh_units * 16 - 2 * (crop[2] + crop[3]),
         "crop": crop,
+        "scaling4": scaling4,
     }
 
 
@@ -1159,6 +1339,28 @@ def parse_pps(rbsp: bytes) -> dict:
     deblock_ctrl = r.u(1)
     constrained_intra = r.u(1)
     r.u(1)
+    # PPS extension (§7.3.2.2, present when more RBSP data follows):
+    # previously unparsed — a foreign High-profile PPS carrying
+    # pic-scaling lists or a second chroma offset would have decoded
+    # silently wrong instead of refusing or applying them
+    pic_scaling = None
+    if r.more_rbsp_data():
+        if r.u(1):
+            raise NotImplementedError(
+                "transform_8x8_mode not supported (4x4 transform only)"
+            )
+        if r.u(1):  # pic_scaling_matrix_present_flag
+            # n_lists = 6 + 2*transform_8x8 (0 here).  The PPS parser
+            # cannot see the SPS, so rule B's fall-back-to-seq-matrix
+            # for an absent list 0/3 refuses (base None) — PPS matrices
+            # must code their 4x4 lists (or previous-list fallback)
+            pic_scaling = _parse_scaling_matrix(r, 6, None)
+        second_off = r.se()
+        if second_off != chroma_qp_off:
+            raise NotImplementedError(
+                "second_chroma_qp_index_offset differing from the Cb "
+                "offset not supported (single chroma QP offset model)"
+            )
     return {
         "pps_id": pps_id, "sps_id": sps_id, "init_qp": init_qp,
         "chroma_qp_offset": chroma_qp_off,
@@ -1168,6 +1370,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "weighted_pred": bool(weighted_pred),
         "weighted_bipred_idc": weighted_bipred_idc,
         "cabac": bool(cabac),
+        "pic_scaling": pic_scaling,
     }
 
 
@@ -1886,6 +2089,25 @@ def decode_picture(
     n_mbs = mbw * mbh
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1  # nothing decoded yet
+    # §8.5.9: the picture's 4x4 weightScale matrices — PPS lists override
+    # the SPS's; None = flat 16 (the fast dequant path)
+    _scal_tok = _SCALING4.set(
+        pps.get("pic_scaling") or sps.get("scaling4")
+    )
+    try:
+        return _decode_picture_body(
+            slices, sps, pps, strict, return_state, cabac, st, refs0_in=ref,
+            ref1_in=ref1, cabac_marked=cabac_marked, pocs=pocs,
+            mbw=mbw, mbh=mbh, n_mbs=n_mbs,
+        )
+    finally:
+        _SCALING4.reset(_scal_tok)
+
+
+def _decode_picture_body(slices, sps, pps, strict, return_state, cabac,
+                         st, refs0_in, ref1_in, cabac_marked, pocs,
+                         mbw, mbh, n_mbs):
+    ref, ref1 = refs0_in, ref1_in
     # RefPicList0 may be a single state (the list head — the historical
     # contract) or the full ordered list for multi-ref P slices
     refs0 = list(ref) if isinstance(ref, (list, tuple)) else (
@@ -2029,7 +2251,7 @@ def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
         if cbp_l & (1 << (blk // 4)):
             coeffs = er.res_luma(st, by, bx, False)
             st.nzy[by, bx] = sum(1 for c in coeffs if c)
-            d = dequant4(_zz_to_mat(coeffs), qp)
+            d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
             rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
         else:
             st.nzy[by, bx] = 0
@@ -2110,7 +2332,7 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
         if cbp_l & (1 << (blk // 4)):
             coeffs = er.res_luma(st, by, bx, False)
             st.nzy[by, bx] = sum(1 for c in coeffs if c)
-            d = dequant4(_zz_to_mat(coeffs), qp)
+            d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
             rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
         else:
             st.nzy[by, bx] = 0
@@ -2328,7 +2550,7 @@ def _decode_mb_intra(er, st: _FrameState, mbx: int, mby: int,
             if cbp_l & (1 << (blk // 4)):
                 coeffs = er.res_luma(st, by, bx, False)
                 st.nzy[by, bx] = sum(1 for c in coeffs if c)
-                d = dequant4(_zz_to_mat(coeffs), qp)
+                d = dequant4(_zz_to_mat(coeffs), qp, sl=0)  # Intra Y
                 rec = p + idct4(d)
             else:
                 st.nzy[by, bx] = 0
@@ -2347,7 +2569,7 @@ def _decode_mb_intra(er, st: _FrameState, mbx: int, mby: int,
     qp += er.qp_delta(st, mbx, mby)
     p16 = pred16(st.y, oy, ox, pm, up_mb, left_mb, ul_mb)
     dc_zz = er.res_luma_dc16(st, mbx, mby)
-    dc = dequant_dc4(hadamard4(_zz_to_mat(dc_zz)), qp)
+    dc = dequant_dc4(hadamard4(_zz_to_mat(dc_zz)), qp, sl=0)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
         gy, gx = oy + yb, ox + x
@@ -2356,7 +2578,7 @@ def _decode_mb_intra(er, st: _FrameState, mbx: int, mby: int,
         if cbp_l:
             ac = er.res_luma(st, by, bx, True)
             st.nzy[by, bx] = sum(1 for c in ac if c)
-            d = dequant4(_zz_to_mat([0] + ac), qp)
+            d = dequant4(_zz_to_mat([0] + ac), qp, sl=0)
         else:
             st.nzy[by, bx] = 0
         d[0, 0] = dc[yb // 4, x // 4]
@@ -2404,12 +2626,15 @@ def _decode_chroma(er, st: _FrameState, ox: int, oy: int,
     qpc = chroma_qp(qp + pps.get("chroma_qp_offset", 0))
     cx, cy = ox // 2, oy // 2
     mbx, mby = ox // 16, oy // 16
+    # §8.5.9 list index: Intra Cb/Cr = 1/2, Inter Cb/Cr = 4/5 (the inter
+    # path is exactly the pred_fn-override one)
+    sl0 = 1 if pred_fn is None else 4
     dcs = []
     for comp in range(2):
         if cbp_c:
             zz = er.res_chroma_dc(st, comp, mbx, mby)
             m = np.array([[zz[0], zz[1]], [zz[2], zz[3]]], dtype=np.int64)
-            dcs.append(dequant_dc2(hadamard2(m), qpc))
+            dcs.append(dequant_dc2(hadamard2(m), qpc, sl=sl0 + comp))
         else:
             dcs.append(np.zeros((2, 2), dtype=np.int64))
     for comp, plane in ((0, st.cb), (1, st.cr)):
@@ -2424,7 +2649,7 @@ def _decode_chroma(er, st: _FrameState, ox: int, oy: int,
             if cbp_c == 2:
                 ac = er.res_chroma_ac(st, comp, cby, cbx)
                 st.nzc[comp, cby, cbx] = sum(1 for c in ac if c)
-                d = dequant4(_zz_to_mat([0] + ac), qpc)
+                d = dequant4(_zz_to_mat([0] + ac), qpc, sl=sl0 + comp)
             else:
                 st.nzc[comp, cby, cbx] = 0
             d[0, 0] = dcs[comp][yb // 4, x // 4]
@@ -2503,13 +2728,14 @@ def _encode_chroma(st: _FrameState, ox: int, oy: int,
         resid = src[cy : cy + 8, cx : cx + 8].astype(np.int64) - p8
         dcm = np.zeros((2, 2), dtype=np.int64)
         acs = []
+        slc = (1 if intra else 4) + comp  # §8.5.9 chroma list index
         for blk, (x, yb) in enumerate(_CBLK_POS):
             wv = fdct4(resid[yb : yb + 4, x : x + 4])
-            z = quant4(wv, qpc, intra=intra)
+            z = quant4(wv, qpc, intra=intra, sl=slc)
             dcm[yb // 4, x // 4] = wv[0, 0]
             z[0, 0] = 0
             acs.append(z)
-        zdc = quant_dc2(hadamard2(dcm), qpc)
+        zdc = quant_dc2(hadamard2(dcm), qpc, sl=slc)
         if zdc.any():
             any_dc = True
         if any(a.any() for a in acs):
@@ -2520,11 +2746,12 @@ def _encode_chroma(st: _FrameState, ox: int, oy: int,
     # Cr), then the 4 Cb AC blocks, then the 4 Cr AC blocks (§7.3.5.3.2)
     emit_dc, emit_ac = [], []
     for comp, (zdc, acs, p8) in enumerate(comps):
+        slc = (1 if intra else 4) + comp
         if cbp_c:
             zz = [int(zdc[0, 0]), int(zdc[0, 1]), int(zdc[1, 0]), int(zdc[1, 1])]
             emit_dc.append(("dc", comp, ox // 16, oy // 16, zz))
         dc = (
-            dequant_dc2(hadamard2(zdc), qpc)
+            dequant_dc2(hadamard2(zdc), qpc, sl=slc)
             if cbp_c
             else np.zeros((2, 2), dtype=np.int64)
         )
@@ -2539,7 +2766,7 @@ def _encode_chroma(st: _FrameState, ox: int, oy: int,
                 # decoder records 0 for unsent AC blocks — the nC context
                 # of the NEXT macroblock depends on it, so mirror exactly
                 st.nzc[comp, cby, cbx] = 0
-            d = dequant4(z, qpc)
+            d = dequant4(z, qpc, sl=slc)
             d[0, 0] = dc[yb // 4, x // 4]
             rec = p8[yb : yb + 4, x : x + 4] + idct4(d)
             plane[cy + yb : cy + yb + 4, cx + x : cx + x + 4] = np.clip(rec, 0, 255)
@@ -2686,10 +2913,10 @@ def _encode_mb_coded(ew, st: _FrameState, mbx: int, mby: int,
         x, yb = _BLK4_POS[blk]
         wv = fdct4(resid[yb : yb + 4, x : x + 4])
         dcm[yb // 4, x // 4] = wv[0, 0]
-        z = quant4(wv, qp)
+        z = quant4(wv, qp, sl=0)
         z[0, 0] = 0
         acs.append(z)
-    zdc = quant_dc4(hadamard4(dcm), qp)
+    zdc = quant_dc4(hadamard4(dcm), qp, sl=0)
     cbp_l = 15 if any(a.any() for a in acs) else 0
     # chroma first to know cbp_c (emission order restores spec order)
     cbp_c, cemit = _encode_chroma(st, ox, oy, src_cb, src_cr, qp, cmode,
@@ -2699,7 +2926,7 @@ def _encode_mb_coded(ew, st: _FrameState, mbx: int, mby: int,
     ew.chroma_mode(st, mbx, mby, cmode)
     ew.qp_delta(st, mbx, mby, 0)
     ew.res_luma_dc16(st, mbx, mby, _mat_to_zz(zdc))
-    dc = dequant_dc4(hadamard4(zdc), qp)
+    dc = dequant_dc4(hadamard4(zdc), qp, sl=0)
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
         gy, gx = oy + yb, ox + x
@@ -2710,7 +2937,8 @@ def _encode_mb_coded(ew, st: _FrameState, mbx: int, mby: int,
             st.nzy[by, bx] = tc
         else:
             st.nzy[by, bx] = 0
-        d = dequant4(z if cbp_l else np.zeros((4, 4), dtype=np.int64), qp)
+        d = dequant4(z if cbp_l else np.zeros((4, 4), dtype=np.int64), qp,
+                     sl=0)
         d[0, 0] = dc[yb // 4, x // 4]
         rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
         st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
@@ -2740,11 +2968,11 @@ def _encode_mb_i4(ew, st: _FrameState, mbx: int, mby: int,
         mode = min(cand, key=lambda m: _sad(
             sblk, pred4(st.y, gy, gx, m, upright, b_up, b_left, b_ul)))
         p = pred4(st.y, gy, gx, mode, upright, b_up, b_left, b_ul)
-        z = quant4(fdct4(sblk - p), qp)
+        z = quant4(fdct4(sblk - p), qp, sl=0)
         zz = _mat_to_zz(z)
         blocks.append((mode, zz))
         # reconstruct now so the next block predicts from decoded pixels
-        rec = p + idct4(dequant4(z, qp))
+        rec = p + idct4(dequant4(z, qp, sl=0))
         st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
         st.modes4[by, bx] = mode
     cbp_l = 0
@@ -2826,7 +3054,9 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      slices: int = 1,
                      entropy: str = "cavlc",
                      deblock: bool = False,
-                     long_term: bool = False) -> tuple[list[bytes], _FrameState]:
+                     long_term: bool = False,
+                     scaling4: "tuple | list | None" = None,
+                     ) -> tuple[list[bytes], _FrameState]:
     """(y, cb, cr) uint8 planes (padded to MB multiples by the caller via
     :func:`pad_planes`) -> (IDR slice RBSPs, reconstruction state) — the
     state seeds P-frame encoding of the following GOP frames.
@@ -2838,6 +3068,7 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     bit-identical)."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
+    _set_encoder_scaling(scaling4)
     mbw, mbh = W_ // 16, H_ // 16
     st = _FrameState(mbw, mbh)
     st.slice_no[:] = -1  # mark as we code: mirrors the decoder exactly
@@ -2971,7 +3202,8 @@ def _inter_residuals_from_pred(src: np.ndarray, src_cb: np.ndarray,
     luma_z = []
     for blk in range(16):
         x, yb = _BLK4_POS[blk]
-        luma_z.append(quant4(fdct4(resid[yb : yb + 4, x : x + 4]), qp, intra=False))
+        luma_z.append(quant4(fdct4(resid[yb : yb + 4, x : x + 4]), qp,
+                             intra=False, sl=3))
     cbp_l = 0
     for i8 in range(4):
         if any(luma_z[i8 * 4 + k].any() for k in range(4)):
@@ -2986,11 +3218,11 @@ def _inter_residuals_from_pred(src: np.ndarray, src_cb: np.ndarray,
         acs = []
         for blk, (x, yb) in enumerate(_CBLK_POS):
             wv = fdct4(residc[yb : yb + 4, x : x + 4])
-            z = quant4(wv, qpc, intra=False)
+            z = quant4(wv, qpc, intra=False, sl=4 + comp)
             dcm[yb // 4, x // 4] = wv[0, 0]
             z[0, 0] = 0
             acs.append(z)
-        zdc = quant_dc2(hadamard2(dcm), qpc)
+        zdc = quant_dc2(hadamard2(dcm), qpc, sl=4 + comp)
         if zdc.any():
             any_dc = True
         if any(a.any() for a in acs):
@@ -3010,7 +3242,8 @@ def _reconstruct_inter(st: _FrameState, oy: int, ox: int, cbp: int,
         x, yb = _BLK4_POS[blk]
         gy, gx = oy + yb, ox + x
         if cbp_l & (1 << (blk // 4)):
-            rec = p16[yb : yb + 4, x : x + 4] + idct4(dequant4(luma_z[blk], qp))
+            rec = p16[yb : yb + 4, x : x + 4] + idct4(
+                dequant4(luma_z[blk], qp, sl=3))
         else:
             rec = p16[yb : yb + 4, x : x + 4]
         st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
@@ -3018,13 +3251,13 @@ def _reconstruct_inter(st: _FrameState, oy: int, ox: int, cbp: int,
     for comp, (zdc, acs, p8) in enumerate(comps):
         plane = (st.cb, st.cr)[comp]
         dc = (
-            dequant_dc2(hadamard2(zdc), qpc)
+            dequant_dc2(hadamard2(zdc), qpc, sl=4 + comp)
             if cbp_c
             else np.zeros((2, 2), dtype=np.int64)
         )
         for blk, (x, yb) in enumerate(_CBLK_POS):
             z = acs[blk] if cbp_c == 2 else np.zeros((4, 4), dtype=np.int64)
-            d = dequant4(z, qpc)
+            d = dequant4(z, qpc, sl=4 + comp)
             d[0, 0] = dc[yb // 4, x // 4]
             rec = p8[yb : yb + 4, x : x + 4] + idct4(d)
             plane[cy + yb : cy + yb + 4, cx + x : cx + x + 4] = np.clip(rec, 0, 255)
@@ -3094,6 +3327,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      deblock: bool = False,
                      mmco: "list[tuple[int, int, int]] | None" = None,
                      l0_mods: "list[tuple[int, int]] | None" = None,
+                     scaling4: "tuple | list | None" = None,
                      ) -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
@@ -3146,6 +3380,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             )
     if not 0 <= intra_slices < max(slices, 1):
         raise ValueError("intra_slices must leave at least one P slice")
+    _set_encoder_scaling(scaling4)
     wp = None
     search_refs = [rf.y for rf in refs]
     if weight is not None:
@@ -3393,6 +3628,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      weights: tuple | None = None,
                      deblock: bool = False,
                      implicit_pocs: "tuple[int, int, int] | None" = None,
+                     scaling4: "tuple | list | None" = None,
                      ) -> tuple[list[bytes], _FrameState]:
     """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
@@ -3418,6 +3654,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
+    _set_encoder_scaling(scaling4)
     refs0 = list(ref0) if isinstance(ref0, (list, tuple)) else [ref0]
     refs1 = list(ref1) if isinstance(ref1, (list, tuple)) else [ref1]
     n0, n1 = len(refs0), len(refs1)
@@ -3658,7 +3895,8 @@ def pad_planes(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
 def encode_frame_nals(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                       qp: int = 26, mb_mode: str = "auto",
                       slices: int = 1, entropy: str = "cavlc",
-                      deblock: bool = False) -> list:
+                      deblock: bool = False,
+                      scaling4: "tuple | list | None" = None) -> list:
     """One frame -> the picture's IDR slice NALs (no start code / length
     prefix), ALWAYS a list — one entry per slice.  Type-stable multi-slice
     API (ADVICE r08); :func:`encode_frame` is the scalar single-slice
@@ -3666,6 +3904,7 @@ def encode_frame_nals(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     yp, cbp_, crp = pad_planes(y, cb, cr)
     rbsps, _st = encode_picture_i(yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
                                   slices=slices, entropy=entropy,
+                                  scaling4=scaling4,
                                   deblock=deblock)
     return [rbsp_to_nal(3, 5, r) for r in rbsps]
 
@@ -3689,6 +3928,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        implicit_bipred: bool = False,
                        ref_mode: str = "sliding",
                        b_refs: int = 1,
+                       scaling4: "tuple | list | None" = None,
                        ) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
@@ -3801,6 +4041,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
             poc_lsb=0 if poc0 else None, slices=slices, entropy=entropy,
             deblock=deblock, long_term=ref_mode == "lt_idr",
+            scaling4=scaling4,
         )
         out.append((pack(rbsps, 3, 5), True, g0))
         ref_list = [prev_st]  # decode-order-recent first (RefPicList0)
@@ -3858,7 +4099,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 # after a reference B, the default L0 head (highest
                 # PicNum) is that B, not prev_st — reorder explicitly
                 l0_ref_fn=prev_fn if prev_gap_bref else None,
-                mmco=mmco_ops, l0_mods=l0_mods,
+                mmco=mmco_ops, l0_mods=l0_mods, scaling4=scaling4,
             )
             if ref_mode == "lt_anchor" and p_idx == 0:
                 anchor_st = nxt_st  # the self-marked LT picture
@@ -3875,6 +4116,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     entropy=entropy, referenced=True, deblock=deblock,
                     implicit_pocs=(2 * m, 2 * prev_d, 2 * nxt_d)
                     if implicit_bipred else None,
+                    scaling4=scaling4,
                 )
                 out.append((pack(rbsps, 2, 1), False, g0 + m))
                 fnum = (fnum + 1) & 15
@@ -3890,6 +4132,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         entropy=entropy, deblock=deblock,
                         implicit_pocs=(2 * d, 2 * p0d, 2 * p1d)
                         if implicit_bipred else None,
+                        scaling4=scaling4,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = True
@@ -3908,6 +4151,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         entropy=entropy, deblock=deblock,
                         implicit_pocs=(2 * d, 2 * prev_d, 2 * nxt_d)
                         if implicit_bipred else None,
+                        scaling4=scaling4,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = False

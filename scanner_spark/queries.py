@@ -1830,6 +1830,25 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_bref_path)
+    # scaling-matrix avc1 (round 12): High-profile SPS carries coded 4x4
+    # scaling lists (§7.3.2.1.1); every dequant runs the §8.5.12.2
+    # weighted form (kernels/h264.py dequant4 sl= paths) — a decoder
+    # ignoring the lists reconstructs visibly wrong pixels
+    import numpy as _np
+    _wi = _np.array([[6, 13, 20, 28], [13, 20, 28, 32],
+                     [20, 28, 32, 37], [28, 32, 37, 42]], _np.int64)
+    _wp = _np.array([[10, 14, 20, 24], [14, 20, 24, 27],
+                     [20, 24, 27, 30], [24, 27, 30, 34]], _np.int64)
+    avc_scal_path = f"{tmp}/vid13.mp4"
+    with open(avc_scal_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(13, i, 32, 32, 3) for i in range(6)],
+                qp=30, gop=6, deblock=True,
+                scaling4=(_wi, _wi, _wi, _wp, _wp, _wp),
+            )
+        )
+    paths.append(avc_scal_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1845,6 +1864,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_iwp_path: [1, 5],
         avc_mmco_path: [3, 7],
         avc_bref_path: [3, 8],
+        avc_scal_path: [2, 5],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1863,6 +1883,7 @@ def q_video_decode_pruned(spark, sf_dir):
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
         "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4", "vid12.mp4",
+        "vid13.mp4",
     )
     return out2.select(
         "video",

@@ -403,7 +403,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     p_refs: int = 1,
                     implicit_bipred: bool = False,
                     ref_mode: str = "sliding",
-                    b_refs: int = 1) -> bytes:
+                    b_refs: int = 1,
+                    scaling4=None) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -449,6 +450,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             3 if b_refs > 1 else 1,
         ),
         poc_type=0 if b_frames else 2,
+        scaling4=scaling4,
     )
     pps = h264.write_pps(
         qp, cabac=entropy == "cabac",
@@ -459,7 +461,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
         nals = [
             (h264.encode_frame_nals(y, cb, cr, qp=qp, mb_mode=mb_mode,
                                     slices=slices, entropy=entropy,
-                                    deblock=deblock), True, i)
+                                    deblock=deblock,
+                                    scaling4=scaling4), True, i)
             for i, (y, cb, cr) in enumerate(yuv)
         ]
     else:
@@ -468,7 +471,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             slices=slices, entropy=entropy, b_pyramid=b_pyramid,
             p_intra_slices=p_intra_slices, deblock=deblock,
             p_refs=p_refs, implicit_bipred=implicit_bipred,
-            ref_mode=ref_mode, b_refs=b_refs,
+            ref_mode=ref_mode, b_refs=b_refs, scaling4=scaling4,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams

@@ -1543,3 +1543,166 @@ def test_multi_ref_b_fuzz_chain_no_drift():
             assert np.array_equal(db.y, stb.y), (trial, i)
             assert np.array_equal(db.cb, stb.cb), (trial, i)
             assert np.array_equal(db.ref_l, stb.ref_l), (trial, i)
+
+
+# ---------------------------------------------------------------------------
+# scaling matrices (§7.3.2.1.1 scaling_list, §8.5.9/§8.5.12 weighted
+# dequant) — bitstream-carried lists only; the normative DEFAULT tables
+# are not transcribable in this environment, so fall-back-to-default
+# refuses loudly (same posture as kernels/cabac.py)
+# ---------------------------------------------------------------------------
+
+_W_INTRA = np.array([[6, 13, 20, 28], [13, 20, 28, 32],
+                     [20, 28, 32, 37], [28, 32, 37, 42]], np.int64)
+_W_INTER = np.array([[10, 14, 20, 24], [14, 20, 24, 27],
+                     [20, 24, 27, 30], [24, 27, 30, 34]], np.int64)
+_S4 = (_W_INTRA, _W_INTRA, _W_INTRA, _W_INTER, _W_INTER, _W_INTER)
+
+
+def test_scaling_list_sps_round_trip():
+    sps = H.parse_sps(H.write_sps(64, 48, scaling4=_S4))
+    assert sps["profile"] == 100
+    for i in range(6):
+        assert np.array_equal(sps["scaling4"][i], _S4[i]), i
+    # a plain SPS reports no matrices
+    assert H.parse_sps(H.write_sps(64, 48))["scaling4"] is None
+
+
+def test_dequant4_matches_spec_form():
+    """Weighted dequant pinned against an independent §8.5.12.2 loop
+    (LevelScale = weightScale * normAdjust, both qP branches) — NOT the
+    shared fast path, so a threading bug can't hide behind round-trip
+    symmetry."""
+    tok = H._SCALING4.set(_S4)
+    try:
+        rng = np.random.default_rng(0)
+        v_all = H._V
+        for qp in (0, 4, 10, 23, 24, 30, 41, 51):
+            z = rng.integers(-64, 65, (4, 4)).astype(np.int64)
+            got = H.dequant4(z, qp, sl=0)
+            v = np.array(v_all[qp % 6], dtype=np.int64)[H._POS_CLASS]
+            for i in range(4):
+                for j in range(4):
+                    ls = int(_W_INTRA[i, j]) * int(v[i, j])
+                    if qp >= 24:
+                        exp = (int(z[i, j]) * ls) << (qp // 6 - 4)
+                    else:
+                        exp = (int(z[i, j]) * ls
+                               + (1 << (3 - qp // 6))) >> (4 - qp // 6)
+                    assert got[i, j] == exp, (qp, i, j)
+    finally:
+        H._SCALING4.reset(tok)
+
+
+def test_explicit_flat_lists_decode_identical_to_flat():
+    """An SPS that CODES all-16 lists must decode bit-identically to the
+    no-matrix SPS — identity weights threaded through every dequant
+    site (any missed or misclassified site would diverge)."""
+    y, cb, cr = H.yuv420_from_rgb(_smooth_rgb(81))
+    s16 = tuple(np.full((4, 4), 16, np.int64) for _ in range(6))
+    rb, _ = H.encode_picture_i(*H.pad_planes(y, cb, cr), qp=30)
+    pps = H.parse_pps(H.write_pps(30))
+    _, d_flat = H.decode_picture(
+        [(rb[0], True, 3)], H.parse_sps(H.write_sps(64, 48)), pps,
+        return_state=True)
+    _, d_16 = H.decode_picture(
+        [(rb[0], True, 3)], H.parse_sps(H.write_sps(64, 48, scaling4=s16)),
+        pps, return_state=True)
+    for a, b in ((d_flat.y, d_16.y), (d_flat.cb, d_16.cb)):
+        assert np.array_equal(a, b)
+
+
+def test_scaling_round_trip_i_p_b_exact():
+    """Weighted-quant encode -> weighted-dequant decode, bit-exact for
+    I, P and B pictures; the weighted recon differs from flat recon
+    (the matrices are load-bearing)."""
+    fr = [H.yuv420_from_rgb(_smooth_rgb(82 + i)) for i in range(3)]
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2, poc_type=0,
+                                  scaling4=_S4))
+    pps = H.parse_pps(H.write_pps(30))
+    rb_i, est_i = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=30,
+                                     poc_lsb=0, scaling4=_S4)
+    _, flat_i = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=30, poc_lsb=0)
+    assert not np.array_equal(est_i.y, flat_i.y)
+    _, d_i = H.decode_picture([(rb_i[0], True, 3)], sps, pps,
+                              return_state=True)
+    assert np.array_equal(d_i.y, est_i.y)
+    assert np.array_equal(d_i.cb, est_i.cb)
+    rb_p, est_p = H.encode_picture_p(*H.pad_planes(*fr[1]), est_i, qp=30,
+                                     frame_num=1, poc_lsb=4, scaling4=_S4)
+    _, d_p = H.decode_picture([(rb_p[0], False, 2)], sps, pps, ref=d_i,
+                              return_state=True)
+    assert np.array_equal(d_p.y, est_p.y)
+    assert np.array_equal(d_p.cr, est_p.cr)
+    rb_b, est_b = H.encode_picture_b(*H.pad_planes(*fr[2]), est_i, est_p,
+                                     qp=30, frame_num=2, poc_lsb=2,
+                                     scaling4=_S4)
+    _, d_b = H.decode_picture([(rb_b[0], False, 0)], sps, pps, ref=d_i,
+                              ref1=d_p, return_state=True)
+    assert np.array_equal(d_b.y, est_b.y)
+    assert np.array_equal(d_b.cb, est_b.cb)
+
+
+def test_scaling_mp4_end_to_end():
+    from scanner_spark.sources import mp4
+
+    frames = [_smooth_rgb(90 + i) for i in range(6)]
+    buf = mp4.encode_mp4_avc1(frames, qp=30, gop=6, deblock=True,
+                              scaling4=_S4)
+    meta, entries = mp4.parse_index(buf)
+    out = mp4.decode_range(buf, entries[0].offset, meta, set(range(6)))
+    for f in range(6):
+        err = int(np.abs(out[f].astype(int) - frames[f].astype(int)).max())
+        assert err < 160, (f, err)
+
+
+def test_scaling_default_fallbacks_refuse():
+    """use-default markers and absent-list-0 fallback need the normative
+    default tables (unavailable here) -> loud refusal, not silent flat."""
+    # hand-build an SPS whose first scaling list codes the use-default
+    # marker (delta driving nextScale to 0 at j == 0)
+    w = H.BitWriter()
+    w.u(100, 8); w.u(0, 8); w.u(30, 8)
+    w.ue(0)  # sps_id
+    w.ue(1); w.ue(0); w.ue(0); w.u(0, 1)  # chroma/bitdepth/bypass
+    w.u(1, 1)  # seq_scaling_matrix_present
+    w.u(1, 1)  # list 0 present
+    w.se(-8)   # delta: nextScale = (8 - 8) % 256 = 0 -> use default
+    w.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="default"):
+        H.parse_sps(w.bytes())
+    # absent list 0 (fall-back rule A -> default) refuses too
+    w2 = H.BitWriter()
+    w2.u(100, 8); w2.u(0, 8); w2.u(30, 8)
+    w2.ue(0)
+    w2.ue(1); w2.ue(0); w2.ue(0); w2.u(0, 1)
+    w2.u(1, 1)  # seq_scaling_matrix_present
+    w2.u(0, 1)  # list 0 ABSENT
+    w2.rbsp_trailing()
+    with pytest.raises(NotImplementedError, match="default"):
+        H.parse_sps(w2.bytes())
+
+
+def test_pps_extension_refusals():
+    """The previously-unparsed PPS tail now parses: transform_8x8 and a
+    differing second chroma offset refuse instead of silently decoding
+    wrong; a benign tail (all-zero flags, matching offset) passes."""
+    def build(t8, second_off):
+        w = H.BitWriter()
+        w.ue(0); w.ue(0)
+        w.u(0, 1); w.u(0, 1)
+        w.ue(0); w.ue(0); w.ue(0)
+        w.u(0, 1); w.u(0, 2)
+        w.se(30 - 26); w.se(0); w.se(0)
+        w.u(1, 1); w.u(0, 1); w.u(0, 1)
+        w.u(1 if t8 else 0, 1)   # transform_8x8_mode_flag
+        w.u(0, 1)                # pic_scaling_matrix_present
+        w.se(second_off)         # second_chroma_qp_index_offset
+        w.rbsp_trailing()
+        return w.bytes()
+
+    assert H.parse_pps(build(False, 0))["init_qp"] == 30
+    with pytest.raises(NotImplementedError, match="transform_8x8"):
+        H.parse_pps(build(True, 0))
+    with pytest.raises(NotImplementedError, match="second_chroma"):
+        H.parse_pps(build(False, 3))
