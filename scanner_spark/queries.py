@@ -2196,75 +2196,24 @@ def q_emb_kmeans(spark, sf_dir):
 QUERIES = {
     # ------------------------------------------------------------------
     # Ordering = the driver's correctness window: it checks the first 50
-    # entries per round.  Round-11 rotation (VERDICT r10 "do this" #3):
-    # the 41 entries whose latest driver evidence is round 8 (two rounds
-    # stale after the r10 stall) lead the window -- all scanner_*, the 8
-    # TPC-H queries, the relational events_*/orders_* family, and the
-    # repeated-passage pair.  The 9 remaining slots go to the queries
-    # whose code changes this round (doc_lm_familiarity gains a map-side
-    # bigram pre-aggregate; video_decode_pruned's fixtures exercise the
-    # new in-loop deblocking / multi-ref / implicit-bipred decode paths)
-    # plus the heaviest codec/dedup r10-checked entries re-pinned.
-    # Every entry stays locally hash-checked against its DuckDB oracle by
-    # tests/test_entry_parity.py regardless of window position.
+    # entries per round.  Round-12 rotation (VERDICT r11 "do this" #4):
+    # the 41 entries whose latest driver evidence is round 10 lead the
+    # window (multimodal_audio, the emb_* ANN family, the curation and
+    # streaming families, frame_*, asof, pii/tfidf/search/quality).
+    # The remaining 9 slots go to the queries whose code changed this
+    # round (doc_lm_familiarity's fused tokenizer-to-pair plan;
+    # video_decode_pruned's fixtures add MMCO/long-term, multi-ref-B and
+    # scaling-matrix GOPs; scanner_slice_state_unslice now compiles to
+    # the state_expr codegen window; scanner_warmup_gather shares the
+    # stateful compiler) plus the heaviest dedup/codec r11-checked
+    # entries re-pinned.  Every entry stays locally hash-checked against
+    # its DuckDB oracle by tests/test_entry_parity.py regardless of
+    # window position.
     # ------------------------------------------------------------------
-    # --- round-11 window: the 41 r8-stale entries first
-    "scanner_all": q_scanner_all,
-    "scanner_all_distributed": q_scanner_all_distributed,
-    "scanner_stride": q_scanner_stride,
-    "scanner_range": q_scanner_range,
-    "scanner_ranges": q_scanner_ranges,
-    "scanner_strided_ranges": q_scanner_strided_ranges,
-    "scanner_gather": q_scanner_gather,
-    "scanner_repeat": q_scanner_repeat,
-    "scanner_repeat_null": q_scanner_repeat_null,
-    "scanner_null_passthrough": q_scanner_null_passthrough,
-    "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
-    "scanner_overlap_slices": q_scanner_overlap_slices,
-    "scanner_stencil_smooth": q_scanner_stencil_smooth,
-    "scanner_stencil_null": q_scanner_stencil_null,
-    "scanner_warmup_gather": q_scanner_warmup_gather,
-    "scanner_variadic": q_scanner_variadic,
-    "scanner_stream_args": q_scanner_stream_args,
-    "scanner_sparse_load": q_scanner_sparse_load,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4_priority": q_tpch_q4_priority,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
-    "part_brand_stats": q_part_brand_stats,
-    "top_customers_per_nation": q_top_customers_per_nation,
-    "customers_without_orders": q_customers_without_orders,
-    "segment_intersect": q_segment_intersect,
-    "events_hourly": q_events_hourly,
-    "events_sessionize": q_events_sessionize,
-    "events_user_counts": q_events_user_counts,
-    "events_retention": q_events_retention,
-    "events_pivot": q_events_pivot,
-    "events_sliding_daily": q_events_sliding_daily,
-    "orders_percentiles": q_orders_percentiles,
-    "orders_rollup": q_orders_rollup,
-    "orders_cube": q_orders_cube,
-    "doc_repeated_passages": q_doc_repeated_passages,
-    "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
-    # --- window fill: changing-this-round + heaviest r10-checked re-pins
-    "doc_lm_familiarity": q_doc_lm_familiarity,
-    "video_decode_pruned": q_video_decode_pruned,
-    "multimodal_decode": q_multimodal_decode,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_clusters": q_dedup_minhash_clusters,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
-    "emb_kmeans": q_emb_kmeans,
-    "emb_knn_ivf": q_emb_knn_ivf,
-    # --- beyond-window: driver-confirmed green in round 10
+    # --- round-12 window: the 41 r10-evidence entries first
     "multimodal_audio": q_multimodal_audio,
     "emb_knn_brute": q_emb_knn_brute,
     "emb_knn_lsh": q_emb_knn_lsh,
-    "emb_knn_pq": q_emb_knn_pq,
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_materialize": q_dedup_materialize,
@@ -2302,4 +2251,58 @@ QUERIES = {
     "frame_resize": q_frame_resize,
     "frame_blur": q_frame_blur,
     "frame_encode_png": q_frame_encode_png,
+    "emb_knn_pq": q_emb_knn_pq,
+    # --- window fill: changed-this-round + heavy re-pins
+    "doc_lm_familiarity": q_doc_lm_familiarity,
+    "video_decode_pruned": q_video_decode_pruned,
+    "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
+    "scanner_warmup_gather": q_scanner_warmup_gather,
+    "multimodal_decode": q_multimodal_decode,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
+    # --- beyond-window: driver-confirmed green in round 11
+    "scanner_all": q_scanner_all,
+    "scanner_all_distributed": q_scanner_all_distributed,
+    "scanner_stride": q_scanner_stride,
+    "scanner_range": q_scanner_range,
+    "scanner_ranges": q_scanner_ranges,
+    "scanner_strided_ranges": q_scanner_strided_ranges,
+    "scanner_gather": q_scanner_gather,
+    "scanner_repeat": q_scanner_repeat,
+    "scanner_repeat_null": q_scanner_repeat_null,
+    "scanner_null_passthrough": q_scanner_null_passthrough,
+    "scanner_overlap_slices": q_scanner_overlap_slices,
+    "scanner_stencil_smooth": q_scanner_stencil_smooth,
+    "scanner_stencil_null": q_scanner_stencil_null,
+    "scanner_variadic": q_scanner_variadic,
+    "scanner_stream_args": q_scanner_stream_args,
+    "scanner_sparse_load": q_scanner_sparse_load,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4_priority": q_tpch_q4_priority,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "part_brand_stats": q_part_brand_stats,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "segment_intersect": q_segment_intersect,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "events_user_counts": q_events_user_counts,
+    "events_retention": q_events_retention,
+    "events_pivot": q_events_pivot,
+    "events_sliding_daily": q_events_sliding_daily,
+    "orders_percentiles": q_orders_percentiles,
+    "orders_rollup": q_orders_rollup,
+    "orders_cube": q_orders_cube,
+    "doc_repeated_passages": q_doc_repeated_passages,
+    "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
+    "emb_kmeans": q_emb_kmeans,
+    "emb_knn_ivf": q_emb_knn_ivf,
 }
+
