@@ -41,8 +41,11 @@ What is implemented, per the spec's clause numbers:
 - Multi-reference P prediction (round 11): num_ref_idx_l0_active > 1
   with te(v) ref_idx_l0 per MB, the §8.4.1.3.1 same-refIdx MV-predictor
   rule, and the full RefPicList0 ordering/modification resolved by the
-  container walk (sources/mp4.decode_range).  Multi-ref B lists and
-  CABAC multi-ref stay refusals.
+  container walk (sources/mp4.decode_range).  Round 12 extends this to
+  multi-reference B lists (both entropies: te(v) / CABAC unary ref_idx),
+  per-reference explicit weight tables, adaptive ref-pic marking (MMCO
+  long-term references), and bitstream-coded scaling matrices;
+  interlace / SP-SI / slice groups / B_Direct stay refusals.
 - CAVLC residual (§9.2): coeff_token (Table 9-5 incl. the chroma-DC nC=-1
   column), trailing-one signs, adaptive-suffix level decoding,
   total_zeros (Tables 9-7/9-8/9-9a) and run_before (Table 9-10).
@@ -1709,9 +1712,9 @@ class CavlcReader:
     def mvd_pair(self, st, mbx, mby, lst: int):
         return self.r.se(), self.r.se()
 
-    def ref_idx(self, st, mbx, mby, n_active: int) -> int:
+    def ref_idx(self, st, mbx, mby, n_active: int, lst: int = 0) -> int:
         # te(v), §9.1.1: one inverted bit when the range max is 1, ue(v)
-        # otherwise
+        # otherwise (``lst`` only conditions the CABAC twin's contexts)
         if n_active == 2:
             return 1 - self.r.u(1)
         return self.r.ue()
@@ -1784,7 +1787,8 @@ class CavlcWriter:
         self.w.se(int(mvd[0]))
         self.w.se(int(mvd[1]))
 
-    def ref_idx(self, st, mbx, mby, n_active: int, v: int) -> None:
+    def ref_idx(self, st, mbx, mby, n_active: int, v: int,
+                lst: int = 0) -> None:
         # te(v) mirror of CavlcReader.ref_idx
         if n_active == 2:
             self.w.u(1 - v, 1)
@@ -1895,11 +1899,6 @@ def _parse_slice_header(
         _parse_list_mods(r)
         if is_b:
             _parse_list_mods(r)
-    if pps.get("cabac") and (n_l0 > 1 or (is_b and n_l1 > 1)):
-        raise NotImplementedError(
-            "multi-reference lists under CABAC not supported (ref_idx "
-            "context models not implemented; use CAVLC for multi-ref)"
-        )
     wp = None
     if (pps.get("weighted_pred") and is_p) or (
         is_b and pps.get("weighted_bipred_idc", 0) == 1
@@ -2030,7 +2029,8 @@ def _decode_slice_mbs_cabac(
             if er.read_skip(st, mbx, mby, False):
                 _reconstruct_skip(st, refs[0], mbx, mby, wp)
             else:
-                qp = _decode_mb_p(er, st, refs, mbx, mby, qp, pps, wp)
+                qp = _decode_mb_p(er, st, refs, mbx, mby, qp, pps, wp,
+                                  n_ref=n_l0)
         else:  # B
             if er.read_skip(st, mbx, mby, True):
                 raise NotImplementedError(
@@ -2038,7 +2038,7 @@ def _decode_slice_mbs_cabac(
                     "supported — in-repo streams never emit them"
                 )
             qp = _decode_mb_b(er, st, refs, refs1,
-                              mbx, mby, qp, pps, wp)
+                              mbx, mby, qp, pps, wp, n_l0, n_l1)
         st.mb_qp[mby, mbx] = qp
         er.end_mb(st, mbx, mby)
         mb += 1
@@ -2304,8 +2304,10 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
     # §7.3.5.1 order: ref_idx_l0, ref_idx_l1, mvd_l0, mvd_l1
-    ridx0 = er.ref_idx(st, mbx, mby, n_l0) if (use0 and n_l0 > 1) else 0
-    ridx1 = er.ref_idx(st, mbx, mby, n_l1) if (use1 and n_l1 > 1) else 0
+    ridx0 = (er.ref_idx(st, mbx, mby, n_l0, lst=0)
+             if (use0 and n_l0 > 1) else 0)
+    ridx1 = (er.ref_idx(st, mbx, mby, n_l1, lst=1)
+             if (use1 and n_l1 > 1) else 0)
     if use0 and ridx0 >= len(refs0):
         raise ValueError(f"ref_idx_l0 {ridx0} beyond RefPicList0")
     if use1 and ridx1 >= len(refs1):
@@ -3280,9 +3282,9 @@ def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
     uses0 = mb_type in (0, 1, 3)
     uses1 = mb_type in (2, 3)
     if n_ref > 1 and uses0:
-        ew.ref_idx(st, mbx, mby, n_ref, int(ref_idx))
+        ew.ref_idx(st, mbx, mby, n_ref, int(ref_idx), lst=0)
     if n_ref1 > 1 and uses1:
-        ew.ref_idx(st, mbx, mby, n_ref1, int(ref_idx1))
+        ew.ref_idx(st, mbx, mby, n_ref1, int(ref_idx1), lst=1)
     if mvd is not None:
         # list 0 unless this is B_L1_16x16 (its single mvd is list 1)
         ew.mvd_pair(st, mbx, mby, 1 if mb_type == 2 else 0, mvd)
@@ -3368,11 +3370,6 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     for rf in refs:
         assert (rf.H, rf.W) == (H_, W_), "reference dims mismatch"
     if n0 > 1:
-        if entropy == "cabac":
-            raise NotImplementedError(
-                "multi-reference P under CABAC not supported (matches the "
-                "decoder's refusal)"
-            )
         if l0_ref_fn is not None:
             raise NotImplementedError(
                 "ref-list modification with an explicit multi-ref list "
@@ -3572,7 +3569,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             )
             if cw is not None:
                 _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
-                                luma_z, comps, qp)
+                                luma_z, comps, qp, ref_idx=best, n_ref=n0)
                 _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
@@ -3662,11 +3659,6 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     for rf in refs0 + refs1:
         assert (rf.H, rf.W) == (H_, W_), "reference dims mismatch"
     if n0 > 1 or n1 > 1:
-        if entropy == "cabac":
-            raise NotImplementedError(
-                "multi-reference B under CABAC not supported (matches "
-                "the decoder's refusal)"
-            )
         if implicit_pocs is not None:
             raise NotImplementedError(
                 "implicit weighted bi-prediction with multi-reference "
@@ -3817,6 +3809,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     cbp, luma_z, comps, qp, mb_type=mb_type,
                     mvd2=mvd1 if (mvd0 is not None and mvd1 is not None)
                     else None,
+                    ref_idx=rpair[0], n_ref=n0,
+                    ref_idx1=rpair[1], n_ref1=n1,
                 )
                 _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
                 by0, bx0 = oy // 4, ox // 4
@@ -3996,10 +3990,6 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 "decoder's default list would interleave referenced Bs; "
                 "use p_refs with plain I-P GOPs)"
             )
-        if entropy == "cabac":
-            raise NotImplementedError(
-                "multi-reference P under CABAC not supported"
-            )
     if implicit_bipred and not b_frames:
         raise ValueError("implicit_bipred needs B frames (b_frames > 0)")
     if b_pyramid and b_frames < 2:
@@ -4019,10 +4009,6 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             raise NotImplementedError(
                 "implicit weighted bi-prediction with multi-reference "
                 "lists not supported (matches the decoder's refusal)"
-            )
-        if entropy == "cabac":
-            raise NotImplementedError(
-                "multi-reference B under CABAC not supported"
             )
         if b_refs != 2:
             raise ValueError("b_refs must be 1 or 2")

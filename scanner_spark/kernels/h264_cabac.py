@@ -101,6 +101,23 @@ class _CtxSide:
                 inc += 1
         return inc
 
+    def _ref_inc(self, st, mbx, mby, lst: int) -> int:
+        """ref_idx_lX bin0 increment (§9.3.3.1.1.6): condTermA +
+        2*condTermB, cond = neighbour decoded in-slice, inter, predicts
+        from this list, and has refIdxLX > 0.  The same neighbour
+        approximations as the module header apply (symmetric encoder/
+        decoder; foreign streams are gated off)."""
+        def cond(x, y):
+            if not st.mb_same_slice(x, y):
+                return 0
+            if not st.mb_inter[y, x]:
+                return 0
+            if st.use_l[y, x].any() and not st.use_l[y, x, lst]:
+                return 0  # B neighbour not predicting from this list
+            return 1 if st.ref_l[y, x, lst] > 0 else 0
+
+        return cond(mbx - 1, mby) + 2 * cond(mbx, mby - 1)
+
     def _qpd_key(self, i: int):
         if i == 0:
             return ("qpd", 1 if self._prev_qp_nz else 0)
@@ -320,6 +337,18 @@ class CabacReader(_CtxSide):
             "16x16 partitions are supported"
         )
 
+    def ref_idx(self, st, mbx, mby, n_active: int, lst: int = 0) -> int:
+        # §9.3.2.4: unary binarization; bin0 ctx from the neighbour
+        # refIdx conditions, bin1 inc 4, bins >= 2 inc 5
+        if not self.d.decision(("ref", self._ref_inc(st, mbx, mby, lst))):
+            return 0
+        v = 1
+        while self.d.decision(("ref", 4 if v == 1 else 5)):
+            v += 1
+            if v > 32:
+                raise ValueError("corrupt ref_idx")
+        return v
+
     def mvd_pair(self, st, mbx, mby, lst: int):
         dx = self.d.ueg(self._mvd_key_fn(st, mbx, mby, lst, 0), 9, 3, True)
         dy = self.d.ueg(self._mvd_key_fn(st, mbx, mby, lst, 1), 9, 3, True)
@@ -525,6 +554,18 @@ class CabacWriter(_CtxSide):
             for _ in range(4):
                 e.decision(("bmb", 5), 0)  # '110000'
         self._note_inter(st, mbx, mby)
+
+    def ref_idx(self, st, mbx, mby, n_active: int, v: int,
+                lst: int = 0) -> None:
+        # unary mirror of CabacReader.ref_idx
+        inc0 = self._ref_inc(st, mbx, mby, lst)
+        if v == 0:
+            self.e.decision(("ref", inc0), 0)
+            return
+        self.e.decision(("ref", inc0), 1)
+        for k in range(1, v):
+            self.e.decision(("ref", 4 if k == 1 else 5), 1)
+        self.e.decision(("ref", 4 if v == 1 else 5), 0)
 
     def mvd_pair(self, st, mbx, mby, lst: int, mvd) -> None:
         dx, dy = int(mvd[0]), int(mvd[1])

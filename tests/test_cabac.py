@@ -337,3 +337,75 @@ def test_mp4_cabac_multi_slice_e2e():
         err = np.abs(out[i].astype(int) - frames[i].astype(int)).mean()
         ref_err = np.abs(out_ref[i].astype(int) - frames[i].astype(int)).mean()
         assert err < ref_err + 2.0
+
+
+def test_cabac_multi_ref_p_and_b_round_trip_exact():
+    """ref_idx under CABAC (§9.3.2.4 unary, §9.3.3.1.1.6 neighbour
+    contexts): multi-ref P and B pictures round-trip bit-exactly with
+    per-MB reference choices preserved — the round-12 lift of the
+    'multi-reference under CABAC' refusal (in-repo marked streams are
+    the only CABAC streams decoded, so uniform-init context choice is
+    self-consistent by construction)."""
+    import numpy as np
+
+    from scanner_spark.kernels import h264 as H
+
+    def smooth(seed, h=48, w=64):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, 3)).astype(np.int64)
+        return ((a + np.roll(a, 1, 0) + np.roll(a, 1, 1)) // 3).astype(
+            np.uint8)
+
+    A, B = smooth(101), smooth(102)
+    fr = [H.yuv420_from_rgb(f) for f in (A, B, A)]
+    _, st0 = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=28,
+                                entropy="cabac")
+    rb1, st1 = H.encode_picture_p(*H.pad_planes(*fr[1]), [st0], qp=28,
+                                  frame_num=1, entropy="cabac")
+    rb2, st2 = H.encode_picture_p(*H.pad_planes(*fr[2]), [st1, st0],
+                                  qp=28, frame_num=2, entropy="cabac")
+    assert (st2.ref_l[:, :, 0] == 1).any()
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2))
+    pps = H.parse_pps(H.write_pps(28, cabac=True))
+    _, d1 = H.decode_picture([(rb1[0], False, 2)], sps, pps, ref=[st0],
+                             return_state=True, cabac_marked=True)
+    _, d2 = H.decode_picture([(rb2[0], False, 2)], sps, pps,
+                             ref=[d1, st0], return_state=True,
+                             cabac_marked=True)
+    assert np.array_equal(d2.y, st2.y)
+    assert np.array_equal(d2.ref_l, st2.ref_l)
+    fr3 = H.yuv420_from_rgb(smooth(103))
+    rbb, stb = H.encode_picture_b(*H.pad_planes(*fr3), [st1, st0], [st2],
+                                  qp=28, frame_num=3, poc_lsb=5,
+                                  entropy="cabac")
+    spsb = H.parse_sps(H.write_sps(64, 48, num_ref_frames=3, poc_type=0))
+    _, db = H.decode_picture([(rbb[0], False, 0)], spsb, pps,
+                             ref=[d1, st0], ref1=[d2], return_state=True,
+                             cabac_marked=True)
+    assert np.array_equal(db.y, stb.y)
+    assert np.array_equal(db.cb, stb.cb)
+    assert np.array_equal(db.ref_l, stb.ref_l)
+
+
+def test_cabac_multi_ref_mmco_mp4_end_to_end():
+    """CABAC entropy composed with the mmco_anchor adaptive-marking GOP
+    shape through the full container walk."""
+    import numpy as np
+
+    from scanner_spark.sources import mp4
+
+    def smooth(seed, h=48, w=64):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, 3)).astype(np.int64)
+        return ((a + np.roll(a, 1, 0) + np.roll(a, 1, 1)) // 3).astype(
+            np.uint8)
+
+    A, B = smooth(104), smooth(105)
+    frames = [(A, B)[i % 2] for i in range(7)]
+    buf = mp4.encode_mp4_avc1(frames, qp=28, gop=7, p_refs=2,
+                              entropy="cabac", ref_mode="mmco_anchor")
+    meta, entries = mp4.parse_index(buf)
+    out = mp4.decode_range(buf, entries[0].offset, meta, set(range(7)))
+    for f in range(7):
+        err = int(np.abs(out[f].astype(int) - frames[f].astype(int)).max())
+        assert err < 160, (f, err)
