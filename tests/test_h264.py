@@ -1706,3 +1706,48 @@ def test_pps_extension_refusals():
         H.parse_pps(build(True, 0))
     with pytest.raises(NotImplementedError, match="second_chroma"):
         H.parse_pps(build(False, 3))
+
+
+def test_pps_carried_scaling_lists_override():
+    """PPS pic_scaling_matrix lists parse and OVERRIDE the SPS's
+    (§8.5.9 resolution order): flat-coded PPS lists decode identically
+    to the plain stream; non-flat PPS lists over a plain SPS change the
+    reconstruction (the override is load-bearing)."""
+    y, cb, cr = H.yuv420_from_rgb(_smooth_rgb(85))
+    rb, _ = H.encode_picture_i(*H.pad_planes(y, cb, cr), qp=30)
+    sps = H.parse_sps(H.write_sps(64, 48))
+
+    def pps_with_lists(lists):
+        w = H.BitWriter()
+        w.ue(0); w.ue(0)
+        w.u(0, 1); w.u(0, 1)
+        w.ue(0); w.ue(0); w.ue(0)
+        w.u(0, 1); w.u(0, 2)
+        w.se(30 - 26); w.se(0); w.se(0)
+        w.u(1, 1); w.u(0, 1); w.u(0, 1)
+        # PPS extension: no 8x8 transform, pic scaling present
+        w.u(0, 1)
+        w.u(1, 1)
+        for m in lists:
+            w.u(1, 1)  # pic_scaling_list_present_flag[i]
+            last = 8
+            for v in H._mat_to_zz(np.asarray(m, dtype=np.int64)):
+                d = (v - last) % 256
+                w.se(d - 256 if d > 127 else d)
+                last = v
+        w.se(0)  # second_chroma_qp_index_offset == Cb offset
+        w.rbsp_trailing()
+        return H.parse_pps(w.bytes())
+
+    flat = [np.full((4, 4), 16, np.int64)] * 6
+    pps_flat = pps_with_lists(flat)
+    assert pps_flat["pic_scaling"] is not None
+    plain = H.decode_picture([(rb[0], True, 3)],
+                             sps, H.parse_pps(H.write_pps(30)))
+    via_pps = H.decode_picture([(rb[0], True, 3)], sps, pps_flat)
+    assert np.array_equal(plain[0], via_pps[0])
+    assert np.array_equal(plain[1], via_pps[1])
+    heavy = [_W_INTRA] * 3 + [_W_INTER] * 3
+    weighted = H.decode_picture([(rb[0], True, 3)], sps,
+                                pps_with_lists(heavy))
+    assert not np.array_equal(plain[0], weighted[0])
