@@ -12,9 +12,10 @@ stops at video/image pipelines, see SURVEY.md §2.7):
   shingle hash — eval sets are tiny next to the corpus, so the join
   broadcasts; work is linear in corpus shingles at any scale.
 - **repetition stats**: Gopher-style repetition signals (duplicate-token
-  fraction, most-frequent-token fraction, duplicate-bigram fraction)
-  computed with ONE explode + groupBy per signal family — fully
-  codegen'd, one shuffle keyed by doc, no per-row Python.
+  fraction, most-frequent-token fraction, duplicate-bigram fraction) —
+  the distinct-ratio family is pure in-row array arithmetic (no shuffle);
+  only the top-token count pays one explode + groupBy.  Fully codegen'd,
+  no per-row Python.
 - **stratified_sample**: deterministic exact-k-per-stratum sample ranked
   by the shared 60-bit md5 hash (functions/hashing.h60) so Spark and the
   DuckDB oracle pick identical rows.  Per-stratum window sort — the
@@ -97,16 +98,45 @@ def repetition_stats(
     - ``top_token_ratio``  = occurrences of the most frequent token / tokens
     - ``dup_bigram_ratio`` = 1 - distinct_bigrams / bigrams (0 if < 2 tokens)
 
-    One explode feeds a (doc, tok) groupBy for the token family and a
-    lead-window bigram pass for the bigram family — two shuffles keyed by
-    doc, everything whole-stage codegen.  Ratios round to 6 so the DuckDB
-    twin hashes identically."""
-    tok = df.select(
+    Round-13 plan (three shapes measured at sf10 before shipping):
+    - The BIGRAM family is computed IN-ROW: the pair array comes from a
+      ``zip_with`` concat over two slices (no window), and its distinct
+      count from ``array_distinct`` — deleting the previous plan's
+      shuffle + SORT of every token row (``Window.partitionBy(doc)
+      .orderBy(ord)`` + ``lead``).  Bigram identity is the concatenated
+      ``"a b"`` STRING, not an (a, b) struct: ``array_distinct``
+      hash-sets atomic element types but falls back to O(n²) pairwise
+      comparison for structs (measured 156 s vs 2 s at sf1 — quadratic in
+      doc length).  The ``zip_with`` lambda is interpreted (the r11 HOF
+      budget: one concat per element), bought back many times over by the
+      deleted sort.
+    - The TOKEN family keeps the exact (doc, tok) two-level aggregate —
+      ``n_tokens``/``n_distinct``/``top_cnt`` are free byproducts of one
+      tree (sum/count/max).  Measured alternatives all lost: carrying the
+      in-row stats through that aggregate as ``min``s added ~9 s of
+      per-key buffer work (33.9 s); an in-row sorted run-length
+      ``aggregate`` for top_cnt was 17.7 s alone; md5-hashed group keys
+      31.3 s.  Exact string keys at 15.5 s are the floor — ``top_cnt`` is
+      the one stat that genuinely needs the shuffle.
+    - The two per-doc relations (aggregate ~#docs rows, in-row #docs
+      rows) join on doc — a dimension-sized exchange.  13.9 s at sf10 vs
+      the r12 window plan's 18.2 s same-box, and the full-corpus sort is
+      gone at any scale.
+    Ratios round to 6 so the DuckDB twin hashes identically."""
+    base = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(tokens(F.col(text_col))).alias("ord", "tok"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__tk"),
+    )
+    tk = F.col("__tk")
+    n1 = F.greatest(F.size(tk) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(tk, F.lit(1), n1),
+        F.slice(tk, F.lit(2), n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     tok_stats = (
-        tok.groupBy("doc", "tok")
+        base.select("doc", F.explode(tk).alias("tok"))
+        .groupBy("doc", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc")
         .agg(
@@ -115,18 +145,13 @@ def repetition_stats(
             F.max("cnt").alias("top_cnt"),
         )
     )
-    w = Window.partitionBy("doc").orderBy("ord")
-    big = tok.select(
+    big_inrow = base.select(
         "doc",
-        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("big"),
-        F.lead("tok", 1).over(w).isNotNull().alias("ok"),
-    ).filter("ok")
-    big_stats = big.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_big"),
-        F.countDistinct("big").alias("n_big_distinct"),
+        F.size(bg).alias("n_big"),
+        F.size(F.array_distinct(bg)).alias("n_big_distinct"),
     )
     return (
-        tok_stats.join(big_stats, "doc", "left")
+        tok_stats.join(big_inrow, "doc")
         .select(
             F.col("doc").alias(id_col),
             F.col("n_tokens"),
@@ -270,18 +295,40 @@ def chunk_windows(
     """Split each document into fixed-size token windows: (doc_id,
     chunk_idx, n_tokens, chunk_text).  The final partial window is kept —
     training pipelines pad or pack it downstream.  Pure JVM
-    sequence/slice arithmetic; no shuffle, no Python."""
-    toks = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(size)).cast("int")
-    chunks = df.select(
+    sequence/slice arithmetic; no shuffle, no Python.
+
+    Round-13 plan: the chunk TEXTS are built in-row (one ``transform``
+    producing the small string array) and only that array crosses the
+    Generate — each exploded row carries its own chunk string plus one
+    long.  The previous plan exploded a chunk-index sequence NEXT TO the
+    full ``__toks`` array, so the Generate emitted the whole token array
+    once per chunk — O(tokens x chunks) bytes per document through the
+    explode.  The ``transform`` lambda is interpreted (the r11 HOF
+    lesson), but its per-element work is one slice + join that the old
+    plan did anyway post-explode; the payload win dominates (measured at
+    sf10 in the round-13 chain).  Per-chunk ``n_tokens`` is recovered
+    arithmetically from the carried total — no second slice."""
+    base = df.select(
         F.col(id_col),
-        toks.alias("__toks"),
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "__c"),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("__toks"),
     )
-    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * size + 1, size)
-    return chunks.select(
+    tk = F.col("__toks")
+    n_chunks = F.ceil(F.size(tk) / F.lit(size)).cast("int")
+    chunk_texts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(tk, i * size + 1, size), " "),
+    )
+    mid = base.select(
+        id_col,
+        F.size(tk).alias("__nt"),
+        F.posexplode(chunk_texts).alias("chunk_idx", "chunk_text"),
+    )
+    return mid.select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.size(piece).cast("long").alias("n_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
+        F.least(
+            F.lit(size).cast("long"),
+            (F.col("__nt") - F.col("chunk_idx") * size).cast("long"),
+        ).alias("n_tokens"),
+        "chunk_text",
     )

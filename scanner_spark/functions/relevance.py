@@ -14,12 +14,11 @@ Scale design:
 - Tokenization and n-gram construction are JVM higher-order functions over
   the tokens array — narrow, codegen'd, no Python.
 - ``(doc, term)`` term frequencies are one hash-shuffle with map-side
-  partial aggregation; document frequencies reduce the SAME pre-shuffled
-  relation a second time (vocabulary-sized output, sub-linear in corpus).
-- The df/count side of each join is vocabulary-sized, not corpus-sized:
-  left to AQE to broadcast when it fits and shuffle when it does not (the
-  dedup-family precedent — never force a broadcast of something that
-  scales).
+  partial aggregation; document frequencies come from a WINDOW count over
+  that same relation partitioned by term (one more exchange, no
+  self-join — the window-sum model ``bigram_familiarity`` pioneered).
+- No self-joins anywhere: every corpus-statistics term (df, global bigram
+  count) is a window aggregate over the already-shuffled relation.
 - Cross-engine exactness: every emitted number is an integer or the result
   of a SINGLE IEEE double operation on integer operands (``tf/df``), so
   oracle hash equality does not depend on transcendental-function or
@@ -65,10 +64,21 @@ def tfidf_topk(
     idf factor ``1/df`` is monotone in the classic ``ln(N/df)``, so the
     RANKING is textbook tf-idf while the score stays a single exact IEEE
     division (integer tf, integer df), bit-equal in any engine.  Ties break
-    on term text, so output is fully deterministic."""
+    on term text, so output is fully deterministic.
+
+    Round-13 plan: document frequency is a WINDOW count over the (doc,
+    term) relation partitioned by term, not a separate aggregate joined
+    back — the identical window-sum-model transformation
+    ``bigram_familiarity`` shipped in round 12 (``global_n`` below),
+    applied one function up.  The aggregate + self-join shape re-shuffled
+    the full (doc, term) relation against a vocabulary computed FROM it
+    (two exchanges + two sorts of the same relation for the sort-merge
+    join); one hash exchange on term + a per-partition pass computes the
+    identical ``df_count`` with strictly fewer passes at any scale
+    (measured sf10: 37.8 s -> see BASELINE.md round-13 chain)."""
     tf = term_freqs(df, text_col, id_col)
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_count"))
-    scored = tf.join(dfreq, "term").withColumn(
+    wt = Window.partitionBy("term")
+    scored = tf.withColumn("df_count", F.count(F.lit(1)).over(wt)).withColumn(
         "score", F.col("tf").cast("double") / F.col("df_count")
     )
     w = Window.partitionBy("doc").orderBy(
