@@ -61,12 +61,37 @@ def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# Tables whose consumers do heavy per-row CPU in the NARROW (pre-shuffle)
+# phase: tokenization, per-token md5, signature folds, codec work for
+# `documents`; per-dimension float math for `embeddings`.  Their scan
+# parallelism is the whole pipeline's parallelism until the first exchange.
+_CPU_HEAVY_TABLES = {"documents", "embeddings"}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table; normalizes the events timestamp column."""
+    """Load one synthetic table; normalizes the events timestamp column.
+
+    Starved-scan healing: the synthetic test parquet is written as a
+    handful of row groups per file (documents at sf10: 5 row groups in
+    11.6 MB), and parquet byte-splits below a row-group boundary collapse
+    onto whoever holds the group start — so a scan of these files runs on
+    1-3 effective tasks while the session has 32 cores.  For the
+    CPU-heavy tables this single-threads the entire narrow phase of every
+    text/embedding pipeline (measured: doc_lm_familiarity 34.7 s -> 5.4 s
+    at sf10 from this one exchange).  The guard keeps this a TEST-LAYOUT
+    fix, not a production tax: a real deployment's corpus has orders of
+    magnitude more row groups than cores, the scan partition count clears
+    the threshold, and no repartition is inserted — filters and column
+    pruning push through the Repartition node either way, so pushdown is
+    unaffected when it does fire."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)
+    if name in _CPU_HEAVY_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            df = df.repartition(target)
     return df
 
 

@@ -856,13 +856,23 @@ def q_stream_dedup_minhash_lsh(spark, sf_dir):
 
     from scanner_spark.streaming.dedup import banded_minhash_rows, lsh_dedup_pairs
 
-    ss = _stream_session(spark)
+    # 32 state partitions, not the session-window queries' 8: this op has
+    # bands x shards = 128 state groups doing real Python work per group,
+    # so the stateful stage should own every core.
+    ss = _stream_session(spark, max_parts=32)
     raw_schema = ss.read.parquet(_os.path.join(sf_dir, "documents.parquet")).schema
     sdf = (
         ss.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    # Starved-scan healing (io.read_table's fix, restated for the stream
+    # path): the single test parquet reads as 1-3 effective tasks, which
+    # single-threads the md5/signature-fold narrow phase — the measured
+    # bulk of this query's 133 s at sf10.  A stateless repartition is
+    # streaming-legal and spreads the signature work across the session's
+    # cores before the stateful exchange.
+    sdf = sdf.repartition(ss.sparkContext.defaultParallelism)
     pairs = lsh_dedup_pairs(
         banded_minhash_rows(sdf), threshold=MINHASH_THRESHOLD
     )

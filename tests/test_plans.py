@@ -213,9 +213,15 @@ def test_asof_join_is_one_key_shuffle_no_range_join(spark, sf_dir):
 
 
 def test_quantize_is_narrow_projection(spark, sf_dir):
-    """Quantization adds NO shuffle — pure per-row array arithmetic."""
+    """Quantization adds NO shuffle — pure per-row array arithmetic.  The
+    only Exchange allowed is io.read_table's starved-scan healing
+    repartition at the INPUT (round-robin, below the projection); the
+    operator itself must not hash-shuffle anything."""
     plan = plan_of(Q.q_emb_quantize(spark, sf_dir))
-    assert "Exchange" not in plan
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), plan
 
 
 def test_make_stream_default_never_single_task_window_at_scale(spark, sf_dir):

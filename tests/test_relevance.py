@@ -186,4 +186,9 @@ def test_pii_is_single_projection(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         plan_df.explain("formatted")
     plan = buf.getvalue()
-    assert "Exchange" not in plan  # detect+scrub pipelines with the scan
+    # detect+scrub pipelines with the scan: no hash shuffle anywhere; the
+    # only Exchange allowed is read_table's starved-scan round-robin heal
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), plan
