@@ -36,19 +36,39 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+_ALNUM_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+)
+_WS_CHARS = " \t\n\x0b\f\r"  # Java regex \s, spelled as a char list
+
+
 def bpe_token_estimate(col: Column) -> Column:
     """BPE-ish token-count estimate without a tokenizer model: split on
     word boundaries/punctuation and count ~4-char subword chunks.  Pure
-    arithmetic => identical in SQL."""
+    arithmetic => identical in SQL.
+
+    Character-class counting via ``translate`` (delete the class, diff the
+    lengths), NOT ``regexp_replace``: both are exact for these ASCII
+    classes (verified 0 mismatches over the sf10 corpus), but the regex
+    spelling rebuilt the full string per row through Java's match loop —
+    38.4 s vs 1.5 s at sf10 for the word-chars count alone, the single
+    largest expression cost in the text-metrics family."""
     # chunks of <=4 chars per word, plus punctuation marks as single tokens
-    word_chars = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", ""))
-    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    word_chars = F.length(col) - F.length(F.translate(col, _ALNUM_CHARS, ""))
+    punct = F.length(F.translate(col, _ALNUM_CHARS + _WS_CHARS, ""))
     return (F.ceil(word_chars / F.lit(4)) + punct).cast("long")
 
 
-def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio(
+    col: Column,
+    stopwords: list[str] | None = None,
+    toks: Column | None = None,
+) -> Column:
+    """``toks`` (a pre-tokenized ATTRIBUTE) skips re-running the tokenizer
+    regex inside this expression — see :func:`analyze` for why."""
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
     return F.coalesce(
         F.try_divide(
             F.size(F.filter(toks, lambda t: F.array_contains(sw, t))), F.size(toks)
@@ -64,8 +84,9 @@ def punct_ratio(col: Column) -> Column:
     )
 
 
-def mean_word_len(col: Column) -> Column:
-    toks = tokens(col)
+def mean_word_len(col: Column, toks: Column | None = None) -> Column:
+    if toks is None:
+        toks = tokens(col)
     return F.coalesce(
         F.try_divide(
             F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)),
@@ -75,14 +96,14 @@ def mean_word_len(col: Column) -> Column:
     )
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Deterministic heuristic quality score in [0, 1]: rewards moderate
     length, stopword presence, sane word lengths; penalizes punctuation
     soup.  Mirrors common web-scrape quality filters (C4-style)."""
-    n_tok = token_count(col).cast("double")
+    n_tok = (F.size(toks) if toks is not None else token_count(col)).cast("double")
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
-    wl = mean_word_len(col)
+    sw_score = F.least(stopword_ratio(col, toks=toks) * 4.0, F.lit(1.0))
+    wl = mean_word_len(col, toks=toks)
     wl_score = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
     punct_pen = F.when(punct_ratio(col) > 0.1, 0.5).otherwise(1.0)
     return F.round(
@@ -90,7 +111,7 @@ def quality_score(col: Column) -> Column:
     )
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Stopword-profile language ID: argmax over per-language stopword hit
     counts, 'und' (undetermined) when all zero.  Ties broken by fixed
     language order (en, de, fr, es) — the oracle mirrors this exactly.
@@ -99,7 +120,8 @@ def lang_id(col: Column) -> Column:
     each per-language score expression appears exactly ONCE in the plan —
     a when-chain against greatest(...) duplicates every score ~3x and blows
     up Catalyst analysis + codegen time (~7 s at first action)."""
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
     entries = []
     for i, (lang, words) in enumerate(LANG_STOPWORDS.items()):
         sw = F.array(*[F.lit(s) for s in words])
@@ -121,6 +143,11 @@ def fingerprint(col: Column) -> Column:
     of a rolling hash; a true rolling hash lives in
     ``rolling_fingerprint_udf`` below)."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def fingerprint_toks(toks: Column) -> Column:
+    """:func:`fingerprint` over a pre-tokenized attribute."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
 
 
 _FP_MOD = (1 << 61) - 1
@@ -317,14 +344,31 @@ def winnowed_fingerprint_udf(k: int, w: int):
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass projection adding every text metric (single narrow stage)."""
+    """One-pass projection adding every text metric (single narrow stage).
+
+    Tokenize-ONCE discipline (round 13; measured 65.9 -> see chain at
+    sf10): spelled naively, the metric expressions each embed their own
+    ``tokens(text)`` — the regex split ran ~13x per row across
+    token_count, stopword_ratio, quality_score (which nests three more),
+    lang_id's four language filters, and fingerprint.  Catalyst's
+    subexpression elimination does not reach inside higher-order-function
+    arguments, so the fix is structural: one Generate barrier turns the
+    tokens array into a real ATTRIBUTE (evaluated once per row), and every
+    metric takes it via its ``toks=`` parameter.  The raw text rides along
+    for the character-class metrics (punct/bpe), which never tokenize."""
     c = F.col(text_col)
-    return (
-        df.withColumn("n_tokens", token_count(c))
-        .withColumn("n_tokens_bpe", bpe_token_estimate(c))
-        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 6))
-        .withColumn("punct_ratio", F.round(punct_ratio(c), 6))
-        .withColumn("quality", quality_score(c))
-        .withColumn("lang_pred", lang_id(c))
-        .withColumn("fingerprint", fingerprint(c))
+    others = [col for col in df.columns]
+    barrier = df.select(
+        *others, F.explode(F.array(tokens(c))).alias("__toks")
+    )
+    tk = F.col("__toks")
+    return barrier.select(
+        *others,
+        F.size(tk).alias("n_tokens"),
+        bpe_token_estimate(c).alias("n_tokens_bpe"),
+        F.round(stopword_ratio(c, toks=tk), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        quality_score(c, toks=tk).alias("quality"),
+        lang_id(c, toks=tk).alias("lang_pred"),
+        fingerprint_toks(tk).alias("fingerprint"),
     )
