@@ -412,6 +412,9 @@ def _video_decode_sql() -> str:
         # scaling-matrix avc1 (High-profile coded 4x4 lists, §8.5.12.2
         # weighted dequant): lossy -> NULL
         ("vid13.mp4", 13, [2, 5], 32, 32, False),
+        # CABAC multi-reference B avc1 (unary ref_idx, neighbour-inc
+        # contexts, 2-deep list 0): lossy -> NULL
+        ("vid14.mp4", 14, [3, 8], 32, 32, False),
     ):
         for f in frames:
             rows.append(

@@ -701,16 +701,35 @@ _SCALING4: "_contextvars.ContextVar" = _contextvars.ContextVar(
 
 def _set_encoder_scaling(scaling4) -> None:
     """Activate (or clear) the picture's weight matrices for an encode
-    call.  Set unconditionally at every encode_picture_* entry — no
-    reset needed, because every encode/decode entry point establishes
-    its own value (decode_picture additionally restores the previous
-    one around its body)."""
+    call.  Set unconditionally at every encode_picture_* entry; the
+    ``_scaling_scope`` decorator on those entry points restores the
+    previous value on return (mirroring decode_picture's try/finally), so
+    a direct quant4/dequant4 call with ``sl != None`` between encodes can
+    never silently inherit the previous picture's matrices."""
     if scaling4 is None:
         _SCALING4.set(None)
         return
     _SCALING4.set(
         tuple(np.asarray(m, dtype=np.int64).reshape(4, 4) for m in scaling4)
     )
+
+
+def _scaling_scope(fn):
+    """Restore ``_SCALING4`` to its pre-call state when ``fn`` returns:
+    ContextVar.reset(token) discards every set() made inside the body, so
+    the encode entry points stay leak-free without indenting their whole
+    bodies into try/finally blocks."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        tok = _SCALING4.set(_SCALING4.get())
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _SCALING4.reset(tok)
+
+    return wrapper
 
 
 def _wsl(sl: "int | None") -> "np.ndarray | None":
@@ -3050,6 +3069,7 @@ def _encoder_deblock(st: "_FrameState", n_slices: int,
         deblock_picture(st, {si: (0, 0, 0) for si in range(n_slices)})
 
 
+@_scaling_scope
 def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      qp: int = 26, mb_mode: str = "auto",
                      poc_lsb: int | None = None,
@@ -3317,6 +3337,7 @@ def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
                 st.nzc[comp, cby, cbx] = 0
 
 
+@_scaling_scope
 def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      ref: _FrameState, qp: int = 26, frame_num: int = 1,
                      search: int = 4, poc_lsb: int | None = None,
@@ -3615,6 +3636,7 @@ def encode_slice_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return rbsps[0], st
 
 
+@_scaling_scope
 def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      ref0: _FrameState, ref1: _FrameState, qp: int = 26,
                      frame_num: int = 1, search: int = 4,
@@ -3644,10 +3666,12 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     o_c1))`` emits explicit pred_weight_tables for both lists and
     combines through the §8.4.2.3.2 weighted forms — requires a PPS with
     ``weighted_bipred_idc=1``.  ``ref0``/``ref1`` may each be the full
-    ordered RefPicList (multi-reference B, CAVLC only): each MB then
-    picks its reference per list by weighted-prediction SAD and codes
-    te(v) ref_idx_lX; with multi-ref, each ``weights`` list entry is a
-    PER-REF list of (w_y, o_y, w_c, o_c) tuples."""
+    ordered RefPicList (multi-reference B, both entropies — CAVLC codes
+    te(v) ref_idx_lX, CABAC the §9.3 unary binarization via
+    CabacReader/CabacWriter.ref_idx): each MB then picks its reference
+    per list by weighted-prediction SAD; with multi-ref, each
+    ``weights`` list entry is a PER-REF list of (w_y, o_y, w_c, o_c)
+    tuples."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16

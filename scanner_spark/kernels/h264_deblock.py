@@ -270,37 +270,50 @@ def deblock_picture(st, slice_params: dict, chroma_qp_offset: int = 0,
     if chroma_qp_fn is None:
         from scanner_spark.kernels.h264 import chroma_qp as chroma_qp_fn
     mbw, mbh = st.mbw, st.mbh
+    # hoisted out of the raster scan (ADVICE r12): the helpers close over
+    # st's arrays once; per-MB values (qp_q, idc, si, cqp_q) are plain
+    # locals rebound each iteration, not re-created closures
+    pcm = getattr(st, "mb_pcm", None)
+    mb_qp_arr = st.mb_qp
+    slice_no = st.slice_no
+
+    def mbqp(pmby, pmbx):
+        # §8.7: I_PCM macroblocks contribute qP = 0 to the
+        # alpha/beta/tc0 lookups, not the running slice QP.
+        if pcm is not None and pcm[pmby, pmbx]:
+            return 0
+        return int(mb_qp_arr[pmby, pmbx])
+
+    def qpair(pmby, pmbx, qp_q):
+        return (mbqp(pmby, pmbx) + qp_q + 1) >> 1
+
+    def boundary_ok(pmby, pmbx, idc, si):
+        if idc == 2 and slice_no[pmby, pmbx] != si:
+            return False  # §8.7: no filtering across slice edges
+        return True
+
+    def cqpav_for(e, pmby, pmbx, cqp_q):
+        if e != 0:
+            return cqp_q
+        qp_p = chroma_qp_fn(min(max(
+            mbqp(pmby, pmbx) + chroma_qp_offset, 0), 51))
+        return (qp_p + cqp_q + 1) >> 1
+
     for mby in range(mbh):
         for mbx in range(mbw):
-            si = int(st.slice_no[mby, mbx])
+            si = int(slice_no[mby, mbx])
             idc, off_a, off_b = slice_params.get(si, (0, 0, 0))
             if idc == 1:
                 continue
-            def mbqp(pmby, pmbx):
-                # §8.7: I_PCM macroblocks contribute qP = 0 to the
-                # alpha/beta/tc0 lookups, not the running slice QP.
-                pcm = getattr(st, "mb_pcm", None)
-                if pcm is not None and pcm[pmby, pmbx]:
-                    return 0
-                return int(st.mb_qp[pmby, pmbx])
-
             qp_q = mbqp(mby, mbx)
             ox, oy = mbx * 16, mby * 16
-
-            def qpair(pmby, pmbx):
-                return (mbqp(pmby, pmbx) + qp_q + 1) >> 1
-
-            def boundary_ok(pmby, pmbx):
-                if idc == 2 and st.slice_no[pmby, pmbx] != si:
-                    return False  # §8.7: no filtering across slice edges
-                return True
 
             # --- luma vertical edges ---
             for e in range(4):
                 if e == 0:
-                    if mbx == 0 or not boundary_ok(mby, mbx - 1):
+                    if mbx == 0 or not boundary_ok(mby, mbx - 1, idc, si):
                         continue
-                    qpav = qpair(mby, mbx - 1)
+                    qpav = qpair(mby, mbx - 1, qp_q)
                 else:
                     qpav = qp_q
                 idx_a = min(max(qpav + off_a, 0), 51)
@@ -320,9 +333,9 @@ def deblock_picture(st, slice_params: dict, chroma_qp_offset: int = 0,
             # --- luma horizontal edges ---
             for e in range(4):
                 if e == 0:
-                    if mby == 0 or not boundary_ok(mby - 1, mbx):
+                    if mby == 0 or not boundary_ok(mby - 1, mbx, idc, si):
                         continue
-                    qpav = qpair(mby - 1, mbx)
+                    qpav = qpair(mby - 1, mbx, qp_q)
                 else:
                     qpav = qp_q
                 idx_a = min(max(qpav + off_a, 0), 51)
@@ -350,18 +363,11 @@ def deblock_picture(st, slice_params: dict, chroma_qp_offset: int = 0,
             )
             cx0, cy0 = ox // 2, oy // 2
 
-            def cqpav_for(e, pmby, pmbx):
-                if e != 0:
-                    return cqp_q
-                qp_p = chroma_qp_fn(min(max(
-                    mbqp(pmby, pmbx) + chroma_qp_offset, 0), 51))
-                return (qp_p + cqp_q + 1) >> 1
-
             for e in (0, 2):
                 # vertical chroma edge at cx0 + 2*e
-                if e == 0 and (mbx == 0 or not boundary_ok(mby, mbx - 1)):
+                if e == 0 and (mbx == 0 or not boundary_ok(mby, mbx - 1, idc, si)):
                     continue
-                cqpav = cqpav_for(e, mby, mbx - 1)
+                cqpav = cqpav_for(e, mby, mbx - 1, cqp_q)
                 idx_a = min(max(cqpav + off_a, 0), 51)
                 idx_b = min(max(cqpav + off_b, 0), 51)
                 alpha, beta = int(ALPHA[idx_a]), int(BETA[idx_b])
@@ -382,9 +388,9 @@ def deblock_picture(st, slice_params: dict, chroma_qp_offset: int = 0,
                     )
             for e in (0, 2):
                 # horizontal chroma edge at cy0 + 2*e
-                if e == 0 and (mby == 0 or not boundary_ok(mby - 1, mbx)):
+                if e == 0 and (mby == 0 or not boundary_ok(mby - 1, mbx, idc, si)):
                     continue
-                cqpav = cqpav_for(e, mby - 1, mbx)
+                cqpav = cqpav_for(e, mby - 1, mbx, cqp_q)
                 idx_a = min(max(cqpav + off_a, 0), 51)
                 idx_b = min(max(cqpav + off_b, 0), 51)
                 alpha, beta = int(ALPHA[idx_a]), int(BETA[idx_b])

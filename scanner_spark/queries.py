@@ -1859,6 +1859,22 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_scal_path)
+    # CABAC multi-reference B avc1 (round 13, the deferred r12 fixture):
+    # the same 2-deep list-0 B GOP as vid12 but under ARITHMETIC entropy —
+    # ref_idx binarized unary with the §9.3 neighbour-conditioned contexts
+    # (kernels/h264_cabac.py CabacReader/CabacWriter.ref_idx), so the
+    # r12 post-chain decode branches are oracle-benched, not just
+    # unit-tested
+    avc_cbref_path = f"{tmp}/vid14.mp4"
+    with open(avc_cbref_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(14, i, 32, 32, 3) for i in range(9)],
+                qp=30, gop=9, b_frames=1, b_refs=2, entropy="cabac",
+                deblock=True,
+            )
+        )
+    paths.append(avc_cbref_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1875,6 +1891,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_mmco_path: [3, 7],
         avc_bref_path: [3, 8],
         avc_scal_path: [2, 5],
+        avc_cbref_path: [3, 8],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1893,7 +1910,7 @@ def q_video_decode_pruned(spark, sf_dir):
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
         "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4", "vid12.mp4",
-        "vid13.mp4",
+        "vid13.mp4", "vid14.mp4",
     )
     return out2.select(
         "video",

@@ -1751,3 +1751,25 @@ def test_pps_carried_scaling_lists_override():
     weighted = H.decode_picture([(rb[0], True, 3)], sps,
                                 pps_with_lists(heavy))
     assert not np.array_equal(plain[0], weighted[0])
+
+
+def test_encoder_scaling_contextvar_restored_after_encode():
+    """encode_picture_* must not leak its picture's scaling matrices into
+    the ambient ContextVar (ADVICE r12): a direct dequant4 call with
+    sl != None after an encode must see whatever was active BEFORE the
+    encode, not the encoded picture's matrices."""
+    fr = H.yuv420_from_rgb(_smooth_rgb(7))
+    # ambient state: flat (no matrices)
+    H._set_encoder_scaling(None)
+    H.encode_picture_i(*H.pad_planes(*fr), qp=30, scaling4=_S4)
+    assert H._SCALING4.get() is None, "encode_picture_i leaked _SCALING4"
+    blk = np.arange(16, dtype=np.int64).reshape(4, 4)
+    flat_after = H.dequant4(blk, 30, sl=0)
+    # reference flat dequant computed with matrices definitely inactive
+    H._set_encoder_scaling(None)
+    assert np.array_equal(flat_after, H.dequant4(blk, 30, sl=0))
+    # and with an ambient value set, encode restores THAT value
+    H._set_encoder_scaling(_S4)
+    H.encode_picture_i(*H.pad_planes(*fr), qp=30)  # flat encode
+    assert H._SCALING4.get() is not None, "encode_picture_i cleared ambient"
+    H._set_encoder_scaling(None)
