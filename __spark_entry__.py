@@ -415,6 +415,9 @@ def _video_decode_sql() -> str:
         # CABAC multi-reference B avc1 (unary ref_idx, neighbour-inc
         # contexts, 2-deep list 0): lossy -> NULL
         ("vid14.mp4", 14, [3, 8], 32, 32, False),
+        # spatial B_Direct avc1 (§8.4.1.2.2 derivation, no motion
+        # syntax in direct MBs): lossy -> NULL
+        ("vid15.mp4", 15, [1, 6], 32, 32, False),
     ):
         for f in frames:
             rows.append(

@@ -34,10 +34,14 @@ What is implemented, per the spec's clause numbers:
   prediction, and default (p0+p1+1)>>1, explicit weighted (idc 1), or
   implicit POC-distance weighted (idc 2) bi-prediction (§8.4.2.3).
   B pictures may be references (hierarchical pyramids) and B-bearing
-  streams are poc-type-0 / Main profile.  B_Skip, B_Direct, and
-  sub-partitions are REFUSED with NotImplementedError — the in-repo
-  encoder never emits them, and misparsing a foreign stream is worse
-  than refusing it.
+  streams are poc-type-0 / Main profile.  B_Direct_16x16 decodes via the
+  §8.4.1.2.2 SPATIAL derivation (round 13; at this codec's whole-MB
+  scope the per-4x4 colZeroFlag clause collapses to one flag per MB —
+  exact within the envelope, since sub-MB-partitioned col pictures are
+  refused when they decode).  B_Skip, TEMPORAL direct
+  (direct_spatial_mv_pred_flag == 0), and sub-partitions are REFUSED
+  with NotImplementedError — the in-repo encoder never emits them, and
+  misparsing a foreign stream is worse than refusing it.
 - Multi-reference P prediction (round 11): num_ref_idx_l0_active > 1
   with te(v) ref_idx_l0 per MB, the §8.4.1.3.1 same-refIdx MV-predictor
   rule, and the full RefPicList0 ordering/modification resolved by the
@@ -45,7 +49,8 @@ What is implemented, per the spec's clause numbers:
   multi-reference B lists (both entropies: te(v) / CABAC unary ref_idx),
   per-reference explicit weight tables, adaptive ref-pic marking (MMCO
   long-term references), and bitstream-coded scaling matrices;
-  interlace / SP-SI / slice groups / B_Direct stay refusals.
+  Round 13 adds spatial B_Direct_16x16 (encode via b_direct=True);
+  interlace / SP-SI / slice groups / temporal direct stay refusals.
 - CAVLC residual (§9.2): coeff_token (Table 9-5 incl. the chroma-DC nC=-1
   column), trailing-one signs, adaptive-suffix level decoding,
   total_zeros (Tables 9-7/9-8/9-9a) and run_before (Table 9-10).
@@ -1533,6 +1538,73 @@ class _FrameState:
         stacked = np.stack([mvA, mvB, mvC])
         return np.median(stacked, axis=0).astype(np.int64)
 
+    def spatial_direct(self, mbx: int, mby: int, col):
+        """§8.4.1.2.2 spatial direct motion derivation for B_Direct_16x16
+        at this codec's whole-MB partition scope: returns (refIdxL0,
+        refIdxL1, [mvL0 | None, mvL1 | None]).
+
+        - refIdxLX = MinPositive over neighbours A, B, C (C replaced by
+          D = above-left when unavailable, as in :meth:`mv_pred`);
+          intra / unavailable / list-unused neighbours contribute -1.
+        - both lists empty -> directZeroPredictionFlag: refIdx 0/0 with
+          zero MVs.
+        - colZeroFlag from ``col`` (the RefPicList1[0] reconstruction
+          state): the CO-LOCATED MB's motion is near-zero (both
+          quarter-pel components in [-1, 1]) against ITS refIdx 0, and
+          the col picture is short-term.  At whole-MB scope the col
+          motion is uniform over the MB, so the per-4x4 clause collapses
+          to one flag — exact within this codec's envelope, because any
+          col picture with sub-MB partitions was already refused when IT
+          was decoded.
+        - per list: refIdx < 0 -> list unused; else the §8.4.1.3.1
+          median predictor at the derived refIdx, forced to zero by
+          directZeroPrediction or (colZeroFlag and refIdx == 0)."""
+
+        def min_pos(a: int, b: int) -> int:
+            return min(a, b) if (a >= 0 and b >= 0) else max(a, b)
+
+        derived = []
+        for lst in (0, 1):
+            _, _, ra = self._mv_neighbor(mbx - 1, mby, lst)
+            _, _, rb = self._mv_neighbor(mbx, mby - 1, lst)
+            if self.mb_same_slice(mbx + 1, mby - 1):
+                _, _, rc = self._mv_neighbor(mbx + 1, mby - 1, lst)
+            else:
+                _, _, rc = self._mv_neighbor(mbx - 1, mby - 1, lst)
+            derived.append(min_pos(ra, min_pos(rb, rc)))
+        ridx0, ridx1 = derived
+        direct_zero = ridx0 < 0 and ridx1 < 0
+        if direct_zero:
+            ridx0 = ridx1 = 0
+        col_zero = False
+        if col is not None and not getattr(col, "is_long_term", False):
+            mv_col, ref_col = None, -1
+            if col.use_l[mby, mbx, 0]:
+                mv_col = col.mv_l[mby, mbx, 0]
+                ref_col = max(int(col.ref_l[mby, mbx, 0]), 0)
+            elif col.use_l[mby, mbx, 1]:
+                mv_col = col.mv_l[mby, mbx, 1]
+                ref_col = max(int(col.ref_l[mby, mbx, 1]), 0)
+            elif col.mb_inter[mby, mbx]:
+                mv_col = col.mv[mby, mbx]
+                ref_col = max(int(col.ref_l[mby, mbx, 0]), 0)
+            if (
+                mv_col is not None
+                and ref_col == 0
+                and abs(int(mv_col[0])) <= 1
+                and abs(int(mv_col[1])) <= 1
+            ):
+                col_zero = True
+        mvs: list = [None, None]
+        for lst, ridx in ((0, ridx0), (1, ridx1)):
+            if ridx < 0:
+                continue
+            if direct_zero or (col_zero and ridx == 0):
+                mvs[lst] = np.zeros(2, dtype=np.int64)
+            else:
+                mvs[lst] = self.mv_pred(mbx, mby, lst, ref_idx=ridx)
+        return ridx0, ridx1, mvs
+
     def skip_mv(self, mbx: int, mby: int) -> np.ndarray:
         """P_Skip motion vector (§8.4.1.1): zero when at the left/top
         edge or when either A or B is a zero-MV refIdx-0 inter block,
@@ -1902,8 +1974,11 @@ def _parse_slice_header(
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         r.u(sps.get("log2_max_poc_lsb", 4))  # pic_order_cnt_lsb
+    direct_spatial = True
     if is_b:
-        r.u(1)  # direct_spatial_mv_pred_flag (no direct MBs decoded)
+        # spatial direct is the supported derivation; temporal direct is
+        # refused at the first direct MB (the flag alone is harmless)
+        direct_spatial = bool(r.u(1))
     n_l0 = pps.get("num_ref_l0", 0) + 1
     n_l1 = pps.get("num_ref_l1", 0) + 1
     if is_p or is_b:
@@ -1956,13 +2031,13 @@ def _parse_slice_header(
             dbl = (idc, r.se() * 2, r.se() * 2)
         else:
             dbl = (1, 0, 0)
-    return first_mb, st_mod, qp, wp, dbl, n_l0, n_l1
+    return first_mb, st_mod, qp, wp, dbl, n_l0, n_l1, direct_spatial
 
 
 def _decode_slice_mbs(
     r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
     qp: int, refs, refs1, mb_start: int, wp: dict | None = None,
-    n_l0: int = 1, n_l1: int = 1,
+    n_l0: int = 1, n_l1: int = 1, direct_spatial: bool = True,
 ) -> int:
     """Decode one slice's macroblock run starting at ``mb_start``,
     marking each MB with the current slice id.  The run length is not
@@ -2014,7 +2089,8 @@ def _decode_slice_mbs(
                 )
             mbx, mby = mark(mb)
             qp = _decode_mb_b(er, st, refs, refs1,
-                              mbx, mby, qp, pps, wp, n_l0, n_l1)
+                              mbx, mby, qp, pps, wp, n_l0, n_l1,
+                              direct_spatial)
             st.mb_qp[mby, mbx] = qp
             mb += 1
     return mb
@@ -2023,7 +2099,7 @@ def _decode_slice_mbs(
 def _decode_slice_mbs_cabac(
     r: BitReader, st: _FrameState, sps: dict, pps: dict, st_mod: int,
     qp: int, refs, refs1, mb_start: int, wp: dict | None = None,
-    n_l0: int = 1, n_l1: int = 1,
+    n_l0: int = 1, n_l1: int = 1, direct_spatial: bool = True,
 ) -> int:
     """CABAC twin of :func:`_decode_slice_mbs`: per-MB mb_skip_flag
     instead of skip runs, end_of_slice_flag (a terminate bin) instead of
@@ -2057,7 +2133,8 @@ def _decode_slice_mbs_cabac(
                     "supported — in-repo streams never emit them"
                 )
             qp = _decode_mb_b(er, st, refs, refs1,
-                              mbx, mby, qp, pps, wp, n_l0, n_l1)
+                              mbx, mby, qp, pps, wp, n_l0, n_l1,
+                              direct_spatial)
         st.mb_qp[mby, mbx] = qp
         er.end_mb(st, mbx, mby)
         mb += 1
@@ -2141,7 +2218,7 @@ def _decode_picture_body(slices, sps, pps, strict, return_state, cabac,
     for si, (rbsp, idr, nal_ref_idc) in enumerate(slices):
         st.cur_slice = si
         r = BitReader(rbsp)
-        first_mb, st_mod, qp, wp, dbl, n_l0, n_l1 = _parse_slice_header(
+        first_mb, st_mod, qp, wp, dbl, n_l0, n_l1, direct_spatial = _parse_slice_header(
             r, sps, pps, strict, idr, nal_ref_idc,
             refs0[0] if refs0 else None, refs1[0] if refs1 else None
         )
@@ -2174,7 +2251,7 @@ def _decode_picture_body(slices, sps, pps, strict, return_state, cabac,
         loop = _decode_slice_mbs_cabac if cabac else _decode_slice_mbs
         mb_next = loop(
             r, st, sps, pps, st_mod, qp, refs0, refs1, mb_next, wp,
-            n_l0, n_l1,
+            n_l0, n_l1, direct_spatial,
         )
     if mb_next != n_mbs:
         raise ValueError(
@@ -2297,50 +2374,68 @@ def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
 def _decode_mb_b(er, st: _FrameState, refs0, refs1,
                  mbx: int, mby: int, qp: int,
                  pps: dict, wp: dict | None = None,
-                 n_l0: int = 1, n_l1: int = 1) -> int:
-    """One coded B-slice macroblock (Table 7-14): B_L0_16x16 (1),
+                 n_l0: int = 1, n_l1: int = 1,
+                 direct_spatial: bool = True) -> int:
+    """One coded B-slice macroblock (Table 7-14): B_Direct_16x16 (0,
+    spatial derivation §8.4.1.2.2 — no motion syntax), B_L0_16x16 (1),
     B_L1_16x16 (2), B_Bi_16x16 (3) — default bi-prediction
     (p0 + p1 + 1) >> 1 or the explicit weighted forms when ``wp`` is
     set — or an intra type (offset 23).  ``refs0``/``refs1`` are the
     final ordered RefPicList0/1 (§8.2.4); with multiple active refs the
     MB codes te(v) ref_idx_lX per used list, and weighted prediction /
-    the §8.4.1.3.1 MV predictor follow the chosen index.  B_Direct (0)
-    and partitioned types (4..22) are refused."""
+    the §8.4.1.3.1 MV predictor follow the chosen index.  Temporal
+    direct (direct_spatial_mv_pred_flag == 0) and partitioned types
+    (4..22) are refused."""
     mb_type = er.mb_type(st, mbx, mby, "B")
     if mb_type >= 23:
         return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 23)
-    if mb_type == 0:
+    if mb_type not in (0, 1, 2, 3):
         raise NotImplementedError(
-            "B_Direct_16x16 not supported (no direct-mode MV derivation)"
+            f"B mb_type {mb_type}: only B_Direct/B_L0/B_L1/B_Bi 16x16 "
+            "partitions are supported (sub-partitions out of scope)"
         )
-    if mb_type not in (1, 2, 3):
-        raise NotImplementedError(
-            f"B mb_type {mb_type}: only B_L0/B_L1/B_Bi 16x16 partitions "
-            "are supported (sub-partitions out of scope)"
-        )
-    use0 = mb_type in (1, 3)
-    use1 = mb_type in (2, 3)
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
-    # §7.3.5.1 order: ref_idx_l0, ref_idx_l1, mvd_l0, mvd_l1
-    ridx0 = (er.ref_idx(st, mbx, mby, n_l0, lst=0)
-             if (use0 and n_l0 > 1) else 0)
-    ridx1 = (er.ref_idx(st, mbx, mby, n_l1, lst=1)
-             if (use1 and n_l1 > 1) else 0)
-    if use0 and ridx0 >= len(refs0):
-        raise ValueError(f"ref_idx_l0 {ridx0} beyond RefPicList0")
-    if use1 and ridx1 >= len(refs1):
-        raise ValueError(f"ref_idx_l1 {ridx1} beyond RefPicList1")
-    ref0 = refs0[ridx0 if use0 else 0]
-    ref1 = refs1[ridx1 if use1 else 0]
-    mvs = [None, None]
-    if use0:
-        mvd0 = np.array(er.mvd_pair(st, mbx, mby, 0), dtype=np.int64)
-        mvs[0] = st.mv_pred(mbx, mby, 0, ref_idx=ridx0) + mvd0
-    if use1:
-        mvd1 = np.array(er.mvd_pair(st, mbx, mby, 1), dtype=np.int64)
-        mvs[1] = st.mv_pred(mbx, mby, 1, ref_idx=ridx1) + mvd1
-    rpair = (ridx0, ridx1)
+    if mb_type == 0:
+        if not direct_spatial:
+            raise NotImplementedError(
+                "temporal direct mode not supported "
+                "(direct_spatial_mv_pred_flag == 0; spatial-only codec)"
+            )
+        ridx0, ridx1, mvs = st.spatial_direct(
+            mbx, mby, refs1[0] if refs1 else None
+        )
+        use0, use1 = mvs[0] is not None, mvs[1] is not None
+        if use0 and ridx0 >= len(refs0):
+            raise ValueError(f"derived refIdxL0 {ridx0} beyond RefPicList0")
+        if use1 and ridx1 >= len(refs1):
+            raise ValueError(f"derived refIdxL1 {ridx1} beyond RefPicList1")
+        ref0 = refs0[ridx0 if use0 else 0]
+        ref1 = refs1[ridx1 if use1 else 0]
+        rpair = (ridx0 if use0 else 0, ridx1 if use1 else 0)
+        ridx0, ridx1 = rpair
+    else:
+        use0 = mb_type in (1, 3)
+        use1 = mb_type in (2, 3)
+        # §7.3.5.1 order: ref_idx_l0, ref_idx_l1, mvd_l0, mvd_l1
+        ridx0 = (er.ref_idx(st, mbx, mby, n_l0, lst=0)
+                 if (use0 and n_l0 > 1) else 0)
+        ridx1 = (er.ref_idx(st, mbx, mby, n_l1, lst=1)
+                 if (use1 and n_l1 > 1) else 0)
+        if use0 and ridx0 >= len(refs0):
+            raise ValueError(f"ref_idx_l0 {ridx0} beyond RefPicList0")
+        if use1 and ridx1 >= len(refs1):
+            raise ValueError(f"ref_idx_l1 {ridx1} beyond RefPicList1")
+        ref0 = refs0[ridx0 if use0 else 0]
+        ref1 = refs1[ridx1 if use1 else 0]
+        mvs = [None, None]
+        if use0:
+            mvd0 = np.array(er.mvd_pair(st, mbx, mby, 0), dtype=np.int64)
+            mvs[0] = st.mv_pred(mbx, mby, 0, ref_idx=ridx0) + mvd0
+        if use1:
+            mvd1 = np.array(er.mvd_pair(st, mbx, mby, 1), dtype=np.int64)
+            mvs[1] = st.mv_pred(mbx, mby, 1, ref_idx=ridx1) + mvd1
+        rpair = (ridx0, ridx1)
     p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y", rpair)
     cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
@@ -3289,17 +3384,24 @@ def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
                     mv, mvd, cbp: int, luma_z, comps, qp: int,
                     mb_type: int = 0, mvd2=None,
                     ref_idx: int | None = None, n_ref: int = 1,
-                    ref_idx1: int | None = None, n_ref1: int = 1) -> None:
+                    ref_idx1: int | None = None, n_ref1: int = 1,
+                    sl: str | None = None) -> None:
     """Bitstream emission for a 16x16 inter MB + nzy/nzc updates:
-    P_L0_16x16 (mb_type 0) or a B 16x16 type (1/2/3) with ``mvd`` for the
-    first coded list and ``mvd2`` for list 1 of B_Bi.  With ``n_ref > 1``
-    (active list-0 refs) ``ref_idx`` is coded te(v) between mb_type and
-    the mvds, and ``n_ref1``/``ref_idx1`` likewise for list 1 of B types
-    (§7.3.5.1 order: ref_idx_l0, ref_idx_l1, mvd_l0, mvd_l1)."""
+    P_L0_16x16 (mb_type 0) or a B 16x16 type (0 = B_Direct with
+    ``sl="B"``, 1/2/3) with ``mvd`` for the first coded list and ``mvd2``
+    for list 1 of B_Bi.  With ``n_ref > 1`` (active list-0 refs)
+    ``ref_idx`` is coded te(v) between mb_type and the mvds, and
+    ``n_ref1``/``ref_idx1`` likewise for list 1 of B types (§7.3.5.1
+    order: ref_idx_l0, ref_idx_l1, mvd_l0, mvd_l1).  ``sl`` overrides
+    the historical mb_type-0-means-P inference (required to emit
+    B_Direct, which carries NO motion syntax)."""
     oy, ox = mby * 16, mbx * 16
     cbp_l, cbp_c = cbp & 15, cbp >> 4
-    ew.mb_type(st, mbx, mby, "P" if mb_type == 0 else "B", mb_type)
-    uses0 = mb_type in (0, 1, 3)
+    if sl is None:
+        sl = "P" if mb_type == 0 else "B"
+    ew.mb_type(st, mbx, mby, sl, mb_type)
+    direct = sl == "B" and mb_type == 0
+    uses0 = mb_type in (0, 1, 3) and not direct
     uses1 = mb_type in (2, 3)
     if n_ref > 1 and uses0:
         ew.ref_idx(st, mbx, mby, n_ref, int(ref_idx), lst=0)
@@ -3648,12 +3750,17 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      deblock: bool = False,
                      implicit_pocs: "tuple[int, int, int] | None" = None,
                      scaling4: "tuple | list | None" = None,
+                     b_direct: bool = False,
                      ) -> tuple[list[bytes], _FrameState]:
     """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
     the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 by prediction
-    SAD, I_PCM fallback for placeholder-code macroblocks.  No B_Skip /
-    B_Direct is ever emitted (the decoder refuses them).  ``slices`` as
+    SAD, I_PCM fallback for placeholder-code macroblocks.  With
+    ``b_direct=True`` the §8.4.1.2.2 spatial-direct prediction joins the
+    candidate set and wins ties (it codes no motion syntax); the encoder
+    replays the decoder's exact derivation against its own running state,
+    so reconstruction stays bit-identical.  B_Skip is never emitted
+    (the decoder refuses it).  ``slices`` as
     in :func:`encode_picture_i`.  Returns (slice RBSPs, reconstruction
     state).
 
@@ -3733,7 +3840,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.ue(0)  # pps_id
         w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
         w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0 required)
-        w.u(0, 1)  # direct_spatial_mv_pred_flag
+        w.u(1, 1)  # direct_spatial_mv_pred_flag (spatial-only codec)
         if n0 > 1 or n1 > 1:
             w.u(1, 1)  # num_ref_idx_active_override_flag
             w.ue(n0 - 1)  # num_ref_idx_l0_active_minus1
@@ -3797,15 +3904,25 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 pbi = _wp_bi(p0, p1, t0[0], t0[1], t1[0], t1[1],
                              wp["logwd_y"])
             cands = [
-                (1, [mv0, None], p0c),
-                (2, [None, mv1], p1c),
-                (3, [mv0, mv1], pbi),
+                (1, [mv0, None], p0c, (ridx0, 0)),
+                (2, [None, mv1], p1c, (0, ridx1)),
+                (3, [mv0, mv1], pbi, (ridx0, ridx1)),
             ]
-            mb_type, mvs, p16 = min(
+            if b_direct:
+                # replay the decoder's derivation on the running state;
+                # FIRST in the list so equal-SAD ties pick the mode that
+                # codes no ref_idx/mvd bits
+                d_r0, d_r1, d_mvs = st.spatial_direct(mbx, mby, refs1[0])
+                d_rpair = (d_r0 if d_mvs[0] is not None else 0,
+                           d_r1 if d_mvs[1] is not None else 0)
+                d_p16 = _bipred(refs0[d_rpair[0]].y, refs1[d_rpair[1]].y,
+                                oy, ox, d_mvs, mc_luma, wp, "y", d_rpair)
+                cands.insert(0, (0, d_mvs, d_p16, d_rpair))
+            mb_type, mvs, p16, rpair = min(
                 cands, key=lambda c: int(np.abs(src - c[2]).sum())
             )
-            rpair = (ridx0 if mvs[0] is not None else 0,
-                     ridx1 if mvs[1] is not None else 0)
+            rpair = (rpair[0] if mvs[0] is not None else 0,
+                     rpair[1] if mvs[1] is not None else 0)
             cy, cx = oy // 2, ox // 2
             p8s = tuple(
                 _bipred(getattr(refs0[rpair[0]], pl),
@@ -3818,11 +3935,11 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             )
             mvd0 = (
                 (mvs[0] - st.mv_pred(mbx, mby, 0, ref_idx=rpair[0]))
-                if mvs[0] is not None else None
+                if (mvs[0] is not None and mb_type != 0) else None
             )
             mvd1 = (
                 (mvs[1] - st.mv_pred(mbx, mby, 1, ref_idx=rpair[1]))
-                if mvs[1] is not None else None
+                if (mvs[1] is not None and mb_type != 0) else None
             )
             if cw is not None:
                 cw.begin_mb(st, mbx, mby)
@@ -3834,7 +3951,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     mvd2=mvd1 if (mvd0 is not None and mvd1 is not None)
                     else None,
                     ref_idx=rpair[0], n_ref=n0,
-                    ref_idx1=rpair[1], n_ref1=n1,
+                    ref_idx1=rpair[1], n_ref1=n1, sl="B",
                 )
                 _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
                 by0, bx0 = oy // 4, ox // 4
@@ -3861,7 +3978,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     mvd2=mvd1 if (mvd0 is not None and mvd1 is not None)
                     else None,
                     ref_idx=rpair[0], n_ref=n0,
-                    ref_idx1=rpair[1], n_ref1=n1,
+                    ref_idx1=rpair[1], n_ref1=n1, sl="B",
                 )
                 _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
                 by0, bx0 = oy // 4, ox // 4
@@ -3947,6 +4064,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        ref_mode: str = "sliding",
                        b_refs: int = 1,
                        scaling4: "tuple | list | None" = None,
+                       b_direct: bool = False,
                        ) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
@@ -4126,7 +4244,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     entropy=entropy, referenced=True, deblock=deblock,
                     implicit_pocs=(2 * m, 2 * prev_d, 2 * nxt_d)
                     if implicit_bipred else None,
-                    scaling4=scaling4,
+                    scaling4=scaling4, b_direct=b_direct,
                 )
                 out.append((pack(rbsps, 2, 1), False, g0 + m))
                 fnum = (fnum + 1) & 15
@@ -4142,7 +4260,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         entropy=entropy, deblock=deblock,
                         implicit_pocs=(2 * d, 2 * p0d, 2 * p1d)
                         if implicit_bipred else None,
-                        scaling4=scaling4,
+                        scaling4=scaling4, b_direct=b_direct,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = True
@@ -4161,7 +4279,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         entropy=entropy, deblock=deblock,
                         implicit_pocs=(2 * d, 2 * prev_d, 2 * nxt_d)
                         if implicit_bipred else None,
-                        scaling4=scaling4,
+                        scaling4=scaling4, b_direct=b_direct,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = False

@@ -54,7 +54,7 @@ import numpy as np
 from scanner_spark.kernels.cabac import CabacDecoder, CabacEncoder
 
 # mb_kind enum stored in _FrameState.mb_kind
-MB_I4, MB_I16, MB_PCM, MB_INTER, MB_SKIP = 0, 1, 2, 3, 4
+MB_I4, MB_I16, MB_PCM, MB_INTER, MB_SKIP, MB_DIRECT = 0, 1, 2, 3, 4, 5
 
 # 4x4-block zigzag max coeff counts per residual category
 _CAT_LUMA_DC, _CAT_LUMA_AC, _CAT_LUMA4, _CAT_CHROMA_DC, _CAT_CHROMA_AC = (
@@ -87,8 +87,15 @@ class _CtxSide:
         return inc
 
     def _bmb_inc(self, st, mbx, mby) -> int:
-        # cond = neighbour decoded and not skipped/direct (no direct here)
-        return self._skip_inc(st, mbx, mby)
+        # §9.3.3.1.1.3: condTermFlag(N) = 0 when N is unavailable,
+        # B_Skip, or B_Direct_16x16
+        inc = 0
+        for n in self._ab(st, mbx, mby):
+            if n is not None and st.mb_kind[n[1], n[0]] not in (
+                -1, MB_SKIP, MB_DIRECT,
+            ):
+                inc += 1
+        return inc
 
     def _cmode_inc(self, st, mbx, mby) -> int:
         inc = 0
@@ -239,6 +246,10 @@ class _CtxSide:
         self._cur_intra = False
         st.mb_kind[mby, mbx] = MB_INTER
 
+    def _note_direct(self, st, mbx, mby) -> None:
+        self._cur_intra = False
+        st.mb_kind[mby, mbx] = MB_DIRECT
+
 
 class CabacReader(_CtxSide):
     """CABAC syntax-element reader; the slice loop drives begin_mb /
@@ -314,10 +325,9 @@ class CabacReader(_CtxSide):
             return 0
         # B slice (Table 9-37 subset)
         if not d.decision(("bmb", self._bmb_inc(st, mbx, mby))):
-            raise NotImplementedError(
-                "B_Direct_16x16 not supported (no direct-mode MV "
-                "derivation)"
-            )
+            # '0' = B_Direct_16x16 (spatial derivation, no motion syntax)
+            self._note_direct(st, mbx, mby)
+            return 0
         if not d.decision(("bmb", 3)):
             t = 1 + d.decision(("bmb", 5))  # '100' B_L0 / '101' B_L1
             self._note_inter(st, mbx, mby)
@@ -542,6 +552,10 @@ class CabacWriter(_CtxSide):
                 e.decision(key, bit)  # '111101' intra escape
             self._i_mbtype(st, mbx, mby, True, t - 23)
             self._note_mb_type_i(st, mbx, mby, t - 23)
+            return
+        if t == 0:  # B_Direct_16x16: single '0' bin
+            e.decision(("bmb", self._bmb_inc(st, mbx, mby)), 0)
+            self._note_direct(st, mbx, mby)
             return
         if t in (1, 2):
             e.decision(("bmb", self._bmb_inc(st, mbx, mby)), 1)

@@ -1875,6 +1875,19 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_cbref_path)
+    # spatial B_Direct avc1 (round 13): the encoder's b_direct candidate
+    # emits B_Direct_16x16 MBs (no motion syntax); the decoder replays
+    # the §8.4.1.2.2 spatial derivation (kernels/h264.py
+    # _FrameState.spatial_direct) — the last common real-world B mode
+    avc_bdir_path = f"{tmp}/vid15.mp4"
+    with open(avc_bdir_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(15, i, 32, 32, 3) for i in range(8)],
+                qp=30, gop=8, b_frames=1, b_direct=True, deblock=True,
+            )
+        )
+    paths.append(avc_bdir_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1892,6 +1905,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_bref_path: [3, 8],
         avc_scal_path: [2, 5],
         avc_cbref_path: [3, 8],
+        avc_bdir_path: [1, 6],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1910,7 +1924,7 @@ def q_video_decode_pruned(spark, sf_dir):
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
         "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4", "vid12.mp4",
-        "vid13.mp4", "vid14.mp4",
+        "vid13.mp4", "vid14.mp4", "vid15.mp4",
     )
     return out2.select(
         "video",

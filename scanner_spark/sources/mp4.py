@@ -404,7 +404,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     implicit_bipred: bool = False,
                     ref_mode: str = "sliding",
                     b_refs: int = 1,
-                    scaling4=None) -> bytes:
+                    scaling4=None,
+                    b_direct: bool = False) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -472,6 +473,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             p_intra_slices=p_intra_slices, deblock=deblock,
             p_refs=p_refs, implicit_bipred=implicit_bipred,
             ref_mode=ref_mode, b_refs=b_refs, scaling4=scaling4,
+            b_direct=b_direct,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams

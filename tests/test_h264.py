@@ -592,8 +592,9 @@ def test_b_gop_stream_decode(b_frames):
 
 
 def test_b_slice_refuses_skip_and_direct():
-    """The decoder refuses B_Skip runs and B_Direct_16x16 rather than
-    guessing direct-mode motion (in-repo streams never emit them)."""
+    """The decoder refuses B_Skip runs and TEMPORAL direct mode
+    (direct_spatial_mv_pred_flag == 0) rather than guessing motion;
+    spatial B_Direct_16x16 decodes (see test_b_direct_* below)."""
     sps = H.parse_sps(H.write_sps(16, 16, num_ref_frames=2, poc_type=0))
     pps = H.parse_pps(H.write_pps(26))
     dummy = H._FrameState(1, 1)
@@ -619,11 +620,11 @@ def test_b_slice_refuses_skip_and_direct():
         H.decode_slice(w.bytes(), sps, pps, idr=False, nal_ref_idc=0,
                        ref=dummy, ref1=dummy)
     w = H.BitWriter()
-    b_header(w)
+    b_header(w)  # direct_spatial_mv_pred_flag = 0 -> temporal direct
     w.ue(0)  # skip_run 0
     w.ue(0)  # mb_type 0 = B_Direct_16x16
     w.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="B_Direct"):
+    with pytest.raises(NotImplementedError, match="temporal direct"):
         H.decode_slice(w.bytes(), sps, pps, idr=False, nal_ref_idc=0,
                        ref=dummy, ref1=dummy)
 
@@ -1773,3 +1774,130 @@ def test_encoder_scaling_contextvar_restored_after_encode():
     H.encode_picture_i(*H.pad_planes(*fr), qp=30)  # flat encode
     assert H._SCALING4.get() is not None, "encode_picture_i cleared ambient"
     H._set_encoder_scaling(None)
+
+
+# --- B_Direct_16x16 spatial direct mode (§8.4.1.2.2) -----------------------
+
+
+def _bd_frames(n=3, H_=48, W_=64, seed=0):
+    out = []
+    for i in range(n):
+        ys, xs = np.mgrid[0:H_, 0:W_]
+        rgb = np.stack(
+            [(ys * 2 + xs + (i + seed) * 17 + c * 40) % 256 for c in range(3)],
+            -1,
+        ).astype(np.uint8)
+        out.append(H.yuv420_from_rgb(rgb))
+    return out
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_b_direct_round_trip_exact(entropy):
+    """Encoder emits B_Direct_16x16 (b_direct=True), decoder replays the
+    §8.4.1.2.2 spatial derivation: reconstruction bit-exact in both
+    entropies, and the direct stream is strictly smaller (no motion
+    syntax) than the same picture without direct."""
+    fr = _bd_frames()
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(28, cabac=(entropy == "cabac")))
+    mk = entropy == "cabac"
+    _, st_i = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=28, poc_lsb=0,
+                                 entropy=entropy)
+    rb_i, _ = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=28, poc_lsb=0,
+                                 entropy=entropy)
+    rb_p, st_p = H.encode_picture_p(*H.pad_planes(*fr[2]), st_i, qp=28,
+                                    frame_num=1, poc_lsb=8, entropy=entropy)
+    rb_b, st_b = H.encode_picture_b(*H.pad_planes(*fr[1]), st_i, st_p,
+                                    qp=28, frame_num=2, poc_lsb=4,
+                                    entropy=entropy, b_direct=True)
+    rb_b_no, _ = H.encode_picture_b(*H.pad_planes(*fr[1]), st_i, st_p,
+                                    qp=28, frame_num=2, poc_lsb=4,
+                                    entropy=entropy)
+    assert rb_b[0] != rb_b_no[0], "no direct MB was ever chosen"
+    assert len(rb_b[0]) < len(rb_b_no[0])
+    _, d_i = H.decode_picture([(rb_i[0], True, 3)], sps, pps,
+                              return_state=True, cabac_marked=mk)
+    _, d_p = H.decode_picture([(rb_p[0], False, 2)], sps, pps, ref=d_i,
+                              return_state=True, cabac_marked=mk)
+    _, d_b = H.decode_picture([(rb_b[0], False, 0)], sps, pps, ref=d_i,
+                              ref1=d_p, return_state=True, cabac_marked=mk)
+    assert np.array_equal(d_b.y, st_b.y)
+    assert np.array_equal(d_b.cb, st_b.cb)
+    assert np.array_equal(d_b.cr, st_b.cr)
+
+
+def test_b_direct_derivation_is_load_bearing(monkeypatch):
+    """Sabotage: a decoder that ignores the spatial derivation (forces
+    zero MVs) reconstructs DIFFERENT pixels on translating content —
+    the direct MBs really carry derived motion, not trivial zeros."""
+    base = np.zeros((48, 64, 3), dtype=np.uint8)
+    ys, xs = np.mgrid[0:48, 0:64]
+    for c in range(3):
+        base[..., c] = (ys * 3 + xs * 2 + c * 40) % 256
+    fr = [
+        H.yuv420_from_rgb(np.roll(base, shift=4 * i, axis=1))
+        for i in range(3)
+    ]
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(28))
+    rb_i, st_i = H.encode_picture_i(*H.pad_planes(*fr[0]), qp=28, poc_lsb=0)
+    rb_p, st_p = H.encode_picture_p(*H.pad_planes(*fr[2]), st_i, qp=28,
+                                    frame_num=1, poc_lsb=8, search=8)
+    rb_b, st_b = H.encode_picture_b(*H.pad_planes(*fr[1]), st_i, st_p,
+                                    qp=28, frame_num=2, poc_lsb=4,
+                                    search=8, b_direct=True)
+    rb_b_no, _ = H.encode_picture_b(*H.pad_planes(*fr[1]), st_i, st_p,
+                                    qp=28, frame_num=2, poc_lsb=4, search=8)
+    assert rb_b[0] != rb_b_no[0], "no direct MB was ever chosen"
+    _, d_i = H.decode_picture([(rb_i[0], True, 3)], sps, pps,
+                              return_state=True)
+    _, d_p = H.decode_picture([(rb_p[0], False, 2)], sps, pps, ref=d_i,
+                              return_state=True)
+    _, d_ok = H.decode_picture([(rb_b[0], False, 0)], sps, pps, ref=d_i,
+                               ref1=d_p, return_state=True)
+    assert np.array_equal(d_ok.y, st_b.y)
+    orig = H._FrameState.spatial_direct
+
+    def sabotaged(self, mbx, mby, col):
+        r0, r1, mvs = orig(self, mbx, mby, col)
+        z = [None if m is None else np.zeros(2, dtype=np.int64)
+             for m in mvs]
+        return r0, r1, z
+
+    monkeypatch.setattr(H._FrameState, "spatial_direct", sabotaged)
+    _, d_bad = H.decode_picture([(rb_b[0], False, 0)], sps, pps, ref=d_i,
+                                ref1=d_p, return_state=True)
+    assert not np.array_equal(d_bad.y, st_b.y), (
+        "derived direct MVs were all zero - sabotage proved nothing"
+    )
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_b_direct_mp4_gop_decode(entropy):
+    """Full mp4 GOP with b_direct through the container walk: sparse
+    decode of a direct-carrying B frame stays within the lossy bound of
+    the encoder baseline."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+    from scanner_spark.sources.video import decode_gop_task
+
+    frames = [synthetic_frame(21, i, 32, 32, 3) for i in range(6)]
+    base = [H.rgb_from_yuv420(*H.yuv420_from_rgb(f)) for f in frames]
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "bd.mp4")
+    with open(p, "wb") as f:
+        f.write(mp4.encode_mp4_avc1(frames, qp=10, gop=6, b_frames=1,
+                                    entropy=entropy, b_direct=True,
+                                    deblock=True))
+    whole = open(p, "rb").read()
+    meta, entries = mp4.parse_index(whole)
+    by_disp = {e.frame_no: e for e in entries}
+    key = by_disp[0]
+    read_end = max(e.offset + e.size for e in entries)
+    for want in (1, 3, 5):
+        out = decode_gop_task(
+            p, key.offset, read_end,
+            {"height": 32, "width": 32, "channels": 3}, {want},
+        )
+        d = np.abs(out[want].astype(int) - base[want].astype(int)).max()
+        assert d <= 16, f"frame {want} diverged by {d}"
