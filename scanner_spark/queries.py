@@ -2237,73 +2237,22 @@ def q_emb_kmeans(spark, sf_dir):
 QUERIES = {
     # ------------------------------------------------------------------
     # Ordering = the driver's correctness window: it checks the first 50
-    # entries per round.  Round-12 rotation (VERDICT r11 "do this" #4):
-    # the 41 entries whose latest driver evidence is round 10 lead the
-    # window (multimodal_audio, the emb_* ANN family, the curation and
-    # streaming families, frame_*, asof, pii/tfidf/search/quality).
-    # The remaining 9 slots go to the queries whose code changed this
-    # round (doc_lm_familiarity's fused tokenizer-to-pair plan;
-    # video_decode_pruned's fixtures add MMCO/long-term, multi-ref-B and
-    # scaling-matrix GOPs; scanner_slice_state_unslice now compiles to
-    # the state_expr codegen window; scanner_warmup_gather shares the
-    # stateful compiler) plus the heaviest dedup/codec r11-checked
-    # entries re-pinned.  Every entry stays locally hash-checked against
+    # entries per round.  Round-13 rotation (VERDICT r12 "do this" #6):
+    # the 41 entries whose latest driver evidence is round 11 lead the
+    # window (the scanner_* sampler family, tpch_*, orders_*, the batch
+    # events_* family, the repeated-passages pair, emb_kmeans and
+    # emb_knn_ivf), followed by the 9 queries whose code round 13
+    # touched: the three re-planned text/curation queries (tfidf window
+    # count, in-row repetition ratios, in-row chunk texts), the re-paced
+    # streaming LSH, text_analyze (tokenize-once + translate counters),
+    # doc_quality / pipeline_clean_corpus / doc_lm_familiarity (shared
+    # text-helper and starved-scan-heal plan changes), and
+    # video_decode_pruned (vid14 CABAC multi-ref-B + vid15 spatial
+    # B_Direct fixtures).  Every entry stays locally hash-checked against
     # its DuckDB oracle by tests/test_entry_parity.py regardless of
     # window position.
     # ------------------------------------------------------------------
-    # --- round-12 window: the 41 r10-evidence entries first
-    "multimodal_audio": q_multimodal_audio,
-    "emb_knn_brute": q_emb_knn_brute,
-    "emb_knn_lsh": q_emb_knn_lsh,
-    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_materialize": q_dedup_materialize,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash_sigs": q_dedup_simhash_sigs,
-    "dedup_keep_best": q_dedup_keep_best,
-    "emb_cosine_pairs": q_emb_cosine_pairs,
-    "emb_dup_clusters": q_emb_dup_clusters,
-    "emb_label_centroids": q_emb_label_centroids,
-    "emb_quantize": q_emb_quantize,
-    "emb_kmeans_assign": q_emb_kmeans_assign,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "doc_chunk_windows": q_doc_chunk_windows,
-    "docs_domain_resample": q_docs_domain_resample,
-    "docs_pack_sequences": q_docs_pack_sequences,
-    "doc_pii_scrub": q_doc_pii_scrub,
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "docs_search_topk": q_docs_search_topk,
-    "text_analyze": q_text_analyze,
-    "doc_quality": q_doc_quality,
-    "vocab_topk": q_vocab_topk,
-    "events_approx_distinct": q_events_approx_distinct,
-    "events_value_histogram": q_events_value_histogram,
-    "events_asof_join_op": q_events_asof_join_op,
-    "events_asof_signup": q_events_asof_signup,
-    "stream_events_dedup": q_stream_events_dedup,
-    "stream_events_sessions": q_stream_events_sessions,
-    "stream_events_sessions_append": q_stream_events_sessions_append,
-    "stream_events_hourly": q_stream_events_hourly,
-    "frame_optical_flow": q_frame_optical_flow,
-    "frame_histogram": q_frame_histogram,
-    "frame_resize": q_frame_resize,
-    "frame_blur": q_frame_blur,
-    "frame_encode_png": q_frame_encode_png,
-    "emb_knn_pq": q_emb_knn_pq,
-    # --- window fill: changed-this-round + heavy re-pins
-    "doc_lm_familiarity": q_doc_lm_familiarity,
-    "video_decode_pruned": q_video_decode_pruned,
-    "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
-    "scanner_warmup_gather": q_scanner_warmup_gather,
-    "multimodal_decode": q_multimodal_decode,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_clusters": q_dedup_minhash_clusters,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
-    # --- beyond-window: driver-confirmed green in round 11
+    # --- round-13 window: the 41 r11-evidence entries first
     "scanner_all": q_scanner_all,
     "scanner_all_distributed": q_scanner_all_distributed,
     "scanner_stride": q_scanner_stride,
@@ -2345,5 +2294,57 @@ QUERIES = {
     "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
     "emb_kmeans": q_emb_kmeans,
     "emb_knn_ivf": q_emb_knn_ivf,
+    # --- the 9 code-touched-this-round entries complete the window
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "doc_chunk_windows": q_doc_chunk_windows,
+    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
+    "text_analyze": q_text_analyze,
+    "video_decode_pruned": q_video_decode_pruned,
+    "doc_quality": q_doc_quality,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "doc_lm_familiarity": q_doc_lm_familiarity,
+    # --- r12-fresh evidence below (outside the 50-entry window)
+    "multimodal_audio": q_multimodal_audio,
+    "emb_knn_brute": q_emb_knn_brute,
+    "emb_knn_lsh": q_emb_knn_lsh,
+    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_materialize": q_dedup_materialize,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash_sigs": q_dedup_simhash_sigs,
+    "dedup_keep_best": q_dedup_keep_best,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "emb_dup_clusters": q_emb_dup_clusters,
+    "emb_label_centroids": q_emb_label_centroids,
+    "emb_quantize": q_emb_quantize,
+    "emb_kmeans_assign": q_emb_kmeans_assign,
+    "doc_decontaminate": q_doc_decontaminate,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_domain_resample": q_docs_domain_resample,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "docs_search_topk": q_docs_search_topk,
+    "vocab_topk": q_vocab_topk,
+    "events_approx_distinct": q_events_approx_distinct,
+    "events_value_histogram": q_events_value_histogram,
+    "events_asof_join_op": q_events_asof_join_op,
+    "events_asof_signup": q_events_asof_signup,
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_sessions": q_stream_events_sessions,
+    "stream_events_sessions_append": q_stream_events_sessions_append,
+    "stream_events_hourly": q_stream_events_hourly,
+    "frame_optical_flow": q_frame_optical_flow,
+    "frame_histogram": q_frame_histogram,
+    "frame_resize": q_frame_resize,
+    "frame_blur": q_frame_blur,
+    "frame_encode_png": q_frame_encode_png,
+    "emb_knn_pq": q_emb_knn_pq,
+    "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
+    "scanner_warmup_gather": q_scanner_warmup_gather,
+    "multimodal_decode": q_multimodal_decode,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 
