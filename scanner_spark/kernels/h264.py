@@ -19,7 +19,8 @@ What is implemented, per the spec's clause numbers:
 - Macroblock layer (§7.3.5): I_PCM, I_16x16 (4 pred modes x CBP packed
   into mb_type), I_4x4 with prev_intra4x4_pred_mode signalling,
   P_L0_16x16 with mvd + median MV prediction (§8.4.1.3), P_Skip with the
-  §8.4.1.1 skip-MV derivation, mb_skip_run, intra types inside P slices
+  §8.4.1.1 skip-MV derivation, mb_skip_run (P_Skip and, round 13,
+  B_Skip via the spatial direct derivation), intra types inside P slices
   (offset 5), CBP via both Table 9-4 columns.
 - Intra prediction (§8.3): all four 16x16 luma modes (V/H/DC/Plane), all
   nine 4x4 luma modes, all four 8x8 chroma modes.
@@ -38,8 +39,9 @@ What is implemented, per the spec's clause numbers:
   §8.4.1.2.2 SPATIAL derivation (round 13; at this codec's whole-MB
   scope the per-4x4 colZeroFlag clause collapses to one flag per MB —
   exact within the envelope, since sub-MB-partitioned col pictures are
-  refused when they decode).  B_Skip, TEMPORAL direct
-  (direct_spatial_mv_pred_flag == 0), and sub-partitions are REFUSED
+  refused when they decode).  B_Skip decodes as the same derivation
+  with no residual (round 13).  TEMPORAL direct
+  (direct_spatial_mv_pred_flag == 0) and sub-partitions are REFUSED
   with NotImplementedError — the in-repo encoder never emits them, and
   misparsing a foreign stream is worse than refusing it.
 - Multi-reference P prediction (round 11): num_ref_idx_l0_active > 1
@@ -49,7 +51,8 @@ What is implemented, per the spec's clause numbers:
   multi-reference B lists (both entropies: te(v) / CABAC unary ref_idx),
   per-reference explicit weight tables, adaptive ref-pic marking (MMCO
   long-term references), and bitstream-coded scaling matrices;
-  Round 13 adds spatial B_Direct_16x16 (encode via b_direct=True);
+  Round 13 adds spatial B_Direct_16x16 and B_Skip (encode via
+  b_direct=True);
   interlace / SP-SI / slice groups / temporal direct stay refusals.
 - CAVLC residual (§9.2): coeff_token (Table 9-5 incl. the chroma-DC nC=-1
   column), trailing-one signs, adaptive-suffix level decoding,
@@ -2082,11 +2085,16 @@ def _decode_slice_mbs(
     else:  # B
         while mb < n_mbs and r.more_rbsp_data():
             skip_run = r.ue()
-            if skip_run:
-                raise NotImplementedError(
-                    "B_Skip macroblocks (direct-mode derivation) not "
-                    "supported — in-repo streams never emit them"
-                )
+            for _ in range(skip_run):
+                if mb >= n_mbs:
+                    raise ValueError("mb_skip_run past end of slice")
+                mbx, mby = mark(mb)
+                _reconstruct_b_skip(st, refs, refs1, mbx, mby, wp,
+                                    direct_spatial)
+                st.mb_qp[mby, mbx] = qp  # skip MBs keep the running QP
+                mb += 1
+            if mb >= n_mbs or not r.more_rbsp_data():
+                break
             mbx, mby = mark(mb)
             qp = _decode_mb_b(er, st, refs, refs1,
                               mbx, mby, qp, pps, wp, n_l0, n_l1,
@@ -2128,13 +2136,12 @@ def _decode_slice_mbs_cabac(
                                   n_ref=n_l0)
         else:  # B
             if er.read_skip(st, mbx, mby, True):
-                raise NotImplementedError(
-                    "B_Skip macroblocks (direct-mode derivation) not "
-                    "supported — in-repo streams never emit them"
-                )
-            qp = _decode_mb_b(er, st, refs, refs1,
-                              mbx, mby, qp, pps, wp, n_l0, n_l1,
-                              direct_spatial)
+                _reconstruct_b_skip(st, refs, refs1, mbx, mby, wp,
+                                    direct_spatial)
+            else:
+                qp = _decode_mb_b(er, st, refs, refs1,
+                                  mbx, mby, qp, pps, wp, n_l0, n_l1,
+                                  direct_spatial)
         st.mb_qp[mby, mbx] = qp
         er.end_mb(st, mbx, mby)
         mb += 1
@@ -2305,6 +2312,48 @@ def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int,
     st.mb_inter[mby, mbx] = True
     st.mv[mby, mbx] = mv
     st.ref_l[mby, mbx, 0] = 0  # P_Skip predicts from refIdxL0 = 0
+
+
+def _reconstruct_b_skip(st: _FrameState, refs0, refs1, mbx: int, mby: int,
+                        wp: dict | None = None,
+                        direct_spatial: bool = True) -> None:
+    """B_Skip: the §8.4.1.2.2 spatial direct derivation with no residual
+    (mb_type inferred, nothing else coded).  Identical motion to a
+    B_Direct_16x16 whose cbp is zero."""
+    if not direct_spatial:
+        raise NotImplementedError(
+            "temporal direct mode not supported (B_Skip under "
+            "direct_spatial_mv_pred_flag == 0; spatial-only codec)"
+        )
+    ridx0, ridx1, mvs = st.spatial_direct(
+        mbx, mby, refs1[0] if refs1 else None
+    )
+    use0, use1 = mvs[0] is not None, mvs[1] is not None
+    if use0 and ridx0 >= len(refs0):
+        raise ValueError(f"derived refIdxL0 {ridx0} beyond RefPicList0")
+    if use1 and ridx1 >= len(refs1):
+        raise ValueError(f"derived refIdxL1 {ridx1} beyond RefPicList1")
+    rpair = (ridx0 if use0 else 0, ridx1 if use1 else 0)
+    ref0, ref1 = refs0[rpair[0]], refs1[rpair[1]]
+    ox, oy = mbx * 16, mby * 16
+    cy, cx = oy // 2, ox // 2
+    p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y", rpair)
+    pcb = _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma, wp, "cb", rpair)
+    pcr = _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma, wp, "cr", rpair)
+    st.y[oy : oy + 16, ox : ox + 16] = np.clip(p16, 0, 255)
+    st.cb[cy : cy + 8, cx : cx + 8] = np.clip(pcb, 0, 255)
+    st.cr[cy : cy + 8, cx : cx + 8] = np.clip(pcr, 0, 255)
+    by0, bx0 = oy // 4, ox // 4
+    st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+    st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
+    st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+    st.mb_inter[mby, mbx] = True
+    for lst, ridx in ((0, rpair[0]), (1, rpair[1])):
+        if mvs[lst] is not None:
+            st.use_l[mby, mbx, lst] = True
+            st.mv_l[mby, mbx, lst] = mvs[lst]
+            st.ref_l[mby, mbx, lst] = ridx
+    st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
 
 
 def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
@@ -3759,8 +3808,9 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     ``b_direct=True`` the §8.4.1.2.2 spatial-direct prediction joins the
     candidate set and wins ties (it codes no motion syntax); the encoder
     replays the decoder's exact derivation against its own running state,
-    so reconstruction stays bit-identical.  B_Skip is never emitted
-    (the decoder refuses it).  ``slices`` as
+    so reconstruction stays bit-identical; a chosen direct MB whose
+    residual quantizes to zero is emitted as B_Skip (nothing coded at
+    all — CAVLC skip runs / CABAC mb_skip_flag).  ``slices`` as
     in :func:`encode_picture_i`.  Returns (slice RBSPs, reconstruction
     state).
 
@@ -3866,6 +3916,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         else:
             cw = None
         ew = cw if cw is not None else CavlcWriter(w)
+        skip_run = 0
         for mb in range(mb0, mb1):
             mbx, mby = mb % mbw, mb // mbw
             st.slice_no[mby, mbx] = si
@@ -3933,6 +3984,31 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             cbp, luma_z, comps, _ = _inter_residuals_from_pred(
                 src, cb, cr, oy, ox, p16, p8s, qp
             )
+            if mb_type == 0 and cbp == 0:
+                # B_Skip: the chosen direct prediction has an all-zero
+                # quantized residual — code NOTHING (CAVLC: extend the
+                # skip run; CABAC: mb_skip_flag = 1).  Reconstruction
+                # and recorded motion are identical to the direct MB.
+                _reconstruct_inter(st, oy, ox, 0, luma_z, comps, p16, qp)
+                by0, bx0 = oy // 4, ox // 4
+                st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+                st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
+                st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+                st.mb_inter[mby, mbx] = True
+                for lst in (0, 1):
+                    if mvs[lst] is not None:
+                        st.use_l[mby, mbx, lst] = True
+                        st.mv_l[mby, mbx, lst] = mvs[lst]
+                        st.ref_l[mby, mbx, lst] = rpair[lst]
+                st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
+                if cw is not None:
+                    cw.begin_mb(st, mbx, mby)
+                    cw.write_skip(st, mbx, mby, True, True)
+                    cw.end_mb(st, mbx, mby)
+                    cw.end_of_slice(mb == mb1 - 1)
+                else:
+                    skip_run += 1
+                continue
             mvd0 = (
                 (mvs[0] - st.mv_pred(mbx, mby, 0, ref_idx=rpair[0]))
                 if (mvs[0] is not None and mb_type != 0) else None
@@ -3943,7 +4019,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             )
             if cw is not None:
                 cw.begin_mb(st, mbx, mby)
-                cw.write_skip(st, mbx, mby, True, False)  # never B_Skip
+                cw.write_skip(st, mbx, mby, True, False)
                 _write_inter_mb(
                     ew, st, mbx, mby, mvs[0],
                     mvd0 if mvd0 is not None else mvd1,
@@ -3969,7 +4045,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             snap = _mb_snapshot(st, mbx, mby)
             use_snap = (st.use_l[mby, mbx].copy(), st.mv_l[mby, mbx].copy())
             wpos = ew.checkpoint()
-            w.ue(0)  # mb_skip_run (never B_Skip)
+            w.ue(skip_run)  # mb_skip_run before this coded MB
             try:
                 _write_inter_mb(
                     ew, st, mbx, mby, mvs[0],
@@ -3994,11 +4070,14 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 ew.rollback(wpos)
                 _mb_restore(st, mbx, mby, snap)
                 st.use_l[mby, mbx], st.mv_l[mby, mbx] = use_snap
-                w.ue(0)  # mb_skip_run before the replacement MB
+                w.ue(skip_run)  # mb_skip_run before the replacement MB
                 _encode_mb_pcm(ew, st, mbx, mby, y, cb, cr, type_offset=23)
+            skip_run = 0
         if cw is not None:
             rbsps.append(w.bytes() + cw.bytes())
             continue
+        if skip_run:
+            w.ue(skip_run)  # trailing skipped MBs end the slice (§7.3.4)
         w.rbsp_trailing()
         rbsps.append(w.bytes())
     _encoder_deblock(st, max(slices, 1), deblock)

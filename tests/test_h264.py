@@ -1901,3 +1901,69 @@ def test_b_direct_mp4_gop_decode(entropy):
         )
         d = np.abs(out[want].astype(int) - base[want].astype(int)).max()
         assert d <= 16, f"frame {want} diverged by {d}"
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_b_skip_static_picture_all_skipped(entropy):
+    """A B frame identical to both references under b_direct: every MB's
+    direct prediction is exact, so the encoder emits B_Skip for the whole
+    picture (CAVLC: one trailing run; CABAC: 12 skip flags) and the
+    decoder reconstructs it bit-exactly."""
+    ys, xs = np.mgrid[0:48, 0:64]
+    rgb = np.stack([(ys * 3 + xs * 2 + c * 40) % 256 for c in range(3)],
+                   -1).astype(np.uint8)
+    fr = H.yuv420_from_rgb(rgb)
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(28, cabac=(entropy == "cabac")))
+    mk = entropy == "cabac"
+    rb_i, st_i = H.encode_picture_i(*H.pad_planes(*fr), qp=28, poc_lsb=0,
+                                    entropy=entropy)
+    rb_p, st_p = H.encode_picture_p(*H.pad_planes(*fr), st_i, qp=28,
+                                    frame_num=1, poc_lsb=8, entropy=entropy)
+    rb_b, st_b = H.encode_picture_b(*H.pad_planes(*fr), st_i, st_p,
+                                    qp=28, frame_num=2, poc_lsb=4,
+                                    entropy=entropy, b_direct=True)
+    rb_b_no, _ = H.encode_picture_b(*H.pad_planes(*fr), st_i, st_p,
+                                    qp=28, frame_num=2, poc_lsb=4,
+                                    entropy=entropy)
+    # all-skip picture: dramatically smaller than the coded version
+    assert len(rb_b[0]) < len(rb_b_no[0]) - 4, (len(rb_b[0]), len(rb_b_no[0]))
+    _, d_i = H.decode_picture([(rb_i[0], True, 3)], sps, pps,
+                              return_state=True, cabac_marked=mk)
+    _, d_p = H.decode_picture([(rb_p[0], False, 2)], sps, pps, ref=d_i,
+                              return_state=True, cabac_marked=mk)
+    _, d_b = H.decode_picture([(rb_b[0], False, 0)], sps, pps, ref=d_i,
+                              ref1=d_p, return_state=True, cabac_marked=mk)
+    assert np.array_equal(d_b.y, st_b.y)
+    assert np.array_equal(d_b.cb, st_b.cb)
+    assert np.array_equal(d_b.cr, st_b.cr)
+
+
+def test_b_skip_mid_slice_and_trailing_runs():
+    """Mixed picture: static MBs skip, a moving region codes — skip runs
+    appear mid-slice AND may trail; decode stays bit-exact (CAVLC run
+    accounting is the risk surface here)."""
+    ys, xs = np.mgrid[0:48, 0:64]
+    rgb0 = np.stack([(ys * 3 + xs * 2 + c * 40) % 256 for c in range(3)],
+                    -1).astype(np.uint8)
+    rgb1 = rgb0.copy()
+    rgb1[16:32, 16:48] = np.roll(rgb1[16:32, 16:48], 5, axis=1)  # motion
+    fr0 = H.yuv420_from_rgb(rgb0)
+    fr1 = H.yuv420_from_rgb(rgb1)
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(28))
+    rb_i, st_i = H.encode_picture_i(*H.pad_planes(*fr0), qp=28, poc_lsb=0)
+    rb_p, st_p = H.encode_picture_p(*H.pad_planes(*fr0), st_i, qp=28,
+                                    frame_num=1, poc_lsb=8)
+    rb_b, st_b = H.encode_picture_b(*H.pad_planes(*fr1), st_i, st_p,
+                                    qp=28, frame_num=2, poc_lsb=4,
+                                    b_direct=True)
+    _, d_i = H.decode_picture([(rb_i[0], True, 3)], sps, pps,
+                              return_state=True)
+    _, d_p = H.decode_picture([(rb_p[0], False, 2)], sps, pps, ref=d_i,
+                              return_state=True)
+    _, d_b = H.decode_picture([(rb_b[0], False, 0)], sps, pps, ref=d_i,
+                              ref1=d_p, return_state=True)
+    assert np.array_equal(d_b.y, st_b.y)
+    assert np.array_equal(d_b.cb, st_b.cb)
+    assert np.array_equal(d_b.cr, st_b.cr)
