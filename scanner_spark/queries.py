@@ -1600,20 +1600,34 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     computed only on survivors (filter-before-feature ordering matters at
     100 TB).  Fully oracle-checked."""
     d = read_table(spark, sf_dir, "documents")
-    scored = d.withColumn("quality", text.quality_score(F.col("text"))).filter(
-        F.col("quality") >= 0.5
+    # tokenize-once barriers (the text.analyze discipline): one tokens
+    # attribute feeds the pre-filter quality score, a second feeds the
+    # survivors' features — two tokenizer runs per doc instead of the
+    # ~11 the naive helper spelling embeds; neither array crosses the
+    # dedup shuffle (only doc_id/text/quality do)
+    base = d.select(
+        "doc_id", "text",
+        F.explode(F.array(text.tokens(F.col("text")))).alias("__tq"),
     )
+    scored = base.select(
+        "doc_id", "text",
+        text.quality_score(F.col("text"), toks=F.col("__tq")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
     w = Window.partitionBy(F.md5(F.col("text")))
     deduped = (
         scored.withColumn("keep_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
     )
-    return deduped.select(
+    feat = deduped.select(
+        "doc_id", "quality", "text",
+        F.explode(F.array(text.tokens(F.col("text")))).alias("__tf"),
+    )
+    return feat.select(
         "doc_id",
         "quality",
-        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        text.lang_id(F.col("text")).alias("lang_pred"),
+        F.size(F.col("__tf")).cast("long").alias("n_tokens"),
+        text.lang_id(F.col("text"), toks=F.col("__tf")).alias("lang_pred"),
     )
 
 
