@@ -1145,13 +1145,22 @@ def q_emb_label_centroids(spark, sf_dir):
 
 
 def q_doc_quality(spark, sf_dir):
-    """C4-style heuristic quality score + keep flag per document."""
+    """C4-style heuristic quality score + keep flag per document
+    (tokenize-once barrier: the score's five token-metric expressions
+    share one tokens attribute)."""
     d = read_table(spark, sf_dir, "documents")
-    qual = text.quality_score(F.col("text"))
-    return d.select(
+    base = d.select(
+        "doc_id", "text",
+        F.explode(F.array(text.tokens(F.col("text")))).alias("__tk"),
+    )
+    scored = base.select(
         "doc_id",
-        qual.alias("quality"),
-        (qual >= 0.5).cast("int").alias("kept"),
+        text.quality_score(F.col("text"), toks=F.col("__tk")).alias("quality"),
+    )
+    return scored.select(
+        "doc_id",
+        "quality",
+        (F.col("quality") >= 0.5).cast("int").alias("kept"),
     )
 
 
@@ -1972,7 +1981,14 @@ def q_dedup_keep_best(spark, sf_dir):
     keep the highest-QUALITY member of each (not min-id; ties by id) —
     CC + one per-cluster argmax window."""
     d = read_table(spark, sf_dir, "documents")
-    scored = d.withColumn("quality", text.quality_score(F.col("text")))
+    base = d.select(
+        *d.columns,
+        F.explode(F.array(text.tokens(F.col("text")))).alias("__tk"),
+    )
+    scored = base.select(
+        *d.columns,
+        text.quality_score(F.col("text"), toks=F.col("__tk")).alias("quality"),
+    )
     pairs = dedup.minhash_lsh_pairs(d, threshold=MINHASH_THRESHOLD)
     return dedup.dedup_keep_best(scored, pairs, "quality", "doc_id")
 
