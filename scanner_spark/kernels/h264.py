@@ -23,7 +23,17 @@ What is implemented, per the spec's clause numbers:
   B_Skip via the spatial direct derivation), intra types inside P slices
   (offset 5), CBP via both Table 9-4 columns.
 - Intra prediction (§8.3): all four 16x16 luma modes (V/H/DC/Plane), all
-  nine 4x4 luma modes, all four 8x8 chroma modes.
+  nine 4x4 luma modes, all four 8x8 chroma modes; round 13 adds the nine
+  Intra_8x8 modes over §8.3.2.2.1-filtered references (High profile).
+- transform_size_8x8 (§8.5.13, High profile / FRExt, round 13): I_NxN
+  macroblocks may be Intra_8x8 and 16x16 inter macroblocks may carry
+  8x8 residual blocks, both entropies — CAVLC as the four interleaved
+  4x4 sub-blocks of §7.3.5.3.2, CABAC as ctxBlockCat-5 blocks (no
+  coded_block_flag; significance classes structural, see
+  h264_cabac._sig_key8) — with the §8.5.13.2 weighted dequant fed by
+  SPS/PPS-coded 8x8 scaling lists (absent lists = normative defaults =
+  loud refusal, same posture as the 4x4 lists) and the §8.7
+  internal-edge deblocking skip.
 - Inter prediction (§8.4.2): motion compensation at FULL QUARTER-pel
   luma precision — 6-tap half-pel FIR with the (+16)>>5 / two-stage
   (+512)>>10 rounding and the Table 8-12 quarter-pel averages — and full
@@ -706,6 +716,14 @@ _SCALING4: "_contextvars.ContextVar" = _contextvars.ContextVar(
     "h264_scaling4", default=None
 )
 
+# The active 8x8 weight matrices (High profile, transform_8x8): a tuple of
+# two (8, 8) int64 arrays in list order (Sl_8x8_Intra_Y, Sl_8x8_Inter_Y —
+# the only 8x8 lists for 4:2:0), or None for the flat-16 default.  Same
+# scoping discipline as _SCALING4.
+_SCALING8: "_contextvars.ContextVar" = _contextvars.ContextVar(
+    "h264_scaling8", default=None
+)
+
 
 def _set_encoder_scaling(scaling4) -> None:
     """Activate (or clear) the picture's weight matrices for an encode
@@ -722,6 +740,18 @@ def _set_encoder_scaling(scaling4) -> None:
     )
 
 
+def _set_encoder_scaling8(scaling8) -> None:
+    """Activate (or clear) the picture's 8x8 weight matrices for an
+    encode call (see :func:`_set_encoder_scaling`; the same
+    ``_scaling_scope`` decorators restore it)."""
+    if scaling8 is None:
+        _SCALING8.set(None)
+        return
+    _SCALING8.set(
+        tuple(np.asarray(m, dtype=np.int64).reshape(8, 8) for m in scaling8)
+    )
+
+
 def _scaling_scope(fn):
     """Restore ``_SCALING4`` to its pre-call state when ``fn`` returns:
     ContextVar.reset(token) discards every set() made inside the body, so
@@ -732,9 +762,11 @@ def _scaling_scope(fn):
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         tok = _SCALING4.set(_SCALING4.get())
+        tok8 = _SCALING8.set(_SCALING8.get())
         try:
             return fn(*args, **kwargs)
         finally:
+            _SCALING8.reset(tok8)
             _SCALING4.reset(tok)
 
     return wrapper
@@ -801,6 +833,210 @@ def dequant_dc4(cd: np.ndarray, qp: int,
     if qp >= 36:
         return (cd * ls) << (qp // 6 - 6)
     return (cd * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+# --- 8x8 transform (§8.5.13, High profile / FRExt) -------------------------
+# The 8x8 zig-zag FRAME scan (Table 8-8) is the conventional 8x8 diagonal
+# zigzag (identical to JPEG's): generated, not transcribed.
+
+
+def _make_zigzag8() -> list[int]:
+    order = []
+    x = y = 0
+    for _ in range(64):
+        order.append(y * 8 + x)
+        if (x + y) % 2 == 0:  # moving up-right
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x += 1
+                y -= 1
+        else:  # moving down-left
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x -= 1
+                y += 1
+    return order
+
+
+ZIGZAG_8x8 = _make_zigzag8()
+
+# §8.5.13.2 normAdjust8x8 position classes over (i%4, j%4): the matrix is
+# periodic with period 4 in both axes and symmetric; six distinct values
+# a..f per qp%6 row:
+#   a: (0,0)   b: (odd,odd)   c: (2,2)
+#   d: (0,odd)|(odd,0)        e: (0,2)|(2,0)        f: (2,odd)|(odd,2)
+_POS_CLASS8 = np.empty((8, 8), dtype=np.int64)
+for _i in range(8):
+    for _j in range(8):
+        im, jm = _i % 4, _j % 4
+        if im == 0 and jm == 0:
+            c = 0
+        elif im % 2 == 1 and jm % 2 == 1:
+            c = 1
+        elif im == 2 and jm == 2:
+            c = 2
+        elif im == 0 or jm == 0:
+            c = 3
+        elif im == 2 or jm == 2:
+            c = 5
+        else:  # unreachable: the cases above cover the 4x4 period
+            raise AssertionError
+        if c == 3 and (im == 2 or jm == 2):
+            c = 4  # (0,2)/(2,0)
+        _POS_CLASS8[_i, _j] = c
+del _i, _j, im, jm, c
+
+# Dequant scale V8 (§8.5.13.2 normAdjust8x8) and forward quant MF8 (the
+# JM reference encoder's quant_coef8 — an encoder CHOICE paired to V8 so
+# dequant(quant(x)) ~= x; conformance constrains only V8).  Same
+# provenance posture as the module header: transcribed from the published
+# tables, structurally cross-checked in tests (the a..f class layout, the
+# DC round trip fdct8 -> quant8 -> dequant8 -> idct8 == identity at qp 0,
+# and MF8*V8 ~= 2^22 per class within the tables' rounding).
+_V8 = [(20, 18, 32, 19, 25, 24), (22, 19, 35, 21, 28, 26),
+       (26, 23, 42, 24, 33, 31), (28, 25, 45, 26, 35, 33),
+       (32, 28, 51, 30, 40, 38), (36, 32, 58, 34, 46, 43)]
+_MF8 = [(13107, 11428, 20972, 12222, 16777, 15481),
+        (11916, 10826, 19174, 11058, 14980, 14290),
+        (10082, 8943, 15978, 9675, 12710, 11985),
+        (9362, 8228, 14913, 8931, 11984, 11259),
+        (8192, 7346, 13159, 7740, 10486, 9777),
+        (7282, 6428, 11570, 6830, 9118, 8640)]
+
+
+def _idct8_1d(d: np.ndarray, axis: int) -> np.ndarray:
+    """One §8.5.13.1 inverse-transform pass along ``axis`` of (8, 8)."""
+    w = np.moveaxis(d, axis, 0)
+    a = np.empty_like(w)
+    a[0] = w[0] + w[4]
+    a[4] = w[0] - w[4]
+    a[2] = (w[2] >> 1) - w[6]
+    a[6] = w[2] + (w[6] >> 1)
+    a[1] = -w[3] + w[5] - w[7] - (w[7] >> 1)
+    a[3] = w[1] + w[7] - w[3] - (w[3] >> 1)
+    a[5] = -w[1] + w[7] + w[5] + (w[5] >> 1)
+    a[7] = w[3] + w[5] + w[1] + (w[1] >> 1)
+    b = np.empty_like(a)
+    b[0] = a[0] + a[6]
+    b[2] = a[4] + a[2]
+    b[4] = a[4] - a[2]
+    b[6] = a[0] - a[6]
+    b[1] = a[1] + (a[7] >> 2)
+    b[7] = a[7] - (a[1] >> 2)
+    b[3] = a[3] + (a[5] >> 2)
+    b[5] = (a[3] >> 2) - a[5]
+    out = np.empty_like(b)
+    out[0] = b[0] + b[7]
+    out[7] = b[0] - b[7]
+    out[1] = b[2] + b[5]
+    out[6] = b[2] - b[5]
+    out[2] = b[4] + b[3]
+    out[5] = b[4] - b[3]
+    out[3] = b[6] + b[1]
+    out[4] = b[6] - b[1]
+    return np.moveaxis(out, 0, axis)
+
+
+def idct8(d: np.ndarray) -> np.ndarray:
+    """Inverse 8x8 transform (§8.5.13.1): horizontal pass, vertical pass,
+    final rounding (x + 32) >> 6."""
+    e = _idct8_1d(d.astype(np.int64), 1)
+    return (_idct8_1d(e, 0) + 32) >> 6
+
+
+def _fdct8_1d(d: np.ndarray, axis: int) -> np.ndarray:
+    """One forward 8x8 butterfly pass (the JM reference encoder's
+    forward8x8 — the adjoint of the §8.5.13.1 inverse up to the
+    quant/dequant scale split)."""
+    w = np.moveaxis(d, axis, 0)
+    a = np.empty_like(w)
+    a[0] = w[0] + w[7]
+    a[1] = w[1] + w[6]
+    a[2] = w[2] + w[5]
+    a[3] = w[3] + w[4]
+    a[4] = w[0] - w[7]
+    a[5] = w[1] - w[6]
+    a[6] = w[2] - w[5]
+    a[7] = w[3] - w[4]
+    b = np.empty_like(a)
+    b[0] = a[0] + a[3]
+    b[1] = a[1] + a[2]
+    b[2] = a[0] - a[3]
+    b[3] = a[1] - a[2]
+    b[4] = a[5] + a[6] + ((a[4] >> 1) + a[4])
+    b[5] = a[4] - a[7] - ((a[6] >> 1) + a[6])
+    b[6] = a[4] + a[7] - ((a[5] >> 1) + a[5])
+    b[7] = a[5] - a[6] + ((a[7] >> 1) + a[7])
+    out = np.empty_like(b)
+    out[0] = b[0] + b[1]
+    out[2] = b[2] + (b[3] >> 1)
+    out[4] = b[0] - b[1]
+    out[6] = (b[2] >> 1) - b[3]
+    out[1] = b[4] + (b[7] >> 2)
+    out[3] = b[5] + (b[6] >> 2)
+    out[5] = b[6] - (b[5] >> 2)
+    out[7] = (b[4] >> 2) - b[7]
+    return np.moveaxis(out, 0, axis)
+
+
+def fdct8(block: np.ndarray) -> np.ndarray:
+    """Forward 8x8 transform (encoder side; see :func:`_fdct8_1d`)."""
+    e = _fdct8_1d(block.astype(np.int64), 1)
+    return _fdct8_1d(e, 0)
+
+
+def _wsl8(sl8: "int | None") -> "np.ndarray | None":
+    """The (8,8) weightScale for 8x8 list index ``sl8`` (0 = Intra Y,
+    1 = Inter Y), or None when flat."""
+    if sl8 is None:
+        return None
+    sc = _SCALING8.get()
+    return None if sc is None else sc[sl8]
+
+
+def quant8(w: np.ndarray, qp: int, intra: bool = True,
+           sl8: "int | None" = None) -> np.ndarray:
+    """Forward 8x8 quantization (JM pairing to §8.5.13.2's dequant):
+    shift = 16 + qp/6, deadzone f = (1<<shift)/3 intra, /6 inter."""
+    mf = np.array(_MF8[qp % 6], dtype=np.int64)[_POS_CLASS8]
+    w8 = _wsl8(sl8)
+    if w8 is not None:
+        mf = (mf * 16) // w8
+    shift = 16 + qp // 6
+    f = (1 << shift) // 3 if intra else (1 << shift) // 6
+    s = np.sign(w)
+    return (s * ((np.abs(w) * mf + f) >> shift)).astype(np.int64)
+
+
+def dequant8(z: np.ndarray, qp: int, sl8: "int | None" = None) -> np.ndarray:
+    """§8.5.13.2: LevelScale8x8 = weightScale8x8 (flat 16 without coded
+    lists) * normAdjust8x8; d = (c*LS) << (qp/6 - 6) for qp >= 36, else
+    (c*LS + (1 << (5 - qp/6))) >> (6 - qp/6)."""
+    v = np.array(_V8[qp % 6], dtype=np.int64)[_POS_CLASS8]
+    w8 = _wsl8(sl8)
+    ls = (16 if w8 is None else w8) * v
+    z = z.astype(np.int64)
+    if qp >= 36:
+        return (z * ls) << (qp // 6 - 6)
+    return (z * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def _zz_to_mat8(coeffs: "list[int]") -> np.ndarray:
+    m = np.zeros(64, dtype=np.int64)
+    for i, pos in enumerate(ZIGZAG_8x8):
+        m[pos] = coeffs[i]
+    return m.reshape(8, 8)
+
+
+def _mat_to_zz8(m: np.ndarray) -> "list[int]":
+    f = m.reshape(-1)
+    return [int(f[pos]) for pos in ZIGZAG_8x8]
 
 
 def quant_dc2(wd: np.ndarray, qp: int, sl: "int | None" = None) -> np.ndarray:
@@ -1084,6 +1320,203 @@ def pred4(plane: np.ndarray, y: int, x: int, mode: int,
     raise ValueError(f"bad 4x4 mode {mode}")
 
 
+# 8x8 luma prediction modes (§8.3.2, High profile): same nine mode
+# identities as 4x4, computed over REFERENCE SAMPLES LOW-PASS FILTERED
+# first (§8.3.2.2.1's [1,2,1] pass — the defining difference from 4x4).
+def pred8(plane: np.ndarray, y: int, x: int, mode: int,
+          up_right_avail: bool, up_ok: bool = True, left_ok: bool = True,
+          ul_ok: bool = True) -> np.ndarray:
+    up_av = y > 0 and up_ok
+    left_av = x > 0 and left_ok
+    ul_av = y > 0 and x > 0 and ul_ok
+    t = l = c = None
+    if up_av:
+        t = plane[y - 1, x : x + 8].astype(np.int64)
+        if up_right_avail:
+            ur = plane[y - 1, x + 8 : x + 16].astype(np.int64)
+            if len(ur) < 8:  # frame edge: replicate (§8.3.2.2.1)
+                ur = np.concatenate(
+                    [ur, np.full(8 - len(ur), t[7], dtype=np.int64)]
+                )
+        else:
+            ur = np.full(8, t[7], dtype=np.int64)
+        t = np.concatenate([t, ur])  # t[0..15]
+    if left_av:
+        l = plane[y : y + 8, x - 1].astype(np.int64)
+    if ul_av:
+        c = int(plane[y - 1, x - 1])
+
+    # --- §8.3.2.2.1 reference filtering ------------------------------
+    tf = lf = cf = None
+    if t is not None:
+        tf = np.empty(16, dtype=np.int64)
+        tf[0] = ((c + 2 * t[0] + t[1] + 2) >> 2) if c is not None else (
+            (3 * t[0] + t[1] + 2) >> 2)
+        tf[1:15] = (t[0:14] + 2 * t[1:15] + t[2:16] + 2) >> 2
+        tf[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if l is not None:
+        lf = np.empty(8, dtype=np.int64)
+        lf[0] = ((c + 2 * l[0] + l[1] + 2) >> 2) if c is not None else (
+            (3 * l[0] + l[1] + 2) >> 2)
+        lf[1:7] = (l[0:6] + 2 * l[1:7] + l[2:8] + 2) >> 2
+        lf[7] = (l[6] + 3 * l[7] + 2) >> 2
+    if c is not None:
+        if t is not None and l is not None:
+            cf = (t[0] + 2 * c + l[0] + 2) >> 2
+        elif t is not None:
+            cf = (3 * c + t[0] + 2) >> 2
+        else:
+            cf = (3 * c + l[0] + 2) >> 2
+
+    out = np.empty((8, 8), dtype=np.int64)
+    if mode == 0:
+        if tf is None:
+            raise ValueError("V without top")
+        return np.tile(tf[:8], (8, 1))
+    if mode == 1:
+        if lf is None:
+            raise ValueError("H without left")
+        return np.tile(lf[:, None], (1, 8))
+    if mode == 2:
+        if tf is not None and lf is not None:
+            dc = (int(tf[:8].sum()) + int(lf.sum()) + 8) >> 4
+        elif tf is not None:
+            dc = (int(tf[:8].sum()) + 4) >> 3
+        elif lf is not None:
+            dc = (int(lf.sum()) + 4) >> 3
+        else:
+            dc = 128
+        return np.full((8, 8), dc, dtype=np.int64)
+    if mode == 3:  # diagonal down-left (§8.3.2.2.4)
+        if tf is None:
+            raise ValueError("DDL without top")
+        for j in range(8):
+            for i in range(8):
+                k = i + j
+                if k == 14:
+                    out[j, i] = (tf[14] + 3 * tf[15] + 2) >> 2
+                else:
+                    out[j, i] = (tf[k] + 2 * tf[k + 1] + tf[k + 2] + 2) >> 2
+        return out
+    if mode == 4:  # diagonal down-right (§8.3.2.2.5)
+        if tf is None or lf is None or cf is None:
+            raise ValueError("DDR needs top+left+corner")
+        for j in range(8):
+            for i in range(8):
+                d = i - j
+                if d > 0:
+                    q = lambda k: cf if k < 0 else tf[k]  # noqa: E731
+                    out[j, i] = (q(d - 2) + 2 * q(d - 1) + q(d) + 2) >> 2
+                elif d < 0:
+                    q = lambda k: cf if k < 0 else lf[k]  # noqa: E731
+                    e = -d
+                    out[j, i] = (q(e - 2) + 2 * q(e - 1) + q(e) + 2) >> 2
+                else:
+                    out[j, i] = (tf[0] + 2 * cf + lf[0] + 2) >> 2
+        return out
+    if mode == 5:  # vertical-right (§8.3.2.2.6)
+        if tf is None or lf is None or cf is None:
+            raise ValueError("VR needs top+left+corner")
+
+        def q_up(k):
+            return cf if k < 0 else tf[k]
+
+        def q_l(k):
+            return cf if k < 0 else lf[k]
+
+        for j in range(8):
+            for i in range(8):
+                z = 2 * i - j
+                if z >= 0 and z % 2 == 0:
+                    k = i - (j >> 1)
+                    out[j, i] = (q_up(k - 1) + q_up(k) + 1) >> 1
+                elif z >= 0:
+                    k = i - (j >> 1)
+                    out[j, i] = (
+                        q_up(k - 2) + 2 * q_up(k - 1) + q_up(k) + 2
+                    ) >> 2
+                elif z == -1:
+                    out[j, i] = (lf[0] + 2 * cf + tf[0] + 2) >> 2
+                else:
+                    e = j - 2 * i
+                    out[j, i] = (
+                        q_l(e - 1) + 2 * q_l(e - 2) + q_l(e - 3) + 2
+                    ) >> 2
+        return out
+    if mode == 6:  # horizontal-down (§8.3.2.2.7)
+        if tf is None or lf is None or cf is None:
+            raise ValueError("HD needs top+left+corner")
+
+        def q_up(k):
+            return cf if k < 0 else tf[k]
+
+        def q_l(k):
+            return cf if k < 0 else lf[k]
+
+        for j in range(8):
+            for i in range(8):
+                z = 2 * j - i
+                if z >= 0 and z % 2 == 0:
+                    k = j - (i >> 1)
+                    out[j, i] = (q_l(k - 1) + q_l(k) + 1) >> 1
+                elif z >= 0:
+                    k = j - (i >> 1)
+                    out[j, i] = (
+                        q_l(k - 2) + 2 * q_l(k - 1) + q_l(k) + 2
+                    ) >> 2
+                elif z == -1:
+                    out[j, i] = (tf[0] + 2 * cf + lf[0] + 2) >> 2
+                else:
+                    e = i - 2 * j
+                    out[j, i] = (
+                        q_up(e - 1) + 2 * q_up(e - 2) + q_up(e - 3) + 2
+                    ) >> 2
+        return out
+    if mode == 7:  # vertical-left (§8.3.2.2.8)
+        if tf is None:
+            raise ValueError("VL without top")
+        for j in range(8):
+            for i in range(8):
+                k = i + (j >> 1)
+                if j % 2 == 0:
+                    out[j, i] = (tf[k] + tf[k + 1] + 1) >> 1
+                else:
+                    out[j, i] = (tf[k] + 2 * tf[k + 1] + tf[k + 2] + 2) >> 2
+        return out
+    if mode == 8:  # horizontal-up (§8.3.2.2.9)
+        if lf is None:
+            raise ValueError("HU without left")
+        for j in range(8):
+            for i in range(8):
+                z = i + 2 * j
+                if z > 13:
+                    out[j, i] = lf[7]
+                elif z == 13:
+                    out[j, i] = (lf[6] + 3 * lf[7] + 2) >> 2
+                elif z % 2 == 0:
+                    k = j + (i >> 1)
+                    out[j, i] = (lf[k] + lf[k + 1] + 1) >> 1
+                else:
+                    k = j + (i >> 1)
+                    out[j, i] = (lf[k] + 2 * lf[k + 1] + lf[k + 2] + 2) >> 2
+        return out
+    raise ValueError(f"bad 8x8 mode {mode}")
+
+
+def _avail_modes8(up: bool, left: bool, ul: bool) -> list[int]:
+    """Available Intra_8x8 modes (same identities as :func:`_avail_modes4`;
+    up-right never gates a mode — §8.3.2.2.1 substitutes p[7,-1] when the
+    above-right samples are unavailable, so DDL/VL need only ``up``)."""
+    m = [2]
+    if up:
+        m += [0, 3, 7]
+    if left:
+        m += [1, 8]
+    if up and left and ul:
+        m += [4, 5, 6]
+    return m
+
+
 # ---------------------------------------------------------------------------
 # parameter sets + slice header (§7.3.2, §7.3.3) — the baseline-intra
 # feature set this codec emits and accepts
@@ -1107,6 +1540,8 @@ _CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
 # luma 4x4 block scan order within a MB: blkIdx -> (x, y) pixel offsets
 _BLK4_POS = [(0, 0), (4, 0), (0, 4), (4, 4), (8, 0), (12, 0), (8, 4), (12, 4),
              (0, 8), (4, 8), (0, 12), (4, 12), (8, 8), (12, 8), (8, 12), (12, 12)]
+# luma 8x8 block scan order within a MB (transform_size_8x8 / Intra_8x8)
+_B8_POS = [(0, 0), (8, 0), (0, 8), (8, 8)]
 # blkIdx whose up-right neighbour is not yet decoded (§8.3.1, MB-internal)
 _NO_UPRIGHT = {3, 7, 11, 13, 15}
 # chroma 4x4 block scan order within the 8x8 plane block
@@ -1115,7 +1550,9 @@ _CBLK_POS = [(0, 0), (4, 0), (0, 4), (4, 4)]
 
 def write_sps(w_pix: int, h_pix: int, num_ref_frames: int = 1,
               poc_type: int = 2,
-              scaling4: "tuple | list | None" = None) -> bytes:
+              scaling4: "tuple | list | None" = None,
+              scaling8: "tuple | list | None" = None,
+              high_profile: bool = False) -> bytes:
     """SPS for a frame_mbs_only stream with ``num_ref_frames`` references
     (1 covers the P-GOP encoder; 0 is legal for all-IDR); crops encode
     non-multiple-of-16 sizes (even, 4:2:0).  ``poc_type=2`` (display ==
@@ -1127,44 +1564,64 @@ def write_sps(w_pix: int, h_pix: int, num_ref_frames: int = 1,
         raise ValueError("4:2:0 needs even dimensions")
     if poc_type not in (0, 2):
         raise ValueError("writer supports poc_type 0 and 2 only")
+    if scaling8 is not None and scaling4 is None:
+        raise ValueError(
+            "scaling8 needs scaling4: absent 4x4 lists under "
+            "seq_scaling_matrix_present would invoke the normative "
+            "defaults this codec refuses"
+        )
     mbw, mbh = (w_pix + 15) // 16, (h_pix + 15) // 16
     crop_r = (mbw * 16 - w_pix) // 2  # crop units: 2 luma px (4:2:0)
     crop_b = (mbh * 16 - h_pix) // 2
     w = BitWriter()
-    if scaling4 is not None:
-        # scaling matrices need the High-profile SPS layout (§7.3.2.1's
-        # chroma/bit-depth block carries the seq_scaling syntax)
+    high = high_profile or scaling4 is not None
+    if high:
+        # scaling matrices / transform_8x8 need the High-profile SPS
+        # layout (§7.3.2.1's chroma/bit-depth block)
         w.u(100, 8)  # profile_idc: High
     else:
         w.u(66 if poc_type == 2 else 77, 8)  # profile_idc: Baseline / Main
     w.u(0, 8)  # constraint flags + reserved
     w.u(30, 8)  # level_idc 3.0
     w.ue(0)  # sps_id
-    if scaling4 is not None:
-        if len(scaling4) != 6:
-            raise ValueError("scaling4 must carry six 4x4 lists")
+    if high:
         w.ue(1)  # chroma_format_idc: 4:2:0
         w.ue(0)  # bit_depth_luma_minus8
         w.ue(0)  # bit_depth_chroma_minus8
         w.u(0, 1)  # qpprime_y_zero_transform_bypass
-        w.u(1, 1)  # seq_scaling_matrix_present_flag
+        w.u(1 if scaling4 is not None else 0, 1)  # seq_scaling_matrix
+
+    def _write_list(vals: list) -> None:
+        last = 8
+        for v in vals:
+            if not 1 <= v <= 255:
+                raise ValueError("scaling weights must be 1..255")
+            delta = (v - last) % 256
+            if delta > 127:
+                delta -= 256
+            w.se(delta)
+            last = v
+
+    if scaling4 is not None:
+        if len(scaling4) != 6:
+            raise ValueError("scaling4 must carry six 4x4 lists")
+        if scaling8 is not None and len(scaling8) != 2:
+            raise ValueError("scaling8 must carry two 8x8 lists "
+                             "(Intra Y, Inter Y)")
         for i in range(8):
             if i >= 6:
-                # 8x8 lists: absent (the 4x4-only transform never reads
-                # them; parse side ignores them for the same reason)
-                w.u(0, 1)
+                if scaling8 is None:
+                    # 8x8 lists absent: legal while the PPS keeps the
+                    # 8x8 transform off (their values are unreachable)
+                    w.u(0, 1)
+                    continue
+                w.u(1, 1)
+                _write_list(
+                    _mat_to_zz8(np.asarray(scaling8[i - 6], dtype=np.int64))
+                )
                 continue
             w.u(1, 1)  # seq_scaling_list_present_flag[i]
-            vals = _mat_to_zz(np.asarray(scaling4[i], dtype=np.int64))
-            last = 8
-            for v in vals:
-                if not 1 <= v <= 255:
-                    raise ValueError("scaling weights must be 1..255")
-                delta = (v - last) % 256
-                if delta > 127:
-                    delta -= 256
-                w.se(delta)
-                last = v
+            _write_list(_mat_to_zz(np.asarray(scaling4[i], dtype=np.int64)))
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(poc_type)  # pic_order_cnt_type
     if poc_type == 0:
@@ -1220,25 +1677,48 @@ def _scaling4_from_lists(lists: "list") -> tuple:
     return tuple(mats)
 
 
+def _scaling8_from_lists(lists: "list") -> tuple:
+    """8x8 scan-order lists -> tuple of (8,8) weightScale arrays or the
+    "default" marker passed through (refused at use time)."""
+    mats = []
+    for vals in lists:
+        if isinstance(vals, str):
+            mats.append(vals)
+            continue
+        m = np.zeros(64, dtype=np.int64)
+        for i, pos in enumerate(ZIGZAG_8x8):
+            m[pos] = vals[i]
+        mats.append(m.reshape(8, 8))
+    return tuple(mats)
+
+
 def _parse_scaling_matrix(r: BitReader, n_lists: int,
-                          base: "tuple | None") -> tuple:
-    """The seq/pic scaling-matrix list loop (§7.3.2.1/§7.3.2.2).
+                          base: "tuple | None",
+                          base8: "tuple | None" = None) -> tuple:
+    """The seq/pic scaling-matrix list loop (§7.3.2.1/§7.3.2.2) ->
+    (scaling4, scaling8).
 
     Supported subset — zero memorized tables: every used 4x4 list must be
     EXPLICITLY CODED or fall back to the PREVIOUS list of the same
     matrix / the same index of ``base`` (rule B's seq fallback).  The
     normative DEFAULT lists (fall-back rule A for absent list 0/3, or
     the in-list use-default marker) are not transcribable from memory
-    here, so those streams refuse loudly.  8x8 lists (indices >= 6) are
-    parsed and ignored: the 8x8 transform is never enabled by a
-    supported PPS, so their values are unreachable."""
+    here, so those streams refuse loudly.  The same applies to the 8x8
+    lists (index 6 = Intra Y 8x8, 7 = Inter Y 8x8 at 4:2:0): an absent
+    or marker-coded 8x8 list is recorded as the "default" sentinel,
+    refused by decode_picture IF a transform_8x8 PPS makes it reachable
+    (a 4x4-only stream never reads it, so those streams stay accepted).
+    ``scaling8`` is None when ``n_lists <= 6`` (no 8x8 syntax coded)."""
     lists: list = []
     for i in range(n_lists):
         present = r.u(1)
         size = 16 if i < 6 else 64
         if not present:
             if i >= 6:
-                lists.append(None)  # 8x8: unreachable, ignore
+                if base8 is not None:
+                    lists.append(base8[i - 6])  # rule B: seq fallback
+                else:
+                    lists.append("default")  # rule A (refused at use)
                 continue
             if i in (0, 3):
                 if base is not None:
@@ -1257,7 +1737,7 @@ def _parse_scaling_matrix(r: BitReader, n_lists: int,
         got = _parse_scaling_list(r, size)
         if got == "default":
             if i >= 6:
-                lists.append(None)
+                lists.append("default")
                 continue
             raise NotImplementedError(
                 "scaling list codes the use-default marker — the "
@@ -1265,7 +1745,14 @@ def _parse_scaling_matrix(r: BitReader, n_lists: int,
                 "environment"
             )
         lists.append(got)
-    return _scaling4_from_lists(lists[:6])
+    scaling4 = _scaling4_from_lists(lists[:6])
+    if n_lists <= 6:
+        return scaling4, None
+    l8 = [
+        (_mat_to_zz8(v) if isinstance(v, np.ndarray) else v)
+        for v in lists[6:8]
+    ]
+    return scaling4, _scaling8_from_lists(l8)
 
 
 def parse_sps(rbsp: bytes) -> dict:
@@ -1274,7 +1761,7 @@ def parse_sps(rbsp: bytes) -> dict:
     r.u(8)
     level = r.u(8)
     sps_id = r.ue()
-    scaling4 = None
+    scaling4 = scaling8 = None
     if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
         chroma = r.ue()
         if chroma == 3:
@@ -1283,7 +1770,7 @@ def parse_sps(rbsp: bytes) -> dict:
         r.ue()
         r.u(1)
         if r.u(1):  # seq_scaling_matrix_present_flag
-            scaling4 = _parse_scaling_matrix(
+            scaling4, scaling8 = _parse_scaling_matrix(
                 r, 12 if chroma == 3 else 8, None
             )
     log2_mfn = r.ue() + 4
@@ -1307,7 +1794,8 @@ def parse_sps(rbsp: bytes) -> dict:
     frame_mbs_only = r.u(1)
     if not frame_mbs_only:
         raise NotImplementedError("interlaced streams not supported")
-    r.u(1)  # direct_8x8_inference
+    direct8_inf = r.u(1)  # direct_8x8_inference_flag (conditions the
+    # inter transform_size_8x8_flag's presence on B_Direct MBs, §7.3.5)
     crop = (0, 0, 0, 0)
     if r.u(1):
         crop = (r.ue(), r.ue(), r.ue(), r.ue())  # l, r, t, b in chroma units
@@ -1321,11 +1809,14 @@ def parse_sps(rbsp: bytes) -> dict:
         "height": mbh_units * 16 - 2 * (crop[2] + crop[3]),
         "crop": crop,
         "scaling4": scaling4,
+        "scaling8": scaling8,
+        "direct_8x8_inference": bool(direct8_inf),
     }
 
 
 def write_pps(qp: int, cabac: bool = False, weighted_pred: bool = False,
-              weighted_bipred_idc: int = 0) -> bytes:
+              weighted_bipred_idc: int = 0,
+              transform_8x8: bool = False) -> bytes:
     if weighted_bipred_idc not in (0, 1, 2):
         raise ValueError("weighted_bipred_idc must be 0 (default), "
                          "1 (explicit) or 2 (implicit)")
@@ -1345,6 +1836,13 @@ def write_pps(qp: int, cabac: bool = False, weighted_pred: bool = False,
     w.u(1, 1)  # deblocking_filter_control_present
     w.u(0, 1)  # constrained_intra_pred
     w.u(0, 1)  # redundant_pic_cnt_present
+    if transform_8x8:
+        # PPS extension (§7.3.2.2, High profile): 8x8 transform on,
+        # no PPS-carried scaling lists, second chroma offset mirrors
+        # chroma_qp_index_offset (0)
+        w.u(1, 1)  # transform_8x8_mode_flag
+        w.u(0, 1)  # pic_scaling_matrix_present_flag
+        w.se(0)  # second_chroma_qp_index_offset
     w.rbsp_trailing()
     return w.bytes()
 
@@ -1373,18 +1871,20 @@ def parse_pps(rbsp: bytes) -> dict:
     # previously unparsed — a foreign High-profile PPS carrying
     # pic-scaling lists or a second chroma offset would have decoded
     # silently wrong instead of refusing or applying them
-    pic_scaling = None
+    pic_scaling = pic_scaling8 = None
+    transform_8x8 = False
     if r.more_rbsp_data():
-        if r.u(1):
-            raise NotImplementedError(
-                "transform_8x8_mode not supported (4x4 transform only)"
-            )
+        transform_8x8 = bool(r.u(1))  # transform_8x8_mode_flag (§8.5.13)
         if r.u(1):  # pic_scaling_matrix_present_flag
-            # n_lists = 6 + 2*transform_8x8 (0 here).  The PPS parser
-            # cannot see the SPS, so rule B's fall-back-to-seq-matrix
-            # for an absent list 0/3 refuses (base None) — PPS matrices
-            # must code their 4x4 lists (or previous-list fallback)
-            pic_scaling = _parse_scaling_matrix(r, 6, None)
+            # n_lists = 6 + 2*transform_8x8.  The PPS parser cannot see
+            # the SPS, so rule B's fall-back-to-seq-matrix for an absent
+            # list 0/3 refuses (base None) — PPS matrices must code
+            # their 4x4 lists (or previous-list fallback); absent 8x8
+            # lists record the "default" sentinel, refused at decode if
+            # transform_8x8 makes them reachable
+            pic_scaling, pic_scaling8 = _parse_scaling_matrix(
+                r, 6 + 2 * transform_8x8, None
+            )
         second_off = r.se()
         if second_off != chroma_qp_off:
             raise NotImplementedError(
@@ -1401,6 +1901,8 @@ def parse_pps(rbsp: bytes) -> dict:
         "weighted_bipred_idc": weighted_bipred_idc,
         "cabac": bool(cabac),
         "pic_scaling": pic_scaling,
+        "pic_scaling8": pic_scaling8,
+        "transform_8x8": transform_8x8,
     }
 
 
@@ -1465,6 +1967,15 @@ class _FrameState:
         # §8.7: I_PCM macroblocks contribute qP = 0 to the deblocking
         # alpha/beta/tc0 lookups regardless of the running slice QP.
         self.mb_pcm = np.zeros((mbh, mbw), dtype=bool)
+        # High profile: per-MB transform_size_8x8_flag (feeds the CABAC
+        # t8 context increment and §8.7's internal-edge skip), plus the
+        # picture-level enables set by decode_picture / encode_picture_*
+        # (t8_mode = the PPS transform_8x8_mode_flag; direct8_inf = the
+        # SPS direct_8x8_inference_flag conditioning the flag's presence
+        # on B_Direct MBs).
+        self.mb_t8 = np.zeros((mbh, mbw), dtype=bool)
+        self.t8_mode = False
+        self.direct8_inf = True
 
     def mb_same_slice(self, mbx: int, mby: int) -> bool:
         """In-frame AND belongs to the slice currently being coded."""
@@ -1816,6 +2327,10 @@ class CavlcReader:
     def cbp(self, st, mbx, mby, intra: bool) -> int:
         return (_CBP_INTRA if intra else _CBP_INTER)[self.r.ue()]
 
+    def t8_flag(self, st, mbx, mby) -> bool:
+        # transform_size_8x8_flag, u(1) (§7.3.5)
+        return bool(self.r.u(1))
+
     def qp_delta(self, st, mbx, mby) -> int:
         return self.r.se()
 
@@ -1891,6 +2406,9 @@ class CavlcWriter:
 
     def cbp(self, st, mbx, mby, intra: bool, cbp: int) -> None:
         self.w.ue((_CBP_INTRA_INV if intra else _CBP_INTER_INV)[cbp])
+
+    def t8_flag(self, st, mbx, mby, v: bool) -> None:
+        self.w.u(1 if v else 0, 1)
 
     def qp_delta(self, st, mbx, mby, d: int) -> None:
         self.w.se(d)
@@ -2197,6 +2715,22 @@ def decode_picture(
     _scal_tok = _SCALING4.set(
         pps.get("pic_scaling") or sps.get("scaling4")
     )
+    scaling8 = pps.get("pic_scaling8") or sps.get("scaling8")
+    if pps.get("transform_8x8") and scaling8 is not None and any(
+        isinstance(m, str) for m in scaling8
+    ):
+        _SCALING4.reset(_scal_tok)
+        raise NotImplementedError(
+            "transform_8x8 stream whose 8x8 scaling list falls back to "
+            "the normative DEFAULT table — the default tables are not "
+            "available in this environment; streams must code their "
+            "8x8 lists"
+        )
+    _scal8_tok = _SCALING8.set(
+        scaling8 if pps.get("transform_8x8") else None
+    )
+    st.t8_mode = bool(pps.get("transform_8x8"))
+    st.direct8_inf = bool(sps.get("direct_8x8_inference", True))
     try:
         return _decode_picture_body(
             slices, sps, pps, strict, return_state, cabac, st, refs0_in=ref,
@@ -2204,6 +2738,7 @@ def decode_picture(
             mbw=mbw, mbh=mbh, n_mbs=n_mbs,
         )
     finally:
+        _SCALING8.reset(_scal8_tok)
         _SCALING4.reset(_scal_tok)
 
 
@@ -2356,6 +2891,78 @@ def _reconstruct_b_skip(st: _FrameState, refs0, refs1, mbx: int, mby: int,
     st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
 
 
+def _read_luma8(er, st: _FrameState, gy: int, gx: int) -> list:
+    """One coded luma 8x8 block's 64 coefficients (8x8 zig-zag order) at
+    pixel origin (gy, gx).  CAVLC codes it as FOUR INTERLEAVED 4x4 blocks
+    (§7.3.5.3.2: sub-block i4 holds coefficients 4*k + i4 of the 8x8
+    scan; each sub-block's TotalCoeff feeds nC as usual); CABAC codes one
+    ctxBlockCat-5 block (nzy records coded/not per covered 4x4 — the
+    value later cbf contexts and deblocking read)."""
+    if er.cabac:
+        zz8 = er.res_luma8(st, gy // 4, gx // 4)
+        st.nzy[gy // 4 : gy // 4 + 2, gx // 4 : gx // 4 + 2] = (
+            1 if any(zz8) else 0
+        )
+        return zz8
+    zz8 = [0] * 64
+    for i4, (x, yb) in enumerate(_CBLK_POS):
+        by, bx = (gy + yb) // 4, (gx + x) // 4
+        c4 = er.res_luma(st, by, bx, False)
+        st.nzy[by, bx] = sum(1 for c in c4 if c)
+        for k in range(16):
+            zz8[4 * k + i4] = c4[k]
+    return zz8
+
+
+def _write_luma8(ew, st: _FrameState, gy: int, gx: int, zz8: list) -> None:
+    """Mirror of :func:`_read_luma8` (same interleave, same nzy
+    bookkeeping)."""
+    if ew.cabac:
+        ew.res_luma8(st, gy // 4, gx // 4, zz8)
+        st.nzy[gy // 4 : gy // 4 + 2, gx // 4 : gx // 4 + 2] = (
+            1 if any(zz8) else 0
+        )
+        return
+    for i4, (x, yb) in enumerate(_CBLK_POS):
+        by, bx = (gy + yb) // 4, (gx + x) // 4
+        sub = [zz8[4 * k + i4] for k in range(16)]
+        tc = ew.res_luma(st, by, bx, False, sub)
+        st.nzy[by, bx] = tc
+
+
+def _decode_inter_luma8(er, st: _FrameState, mbx: int, mby: int,
+                        cbp_l: int, qp: int, p16: np.ndarray) -> None:
+    """Inter luma reconstruction under transform_size_8x8_flag: per coded
+    8x8 block, residual -> §8.5.13 dequant (Inter Y list) -> idct8."""
+    ox, oy = mbx * 16, mby * 16
+    for i8, (x8, y8) in enumerate(_B8_POS):
+        gy, gx = oy + y8, ox + x8
+        if cbp_l & (1 << i8):
+            zz8 = _read_luma8(er, st, gy, gx)
+            d = dequant8(_zz_to_mat8(zz8), qp, sl8=1)  # Inter Y 8x8
+            rec = p16[y8 : y8 + 8, x8 : x8 + 8] + idct8(d)
+        else:
+            st.nzy[gy // 4 : gy // 4 + 2, gx // 4 : gx // 4 + 2] = 0
+            rec = p16[y8 : y8 + 8, x8 : x8 + 8]
+        st.y[gy : gy + 8, gx : gx + 8] = np.clip(rec, 0, 255)
+
+
+def _blk8_avail(st: _FrameState, mbx: int, mby: int, i8: int,
+                up_mb: bool, left_mb: bool, ul_mb: bool):
+    """(upright, up, left, ul) availability for an 8x8 luma block
+    (Intra_8x8's §8.3.2.2 sample gathering): interior blocks see same-MB
+    neighbours already reconstructed; edge blocks inherit the MB flags;
+    block 1's up-right lives in the above-RIGHT MB, block 3's is
+    undecoded."""
+    if i8 == 0:
+        return up_mb, up_mb, left_mb, ul_mb
+    if i8 == 1:
+        return st.mb_same_slice(mbx + 1, mby - 1), up_mb, True, up_mb
+    if i8 == 2:
+        return True, True, left_mb, left_mb
+    return False, True, True, True
+
+
 def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
                  mbx: int, mby: int, qp: int, pps: dict,
                  wp: dict | None = None, n_ref: int = 1) -> int:
@@ -2387,21 +2994,30 @@ def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
         p16 = _wp_single(p16, w0[0], w0[1], wp["logwd_y"])
     cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
+    t8 = False
+    if st.t8_mode and cbp_l:
+        # §7.3.5: inter transform_size_8x8_flag, after cbp, only when
+        # luma residual exists (a 16x16 partition always qualifies)
+        t8 = er.t8_flag(st, mbx, mby)
+    st.mb_t8[mby, mbx] = t8
     if cbp:
         qp += er.qp_delta(st, mbx, mby)
-    for blk in range(16):
-        x, yb = _BLK4_POS[blk]
-        gy, gx = oy + yb, ox + x
-        by, bx = gy // 4, gx // 4
-        if cbp_l & (1 << (blk // 4)):
-            coeffs = er.res_luma(st, by, bx, False)
-            st.nzy[by, bx] = sum(1 for c in coeffs if c)
-            d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
-            rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
-        else:
-            st.nzy[by, bx] = 0
-            rec = p16[yb : yb + 4, x : x + 4]
-        st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
+    if t8:
+        _decode_inter_luma8(er, st, mbx, mby, cbp_l, qp, p16)
+    else:
+        for blk in range(16):
+            x, yb = _BLK4_POS[blk]
+            gy, gx = oy + yb, ox + x
+            by, bx = gy // 4, gx // 4
+            if cbp_l & (1 << (blk // 4)):
+                coeffs = er.res_luma(st, by, bx, False)
+                st.nzy[by, bx] = sum(1 for c in coeffs if c)
+                d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
+                rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
+            else:
+                st.nzy[by, bx] = 0
+                rec = p16[yb : yb + 4, x : x + 4]
+            st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
     cy, cx = oy // 2, ox // 2
     preds = {
         0: mc_chroma(ref.cb, cy, cx, mv),
@@ -2488,21 +3104,30 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
     p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y", rpair)
     cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
+    t8 = False
+    if st.t8_mode and cbp_l and (mb_type != 0 or st.direct8_inf):
+        # §7.3.5: B_Direct_16x16 carries the flag only when the SPS set
+        # direct_8x8_inference_flag
+        t8 = er.t8_flag(st, mbx, mby)
+    st.mb_t8[mby, mbx] = t8
     if cbp:
         qp += er.qp_delta(st, mbx, mby)
-    for blk in range(16):
-        x, yb = _BLK4_POS[blk]
-        gy, gx = oy + yb, ox + x
-        by, bx = gy // 4, gx // 4
-        if cbp_l & (1 << (blk // 4)):
-            coeffs = er.res_luma(st, by, bx, False)
-            st.nzy[by, bx] = sum(1 for c in coeffs if c)
-            d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
-            rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
-        else:
-            st.nzy[by, bx] = 0
-            rec = p16[yb : yb + 4, x : x + 4]
-        st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
+    if t8:
+        _decode_inter_luma8(er, st, mbx, mby, cbp_l, qp, p16)
+    else:
+        for blk in range(16):
+            x, yb = _BLK4_POS[blk]
+            gy, gx = oy + yb, ox + x
+            by, bx = gy // 4, gx // 4
+            if cbp_l & (1 << (blk // 4)):
+                coeffs = er.res_luma(st, by, bx, False)
+                st.nzy[by, bx] = sum(1 for c in coeffs if c)
+                d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
+                rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
+            else:
+                st.nzy[by, bx] = 0
+                rec = p16[yb : yb + 4, x : x + 4]
+            st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
     cy, cx = oy // 2, ox // 2
     preds = {
         0: _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma, wp, "cb",
@@ -2689,6 +3314,40 @@ def _decode_mb_intra(er, st: _FrameState, mbx: int, mby: int,
         st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 16
         st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 16
         st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        return qp
+    if mb_type == 0 and st.t8_mode and er.t8_flag(st, mbx, mby):
+        # I_NxN with transform_size_8x8_flag: Intra_8x8 (§8.3.2) — four
+        # 8x8 blocks, each a filtered-reference 9-mode prediction plus an
+        # §8.5.13 8x8 residual; modes share the 4x4 grid (replicated)
+        st.mb_t8[mby, mbx] = True
+        modes = []
+        for i8, (x8, y8) in enumerate(_B8_POS):
+            by, bx = (oy + y8) // 4, (ox + x8) // 4
+            pred = st.pred_mode4(by, bx)
+            mode = er.intra4_mode(st, by, bx, pred)
+            st.modes4[by : by + 2, bx : bx + 2] = mode
+            modes.append(mode)
+        chroma_mode = er.chroma_mode(st, mbx, mby)
+        cbp = er.cbp(st, mbx, mby, True)
+        cbp_l, cbp_c = cbp & 15, cbp >> 4
+        if cbp:
+            qp += er.qp_delta(st, mbx, mby)
+        for i8, (x8, y8) in enumerate(_B8_POS):
+            gy, gx = oy + y8, ox + x8
+            upright, b_up, b_left, b_ul = _blk8_avail(
+                st, mbx, mby, i8, up_mb, left_mb, ul_mb
+            )
+            p = pred8(st.y, gy, gx, modes[i8], upright, b_up, b_left, b_ul)
+            if cbp_l & (1 << i8):
+                zz8 = _read_luma8(er, st, gy, gx)
+                d = dequant8(_zz_to_mat8(zz8), qp, sl8=0)  # Intra Y 8x8
+                rec = p + idct8(d)
+            else:
+                st.nzy[gy // 4 : gy // 4 + 2, gx // 4 : gx // 4 + 2] = 0
+                rec = p
+            st.y[gy : gy + 8, gx : gx + 8] = np.clip(rec, 0, 255)
+        _decode_chroma(er, st, ox, oy, chroma_mode, cbp_c, qp, pps,
+                       up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
         return qp
     if mb_type == 0:  # I_NxN (4x4)
         modes = []
@@ -2966,12 +3625,14 @@ def _mb_snapshot(st: _FrameState, mbx: int, mby: int):
         bool(st.mb_inter[mby, mbx]),
         st.mv[mby, mbx].copy(),
         st.ref_l[mby, mbx].copy(),
+        bool(st.mb_t8[mby, mbx]),
     )
 
 
 def _mb_restore(st: _FrameState, mbx: int, mby: int, snap) -> None:
     ox, oy = mbx * 16, mby * 16
-    y, cb, cr, nzy, nzc, modes4, inter, mv, ref_l = snap
+    y, cb, cr, nzy, nzc, modes4, inter, mv, ref_l, t8 = snap
+    st.mb_t8[mby, mbx] = t8
     st.y[oy : oy + 16, ox : ox + 16] = y
     st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cb
     st.cr[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cr
@@ -3047,10 +3708,10 @@ def _encode_mb_coded(ew, st: _FrameState, mbx: int, mby: int,
     m16 = min(_avail_modes16(st, mbx, mby),
               key=lambda m: _sad(src, pred16(st.y, oy, ox, m,
                                              up_mb, left_mb, ul_mb)))
-    use_i4 = mb_mode == "i4"
+    use_i4 = mb_mode in ("i4", "i8")
     if mb_mode == "auto":
-        # I_4x4 wins when the MB is detail-heavy: compare the 16x16
-        # prediction SAD against a DC-per-4x4-block proxy
+        # I_4x4 / Intra_8x8 wins when the MB is detail-heavy: compare the
+        # 16x16 prediction SAD against a DC-per-4x4-block proxy
         sad16 = _sad(src, pred16(st.y, oy, ox, m16, up_mb, left_mb, ul_mb))
         sad4 = sum(
             _sad(
@@ -3066,7 +3727,13 @@ def _encode_mb_coded(ew, st: _FrameState, mbx: int, mby: int,
                                                up_mb, left_mb, ul_mb)))
 
     if use_i4:
-        _encode_mb_i4(ew, st, mbx, mby, src, src_cb, src_cr, qp, cmode)
+        # transform_8x8 pictures code their I_NxN macroblocks as
+        # Intra_8x8 (mb_mode "i4" still forces the 4x4 flavour — both
+        # are legal under a transform_8x8 PPS, flag 1 vs 0)
+        if st.t8_mode and mb_mode != "i4":
+            _encode_mb_i8(ew, st, mbx, mby, src, src_cb, src_cr, qp, cmode)
+        else:
+            _encode_mb_i4(ew, st, mbx, mby, src, src_cb, src_cr, qp, cmode)
         return
 
     # ---- I_16x16 ----
@@ -3148,6 +3815,9 @@ def _encode_mb_i4(ew, st: _FrameState, mbx: int, mby: int,
                                   up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
     cbp = cbp_l | (cbp_c << 4)
     ew.mb_type(st, mbx, mby, "I", 0)  # I_NxN
+    if st.t8_mode:
+        # a transform_8x8 PPS makes the flag present on every I_NxN MB
+        ew.t8_flag(st, mbx, mby, False)
     # mode signalling (prediction replays the decoder's min rule)
     saved = st.modes4.copy()
     for blk in range(16):
@@ -3174,6 +3844,70 @@ def _encode_mb_i4(ew, st: _FrameState, mbx: int, mby: int,
             st.nzy[by, bx] = tc
         else:
             st.nzy[by, bx] = 0
+    _flush_chroma(ew, st, cemit, cbp_c)
+
+
+def _encode_mb_i8(ew, st: _FrameState, mbx: int, mby: int,
+                  src: np.ndarray, src_cb: np.ndarray, src_cr: np.ndarray,
+                  qp: int, cmode: int) -> None:
+    """Intra_8x8 macroblock (I_NxN + transform_size_8x8_flag): per 8x8
+    block the best of the nine §8.3.2 filtered-reference modes by SAD,
+    §8.5.13 8x8 transform residual.  Mirror of :func:`_encode_mb_i4`."""
+    ox, oy = mbx * 16, mby * 16
+    up_mb, left_mb = st.up_ok(mbx, mby), st.left_ok(mbx, mby)
+    ul_mb = st.ul_ok(mbx, mby)
+    blocks = []  # (mode, zz8)
+    for i8, (x8, y8) in enumerate(_B8_POS):
+        gy, gx = oy + y8, ox + x8
+        upright, b_up, b_left, b_ul = _blk8_avail(
+            st, mbx, mby, i8, up_mb, left_mb, ul_mb
+        )
+        cand = _avail_modes8(
+            gy > 0 and b_up, gx > 0 and b_left,
+            gy > 0 and gx > 0 and b_ul,
+        )
+        sblk = src[y8 : y8 + 8, x8 : x8 + 8]
+        mode = min(cand, key=lambda m: _sad(
+            sblk, pred8(st.y, gy, gx, m, upright, b_up, b_left, b_ul)))
+        p = pred8(st.y, gy, gx, mode, upright, b_up, b_left, b_ul)
+        z = quant8(fdct8(sblk - p), qp, sl8=0)
+        blocks.append((mode, _mat_to_zz8(z)))
+        # reconstruct now so the next block predicts from decoded pixels
+        rec = p + idct8(dequant8(z, qp, sl8=0))
+        st.y[gy : gy + 8, gx : gx + 8] = np.clip(rec, 0, 255)
+        st.modes4[gy // 4 : gy // 4 + 2, gx // 4 : gx // 4 + 2] = mode
+    cbp_l = 0
+    for i8 in range(4):
+        if any(blocks[i8][1]):
+            cbp_l |= 1 << i8
+    cbp_c, cemit = _encode_chroma(st, ox, oy, src_cb, src_cr, qp, cmode,
+                                  up_ok=up_mb, left_ok=left_mb, ul_ok=ul_mb)
+    cbp = cbp_l | (cbp_c << 4)
+    ew.mb_type(st, mbx, mby, "I", 0)  # I_NxN
+    ew.t8_flag(st, mbx, mby, True)
+    st.mb_t8[mby, mbx] = True
+    # mode signalling (prediction replays the decoder's min rule)
+    saved = st.modes4.copy()
+    for x8, y8 in _B8_POS:
+        by, bx = (oy + y8) // 4, (ox + x8) // 4
+        st.modes4[by : by + 2, bx : bx + 2] = -2  # not-yet-signalled
+    for i8, (x8, y8) in enumerate(_B8_POS):
+        by, bx = (oy + y8) // 4, (ox + x8) // 4
+        pred = st.pred_mode4(by, bx)
+        mode = blocks[i8][0]
+        ew.intra4_mode(st, by, bx, pred, mode)
+        st.modes4[by : by + 2, bx : bx + 2] = mode
+    st.modes4[:] = saved
+    ew.chroma_mode(st, mbx, mby, cmode)
+    ew.cbp(st, mbx, mby, True, cbp)
+    if cbp:
+        ew.qp_delta(st, mbx, mby, 0)
+    for i8, (x8, y8) in enumerate(_B8_POS):
+        gy, gx = oy + y8, ox + x8
+        if cbp_l & (1 << i8):
+            _write_luma8(ew, st, gy, gx, blocks[i8][1])
+        else:
+            st.nzy[gy // 4 : gy // 4 + 2, gx // 4 : gx // 4 + 2] = 0
     _flush_chroma(ew, st, cemit, cbp_c)
 
 
@@ -3222,6 +3956,8 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      deblock: bool = False,
                      long_term: bool = False,
                      scaling4: "tuple | list | None" = None,
+                     scaling8: "tuple | list | None" = None,
+                     transform_8x8: bool = False,
                      ) -> tuple[list[bytes], _FrameState]:
     """(y, cb, cr) uint8 planes (padded to MB multiples by the caller via
     :func:`pad_planes`) -> (IDR slice RBSPs, reconstruction state) — the
@@ -3235,8 +3971,10 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     _set_encoder_scaling(scaling4)
+    _set_encoder_scaling8(scaling8 if transform_8x8 else None)
     mbw, mbh = W_ // 16, H_ // 16
     st = _FrameState(mbw, mbh)
+    st.t8_mode = transform_8x8  # pair with write_pps(transform_8x8=True)
     st.slice_no[:] = -1  # mark as we code: mirrors the decoder exactly
     rbsps = []
     for si, (mb0, mb1) in enumerate(_slice_bounds(mbw * mbh, slices)):
@@ -3341,7 +4079,8 @@ def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
 def _inter_residuals(ref: _FrameState, src: np.ndarray,
                      src_cb: np.ndarray, src_cr: np.ndarray,
                      oy: int, ox: int, mv, qp: int,
-                     wp: dict | None = None, l0_idx: int = 0):
+                     wp: dict | None = None, l0_idx: int = 0,
+                     t8: bool = False):
     """Quantized inter residuals for one MB at ``mv``: returns
     (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16).  ``wp``
     weights the compensated samples with ``l0_idx``'s tuple (normative
@@ -3354,26 +4093,38 @@ def _inter_residuals(ref: _FrameState, src: np.ndarray,
         p16 = _wp_single(p16, l0[0], l0[1], ly)
         p8s = (_wp_single(p8s[0], l0[2], l0[3], lc),
                _wp_single(p8s[1], l0[4], l0[5], lc))
-    return _inter_residuals_from_pred(src, src_cb, src_cr, oy, ox, p16, p8s, qp)
+    return _inter_residuals_from_pred(src, src_cb, src_cr, oy, ox, p16, p8s,
+                                      qp, t8=t8)
 
 
 def _inter_residuals_from_pred(src: np.ndarray, src_cb: np.ndarray,
                                src_cr: np.ndarray, oy: int, ox: int,
-                               p16: np.ndarray, p8s, qp: int):
+                               p16: np.ndarray, p8s, qp: int,
+                               t8: bool = False):
     """Quantized inter residuals against a caller-supplied prediction
     (single-list MC or B bi-prediction): returns
-    (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16)."""
+    (cbp, luma_z list, chroma (zdc, acs, p8) per comp, p16).  With
+    ``t8`` the luma residual is four 8x8 transform blocks (High profile
+    transform_size_8x8) instead of sixteen 4x4s."""
     qpc = chroma_qp(qp)
     resid = src - p16
     luma_z = []
-    for blk in range(16):
-        x, yb = _BLK4_POS[blk]
-        luma_z.append(quant4(fdct4(resid[yb : yb + 4, x : x + 4]), qp,
-                             intra=False, sl=3))
     cbp_l = 0
-    for i8 in range(4):
-        if any(luma_z[i8 * 4 + k].any() for k in range(4)):
-            cbp_l |= 1 << i8
+    if t8:
+        for i8, (x8, y8) in enumerate(_B8_POS):
+            z8 = quant8(fdct8(resid[y8 : y8 + 8, x8 : x8 + 8]), qp,
+                        intra=False, sl8=1)  # Inter Y 8x8
+            luma_z.append(z8)
+            if z8.any():
+                cbp_l |= 1 << i8
+    else:
+        for blk in range(16):
+            x, yb = _BLK4_POS[blk]
+            luma_z.append(quant4(fdct4(resid[yb : yb + 4, x : x + 4]), qp,
+                                 intra=False, sl=3))
+        for i8 in range(4):
+            if any(luma_z[i8 * 4 + k].any() for k in range(4)):
+                cbp_l |= 1 << i8
     cy, cx = oy // 2, ox // 2
     comps = []
     any_dc = any_ac = False
@@ -3399,20 +4150,31 @@ def _inter_residuals_from_pred(src: np.ndarray, src_cb: np.ndarray,
 
 
 def _reconstruct_inter(st: _FrameState, oy: int, ox: int, cbp: int,
-                       luma_z, comps, p16, qp: int) -> None:
+                       luma_z, comps, p16, qp: int,
+                       t8: bool = False) -> None:
     """Apply the decoder's reconstruction for an inter MB (bit-identical
     contexts; also updates nzy/nzc for uncoded blocks)."""
     qpc = chroma_qp(qp)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
-    for blk in range(16):
-        x, yb = _BLK4_POS[blk]
-        gy, gx = oy + yb, ox + x
-        if cbp_l & (1 << (blk // 4)):
-            rec = p16[yb : yb + 4, x : x + 4] + idct4(
-                dequant4(luma_z[blk], qp, sl=3))
-        else:
-            rec = p16[yb : yb + 4, x : x + 4]
-        st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
+    if t8 and cbp_l:
+        for i8, (x8, y8) in enumerate(_B8_POS):
+            gy, gx = oy + y8, ox + x8
+            if cbp_l & (1 << i8):
+                rec = p16[y8 : y8 + 8, x8 : x8 + 8] + idct8(
+                    dequant8(luma_z[i8], qp, sl8=1))
+            else:
+                rec = p16[y8 : y8 + 8, x8 : x8 + 8]
+            st.y[gy : gy + 8, gx : gx + 8] = np.clip(rec, 0, 255)
+    else:
+        for blk in range(16):
+            x, yb = _BLK4_POS[blk]
+            gy, gx = oy + yb, ox + x
+            if cbp_l & (1 << (blk // 4)):
+                rec = p16[yb : yb + 4, x : x + 4] + idct4(
+                    dequant4(luma_z[blk], qp, sl=3))
+            else:
+                rec = p16[yb : yb + 4, x : x + 4]
+            st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
     cy, cx = oy // 2, ox // 2
     for comp, (zdc, acs, p8) in enumerate(comps):
         plane = (st.cb, st.cr)[comp]
@@ -3434,7 +4196,7 @@ def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
                     mb_type: int = 0, mvd2=None,
                     ref_idx: int | None = None, n_ref: int = 1,
                     ref_idx1: int | None = None, n_ref1: int = 1,
-                    sl: str | None = None) -> None:
+                    sl: str | None = None, t8: bool = False) -> None:
     """Bitstream emission for a 16x16 inter MB + nzy/nzc updates:
     P_L0_16x16 (mb_type 0) or a B 16x16 type (0 = B_Direct with
     ``sl="B"``, 1/2/3) with ``mvd`` for the first coded list and ``mvd2``
@@ -3462,16 +4224,38 @@ def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
     if mvd2 is not None:
         ew.mvd_pair(st, mbx, mby, 1, mvd2)
     ew.cbp(st, mbx, mby, False, cbp)
+    # §7.3.5: the inter transform_size_8x8_flag sits between cbp and
+    # mb_qp_delta, present only with luma residual (and, for B_Direct,
+    # only under direct_8x8_inference) — mirror of the decode walk
+    flag_present = st.t8_mode and cbp_l and (
+        not direct or st.direct8_inf
+    )
+    eff_t8 = bool(t8 and flag_present)
+    assert not (t8 and cbp_l and not flag_present), (
+        "8x8 residuals built for an MB whose flag cannot be coded "
+        "(B_Direct without direct_8x8_inference)"
+    )
+    if flag_present:
+        ew.t8_flag(st, mbx, mby, eff_t8)
+    st.mb_t8[mby, mbx] = eff_t8
     if cbp:
         ew.qp_delta(st, mbx, mby, 0)
-    for blk in range(16):
-        x, yb = _BLK4_POS[blk]
-        by, bx = (oy + yb) // 4, (ox + x) // 4
-        if cbp_l & (1 << (blk // 4)):
-            tc = ew.res_luma(st, by, bx, False, _mat_to_zz(luma_z[blk]))
-            st.nzy[by, bx] = tc
-        else:
-            st.nzy[by, bx] = 0
+    if eff_t8:
+        for i8, (x, yb) in enumerate(_B8_POS):
+            gy, gx = oy + yb, ox + x
+            if cbp_l & (1 << i8):
+                _write_luma8(ew, st, gy, gx, _mat_to_zz8(luma_z[i8]))
+            else:
+                st.nzy[gy // 4 : gy // 4 + 2, gx // 4 : gx // 4 + 2] = 0
+    else:
+        for blk in range(16):
+            x, yb = _BLK4_POS[blk]
+            by, bx = (oy + yb) // 4, (ox + x) // 4
+            if cbp_l & (1 << (blk // 4)):
+                tc = ew.res_luma(st, by, bx, False, _mat_to_zz(luma_z[blk]))
+                st.nzy[by, bx] = tc
+            else:
+                st.nzy[by, bx] = 0
     # chroma: both DCs, then Cb ACs, then Cr ACs (§7.3.5.3.2)
     if cbp_c:
         for comp, (zdc, _acs, _p8) in enumerate(comps):
@@ -3502,6 +4286,8 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      mmco: "list[tuple[int, int, int]] | None" = None,
                      l0_mods: "list[tuple[int, int]] | None" = None,
                      scaling4: "tuple | list | None" = None,
+                     scaling8: "tuple | list | None" = None,
+                     transform_8x8: bool = False,
                      ) -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
@@ -3550,6 +4336,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     if not 0 <= intra_slices < max(slices, 1):
         raise ValueError("intra_slices must leave at least one P slice")
     _set_encoder_scaling(scaling4)
+    _set_encoder_scaling8(scaling8 if transform_8x8 else None)
     wp = None
     search_refs = [rf.y for rf in refs]
     if weight is not None:
@@ -3578,6 +4365,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             for rf, t in zip(refs, wp["l0"])
         ]
     st = _FrameState(mbw, mbh)
+    st.t8_mode = transform_8x8
     st.slice_no[:] = -1
     rbsps = []
     ysrc = y.astype(np.int64)
@@ -3696,7 +4484,8 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             # (quarter-pel; the interpolator handles any fraction)
             mv_skip = st.skip_mv(mbx, mby)
             cbp_s, lz_s, comps_s, p16_s = _inter_residuals(
-                ref, src, cb, cr, oy, ox, mv_skip, qp, wp
+                ref, src, cb, cr, oy, ox, mv_skip, qp, wp,
+                t8=transform_8x8
             )
             if cbp_s == 0:
                 if cw is not None:
@@ -3737,12 +4526,15 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 mv = _motion_search(search_refs[0], src, oy, ox, search)
             mvp = st.mv_pred(mbx, mby, ref_idx=best)
             cbp, luma_z, comps, p16 = _inter_residuals(
-                refs[best], src, cb, cr, oy, ox, mv, qp, wp, l0_idx=best
+                refs[best], src, cb, cr, oy, ox, mv, qp, wp, l0_idx=best,
+                t8=transform_8x8
             )
             if cw is not None:
                 _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
-                                luma_z, comps, qp, ref_idx=best, n_ref=n0)
-                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+                                luma_z, comps, qp, ref_idx=best, n_ref=n0,
+                                t8=transform_8x8)
+                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp,
+                                   t8=transform_8x8)
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
@@ -3755,8 +4547,10 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             wpos = ew.checkpoint()
             try:
                 _write_inter_mb(ew, st, mbx, mby, mv, mv - mvp, cbp,
-                                luma_z, comps, qp, ref_idx=best, n_ref=n0)
-                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+                                luma_z, comps, qp, ref_idx=best, n_ref=n0,
+                                t8=transform_8x8)
+                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp,
+                                   t8=transform_8x8)
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
@@ -3800,6 +4594,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      implicit_pocs: "tuple[int, int, int] | None" = None,
                      scaling4: "tuple | list | None" = None,
                      b_direct: bool = False,
+                     scaling8: "tuple | list | None" = None,
+                     transform_8x8: bool = False,
                      ) -> tuple[list[bytes], _FrameState]:
     """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
@@ -3833,6 +4629,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
     _set_encoder_scaling(scaling4)
+    _set_encoder_scaling8(scaling8 if transform_8x8 else None)
     refs0 = list(ref0) if isinstance(ref0, (list, tuple)) else [ref0]
     refs1 = list(ref1) if isinstance(ref1, (list, tuple)) else [ref1]
     n0, n1 = len(refs0), len(refs1)
@@ -3879,6 +4676,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             for rf, t in zip(refs1, wp["l1"])
         ]
     st = _FrameState(mbw, mbh)
+    st.t8_mode = transform_8x8
     st.slice_no[:] = -1
     rbsps = []
     ysrc = y.astype(np.int64)
@@ -3982,7 +4780,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 for pl in ("cb", "cr")
             )
             cbp, luma_z, comps, _ = _inter_residuals_from_pred(
-                src, cb, cr, oy, ox, p16, p8s, qp
+                src, cb, cr, oy, ox, p16, p8s, qp, t8=transform_8x8
             )
             if mb_type == 0 and cbp == 0:
                 # B_Skip: the chosen direct prediction has an all-zero
@@ -4028,8 +4826,10 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     else None,
                     ref_idx=rpair[0], n_ref=n0,
                     ref_idx1=rpair[1], n_ref1=n1, sl="B",
+                    t8=transform_8x8,
                 )
-                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp,
+                                   t8=transform_8x8)
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
@@ -4055,8 +4855,10 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                     else None,
                     ref_idx=rpair[0], n_ref=n0,
                     ref_idx1=rpair[1], n_ref1=n1, sl="B",
+                    t8=transform_8x8,
                 )
-                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp)
+                _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp,
+                                   t8=transform_8x8)
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True

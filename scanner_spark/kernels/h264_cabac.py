@@ -56,11 +56,30 @@ from scanner_spark.kernels.cabac import CabacDecoder, CabacEncoder
 # mb_kind enum stored in _FrameState.mb_kind
 MB_I4, MB_I16, MB_PCM, MB_INTER, MB_SKIP, MB_DIRECT = 0, 1, 2, 3, 4, 5
 
-# 4x4-block zigzag max coeff counts per residual category
+# 4x4-block zigzag max coeff counts per residual category; 5 = the FRExt
+# luma 8x8 category (transform_size_8x8_flag, 64 coefficients — §9.3.2.3's
+# ctxBlockCat 5)
 _CAT_LUMA_DC, _CAT_LUMA_AC, _CAT_LUMA4, _CAT_CHROMA_DC, _CAT_CHROMA_AC = (
     0, 1, 2, 3, 4,
 )
-_CAT_MAX = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15}
+_CAT_LUMA8 = 5
+_CAT_MAX = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15, 5: 64}
+
+
+def _sig_key8(i: int) -> tuple:
+    """Significance-map context key for an 8x8-block position.  The spec
+    maps the 63 positions onto shared context classes (Table 9-43's 8x8
+    column); with this codec's symbolic uniform-init contexts the exact
+    normative grouping carries no information, so a structural grouping
+    (diagonal-band quartets, 15 classes — same cardinality as the spec's)
+    stands in.  Symmetric between reader and writer, so round trips are
+    exact; only foreign-stream ctx choice could differ, and foreign CABAC
+    is gated off (kernels/cabac.py provenance note)."""
+    return ("sig", _CAT_LUMA8, min(i >> 2, 14))
+
+
+def _last_key8(i: int) -> tuple:
+    return ("last", _CAT_LUMA8, i >> 3)
 
 
 class _CtxSide:
@@ -94,6 +113,16 @@ class _CtxSide:
             if n is not None and st.mb_kind[n[1], n[0]] not in (
                 -1, MB_SKIP, MB_DIRECT,
             ):
+                inc += 1
+        return inc
+
+    def _t8_inc(self, st, mbx, mby) -> int:
+        """transform_size_8x8_flag ctxIdxInc (§9.3.3.1.1.10): condTermA +
+        condTermB, cond = neighbour decoded in-slice with its own
+        transform_size_8x8_flag set."""
+        inc = 0
+        for n in self._ab(st, mbx, mby):
+            if n is not None and st.mb_t8[n[1], n[0]]:
                 inc += 1
         return inc
 
@@ -380,6 +409,9 @@ class CabacReader(_CtxSide):
         st.mb_cbp[mby, mbx] = cbp
         return cbp
 
+    def t8_flag(self, st, mbx, mby) -> bool:
+        return bool(self.d.decision(("t8", self._t8_inc(st, mbx, mby))))
+
     def qp_delta(self, st, mbx, mby) -> int:
         k = 0
         while self.d.decision(self._qpd_key(k)):
@@ -413,15 +445,21 @@ class CabacReader(_CtxSide):
     def _residual(self, st, cat: int, mbx, mby, by, bx, comp) -> list:
         d = self.d
         max_n = _CAT_MAX[cat]
-        inc = self._cbf_inc(st, cat, mbx, mby, by, bx, comp)
-        if not d.decision(("cbf", cat, inc)):
-            return [0] * max_n
+        if cat != _CAT_LUMA8:
+            # ctxBlockCat 5 (luma 8x8) codes NO coded_block_flag: the
+            # cbp luma bit already implies the block is coded (§7.4.5.3.3)
+            inc = self._cbf_inc(st, cat, mbx, mby, by, bx, comp)
+            if not d.decision(("cbf", cat, inc)):
+                return [0] * max_n
         sig = []
         last_seen = False
         for i in range(max_n - 1):
-            if d.decision(("sig", cat, i)):
+            skey = _sig_key8(i) if cat == _CAT_LUMA8 else ("sig", cat, i)
+            if d.decision(skey):
                 sig.append(i)
-                if d.decision(("last", cat, i)):
+                lkey = (_last_key8(i) if cat == _CAT_LUMA8
+                        else ("last", cat, i))
+                if d.decision(lkey):
                     last_seen = True
                     break
         if not last_seen:
@@ -454,6 +492,12 @@ class CabacReader(_CtxSide):
     def res_luma(self, st, by, bx, ac: bool) -> list:
         cat = _CAT_LUMA_AC if ac else _CAT_LUMA4
         return self._residual(st, cat, bx // 4, by // 4, by, bx, 0)
+
+    def res_luma8(self, st, by, bx) -> list:
+        """One luma 8x8 block (ctxBlockCat 5), 64 coefficients in 8x8
+        zig-zag order; (by, bx) are the 4x4-grid coords of its top-left
+        quarter."""
+        return self._residual(st, _CAT_LUMA8, bx // 4, by // 4, by, bx, 0)
 
     def res_chroma_dc(self, st, comp, mbx, mby) -> list:
         cf = self._residual(st, _CAT_CHROMA_DC, mbx, mby, 0, 0, comp)
@@ -604,6 +648,9 @@ class CabacWriter(_CtxSide):
             e.decision(self._cbp_chroma_key(st, mbx, mby, 1), cbp_c - 1)
         st.mb_cbp[mby, mbx] = cbp
 
+    def t8_flag(self, st, mbx, mby, v: bool) -> None:
+        self.e.decision(("t8", self._t8_inc(st, mbx, mby)), 1 if v else 0)
+
     def qp_delta(self, st, mbx, mby, dqp: int) -> None:
         k = 2 * dqp - 1 if dqp > 0 else -2 * dqp
         for i in range(k):
@@ -635,20 +682,28 @@ class CabacWriter(_CtxSide):
         e = self.e
         max_n = _CAT_MAX[cat]
         vals = list(zz) + [0] * (max_n - len(zz))
-        inc = self._cbf_inc(st, cat, mbx, mby, by, bx, comp)
         sig = [i for i, v in enumerate(vals) if v]
-        if not sig:
-            e.decision(("cbf", cat, inc), 0)
-            return 0
-        e.decision(("cbf", cat, inc), 1)
+        if cat == _CAT_LUMA8:
+            # no coded_block_flag (see the reader); the caller only emits
+            # a luma 8x8 block whose cbp bit is set, i.e. non-empty
+            assert sig, "luma 8x8 residual must carry coefficients"
+        else:
+            inc = self._cbf_inc(st, cat, mbx, mby, by, bx, comp)
+            if not sig:
+                e.decision(("cbf", cat, inc), 0)
+                return 0
+            e.decision(("cbf", cat, inc), 1)
         last = sig[-1]
         for i in range(max_n - 1):
             if i > last:
                 break
             is_sig = 1 if vals[i] else 0
-            e.decision(("sig", cat, i), is_sig)
+            skey = _sig_key8(i) if cat == _CAT_LUMA8 else ("sig", cat, i)
+            e.decision(skey, is_sig)
             if is_sig:
-                e.decision(("last", cat, i), 1 if i == last else 0)
+                lkey = (_last_key8(i) if cat == _CAT_LUMA8
+                        else ("last", cat, i))
+                e.decision(lkey, 1 if i == last else 0)
         num_eq1 = num_gt1 = 0
         for pos in reversed(sig):
             inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
@@ -675,6 +730,10 @@ class CabacWriter(_CtxSide):
     def res_luma(self, st, by, bx, ac: bool, zz: list) -> int:
         cat = _CAT_LUMA_AC if ac else _CAT_LUMA4
         return self._residual(st, cat, bx // 4, by // 4, by, bx, 0, zz)
+
+    def res_luma8(self, st, by, bx, zz: list) -> int:
+        return self._residual(st, _CAT_LUMA8, bx // 4, by // 4, by, bx, 0,
+                              zz)
 
     def res_chroma_dc(self, st, comp, mbx, mby, zz: list) -> int:
         tc = self._residual(st, _CAT_CHROMA_DC, mbx, mby, 0, 0, comp, zz)

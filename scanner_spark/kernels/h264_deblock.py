@@ -128,6 +128,19 @@ def _mb_motion(st, mby: int, mbx: int):
             np.zeros((2, 2), dtype=np.int64), refs.copy())
 
 
+def _nz_any(st, by: int, bx: int) -> bool:
+    """Does the 4x4 block carry residual levels, for the bS=2 test?  In a
+    transform_size_8x8 MB the CODED unit is the covering 8x8 block, so
+    its status applies to every 4x4 it covers (under CAVLC the per-4x4
+    nzy holds the interleaved SUB-BLOCK TotalCoeff for nC purposes — a
+    zero sub-count inside a coded 8x8 must still deblock as coded)."""
+    t8 = getattr(st, "mb_t8", None)
+    if t8 is not None and t8[by // 4, bx // 4]:
+        b0y, b0x = (by >> 1) << 1, (bx >> 1) << 1
+        return int(st.nzy[b0y : b0y + 2, b0x : b0x + 2].max()) > 0
+    return st.nzy[by, bx] > 0
+
+
 def _bs_group(st, pmby, pmbx, qmby, qmbx, pby, pbx, qby, qbx,
               mb_edge: bool) -> int:
     """Boundary strength for one 4-sample edge group (§8.7.2.1 at our
@@ -138,7 +151,7 @@ def _bs_group(st, pmby, pmbx, qmby, qmbx, pby, pbx, qby, qbx,
     q_intra, qu, qmv, qref = _mb_motion(st, qmby, qmbx)
     if p_intra or q_intra:
         return 4 if mb_edge else 3
-    if st.nzy[pby, pbx] > 0 or st.nzy[qby, qbx] > 0:
+    if _nz_any(st, pby, pbx) or _nz_any(st, qby, qbx):
         return 2
     if not np.array_equal(pu, qu):
         return 1  # different number of MVs
@@ -308,8 +321,16 @@ def deblock_picture(st, slice_params: dict, chroma_qp_offset: int = 0,
             qp_q = mbqp(mby, mbx)
             ox, oy = mbx * 16, mby * 16
 
+            # §8.7: a transform_size_8x8 MB's luma transform edges are
+            # the 8x8 grid — internal 4-offset edges (1 and 3) are not
+            # filtered; the MB edge (0) and the 8-offset edge (2) are
+            t8g = getattr(st, "mb_t8", None)
+            t8_mb = t8g is not None and bool(t8g[mby, mbx])
+
             # --- luma vertical edges ---
             for e in range(4):
+                if t8_mb and e in (1, 3):
+                    continue
                 if e == 0:
                     if mbx == 0 or not boundary_ok(mby, mbx - 1, idc, si):
                         continue
@@ -332,6 +353,8 @@ def deblock_picture(st, slice_params: dict, chroma_qp_offset: int = 0,
                 )
             # --- luma horizontal edges ---
             for e in range(4):
+                if t8_mb and e in (1, 3):
+                    continue
                 if e == 0:
                     if mby == 0 or not boundary_ok(mby - 1, mbx, idc, si):
                         continue

@@ -1685,9 +1685,10 @@ def test_scaling_default_fallbacks_refuse():
 
 
 def test_pps_extension_refusals():
-    """The previously-unparsed PPS tail now parses: transform_8x8 and a
-    differing second chroma offset refuse instead of silently decoding
-    wrong; a benign tail (all-zero flags, matching offset) passes."""
+    """The previously-unparsed PPS tail now parses: transform_8x8 parses
+    into the dict (round 13), a differing second chroma offset refuses
+    instead of silently decoding wrong; a benign tail (all-zero flags,
+    matching offset) passes."""
     def build(t8, second_off):
         w = H.BitWriter()
         w.ue(0); w.ue(0)
@@ -1702,9 +1703,9 @@ def test_pps_extension_refusals():
         w.rbsp_trailing()
         return w.bytes()
 
-    assert H.parse_pps(build(False, 0))["init_qp"] == 30
-    with pytest.raises(NotImplementedError, match="transform_8x8"):
-        H.parse_pps(build(True, 0))
+    benign = H.parse_pps(build(False, 0))
+    assert benign["init_qp"] == 30 and not benign["transform_8x8"]
+    assert H.parse_pps(build(True, 0))["transform_8x8"]
     with pytest.raises(NotImplementedError, match="second_chroma"):
         H.parse_pps(build(False, 3))
 
@@ -1967,3 +1968,131 @@ def test_b_skip_mid_slice_and_trailing_runs():
     assert np.array_equal(d_b.y, st_b.y)
     assert np.array_equal(d_b.cb, st_b.cb)
     assert np.array_equal(d_b.cr, st_b.cr)
+
+
+# ---------------------------------------------------------------------------
+# transform_size_8x8 / Intra_8x8 (round 13, High profile §8.5.13 / §8.3.2)
+# ---------------------------------------------------------------------------
+
+
+def test_transform8_core_properties():
+    """§8.5.13 structural pins: the 8x8 zig-zag is the conventional
+    diagonal permutation; idct8 of a DC-only block is flat; the quant8/
+    dequant8 pair reconstructs within quantization error at low QP; the
+    normAdjust8x8 class layout is symmetric with the six a..f values."""
+    assert sorted(H.ZIGZAG_8x8) == list(range(64))
+    assert H.ZIGZAG_8x8[:6] == [0, 1, 8, 16, 9, 2]
+    d = np.zeros((8, 8), dtype=np.int64)
+    d[0, 0] = 64
+    assert (H.idct8(d) == 1).all()
+    rng = np.random.default_rng(0)
+    x = rng.integers(-200, 200, (8, 8))
+    for qp, tol in ((0, 1), (10, 2), (26, 12)):
+        r = H.idct8(H.dequant8(H.quant8(H.fdct8(x), qp), qp))
+        assert np.abs(r - x).max() <= tol, qp
+    pc = H._POS_CLASS8
+    assert (pc == pc.T).all()
+    assert pc[0, 0] == 0 and pc[1, 1] == 1 and pc[2, 2] == 2
+    assert pc[0, 1] == 3 and pc[0, 2] == 4 and pc[1, 2] == 5
+    for row in H._V8:
+        assert len(set(row)) == 6  # six distinct class values per qp%6
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_intra8x8_round_trip_exact(entropy):
+    """I picture with transform_8x8: Intra_8x8 macroblocks decode
+    bit-exactly against the encoder reconstruction in both entropies,
+    and the decoder actually saw 8x8-transformed MBs."""
+    fr = H.yuv420_from_rgb(_smooth_rgb(81))
+    rb, st_e = H.encode_picture_i(*H.pad_planes(*fr), qp=28, mb_mode="i8",
+                                  entropy=entropy, transform_8x8=True)
+    sps = H.parse_sps(H.write_sps(64, 48, high_profile=True))
+    assert sps["profile"] == 100
+    pps = H.parse_pps(H.write_pps(28, cabac=entropy == "cabac",
+                                  transform_8x8=True))
+    assert pps["transform_8x8"]
+    _, st_d = H.decode_picture([(r, True, 3) for r in rb], sps, pps,
+                               return_state=True, cabac_marked=True)
+    assert np.array_equal(st_d.y, st_e.y)
+    assert np.array_equal(st_d.cb, st_e.cb)
+    assert np.array_equal(st_d.cr, st_e.cr)
+    assert st_d.mb_t8.sum() > 0
+    assert np.array_equal(st_d.mb_t8, st_e.mb_t8)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_transform8_inter_gop_round_trip_exact(entropy):
+    """I -> P -> B chain, every picture 8x8-transformed (inter
+    transform_size_8x8_flag after cbp), deblocking ON so the §8.7
+    internal-edge skip is exercised: decode == encoder recon."""
+    f0, f1, f2 = (_smooth_rgb(90 + i) for i in range(3))
+    fr = [H.yuv420_from_rgb(f) for f in (f0, f1, f2)]
+    kw = dict(qp=28, entropy=entropy, transform_8x8=True, deblock=True)
+    rb_i, st_i = H.encode_picture_i(*H.pad_planes(*fr[0]), poc_lsb=0, **kw)
+    rb_p, st_p = H.encode_picture_p(*H.pad_planes(*fr[2]), st_i,
+                                    frame_num=1, poc_lsb=4, **kw)
+    rb_b, st_b = H.encode_picture_b(*H.pad_planes(*fr[1]), st_i, st_p,
+                                    frame_num=2, poc_lsb=2, b_direct=True,
+                                    **kw)
+    sps = H.parse_sps(H.write_sps(64, 48, num_ref_frames=2, poc_type=0,
+                                  high_profile=True))
+    pps = H.parse_pps(H.write_pps(28, cabac=entropy == "cabac",
+                                  transform_8x8=True))
+    _, d_i = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                              return_state=True, cabac_marked=True)
+    _, d_p = H.decode_picture([(r, False, 2) for r in rb_p], sps, pps,
+                              ref=d_i, return_state=True, cabac_marked=True)
+    _, d_b = H.decode_picture([(r, False, 0) for r in rb_b], sps, pps,
+                              ref=d_i, ref1=d_p, return_state=True,
+                              cabac_marked=True)
+    for d, e in ((d_i, st_i), (d_p, st_p), (d_b, st_b)):
+        assert np.array_equal(d.y, e.y)
+        assert np.array_equal(d.cb, e.cb)
+        assert np.array_equal(d.cr, e.cr)
+    assert d_p.mb_t8.sum() > 0 and d_b.mb_t8.sum() > 0
+
+
+def test_transform8_flag_is_load_bearing():
+    """Sabotage: decoding an 8x8-transformed stream through a PPS whose
+    transform_8x8_mode_flag is OFF must fail or mis-decode — the flag
+    carries real syntax (the per-MB transform_size_8x8_flag bit)."""
+    fr = H.yuv420_from_rgb(_smooth_rgb(83))
+    rb, st_e = H.encode_picture_i(*H.pad_planes(*fr), qp=28, mb_mode="i8",
+                                  transform_8x8=True)
+    sps = H.parse_sps(H.write_sps(64, 48, high_profile=True))
+    pps_off = H.parse_pps(H.write_pps(28))  # no extension: t8 off
+    try:
+        planes = H.decode_picture([(r, True, 3) for r in rb], sps, pps_off)
+        assert not np.array_equal(planes[0], st_e.y[:48, :64])
+    except (ValueError, NotImplementedError, IndexError, KeyError):
+        pass  # refusing to parse is equally acceptable
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_scaling8_lists_round_trip_and_load_bearing(entropy):
+    """Coded 8x8 scaling lists (SPS indices 6/7): non-flat weights decode
+    bit-exactly through the §8.5.13.2 weighted dequant, the SPS survives
+    a write/parse cycle, and decoding the same payload with flat-8x8
+    matrices refuses (absent list -> normative default -> refusal)."""
+    s4 = [np.full((4, 4), 16, np.int64) for _ in range(6)]
+    i8 = (np.arange(64).reshape(8, 8) % 30) + 8
+    p8 = np.full((8, 8), 24, np.int64)
+    fr = H.yuv420_from_rgb(_smooth_rgb(85))
+    rb, st_e = H.encode_picture_i(*H.pad_planes(*fr), qp=30, mb_mode="i8",
+                                  entropy=entropy, transform_8x8=True,
+                                  scaling4=s4, scaling8=(i8, p8))
+    sps = H.parse_sps(H.write_sps(64, 48, scaling4=s4, scaling8=(i8, p8)))
+    assert sps["scaling8"] is not None
+    assert np.array_equal(sps["scaling8"][0], i8)
+    assert np.array_equal(sps["scaling8"][1], p8)
+    pps = H.parse_pps(H.write_pps(30, cabac=entropy == "cabac",
+                                  transform_8x8=True))
+    _, st_d = H.decode_picture([(r, True, 3) for r in rb], sps, pps,
+                               return_state=True, cabac_marked=True)
+    assert np.array_equal(st_d.y, st_e.y)
+    # absent 8x8 lists under a present seq matrix = fall-back rule A
+    # (normative default tables): refused, not silently flat
+    sps_no8 = H.parse_sps(H.write_sps(64, 48, scaling4=s4))
+    with pytest.raises(NotImplementedError, match="8x8 scaling"):
+        H.decode_picture([(r, True, 3) for r in rb], sps_no8, pps,
+                         cabac_marked=True)
