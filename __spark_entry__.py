@@ -418,6 +418,9 @@ def _video_decode_sql() -> str:
         # spatial B_Direct avc1 (§8.4.1.2.2 derivation, no motion
         # syntax in direct MBs): lossy -> NULL
         ("vid15.mp4", 15, [1, 6], 32, 32, False),
+        # transform_size_8x8 avc1 (High profile: Intra_8x8, CABAC 8x8
+        # residual blocks, coded 8x8 scaling lists): lossy -> NULL
+        ("vid16.mp4", 16, [1, 6], 32, 32, False),
     ):
         for f in frames:
             rows.append(

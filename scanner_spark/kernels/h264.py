@@ -4912,7 +4912,9 @@ def encode_frame_nals(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                       qp: int = 26, mb_mode: str = "auto",
                       slices: int = 1, entropy: str = "cavlc",
                       deblock: bool = False,
-                      scaling4: "tuple | list | None" = None) -> list:
+                      scaling4: "tuple | list | None" = None,
+                      scaling8: "tuple | list | None" = None,
+                      transform_8x8: bool = False) -> list:
     """One frame -> the picture's IDR slice NALs (no start code / length
     prefix), ALWAYS a list — one entry per slice.  Type-stable multi-slice
     API (ADVICE r08); :func:`encode_frame` is the scalar single-slice
@@ -4920,7 +4922,8 @@ def encode_frame_nals(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     yp, cbp_, crp = pad_planes(y, cb, cr)
     rbsps, _st = encode_picture_i(yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
                                   slices=slices, entropy=entropy,
-                                  scaling4=scaling4,
+                                  scaling4=scaling4, scaling8=scaling8,
+                                  transform_8x8=transform_8x8,
                                   deblock=deblock)
     return [rbsp_to_nal(3, 5, r) for r in rbsps]
 
@@ -4946,6 +4949,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        b_refs: int = 1,
                        scaling4: "tuple | list | None" = None,
                        b_direct: bool = False,
+                       scaling8: "tuple | list | None" = None,
+                       transform_8x8: bool = False,
                        ) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
@@ -5050,7 +5055,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             yp, cbp_, crp, qp=qp, mb_mode=mb_mode,
             poc_lsb=0 if poc0 else None, slices=slices, entropy=entropy,
             deblock=deblock, long_term=ref_mode == "lt_idr",
-            scaling4=scaling4,
+            scaling4=scaling4, scaling8=scaling8,
+            transform_8x8=transform_8x8,
         )
         out.append((pack(rbsps, 3, 5), True, g0))
         ref_list = [prev_st]  # decode-order-recent first (RefPicList0)
@@ -5109,6 +5115,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 # PicNum) is that B, not prev_st — reorder explicitly
                 l0_ref_fn=prev_fn if prev_gap_bref else None,
                 mmco=mmco_ops, l0_mods=l0_mods, scaling4=scaling4,
+                scaling8=scaling8, transform_8x8=transform_8x8,
             )
             if ref_mode == "lt_anchor" and p_idx == 0:
                 anchor_st = nxt_st  # the self-marked LT picture
@@ -5126,6 +5133,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     implicit_pocs=(2 * m, 2 * prev_d, 2 * nxt_d)
                     if implicit_bipred else None,
                     scaling4=scaling4, b_direct=b_direct,
+                    scaling8=scaling8, transform_8x8=transform_8x8,
                 )
                 out.append((pack(rbsps, 2, 1), False, g0 + m))
                 fnum = (fnum + 1) & 15
@@ -5142,6 +5150,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         implicit_pocs=(2 * d, 2 * p0d, 2 * p1d)
                         if implicit_bipred else None,
                         scaling4=scaling4, b_direct=b_direct,
+                        scaling8=scaling8, transform_8x8=transform_8x8,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = True
@@ -5161,6 +5170,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         implicit_pocs=(2 * d, 2 * prev_d, 2 * nxt_d)
                         if implicit_bipred else None,
                         scaling4=scaling4, b_direct=b_direct,
+                        scaling8=scaling8, transform_8x8=transform_8x8,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = False

@@ -1911,6 +1911,27 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_bdir_path)
+    # transform_size_8x8 avc1 (round 13, High profile): every picture
+    # 8x8-transformed — Intra_8x8 filtered-reference prediction on the
+    # IDR, 8x8 inter residuals on P/B (CABAC ctxBlockCat-5 blocks), the
+    # §8.5.13.2 weighted dequant fed by SPS-coded 8x8 scaling lists, and
+    # the §8.7 internal-edge deblocking skip (kernels/h264.py pred8 /
+    # dequant8 / _decode_inter_luma8)
+    import numpy as _np2
+    _w8i = (_np2.arange(64).reshape(8, 8) % 24) + 10
+    _w8p = _np2.full((8, 8), 20, _np2.int64)
+    _flat4 = tuple(_np2.full((4, 4), 16, _np2.int64) for _ in range(6))
+    avc_t8_path = f"{tmp}/vid16.mp4"
+    with open(avc_t8_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(16, i, 32, 32, 3) for i in range(8)],
+                qp=30, gop=4, b_frames=1, transform_8x8=True,
+                b_direct=True, entropy="cabac", deblock=True,
+                scaling4=_flat4, scaling8=(_w8i, _w8p),
+            )
+        )
+    paths.append(avc_t8_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1929,6 +1950,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_scal_path: [2, 5],
         avc_cbref_path: [3, 8],
         avc_bdir_path: [1, 6],
+        avc_t8_path: [1, 6],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1947,7 +1969,7 @@ def q_video_decode_pruned(spark, sf_dir):
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
         "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4", "vid12.mp4",
-        "vid13.mp4", "vid14.mp4", "vid15.mp4",
+        "vid13.mp4", "vid14.mp4", "vid15.mp4", "vid16.mp4",
     )
     return out2.select(
         "video",

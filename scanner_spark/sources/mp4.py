@@ -405,7 +405,9 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     ref_mode: str = "sliding",
                     b_refs: int = 1,
                     scaling4=None,
-                    b_direct: bool = False) -> bytes:
+                    b_direct: bool = False,
+                    scaling8=None,
+                    transform_8x8: bool = False) -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -452,10 +454,13 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
         ),
         poc_type=0 if b_frames else 2,
         scaling4=scaling4,
+        scaling8=scaling8,
+        high_profile=transform_8x8,  # §8.5.13 needs the High SPS layout
     )
     pps = h264.write_pps(
         qp, cabac=entropy == "cabac",
         weighted_bipred_idc=2 if implicit_bipred else 0,
+        transform_8x8=transform_8x8,
     )
     yuv = [h264.yuv420_from_rgb(np.asarray(f)) for f in frames]
     if gop is None:
@@ -463,7 +468,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             (h264.encode_frame_nals(y, cb, cr, qp=qp, mb_mode=mb_mode,
                                     slices=slices, entropy=entropy,
                                     deblock=deblock,
-                                    scaling4=scaling4), True, i)
+                                    scaling4=scaling4, scaling8=scaling8,
+                                    transform_8x8=transform_8x8), True, i)
             for i, (y, cb, cr) in enumerate(yuv)
         ]
     else:
@@ -473,7 +479,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             p_intra_slices=p_intra_slices, deblock=deblock,
             p_refs=p_refs, implicit_bipred=implicit_bipred,
             ref_mode=ref_mode, b_refs=b_refs, scaling4=scaling4,
-            b_direct=b_direct,
+            b_direct=b_direct, scaling8=scaling8,
+            transform_8x8=transform_8x8,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams

@@ -535,3 +535,30 @@ def test_decode_gop_task_avc1_b_frames_range_reads(tmp_path):
         f"read {opener.bytes_read}; moov={moov_size} window={window}"
     )
     assert opener.bytes_read < len(whole)
+
+
+def test_mp4_avc1_transform8x8_gop_lossy_bound():
+    """High-profile transform_8x8 mp4 (Intra_8x8 IDR, 8x8 inter
+    residuals, CABAC, coded 8x8 scaling lists, deblocked, B gaps with
+    spatial direct): the container walk decodes every frame inside the
+    same lossy envelope as the 4x4 fixtures, and a sparse pruned load
+    returns only the wanted frames."""
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(16, i, 32, 32, 3) for i in range(8)]
+    w8i = (np.arange(64).reshape(8, 8) % 24) + 10
+    w8p = np.full((8, 8), 20, np.int64)
+    flat4 = tuple(np.full((4, 4), 16, np.int64) for _ in range(6))
+    buf = mp4.encode_mp4_avc1(
+        frames, qp=30, gop=4, b_frames=1, transform_8x8=True,
+        b_direct=True, entropy="cabac", deblock=True,
+        scaling4=flat4, scaling8=(w8i, w8p),
+    )
+    m, e = mp4.parse_index(buf)
+    out = mp4.decode_range(buf, 0, m, set(range(8)), index=(m, e))
+    for i in range(8):
+        err = np.abs(out[i].astype(int) - frames[i].astype(int)).mean()
+        assert err < 12.0, (i, err)
+    part = mp4.decode_range(buf, 0, m, {1, 6}, index=(m, e))
+    assert sorted(part) == [1, 6]
+    assert np.array_equal(part[1], out[1]) and np.array_equal(part[6], out[6])
