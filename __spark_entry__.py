@@ -421,6 +421,9 @@ def _video_decode_sql() -> str:
         # transform_size_8x8 avc1 (High profile: Intra_8x8, CABAC 8x8
         # residual blocks, coded 8x8 scaling lists): lossy -> NULL
         ("vid16.mp4", 16, [1, 6], 32, 32, False),
+        # temporal direct avc1 (§8.4.1.2.3 POC-scaled co-located
+        # motion, walk-supplied POC tags): lossy -> NULL
+        ("vid17.mp4", 17, [1, 6], 32, 32, False),
     ):
         for f in frames:
             rows.append(

@@ -51,9 +51,13 @@ What is implemented, per the spec's clause numbers:
   exact within the envelope, since sub-MB-partitioned col pictures are
   refused when they decode).  B_Skip decodes as the same derivation
   with no residual (round 13).  TEMPORAL direct
-  (direct_spatial_mv_pred_flag == 0) and sub-partitions are REFUSED
-  with NotImplementedError — the in-repo encoder never emits them, and
-  misparsing a foreign stream is worse than refusing it.
+  (direct_spatial_mv_pred_flag == 0) decodes via the §8.4.1.2.3
+  POC-scaled co-located-motion derivation (round 13, whole-MB scope:
+  _FrameState.temporal_direct — needs POC-tagged reference states, the
+  container walk supplies them; untagged decodes refuse).
+  Sub-partitions are REFUSED with NotImplementedError — the in-repo
+  encoder never emits them, and misparsing a foreign stream is worse
+  than refusing it.
 - Multi-reference P prediction (round 11): num_ref_idx_l0_active > 1
   with te(v) ref_idx_l0 per MB, the §8.4.1.3.1 same-refIdx MV-predictor
   rule, and the full RefPicList0 ordering/modification resolved by the
@@ -61,9 +65,9 @@ What is implemented, per the spec's clause numbers:
   multi-reference B lists (both entropies: te(v) / CABAC unary ref_idx),
   per-reference explicit weight tables, adaptive ref-pic marking (MMCO
   long-term references), and bitstream-coded scaling matrices;
-  Round 13 adds spatial B_Direct_16x16 and B_Skip (encode via
-  b_direct=True);
-  interlace / SP-SI / slice groups / temporal direct stay refusals.
+  Round 13 adds spatial AND temporal B_Direct_16x16 / B_Skip (encode
+  via b_direct=True, direct_mode="spatial"/"temporal");
+  interlace / SP-SI / slice groups stay refusals.
 - CAVLC residual (§9.2): coeff_token (Table 9-5 incl. the chroma-DC nC=-1
   column), trailing-one signs, adaptive-suffix level decoding,
   total_zeros (Tables 9-7/9-8/9-9a) and run_before (Table 9-10).
@@ -1976,6 +1980,15 @@ class _FrameState:
         self.mb_t8 = np.zeros((mbh, mbw), dtype=bool)
         self.t8_mode = False
         self.direct8_inf = True
+        # POC tags (round 13, §8.4.1.2.3 temporal direct): the picture's
+        # own PicOrderCnt and the POCs of the RefPicList0/1 its slices
+        # predicted from.  None = untagged — temporal direct then refuses
+        # loudly.  Set by the container walk (sources/mp4.decode_range),
+        # by decode_picture(cur_poc=...), and by the encoders
+        # (poc_lsb-derived; exact for streams shorter than a POC wrap).
+        self.poc: "int | None" = None
+        self.ref_pocs0: "list | None" = None
+        self.ref_pocs1: "list | None" = None
 
     def mb_same_slice(self, mbx: int, mby: int) -> bool:
         """In-frame AND belongs to the slice currently being coded."""
@@ -2118,6 +2131,84 @@ class _FrameState:
             else:
                 mvs[lst] = self.mv_pred(mbx, mby, lst, ref_idx=ridx)
         return ridx0, ridx1, mvs
+
+    def temporal_direct(self, mbx: int, mby: int, refs0, refs1):
+        """§8.4.1.2.3 temporal direct motion derivation for
+        B_Direct_16x16 / B_Skip under ``direct_spatial_mv_pred_flag ==
+        0``, at this codec's whole-MB partition scope: returns
+        (refIdxL0, refIdxL1 == 0, [mvL0, mvL1]) — temporal direct always
+        predicts from BOTH lists.
+
+        - co-located block = the same MB address in RefPicList1[0]
+          (frame_mbs_only + direct_8x8_inference at whole-MB scope: one
+          motion per MB, so the per-8x8 corner sampling collapses);
+          its list-0 motion is used when present, else list 1, else
+          (intra) zero motion with refIdxL0 = 0 and zero scaled MVs.
+        - refIdxL0 = the lowest current-list-0 index holding the picture
+          the co-located motion references (matched by POC tag);
+          refIdxL1 = 0.
+        - MV scaling: td = Clip3(-128, 127, POC(col) - POC(colRef)),
+          tb likewise for the current picture; tx = (16384 +
+          Abs(td/2)) / td (C truncating division); DistScaleFactor =
+          Clip3(-1024, 1023, (tb*tx + 32) >> 6); mvL0 = (DSF*mvCol +
+          128) >> 8; mvL1 = mvL0 - mvCol.  td == 0 or a long-term
+          colRef short-circuits to mvL0 = mvCol, mvL1 = 0.
+
+        POC-untagged states (raw decode_picture calls without
+        cur_poc / un-walked references) refuse loudly rather than guess."""
+        col = refs1[0] if refs1 else None
+        if col is None:
+            raise ValueError("temporal direct needs RefPicList1[0]")
+        if not col.mb_inter[mby, mbx] and not col.use_l[mby, mbx].any():
+            # intra (or PCM) co-located MB: mvCol = 0, refIdxCol = 0 —
+            # the scaled vectors are zero regardless of POC distances
+            z = np.zeros(2, dtype=np.int64)
+            return 0, 0, [z, z.copy()]
+        if self.poc is None or col.poc is None:
+            raise NotImplementedError(
+                "temporal direct needs POC-tagged pictures (decode "
+                "through the container walk, or pass "
+                "decode_picture(cur_poc=...) with .poc/.ref_pocs0 set "
+                "on every reference state)"
+            )
+        if col.use_l[mby, mbx, 0]:
+            mv_col = col.mv_l[mby, mbx, 0]
+            rc = max(int(col.ref_l[mby, mbx, 0]), 0)
+            ref_pocs = col.ref_pocs0
+        elif col.use_l[mby, mbx, 1]:
+            mv_col = col.mv_l[mby, mbx, 1]
+            rc = max(int(col.ref_l[mby, mbx, 1]), 0)
+            ref_pocs = col.ref_pocs1
+        else:  # P-coded co-located MB (list-0 only)
+            mv_col = col.mv[mby, mbx]
+            rc = max(int(col.ref_l[mby, mbx, 0]), 0)
+            ref_pocs = col.ref_pocs0
+        if ref_pocs is None or rc >= len(ref_pocs) or ref_pocs[rc] is None:
+            raise NotImplementedError(
+                "temporal direct: the co-located picture carries no "
+                "reference-POC tags (un-walked state)"
+            )
+        poc_col_ref = ref_pocs[rc]
+        ridx0 = next(
+            (i for i, r in enumerate(refs0)
+             if getattr(r, "poc", None) == poc_col_ref),
+            None,
+        )
+        if ridx0 is None:
+            raise NotImplementedError(
+                "temporal direct: the co-located reference picture "
+                f"(POC {poc_col_ref}) is not in the current RefPicList0"
+            )
+        mv_col = np.asarray(mv_col, dtype=np.int64)
+        td = min(max(int(col.poc) - poc_col_ref, -128), 127)
+        if td == 0 or getattr(refs0[ridx0], "is_long_term", False):
+            return ridx0, 0, [mv_col.copy(), np.zeros(2, dtype=np.int64)]
+        tb = min(max(int(self.poc) - poc_col_ref, -128), 127)
+        q = 16384 + (abs(td) >> 1)
+        tx = q // td if td > 0 else -(q // -td)  # C truncating division
+        dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
+        mv0 = (dsf * mv_col + 128) >> 8  # arithmetic shift (floor)
+        return ridx0, 0, [mv0, mv0 - mv_col]
 
     def skip_mv(self, mbx: int, mby: int) -> np.ndarray:
         """P_Skip motion vector (§8.4.1.1): zero when at the left/top
@@ -2673,6 +2764,7 @@ def decode_picture(
     return_state: bool = False, ref1: "_FrameState | None" = None,
     cabac_marked: bool = False,
     pocs: "tuple[int, int, int] | None" = None,
+    cur_poc: "int | None" = None,
 ):
     """All VCL slices of one access unit, in decode order, -> (y, cb, cr)
     uint8 planes (SPS crop applied).  ``slices`` holds
@@ -2731,6 +2823,11 @@ def decode_picture(
     )
     st.t8_mode = bool(pps.get("transform_8x8"))
     st.direct8_inf = bool(sps.get("direct_8x8_inference", True))
+    # POC tag for §8.4.1.2.3 temporal direct (None = untagged: temporal
+    # MBs refuse; the container walk always passes the derived full POC)
+    st.poc = cur_poc if cur_poc is not None else (
+        pocs[0] if pocs is not None else None
+    )
     try:
         return _decode_picture_body(
             slices, sps, pps, strict, return_state, cabac, st, refs0_in=ref,
@@ -2852,17 +2949,15 @@ def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int,
 def _reconstruct_b_skip(st: _FrameState, refs0, refs1, mbx: int, mby: int,
                         wp: dict | None = None,
                         direct_spatial: bool = True) -> None:
-    """B_Skip: the §8.4.1.2.2 spatial direct derivation with no residual
-    (mb_type inferred, nothing else coded).  Identical motion to a
-    B_Direct_16x16 whose cbp is zero."""
-    if not direct_spatial:
-        raise NotImplementedError(
-            "temporal direct mode not supported (B_Skip under "
-            "direct_spatial_mv_pred_flag == 0; spatial-only codec)"
+    """B_Skip: the §8.4.1.2.2 spatial (or §8.4.1.2.3 temporal) direct
+    derivation with no residual (mb_type inferred, nothing else coded).
+    Identical motion to a B_Direct_16x16 whose cbp is zero."""
+    if direct_spatial:
+        ridx0, ridx1, mvs = st.spatial_direct(
+            mbx, mby, refs1[0] if refs1 else None
         )
-    ridx0, ridx1, mvs = st.spatial_direct(
-        mbx, mby, refs1[0] if refs1 else None
-    )
+    else:
+        ridx0, ridx1, mvs = st.temporal_direct(mbx, mby, refs0, refs1)
     use0, use1 = mvs[0] is not None, mvs[1] is not None
     if use0 and ridx0 >= len(refs0):
         raise ValueError(f"derived refIdxL0 {ridx0} beyond RefPicList0")
@@ -3062,14 +3157,13 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
     if mb_type == 0:
-        if not direct_spatial:
-            raise NotImplementedError(
-                "temporal direct mode not supported "
-                "(direct_spatial_mv_pred_flag == 0; spatial-only codec)"
+        if direct_spatial:
+            ridx0, ridx1, mvs = st.spatial_direct(
+                mbx, mby, refs1[0] if refs1 else None
             )
-        ridx0, ridx1, mvs = st.spatial_direct(
-            mbx, mby, refs1[0] if refs1 else None
-        )
+        else:
+            # §8.4.1.2.3: temporal direct always yields both lists
+            ridx0, ridx1, mvs = st.temporal_direct(mbx, mby, refs0, refs1)
         use0, use1 = mvs[0] is not None, mvs[1] is not None
         if use0 and ridx0 >= len(refs0):
             raise ValueError(f"derived refIdxL0 {ridx0} beyond RefPicList0")
@@ -3975,6 +4069,7 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     mbw, mbh = W_ // 16, H_ // 16
     st = _FrameState(mbw, mbh)
     st.t8_mode = transform_8x8  # pair with write_pps(transform_8x8=True)
+    st.poc = poc_lsb  # POC tag (temporal direct; exact pre-wrap)
     st.slice_no[:] = -1  # mark as we code: mirrors the decoder exactly
     rbsps = []
     for si, (mb0, mb1) in enumerate(_slice_bounds(mbw * mbh, slices)):
@@ -4366,6 +4461,8 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         ]
     st = _FrameState(mbw, mbh)
     st.t8_mode = transform_8x8
+    st.poc = poc_lsb  # POC tags (temporal direct; exact pre-wrap)
+    st.ref_pocs0 = [getattr(r, "poc", None) for r in refs]
     st.slice_no[:] = -1
     rbsps = []
     ysrc = y.astype(np.int64)
@@ -4596,6 +4693,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      b_direct: bool = False,
                      scaling8: "tuple | list | None" = None,
                      transform_8x8: bool = False,
+                     direct_mode: str = "spatial",
                      ) -> tuple[list[bytes], _FrameState]:
     """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
@@ -4627,6 +4725,8 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     tuples."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
+    if direct_mode not in ("spatial", "temporal"):
+        raise ValueError(f"unknown direct_mode {direct_mode!r}")
     mbw, mbh = W_ // 16, H_ // 16
     _set_encoder_scaling(scaling4)
     _set_encoder_scaling8(scaling8 if transform_8x8 else None)
@@ -4677,6 +4777,9 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         ]
     st = _FrameState(mbw, mbh)
     st.t8_mode = transform_8x8
+    st.poc = poc_lsb  # POC tags (temporal direct; exact pre-wrap)
+    st.ref_pocs0 = [getattr(r, "poc", None) for r in refs0]
+    st.ref_pocs1 = [getattr(r, "poc", None) for r in refs1]
     st.slice_no[:] = -1
     rbsps = []
     ysrc = y.astype(np.int64)
@@ -4688,7 +4791,9 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         w.ue(0)  # pps_id
         w.u(frame_num & 15, 4)  # frame_num (log2_max_frame_num = 4)
         w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (poc_type 0 required)
-        w.u(1, 1)  # direct_spatial_mv_pred_flag (spatial-only codec)
+        # direct_spatial_mv_pred_flag: §8.4.1.2.2 spatial (1) or
+        # §8.4.1.2.3 temporal POC-scaled (0) derivation for direct MBs
+        w.u(1 if direct_mode == "spatial" else 0, 1)
         if n0 > 1 or n1 > 1:
             w.u(1, 1)  # num_ref_idx_active_override_flag
             w.ue(n0 - 1)  # num_ref_idx_l0_active_minus1
@@ -4761,7 +4866,12 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 # replay the decoder's derivation on the running state;
                 # FIRST in the list so equal-SAD ties pick the mode that
                 # codes no ref_idx/mvd bits
-                d_r0, d_r1, d_mvs = st.spatial_direct(mbx, mby, refs1[0])
+                if direct_mode == "spatial":
+                    d_r0, d_r1, d_mvs = st.spatial_direct(
+                        mbx, mby, refs1[0])
+                else:
+                    d_r0, d_r1, d_mvs = st.temporal_direct(
+                        mbx, mby, refs0, refs1)
                 d_rpair = (d_r0 if d_mvs[0] is not None else 0,
                            d_r1 if d_mvs[1] is not None else 0)
                 d_p16 = _bipred(refs0[d_rpair[0]].y, refs1[d_rpair[1]].y,
@@ -4951,6 +5061,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        b_direct: bool = False,
                        scaling8: "tuple | list | None" = None,
                        transform_8x8: bool = False,
+                       direct_mode: str = "spatial",
                        ) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
@@ -5134,6 +5245,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     if implicit_bipred else None,
                     scaling4=scaling4, b_direct=b_direct,
                     scaling8=scaling8, transform_8x8=transform_8x8,
+                    direct_mode=direct_mode,
                 )
                 out.append((pack(rbsps, 2, 1), False, g0 + m))
                 fnum = (fnum + 1) & 15
@@ -5151,6 +5263,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         if implicit_bipred else None,
                         scaling4=scaling4, b_direct=b_direct,
                         scaling8=scaling8, transform_8x8=transform_8x8,
+                        direct_mode=direct_mode,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = True
@@ -5171,6 +5284,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         if implicit_bipred else None,
                         scaling4=scaling4, b_direct=b_direct,
                         scaling8=scaling8, transform_8x8=transform_8x8,
+                        direct_mode=direct_mode,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = False
@@ -5220,7 +5334,8 @@ def decode_picture_nals(nals: "list[bytes]", sps: dict, pps: dict,
                         return_state: bool = False,
                         ref1: _FrameState | None = None,
                         cabac_marked: bool = False,
-                        pocs: "tuple[int, int, int] | None" = None):
+                        pocs: "tuple[int, int, int] | None" = None,
+                        cur_poc: "int | None" = None):
     """All NALs of one access unit -> decoded picture (the multi-slice
     entry point for container layers; see :func:`decode_picture`).  SEI
     NALs are skipped, except that this repo's CABAC origin-marker SEI
@@ -5237,7 +5352,7 @@ def decode_picture_nals(nals: "list[bytes]", sps: dict, pps: dict,
     return decode_picture(
         slices, sps, pps, strict=strict, ref=ref,
         return_state=return_state, ref1=ref1, cabac_marked=cabac_marked,
-        pocs=pocs,
+        pocs=pocs, cur_poc=cur_poc,
     )
 
 

@@ -1932,6 +1932,21 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_t8_path)
+    # temporal direct avc1 (round 13): direct_spatial_mv_pred_flag = 0 —
+    # B_Direct/B_Skip motion comes from the §8.4.1.2.3 POC-scaled
+    # co-located derivation (td/tb DistScaleFactor), which needs the
+    # container walk's POC tags on every reference state
+    # (kernels/h264.py _FrameState.temporal_direct)
+    avc_tdir_path = f"{tmp}/vid17.mp4"
+    with open(avc_tdir_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(17, i, 32, 32, 3) for i in range(8)],
+                qp=30, gop=4, b_frames=1, b_direct=True,
+                direct_mode="temporal", deblock=True,
+            )
+        )
+    paths.append(avc_tdir_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1951,6 +1966,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_cbref_path: [3, 8],
         avc_bdir_path: [1, 6],
         avc_t8_path: [1, 6],
+        avc_tdir_path: [1, 6],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1969,7 +1985,7 @@ def q_video_decode_pruned(spark, sf_dir):
     lossy = F.col("video").isin(
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
         "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4", "vid12.mp4",
-        "vid13.mp4", "vid14.mp4", "vid15.mp4", "vid16.mp4",
+        "vid13.mp4", "vid14.mp4", "vid15.mp4", "vid16.mp4", "vid17.mp4",
     )
     return out2.select(
         "video",

@@ -407,7 +407,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     scaling4=None,
                     b_direct: bool = False,
                     scaling8=None,
-                    transform_8x8: bool = False) -> bytes:
+                    transform_8x8: bool = False,
+                    direct_mode: str = "spatial") -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -480,7 +481,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             p_refs=p_refs, implicit_bipred=implicit_bipred,
             ref_mode=ref_mode, b_refs=b_refs, scaling4=scaling4,
             b_direct=b_direct, scaling8=scaling8,
-            transform_8x8=transform_8x8,
+            transform_8x8=transform_8x8, direct_mode=direct_mode,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams
@@ -605,10 +606,11 @@ def _parse_avcc_params(sps_rbsp_list, pps_rbsp_list):
 
 def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
                         length_size: int, sps_pps=None, ref=None, ref1=None,
-                        pocs=None):
+                        pocs=None, cur_poc=None):
     """One avc1 sample (length-prefixed NALs) -> ((H, W, 3) RGB frame,
     reconstruction state).  ``ref`` chains P-frame decode through a GOP;
-    B samples additionally take ``ref1`` (the future reference)."""
+    B samples additionally take ``ref1`` (the future reference);
+    ``cur_poc`` POC-tags the decode for §8.4.1.2.3 temporal direct."""
     from scanner_spark.kernels import h264
 
     sps, pps = sps_pps if sps_pps else _parse_avcc_params(sps_rbsp_list, pps_rbsp_list)
@@ -619,7 +621,7 @@ def _decode_avc1_sample(sample: bytes, sps_rbsp_list, pps_rbsp_list,
         raise ValueError("avc1 sample contains no slice NAL")
     (y, cb, cr), st = h264.decode_picture_nals(
         slices, sps, pps, ref=ref, return_state=True, ref1=ref1,
-        cabac_marked=cabac_marked, pocs=pocs,
+        cabac_marked=cabac_marked, pocs=pocs, cur_poc=cur_poc,
     )
     return h264.rgb_from_yuv420(y, cb, cr), st
 
@@ -807,6 +809,7 @@ def decode_range(
                 kinds = info["kinds"]
                 ref_st = ref1_st = None
                 poc0 = poc1 = None  # ref POCs for implicit bipred weights
+                ref_pocs0 = ref_pocs1 = None  # POC tags (temporal direct)
                 if kinds & {"P", "B"}:
                     if not dpb:
                         raise ValueError(
@@ -884,6 +887,11 @@ def decode_range(
                                   else ents0[0][2])
                         ref1_st = ([x[2] for x in ents1] if n1b > 1
                                    else ents1[0][2])
+                        # POC tags for §8.4.1.2.3 temporal direct: the
+                        # picture's own lists (recorded onto its state
+                        # after decode)
+                        ref_pocs0 = [x[1] for x in ents0]
+                        ref_pocs1 = [x[1] for x in ents1]
                     else:
                         # P: full RefPicList0 — default order is most
                         # recently decoded first (PicNum descending at
@@ -900,6 +908,7 @@ def decode_range(
                         else:
                             tags = defaults[:n0]
                         ref_l = []
+                        ref_pocs0 = []
                         for tag, v in tags:
                             if tag == "st":
                                 cand = [x for x in dpb
@@ -914,6 +923,7 @@ def decode_range(
                                     "not in the DPB"
                                 )
                             ref_l.append(cand[-1][2])
+                            ref_pocs0.append(cand[-1][1])
                         if len(ref_l) < n0:
                             raise ValueError(
                                 f"display {e.frame_no}: RefPicList0 has "
@@ -926,8 +936,14 @@ def decode_range(
                     pocs = (poc, poc0, poc1)
                 rgb, st = _decode_avc1_sample(
                     sample, sps_l, pps_l, ls, sps_pps=sps_pps,
-                    ref=ref_st, ref1=ref1_st, pocs=pocs,
+                    ref=ref_st, ref1=ref1_st, pocs=pocs, cur_poc=poc,
                 )
+                # POC-tag the reconstruction so a LATER temporal-direct
+                # B can scale this picture's motion (§8.4.1.2.3 reads
+                # the co-located picture's own list POCs)
+                st.poc = poc
+                st.ref_pocs0 = ref_pocs0
+                st.ref_pocs1 = ref_pocs1
                 if info["is_ref"]:
                     # §8.2.5 marking: sliding window, or the slice's
                     # adaptive MMCO ops (IDR long_term_reference_flag

@@ -591,13 +591,13 @@ def test_b_gop_stream_decode(b_frames):
         assert np.abs(out[i][0].astype(int) - yuv[i][0].astype(int)).max() <= 8
 
 
-def test_b_slice_refuses_skip_and_direct():
-    """The decoder refuses B_Skip runs and TEMPORAL direct mode
-    (direct_spatial_mv_pred_flag == 0) rather than guessing motion;
-    spatial B_Direct_16x16 decodes (see test_b_direct_* below)."""
+def test_b_slice_temporal_direct_envelope():
+    """Temporal direct (direct_spatial_mv_pred_flag == 0) decodes since
+    round 13: an INTRA co-located MB takes the zero-motion clause (no
+    POC math needed), while an inter co-located MB with POC-untagged
+    states refuses loudly rather than guessing distances."""
     sps = H.parse_sps(H.write_sps(16, 16, num_ref_frames=2, poc_type=0))
     pps = H.parse_pps(H.write_pps(26))
-    dummy = H._FrameState(1, 1)
 
     def b_header(w):
         w.ue(0)   # first_mb_in_slice
@@ -605,7 +605,7 @@ def test_b_slice_refuses_skip_and_direct():
         w.ue(0)   # pps_id
         w.u(0, 4)  # frame_num
         w.u(0, 8)  # poc_lsb
-        w.u(0, 1)  # direct_spatial_mv_pred
+        w.u(0, 1)  # direct_spatial_mv_pred = 0: TEMPORAL
         w.u(0, 1)  # override
         w.u(0, 1)  # rplm l0
         w.u(0, 1)  # rplm l1
@@ -614,19 +614,22 @@ def test_b_slice_refuses_skip_and_direct():
 
     w = H.BitWriter()
     b_header(w)
-    w.ue(1)  # mb_skip_run = 1 -> B_Skip
+    w.ue(1)  # mb_skip_run = 1 -> temporal B_Skip
     w.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="B_Skip"):
-        H.decode_slice(w.bytes(), sps, pps, idr=False, nal_ref_idc=0,
-                       ref=dummy, ref1=dummy)
-    w = H.BitWriter()
-    b_header(w)  # direct_spatial_mv_pred_flag = 0 -> temporal direct
-    w.ue(0)  # skip_run 0
-    w.ue(0)  # mb_type 0 = B_Direct_16x16
-    w.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="temporal direct"):
-        H.decode_slice(w.bytes(), sps, pps, idr=False, nal_ref_idc=0,
-                       ref=dummy, ref1=dummy)
+    stream = w.bytes()
+    # intra co-located MB (fresh state): zero-motion clause decodes
+    dummy = H._FrameState(1, 1)
+    planes = H.decode_slice(stream, sps, pps, idr=False, nal_ref_idc=0,
+                            ref=dummy, ref1=dummy)
+    assert planes[0].shape == (16, 16)
+    # inter co-located MB without POC tags: loud refusal
+    col = H._FrameState(1, 1)
+    col.mb_inter[0, 0] = True
+    col.mv[0, 0] = (4, 0)
+    col.ref_l[0, 0, 0] = 0
+    with pytest.raises(NotImplementedError, match="POC"):
+        H.decode_slice(stream, sps, pps, idr=False, nal_ref_idc=0,
+                       ref=dummy, ref1=col)
 
 
 def test_avc1_mp4_b_frames_sparse_decode():
@@ -2096,3 +2099,124 @@ def test_scaling8_lists_round_trip_and_load_bearing(entropy):
     with pytest.raises(NotImplementedError, match="8x8 scaling"):
         H.decode_picture([(r, True, 3) for r in rb], sps_no8, pps,
                          cabac_marked=True)
+
+
+# ---------------------------------------------------------------------------
+# temporal direct mode (round 13, §8.4.1.2.3: POC-scaled co-located motion)
+# ---------------------------------------------------------------------------
+
+
+def _panning_frames(seed, n=3, h=32, w=48, step=2):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w, 3)).astype(np.int64)
+    for _ in range(3):  # smooth: qp-28-codable texture with real motion
+        base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    base = base.astype(np.uint8)
+    return [np.roll(base, step * i, axis=1) for i in range(n)]
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_temporal_direct_round_trip_exact_and_load_bearing(entropy):
+    """I(poc 0) -> P(poc 4) -> B(poc 2) with direct_spatial_mv_pred_flag
+    = 0 on panning content: the decoder's §8.4.1.2.3 derivation (td=4,
+    tb=2 -> mvL0 = mvCol/2, mvL1 = mvL0 - mvCol) reproduces the encoder
+    reconstruction bit-exactly, the derivation is actually INVOKED
+    during decode, and it is load-bearing (sabotaging the DistScaleFactor
+    changes pixels)."""
+    fr = [H.yuv420_from_rgb(f) for f in _panning_frames(9)]
+    rb_i, st_i = H.encode_picture_i(*fr[0], qp=26, entropy=entropy,
+                                    poc_lsb=0)
+    rb_p, st_p = H.encode_picture_p(*fr[2], st_i, qp=26, entropy=entropy,
+                                    frame_num=1, poc_lsb=4, search=6)
+    rb_b, st_b = H.encode_picture_b(*fr[1], st_i, st_p, qp=26,
+                                    entropy=entropy, frame_num=2,
+                                    poc_lsb=2, b_direct=True,
+                                    direct_mode="temporal", search=6)
+    sps = H.parse_sps(H.write_sps(48, 32, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(26, cabac=entropy == "cabac"))
+    _, d_i = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                              return_state=True, cabac_marked=True,
+                              cur_poc=0)
+    d_i.poc = 0
+    _, d_p = H.decode_picture([(r, False, 2) for r in rb_p], sps, pps,
+                              ref=d_i, return_state=True, cabac_marked=True,
+                              cur_poc=4)
+    d_p.poc = 4
+    d_p.ref_pocs0 = [0]
+
+    calls = []
+    orig = H._FrameState.temporal_direct
+
+    def counting(self, mbx, mby, refs0, refs1):
+        out = orig(self, mbx, mby, refs0, refs1)
+        calls.append((mbx, mby, out))
+        return out
+
+    H._FrameState.temporal_direct = counting
+    try:
+        _, d_b = H.decode_picture([(r, False, 0) for r in rb_b], sps, pps,
+                                  ref=d_i, ref1=d_p, return_state=True,
+                                  cabac_marked=True, cur_poc=2)
+    finally:
+        H._FrameState.temporal_direct = orig
+    assert np.array_equal(d_b.y, st_b.y)
+    assert np.array_equal(d_b.cb, st_b.cb)
+    assert np.array_equal(d_b.cr, st_b.cr)
+    assert calls, "no temporal-direct MB decoded — fixture content broken"
+    # the panning derivation must produce a nonzero scaled vector
+    assert any(int(np.abs(mvs[0]).sum()) > 0 for _, _, (r0, r1, mvs) in calls)
+    # sabotage: halving the derived mvL0 changes the reconstruction
+
+    def sabotaged(self, mbx, mby, refs0, refs1):
+        r0, r1, mvs = orig(self, mbx, mby, refs0, refs1)
+        return r0, r1, [mvs[0] // 2, mvs[1]]
+
+    H._FrameState.temporal_direct = sabotaged
+    try:
+        planes_bad = H.decode_picture([(r, False, 0) for r in rb_b], sps,
+                                      pps, ref=d_i, ref1=d_p,
+                                      cabac_marked=True, cur_poc=2)
+    finally:
+        H._FrameState.temporal_direct = orig
+    assert not np.array_equal(planes_bad[0], st_b.y[:32, :48])
+
+
+def test_temporal_direct_untagged_states_refuse():
+    """A temporal-direct stream decoded through POC-untagged reference
+    states refuses loudly instead of guessing distances."""
+    fr = [H.yuv420_from_rgb(f) for f in _panning_frames(10)]
+    rb_i, st_i = H.encode_picture_i(*fr[0], qp=26, poc_lsb=0)
+    rb_p, st_p = H.encode_picture_p(*fr[2], st_i, qp=26, frame_num=1,
+                                    poc_lsb=4, search=6)
+    rb_b, _ = H.encode_picture_b(*fr[1], st_i, st_p, qp=26, frame_num=2,
+                                 poc_lsb=2, b_direct=True,
+                                 direct_mode="temporal", search=6)
+    sps = H.parse_sps(H.write_sps(48, 32, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(26))
+    _, u_i = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                              return_state=True)
+    _, u_p = H.decode_picture([(r, False, 2) for r in rb_p], sps, pps,
+                              ref=u_i, return_state=True)
+    with pytest.raises(NotImplementedError, match="POC"):
+        H.decode_picture([(r, False, 0) for r in rb_b], sps, pps,
+                         ref=u_i, ref1=u_p, cur_poc=2)
+
+
+def test_temporal_direct_mp4_gop_walk():
+    """Full container walk on a temporal-direct B GOP (the walk supplies
+    every POC tag): all frames inside the lossy envelope; a pruned load
+    hitting only B frames matches the full decode."""
+    from scanner_spark.sources import mp4
+
+    frames = _panning_frames(11, n=8)
+    buf = mp4.encode_mp4_avc1(frames, qp=24, gop=4, b_frames=1,
+                              b_direct=True, direct_mode="temporal",
+                              deblock=True, entropy="cabac")
+    m, e = mp4.parse_index(buf)
+    out = mp4.decode_range(buf, 0, m, set(range(8)), index=(m, e))
+    for i in range(8):
+        err = np.abs(out[i].astype(int) - frames[i].astype(int)).mean()
+        assert err < 12.0, (i, err)
+    part = mp4.decode_range(buf, 0, m, {1, 5}, index=(m, e))
+    assert np.array_equal(part[1], out[1])
+    assert np.array_equal(part[5], out[5])
