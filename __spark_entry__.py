@@ -424,6 +424,9 @@ def _video_decode_sql() -> str:
         # temporal direct avc1 (§8.4.1.2.3 POC-scaled co-located
         # motion, walk-supplied POC tags): lossy -> NULL
         ("vid17.mp4", 17, [1, 6], 32, 32, False),
+        # MMCO 5 avc1 (§8.2.5.4.5 DPB flush + frame_num/POC rebase,
+        # rebased-PicNum list naming): lossy -> NULL
+        ("vid18.mp4", 18, [2, 6], 32, 32, False),
     ):
         for f in frames:
             rows.append(

@@ -5096,7 +5096,8 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
     ``p_intra_slices=k`` (needs ``slices > k``) codes the first k slices
     of every P picture as I slices — mixed slice-kind pictures (intra
     refresh, §7.4.3; see encode_picture_p)."""
-    if ref_mode not in ("sliding", "mmco_anchor", "lt_idr", "lt_anchor"):
+    if ref_mode not in ("sliding", "mmco_anchor", "lt_idr", "lt_anchor",
+                        "mmco5_refresh"):
         raise ValueError(f"unknown ref_mode {ref_mode!r}")
     if ref_mode != "sliding":
         # §8.2.5 adaptive-marking GOP shapes (all keep a GOP-head anchor
@@ -5111,11 +5112,20 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
         #   lt_anchor: the first P marks ITSELF long-term (MMCO 4 + 6)
         #     and the next P reorders it to the list head with a
         #     long-term (idc 2) ref_pic_list_modification
+        #   mmco5_refresh: the SECOND P emits MMCO 5 (§8.2.5.4.5: every
+        #     reference unused + the picture rebases to frame_num 0 /
+        #     POC 0); later Ps restart frame_num at 1 and name their
+        #     reference by REBASED PicNum — a decoder ignoring the op
+        #     resolves the PicNum against unrebased numbers and fails
         if b_frames:
             raise NotImplementedError(
                 f"ref_mode {ref_mode!r} is an I-P GOP shape (b_frames=0)"
             )
-        if p_refs != 2:
+        if ref_mode == "mmco5_refresh":
+            if p_refs != 1:
+                raise ValueError("mmco5_refresh is a single-reference "
+                                 "chain (p_refs=1)")
+        elif p_refs != 2:
             raise ValueError(f"ref_mode {ref_mode!r} needs p_refs=2")
         if gop > 15:
             raise ValueError(
@@ -5187,6 +5197,13 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             mmco_ops = l0_mods = None
             if ref_mode == "sliding":
                 enc_ref = ref_list[:p_refs] if p_refs > 1 else prev_st
+            elif ref_mode == "mmco5_refresh":
+                enc_ref = prev_st
+                if p_idx == 1:
+                    mmco_ops = [(5, 0, 0)]  # refresh: DPB empties here
+                elif p_idx >= 2:
+                    # name the reference by its REBASED PicNum (curr - 1)
+                    l0_mods = [(0, 0)]
             elif p_idx == 0:
                 # first P: only the GOP head is referenceable
                 enc_ref = prev_st
@@ -5233,6 +5250,10 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
             p_idx += 1
             out.append((pack(rbsps, 2, 1), False, g0 + nxt_d))
             nxt_fn, fnum = fnum, (fnum + 1) & 15
+            if ref_mode == "mmco5_refresh" and p_idx == 2:
+                # the refresh P rebased itself to frame_num 0: the chain
+                # restarts — the next P codes frame_num 1
+                nxt_fn, fnum = 0, 1
             bds = list(range(prev_d + 1, nxt_d))
             if b_pyramid and len(bds) >= 2:
                 m = (prev_d + nxt_d) // 2
@@ -5489,10 +5510,12 @@ def apply_ref_pic_marking(dpb: "list[tuple]", cur: tuple,
     FrameNumWrap = earliest decode order at this walk's scope) is
     removed before ``cur`` enters; long-term pictures are never evicted
     by the window.  Otherwise the §8.2.5.4 adaptive operations run IN
-    ORDER and no sliding window applies this picture.  MMCO 5 (mark all
-    unused + frame_num/POC rebase of the current picture) is refused —
-    the rebase would have to rewrite this walk's POC chain.  Returns a
-    new list; the input is not mutated."""
+    ORDER and no sliding window applies this picture.  MMCO 5
+    (§8.2.5.4.5) marks EVERY reference picture unused — short- and
+    long-term — and rebases the current picture to frame_num 0 / POC 0
+    (tempPicOrderCnt subtracted); the container walk resets its POC
+    predictors when it sees the op, so the chain continues from the
+    rebased origin.  Returns a new list; the input is not mutated."""
     dpb = list(dpb)
     cur_fn, cur_poc, cur_st, cur_lt = cur
     if mmco is None:
@@ -5537,11 +5560,11 @@ def apply_ref_pic_marking(dpb: "list[tuple]", cur: tuple,
         elif op == 6:  # current picture becomes long-term with idx a
             dpb = [e for e in dpb if e[3] != a]
             cur_lt = a
-        else:  # op 5
-            raise NotImplementedError(
-                "MMCO 5 (mark all references unused + rebase the "
-                "current picture's frame_num/POC) not supported"
-            )
+        else:  # op 5: everything unused, current rebases to fn 0 / POC 0
+            dpb = []
+            cur_fn, cur_poc = 0, 0
+            if getattr(cur_st, "poc", None) is not None:
+                cur_st.poc = 0  # keep the temporal-direct tag consistent
     dpb.append((cur_fn, cur_poc, cur_st, cur_lt))
     return dpb
 

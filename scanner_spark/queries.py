@@ -1947,6 +1947,20 @@ def q_video_decode_pruned(spark, sf_dir):
             )
         )
     paths.append(avc_tdir_path)
+    # MMCO 5 avc1 (round 13): the second P empties the DPB and rebases
+    # to frame_num 0 / POC 0 (§8.2.5.4.5); later Ps restart frame_num
+    # and name their reference by REBASED PicNum — ignoring the op
+    # resolves against unrebased numbers and fails loudly
+    # (kernels/h264.py apply_ref_pic_marking)
+    avc_m5_path = f"{tmp}/vid18.mp4"
+    with open(avc_m5_path, "wb") as f:
+        f.write(
+            mp4mod.encode_mp4_avc1(
+                [synthetic_frame(18, i, 32, 32, 3) for i in range(8)],
+                qp=30, gop=8, ref_mode="mmco5_refresh", deblock=True,
+            )
+        )
+    paths.append(avc_m5_path)
     ingest_videos(spark, db, paths)
     wanted = {
         paths[0]: VIDEO_WANTED,
@@ -1967,6 +1981,7 @@ def q_video_decode_pruned(spark, sf_dir):
         avc_bdir_path: [1, 6],
         avc_t8_path: [1, 6],
         avc_tdir_path: [1, 6],
+        avc_m5_path: [2, 6],
     }
     out = load_frames(spark, db, wanted)
 
@@ -1986,6 +2001,7 @@ def q_video_decode_pruned(spark, sf_dir):
         "vid3.mp4", "vid4.mp4", "vid5.mp4", "vid6.mp4", "vid7.mp4",
         "vid8.mp4", "vid9.mp4", "vid10.mp4", "vid11.mp4", "vid12.mp4",
         "vid13.mp4", "vid14.mp4", "vid15.mp4", "vid16.mp4", "vid17.mp4",
+        "vid18.mp4",
     )
     return out2.select(
         "video",

@@ -955,6 +955,12 @@ def decode_range(
                     dpb = _h264.apply_ref_pic_marking(
                         dpb, cur, info["mmco"], max_fn, n_ref
                     )
+                    if info["mmco"] and any(
+                        op == 5 for op, _, _ in info["mmco"]
+                    ):
+                        # §8.2.5.4.5 rebase: the POC chain continues
+                        # from the rebased origin (like an IDR's reset)
+                        poc_msb = poc_lsb_prev = 0
                 if e.frame_no in remaining:
                     out[e.frame_no] = rgb
                     remaining.discard(e.frame_no)

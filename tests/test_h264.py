@@ -1287,7 +1287,8 @@ def test_mmco_header_round_trip():
 
 def test_apply_ref_pic_marking_semantics():
     """§8.2.5 DPB algebra pinned: sliding spares long-term pictures,
-    MMCO 1/2/3/4/6 hit the right entries, MMCO 5 refuses."""
+    MMCO 1/2/3/4/6 hit the right entries, MMCO 5 flushes + rebases
+    (full semantics in test_apply_ref_pic_marking_mmco5_unit)."""
     M = H.apply_ref_pic_marking
     e = lambda fn, lt=None: (fn, 2 * fn, f"st{fn}", lt)
     # sliding window evicts the OLDEST short-term, never a long-term
@@ -1311,9 +1312,9 @@ def test_apply_ref_pic_marking_semantics():
     # MMCO 6 marks the current picture long-term
     out = M([e(1)], e(3), [(6, 0, 0)], 16, 2)
     assert [(x[0], x[3]) for x in out] == [(1, None), (3, 0)]
-    # MMCO 5 refused
-    with pytest.raises(NotImplementedError, match="MMCO 5"):
-        M([e(1)], e(3), [(5, 0, 0)], 16, 2)
+    # MMCO 5 flushes everything and rebases the current picture
+    out = M([e(1), e(2, lt=0)], e(3), [(5, 0, 0)], 16, 2)
+    assert [(x[0], x[1], x[3]) for x in out] == [(0, 0, None)]
 
 
 def test_default_ref_list0_p_orders_lt_tail():
@@ -2220,3 +2221,46 @@ def test_temporal_direct_mp4_gop_walk():
     part = mp4.decode_range(buf, 0, m, {1, 5}, index=(m, e))
     assert np.array_equal(part[1], out[1])
     assert np.array_equal(part[5], out[5])
+
+
+def test_mmco5_refresh_gop():
+    """MMCO 5 (§8.2.5.4.5): the refresh P empties the DPB and rebases to
+    frame_num 0 / POC 0; later Ps restart frame_num at 1 and name their
+    reference by REBASED PicNum.  The walk decodes the chain inside the
+    lossy envelope; a decoder that ignores the marking resolves the
+    PicNum against unrebased numbers and fails loudly."""
+    from scanner_spark.frames import synthetic_frame
+    from scanner_spark.sources import mp4
+
+    frames = [synthetic_frame(18, i, 32, 32, 3) for i in range(8)]
+    buf = mp4.encode_mp4_avc1(frames, qp=30, gop=8,
+                              ref_mode="mmco5_refresh", deblock=True,
+                              entropy="cabac")
+    m, e = mp4.parse_index(buf)
+    out = mp4.decode_range(buf, 0, m, set(range(8)), index=(m, e))
+    for i in range(8):
+        err = np.abs(out[i].astype(int) - frames[i].astype(int)).mean()
+        assert err < 12.0, (i, err)
+    # ignoring the marking = sliding window only -> loud resolution error
+    orig = H.apply_ref_pic_marking
+
+    def ignoring(dpb, cur, mmco, max_fn, n_ref):
+        return orig(dpb, cur, None, max_fn, n_ref)
+
+    H.apply_ref_pic_marking = ignoring
+    try:
+        with pytest.raises(ValueError, match="not in the DPB"):
+            mp4.decode_range(buf, 0, m, set(range(8)), index=(m, e))
+    finally:
+        H.apply_ref_pic_marking = orig
+
+
+def test_apply_ref_pic_marking_mmco5_unit():
+    """Unit: MMCO 5 drops every DPB entry (short- AND long-term) and the
+    current picture enters rebased to (frame_num 0, POC 0)."""
+    st_a, st_b, st_c = (H._FrameState(1, 1) for _ in range(3))
+    dpb = [(1, 2, st_a, None), (2, 4, st_b, 0)]  # one ST, one LT
+    cur = (3, 6, st_c, None)
+    out = H.apply_ref_pic_marking(dpb, cur, [(5, 0, 0)], 16, 4)
+    assert out == [(0, 0, st_c, None)]
+    assert dpb == [(1, 2, st_a, None), (2, 4, st_b, 0)]  # input unmutated
