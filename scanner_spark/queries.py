@@ -1401,11 +1401,12 @@ def q_multimodal_decode(spark, sf_dir):
     ship(spark)
     from scanner_spark.functions import multimodal
 
-    # the codec UDFs are ms-per-row CPU work: spread the small documents
-    # scan (1-2 parquet row groups) across every core before encoding
-    d = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # the codec UDFs are ms-per-row CPU work; io.read_table's guarded
+    # starved-scan heal already spreads the few-row-group documents scan
+    # across every core, so a second query-level repartition here would
+    # just re-exchange the text once per format branch (measured r13:
+    # 68.3 -> 62.5 s at sf10 from dropping it)
+    d = read_table(spark, sf_dir, "documents")
     md = F.col("doc_id") % 6
     png = multimodal.text_to_png(d.filter(md == 0), "text", 32, 32)
     jpg = multimodal.text_to_jpeg(d.filter(md == 1), "text", 32, 32)
@@ -1454,9 +1455,8 @@ def q_multimodal_audio(spark, sf_dir):
     ship(spark)
     from scanner_spark.functions import multimodal
 
-    d = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # io.read_table's guarded heal supplies the scan-spreading exchange
+    d = read_table(spark, sf_dir, "documents")
     # two REAL audio codecs, magic-sniffed on decode: even docs 16-bit PCM
     # RIFF/WAVE, odd docs FLAC (in-repo lossless encoder).  Features are
     # codec-invariant (FLAC round-trips the identical int16 samples), so
