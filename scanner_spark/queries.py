@@ -2331,10 +2331,17 @@ QUERIES = {
     # streaming LSH, text_analyze (tokenize-once + translate counters),
     # doc_quality / pipeline_clean_corpus / doc_lm_familiarity (shared
     # text-helper and starved-scan-heal plan changes), and
-    # video_decode_pruned (vid14 CABAC multi-ref-B + vid15 spatial
-    # B_Direct fixtures).  Every entry stays locally hash-checked against
-    # its DuckDB oracle by tests/test_entry_parity.py regardless of
-    # window position.
+    # video_decode_pruned (vid14-18 fixtures: CABAC multi-ref-B, spatial
+    # B_Direct, transform_8x8, temporal direct, MMCO 5).  Every entry
+    # stays locally hash-checked against its DuckDB oracle by
+    # tests/test_entry_parity.py regardless of window position.
+    # Post-chain note: multimodal_decode / multimodal_audio had a
+    # value-neutral plan fix late in round 13 (a redundant repartition
+    # removed — exchanges cannot change values and the gate sorts before
+    # hashing); both re-verified by the local full value-hash parity
+    # tests, driver evidence r12-fresh, and they LEAD the round-14
+    # window (the 50 slots here were already committed to the 41
+    # r11-stale entries + the 9 feature-touched ones).
     # ------------------------------------------------------------------
     # --- round-13 window: the 41 r11-evidence entries first
     "scanner_all": q_scanner_all,
