@@ -64,7 +64,9 @@ What is implemented, per the spec's clause numbers:
   container walk (sources/mp4.decode_range).  Round 12 extends this to
   multi-reference B lists (both entropies: te(v) / CABAC unary ref_idx),
   per-reference explicit weight tables, adaptive ref-pic marking (MMCO
-  long-term references), and bitstream-coded scaling matrices;
+  long-term references; round 13 completes the op set with MMCO 5's
+  DPB flush + frame_num/POC rebase), and bitstream-coded scaling
+  matrices;
   Round 13 adds spatial AND temporal B_Direct_16x16 / B_Skip (encode
   via b_direct=True, direct_mode="spatial"/"temporal");
   interlace / SP-SI / slice groups stay refusals.

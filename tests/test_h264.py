@@ -2264,3 +2264,55 @@ def test_apply_ref_pic_marking_mmco5_unit():
     out = H.apply_ref_pic_marking(dpb, cur, [(5, 0, 0)], 16, 4)
     assert out == [(0, 0, st_c, None)]
     assert dpb == [(1, 2, st_a, None), (2, 4, st_b, 0)]  # input unmutated
+
+
+def test_luma8_residual_fuzz_both_entropies():
+    """Direct fuzz of the 8x8 residual seam: random 64-coefficient
+    blocks (varying sparsity) written through _write_luma8 and read back
+    through _read_luma8 must round-trip exactly under BOTH entropies —
+    CAVLC's §7.3.5.3.2 four-way interleave (sub-block i4 holds scan
+    positions 4k+i4) and CABAC's ctxBlockCat-5 significance coding."""
+    rng = np.random.default_rng(42)
+    from scanner_spark.kernels.h264_cabac import CabacReader, CabacWriter
+
+    for trial in range(12):
+        density = rng.choice([0.05, 0.2, 0.6])
+        blocks = []
+        for _ in range(4):  # one MB worth of 8x8 blocks
+            zz = [
+                int(v) if rng.random() < density else 0
+                for v in rng.integers(-18, 19, 64)
+            ]
+            if not any(zz):
+                zz[rng.integers(0, 64)] = 1  # coded blocks are non-empty
+            blocks.append(zz)
+
+        # --- CAVLC ---
+        st_w = H._FrameState(1, 1)
+        w = H.BitWriter()
+        ew = H.CavlcWriter(w)
+        try:
+            for i8, (x8, y8) in enumerate(H._B8_POS):
+                H._write_luma8(ew, st_w, y8, x8, blocks[i8])
+        except H._NonVerbatimCode:
+            continue  # placeholder coeff_token row: the PCM-fallback case
+        w.rbsp_trailing()
+        st_r = H._FrameState(1, 1)
+        er = H.CavlcReader(H.BitReader(w.bytes()))
+        for i8, (x8, y8) in enumerate(H._B8_POS):
+            got = H._read_luma8(er, st_r, y8, x8)
+            assert got == blocks[i8], (trial, "cavlc", i8)
+        assert np.array_equal(st_r.nzy, st_w.nzy)
+
+        # --- CABAC ---
+        st_w = H._FrameState(1, 1)
+        cw = CabacWriter()
+        for i8, (x8, y8) in enumerate(H._B8_POS):
+            H._write_luma8(cw, st_w, y8, x8, blocks[i8])
+        cw.e.terminate(1)
+        st_r = H._FrameState(1, 1)
+        cr = CabacReader(H.BitReader(cw.bytes()))
+        for i8, (x8, y8) in enumerate(H._B8_POS):
+            got = H._read_luma8(cr, st_r, y8, x8)
+            assert got == blocks[i8], (trial, "cabac", i8)
+        assert np.array_equal(st_r.nzy, st_w.nzy)
