@@ -1945,6 +1945,21 @@ class _FrameState:
         # intra/unused list; P MBs record list 0.  Feeds the multi-ref MV
         # predictor's same-refIdx rule and the deblocking bS ref compare.
         self.ref_l = np.full((mbh, mbw, 2), -1, dtype=np.int64)
+        # per-4x4-BLOCK motion (round 14, sub-macroblock partitions): the
+        # §8.4.1.3 prediction context, the §8.7.2.1 bS derivation, and the
+        # §8.4.1.2 direct derivations all operate at 4x4 granularity once
+        # an MB can hold 16x8/8x16/8x8/8x4/4x8/4x4 partitions.  Every
+        # inter write goes through record_motion, which ALSO mirrors the
+        # per-MB arrays above (they remain as coarse summaries for the
+        # self-interop CABAC context increments and for tests; a
+        # partitioned MB's summary is its last-recorded partition).
+        self.mv4 = np.zeros((mbh * 4, mbw * 4, 2, 2), dtype=np.int64)
+        self.use4 = np.zeros((mbh * 4, mbw * 4, 2), dtype=bool)
+        self.ref4 = np.full((mbh * 4, mbw * 4, 2), -1, dtype=np.int64)
+        # per-MB flag: this MB's motion went through record_motion (the
+        # grids are authoritative); False = legacy per-MB fallback for
+        # hand-built test states
+        self.rec4 = np.zeros((mbh, mbw), dtype=bool)
         # multi-slice context: which slice decoded/encoded each MB, and
         # the slice being worked on.  Neighbours in a DIFFERENT slice are
         # unavailable for intra prediction, mv prediction, and CAVLC nC
@@ -2009,15 +2024,57 @@ class _FrameState:
     def ul_ok(self, mbx: int, mby: int) -> bool:
         return self.mb_same_slice(mbx - 1, mby - 1)
 
-    def _mv_neighbor(self, mbx: int, mby: int, lst: int | None = None):
-        """(available_inter, mv, refIdx) for a neighbour MB; unavailable
-        or intra neighbours contribute mv (0,0) with ref -1
-        (§8.4.1.3.2).  With ``lst`` the availability additionally
-        requires the neighbour to predict from that reference list
-        (B slices)."""
+    def record_motion(self, by0: int, bx0: int, ph4: int, pw4: int,
+                      lst: int, mv, ridx: int) -> None:
+        """Record one partition's FINAL motion for list ``lst`` over the
+        4x4-block rectangle at (by0, bx0) spanning ph4 x pw4 blocks: the
+        authoritative per-4x4 grids (read by mv_pred_blk, the §8.4.1.2
+        direct derivations, and the §8.7.2.1 bS derivation), plus the
+        legacy per-MB summaries (self-interop CABAC context increments
+        and tests; a partitioned MB's summary is its LAST partition —
+        symmetric between encoder and decoder because both record in
+        partition decode order)."""
+        self.use4[by0 : by0 + ph4, bx0 : bx0 + pw4, lst] = True
+        self.mv4[by0 : by0 + ph4, bx0 : bx0 + pw4, lst] = mv
+        self.ref4[by0 : by0 + ph4, bx0 : bx0 + pw4, lst] = ridx
+        mby, mbx = by0 >> 2, bx0 >> 2
+        self.rec4[mby, mbx] = True
+        was0 = self.use_l[mby, mbx, 0]
+        self.use_l[mby, mbx, lst] = True
+        self.mv_l[mby, mbx, lst] = mv
+        self.ref_l[mby, mbx, lst] = ridx
+        if lst == 0 or not was0:
+            self.mv[mby, mbx] = mv
+
+    def blk_ok(self, by: int, bx: int, mbx: int, mby: int,
+               done=None) -> bool:
+        """§6.4.12.2 neighbouring-4x4-block availability as seen from
+        inside MB (mbx, mby): in the frame, in the current slice, and
+        already decoded — an earlier MB in raster order, or an
+        already-derived partition of the CURRENT MB (``done`` mask,
+        MB-local 4x4 indexing)."""
+        if by < 0 or bx < 0 or by >= self.mbh * 4 or bx >= self.mbw * 4:
+            return False
+        nmbx, nmby = bx >> 2, by >> 2
+        if nmbx == mbx and nmby == mby:
+            return done is not None and bool(done[by & 3, bx & 3])
+        if nmby > mby or (nmby == mby and nmbx > mbx):
+            return False  # later in raster order: not yet decoded
+        return self.slice_no[nmby, nmbx] == self.cur_slice
+
+    def _blk_motion(self, by: int, bx: int, lst: int | None = None):
+        """(available_inter, mv, refIdx) for one 4x4 block; intra blocks
+        and blocks not predicting from ``lst`` contribute mv (0,0) with
+        ref -1 (§8.4.1.3.2).  ``lst`` None = list 0 (P slices).  States
+        never touched by :meth:`record_motion` (hand-built test states)
+        fall back to the legacy per-MB summaries."""
         zero = np.zeros(2, dtype=np.int64)
-        if not self.mb_same_slice(mbx, mby):
-            return False, zero, -1
+        l = 0 if lst is None else lst
+        mby, mbx = by >> 2, bx >> 2
+        if self.rec4[mby, mbx]:
+            if not self.use4[by, bx, l]:
+                return False, zero, -1
+            return True, self.mv4[by, bx, l], max(int(self.ref4[by, bx, l]), 0)
         if lst is None:
             if not self.mb_inter[mby, mbx]:
                 return False, zero, -1
@@ -2029,32 +2086,55 @@ class _FrameState:
         return True, self.mv_l[mby, mbx, lst], max(
             int(self.ref_l[mby, mbx, lst]), 0)
 
-    def mv_pred(self, mbx: int, mby: int, lst: int | None = None,
-                ref_idx: int = 0) -> np.ndarray:
-        """Median MV predictor for a 16x16 partition (§8.4.1.3): C =
-        above-right, replaced by D = above-left when unavailable; the
-        one-and-only-one-neighbour-with-the-same-refIdx shortcut
-        (§8.4.1.3.1 — with one active reference this reduces to the
-        exactly-one-inter-neighbour shortcut); top-row fallback to A.
-        ``lst`` selects the B-slice reference list (neighbours not
-        predicting from it count as unavailable, §8.4.1.3.2's refIdxLXN
-        test); ``ref_idx`` is the current partition's refIdxLX."""
-        availA, mvA, refA = self._mv_neighbor(mbx - 1, mby, lst)
-        availB, mvB, refB = self._mv_neighbor(mbx, mby - 1, lst)
-        # C exists (decoded) iff above-right is inside the frame AND the
-        # current slice; when not, substitute D = above-left (§8.4.1.3.1)
-        if self.mb_same_slice(mbx + 1, mby - 1):
-            availC, mvC, refC = self._mv_neighbor(mbx + 1, mby - 1, lst)
+    def _neigh_abc(self, by0: int, bx0: int, pw4: int,
+                   lst: int | None, done, mbx: int, mby: int):
+        """The §8.4.1.3.2 neighbour triple for a partition at 4x4-block
+        origin (by0, bx0) of width pw4 blocks: ((availA, mvA, refA),
+        (B...), (C...), b_edge).  C = above-right of the top-right
+        block, replaced by D = above-left when unavailable; ``b_edge``
+        is the B-C-D-all-unavailable shortcut condition."""
+        zero = np.zeros(2, dtype=np.int64)
+        okA = self.blk_ok(by0, bx0 - 1, mbx, mby, done)
+        okB = self.blk_ok(by0 - 1, bx0, mbx, mby, done)
+        okC = self.blk_ok(by0 - 1, bx0 + pw4, mbx, mby, done)
+        okD = self.blk_ok(by0 - 1, bx0 - 1, mbx, mby, done)
+        a = (self._blk_motion(by0, bx0 - 1, lst)
+             if okA else (False, zero, -1))
+        b = (self._blk_motion(by0 - 1, bx0, lst)
+             if okB else (False, zero, -1))
+        if okC:
+            c = self._blk_motion(by0 - 1, bx0 + pw4, lst)
+        elif okD:
+            c = self._blk_motion(by0 - 1, bx0 - 1, lst)
         else:
-            availC, mvC, refC = self._mv_neighbor(mbx - 1, mby - 1, lst)
-        # B, C, D all MB-unavailable (outside the frame or the slice):
-        # the §8.4.1.3.2 "use A" shortcut
-        b_edge = not (
-            self.mb_same_slice(mbx, mby - 1)
-            or self.mb_same_slice(mbx + 1, mby - 1)
-            or self.mb_same_slice(mbx - 1, mby - 1)
-        )
-        if b_edge and availA:
+            c = (False, zero, -1)
+        return a, b, c, not (okB or okC or okD)
+
+    def mv_pred_blk(self, by0: int, bx0: int, ph4: int, pw4: int,
+                    lst: int | None = None, ref_idx: int = 0,
+                    done=None, shape=None) -> np.ndarray:
+        """§8.4.1.3 luma MV prediction for one partition at 4x4-block
+        origin (by0, bx0) spanning ph4 x pw4 blocks.  Neighbours are
+        read from the per-4x4 grids, so partitions inside one MB see
+        earlier partitions' final vectors (``done`` marks them);
+        ``shape`` = ("16x8", idx) / ("8x16", idx) applies the §8.4.1.3
+        directional shortcuts for the two-partition MB types (checked
+        against the FINAL C after the D substitution); the median rule
+        with the exactly-one-same-refIdx shortcut otherwise."""
+        mbx, mby = bx0 >> 2, by0 >> 2
+        (availA, mvA, refA), (availB, mvB, refB), (availC, mvC, refC), \
+            b_edge = self._neigh_abc(by0, bx0, pw4, lst, done, mbx, mby)
+        if shape == ("16x8", 0) and refB == ref_idx:
+            return mvB.copy()
+        if shape == ("16x8", 1) and refA == ref_idx:
+            return mvA.copy()
+        if shape == ("8x16", 0) and refA == ref_idx:
+            return mvA.copy()
+        if shape == ("8x16", 1) and refC == ref_idx:
+            return mvC.copy()
+        if b_edge:
+            # §8.4.1.3.1: B, C, D all unavailable -> mvLXA (the zero
+            # vector when A itself is unavailable or intra)
             return mvA.copy()
         same = [
             (avail and ref == ref_idx, mv)
@@ -2067,124 +2147,91 @@ class _FrameState:
         stacked = np.stack([mvA, mvB, mvC])
         return np.median(stacked, axis=0).astype(np.int64)
 
+    def mv_pred(self, mbx: int, mby: int, lst: int | None = None,
+                ref_idx: int = 0) -> np.ndarray:
+        """Median MV predictor for a 16x16 partition (§8.4.1.3) — the
+        whole-MB view of :meth:`mv_pred_blk`."""
+        return self.mv_pred_blk(mby * 4, mbx * 4, 4, 4, lst, ref_idx)
+
+    def _direct_cells(self):
+        """The §8.4.1.2 sampling grid in MB-local 4x4-block units:
+        (sy, sx, h4, w4, cy, cx) regions with their co-located sampling
+        block — the 8x8 quadrants' corner blocks under
+        direct_8x8_inference (§8.4.1.2.1), else every 4x4 block."""
+        if self.direct8_inf:
+            return ((0, 0, 2, 2, 0, 0), (0, 2, 2, 2, 0, 3),
+                    (2, 0, 2, 2, 3, 0), (2, 2, 2, 2, 3, 3))
+        return tuple((sy, sx, 1, 1, sy, sx)
+                     for sy in range(4) for sx in range(4))
+
     def spatial_direct(self, mbx: int, mby: int, col):
-        """§8.4.1.2.2 spatial direct motion derivation for B_Direct_16x16
-        at this codec's whole-MB partition scope: returns (refIdxL0,
-        refIdxL1, [mvL0 | None, mvL1 | None]).
+        """§8.4.1.2.2 spatial direct motion derivation: returns
+        (refIdxL0, refIdxL1, [mvL0 | None, mvL1 | None], zmask).
 
         - refIdxLX = MinPositive over neighbours A, B, C (C replaced by
           D = above-left when unavailable, as in :meth:`mv_pred`);
           intra / unavailable / list-unused neighbours contribute -1.
         - both lists empty -> directZeroPredictionFlag: refIdx 0/0 with
-          zero MVs.
-        - colZeroFlag from ``col`` (the RefPicList1[0] reconstruction
-          state): the CO-LOCATED MB's motion is near-zero (both
-          quarter-pel components in [-1, 1]) against ITS refIdx 0, and
-          the col picture is short-term.  At whole-MB scope the col
-          motion is uniform over the MB, so the per-4x4 clause collapses
-          to one flag — exact within this codec's envelope, because any
-          col picture with sub-MB partitions was already refused when IT
-          was decoded.
+          zero MVs (zmask all True — uniformly zero).
+        - ``zmask`` is the (4, 4) per-4x4-block colZeroFlag grid: the
+          CO-LOCATED block's motion (sampled per :meth:`_direct_cells`,
+          from ``col`` = the RefPicList1[0] reconstruction state) is
+          near-zero (both quarter-pel components in [-1, 1]) against ITS
+          refIdx 0, and the col picture is short-term.  A block's mvLX
+          collapses to zero where (zmask and refIdxLX == 0) — see
+          :meth:`direct_motion` / :func:`_direct_block_mvs`.
         - per list: refIdx < 0 -> list unused; else the §8.4.1.3.1
-          median predictor at the derived refIdx, forced to zero by
-          directZeroPrediction or (colZeroFlag and refIdx == 0)."""
+          median predictor at the derived refIdx."""
 
         def min_pos(a: int, b: int) -> int:
             return min(a, b) if (a >= 0 and b >= 0) else max(a, b)
 
+        by0, bx0 = mby * 4, mbx * 4
         derived = []
         for lst in (0, 1):
-            _, _, ra = self._mv_neighbor(mbx - 1, mby, lst)
-            _, _, rb = self._mv_neighbor(mbx, mby - 1, lst)
-            if self.mb_same_slice(mbx + 1, mby - 1):
-                _, _, rc = self._mv_neighbor(mbx + 1, mby - 1, lst)
-            else:
-                _, _, rc = self._mv_neighbor(mbx - 1, mby - 1, lst)
+            (_, _, ra), (_, _, rb), (_, _, rc), _ = self._neigh_abc(
+                by0, bx0, 4, lst, None, mbx, mby)
             derived.append(min_pos(ra, min_pos(rb, rc)))
         ridx0, ridx1 = derived
         direct_zero = ridx0 < 0 and ridx1 < 0
         if direct_zero:
             ridx0 = ridx1 = 0
-        col_zero = False
-        if col is not None and not getattr(col, "is_long_term", False):
-            mv_col, ref_col = None, -1
-            if col.use_l[mby, mbx, 0]:
-                mv_col = col.mv_l[mby, mbx, 0]
-                ref_col = max(int(col.ref_l[mby, mbx, 0]), 0)
-            elif col.use_l[mby, mbx, 1]:
-                mv_col = col.mv_l[mby, mbx, 1]
-                ref_col = max(int(col.ref_l[mby, mbx, 1]), 0)
-            elif col.mb_inter[mby, mbx]:
-                mv_col = col.mv[mby, mbx]
-                ref_col = max(int(col.ref_l[mby, mbx, 0]), 0)
-            if (
-                mv_col is not None
-                and ref_col == 0
-                and abs(int(mv_col[0])) <= 1
-                and abs(int(mv_col[1])) <= 1
-            ):
-                col_zero = True
+        zmask = np.zeros((4, 4), dtype=bool)
+        if direct_zero:
+            zmask[:] = True
+        elif col is not None and not getattr(col, "is_long_term", False):
+            for sy, sx, h4, w4, cy, cx in self._direct_cells():
+                mv_col, ref_col, _ = _col_block_motion(
+                    col, by0 + cy, bx0 + cx)
+                if (
+                    mv_col is not None
+                    and ref_col == 0
+                    and abs(int(mv_col[0])) <= 1
+                    and abs(int(mv_col[1])) <= 1
+                ):
+                    zmask[sy : sy + h4, sx : sx + w4] = True
         mvs: list = [None, None]
         for lst, ridx in ((0, ridx0), (1, ridx1)):
             if ridx < 0:
                 continue
-            if direct_zero or (col_zero and ridx == 0):
+            if direct_zero:
                 mvs[lst] = np.zeros(2, dtype=np.int64)
             else:
                 mvs[lst] = self.mv_pred(mbx, mby, lst, ref_idx=ridx)
-        return ridx0, ridx1, mvs
+        return ridx0, ridx1, mvs, zmask
 
-    def temporal_direct(self, mbx: int, mby: int, refs0, refs1):
-        """§8.4.1.2.3 temporal direct motion derivation for
-        B_Direct_16x16 / B_Skip under ``direct_spatial_mv_pred_flag ==
-        0``, at this codec's whole-MB partition scope: returns
-        (refIdxL0, refIdxL1 == 0, [mvL0, mvL1]) — temporal direct always
-        predicts from BOTH lists.
+    def _temporal_scale(self, mv_col, rc: int, ref_pocs, refs0, col):
+        """§8.4.1.2.3 per-block refIdx mapping + MV scaling: returns
+        (refIdxL0, mvL0, mvL1) for one co-located block's motion.
 
-        - co-located block = the same MB address in RefPicList1[0]
-          (frame_mbs_only + direct_8x8_inference at whole-MB scope: one
-          motion per MB, so the per-8x8 corner sampling collapses);
-          its list-0 motion is used when present, else list 1, else
-          (intra) zero motion with refIdxL0 = 0 and zero scaled MVs.
         - refIdxL0 = the lowest current-list-0 index holding the picture
-          the co-located motion references (matched by POC tag);
-          refIdxL1 = 0.
+          the co-located motion references (matched by POC tag).
         - MV scaling: td = Clip3(-128, 127, POC(col) - POC(colRef)),
           tb likewise for the current picture; tx = (16384 +
           Abs(td/2)) / td (C truncating division); DistScaleFactor =
           Clip3(-1024, 1023, (tb*tx + 32) >> 6); mvL0 = (DSF*mvCol +
           128) >> 8; mvL1 = mvL0 - mvCol.  td == 0 or a long-term
-          colRef short-circuits to mvL0 = mvCol, mvL1 = 0.
-
-        POC-untagged states (raw decode_picture calls without
-        cur_poc / un-walked references) refuse loudly rather than guess."""
-        col = refs1[0] if refs1 else None
-        if col is None:
-            raise ValueError("temporal direct needs RefPicList1[0]")
-        if not col.mb_inter[mby, mbx] and not col.use_l[mby, mbx].any():
-            # intra (or PCM) co-located MB: mvCol = 0, refIdxCol = 0 —
-            # the scaled vectors are zero regardless of POC distances
-            z = np.zeros(2, dtype=np.int64)
-            return 0, 0, [z, z.copy()]
-        if self.poc is None or col.poc is None:
-            raise NotImplementedError(
-                "temporal direct needs POC-tagged pictures (decode "
-                "through the container walk, or pass "
-                "decode_picture(cur_poc=...) with .poc/.ref_pocs0 set "
-                "on every reference state)"
-            )
-        if col.use_l[mby, mbx, 0]:
-            mv_col = col.mv_l[mby, mbx, 0]
-            rc = max(int(col.ref_l[mby, mbx, 0]), 0)
-            ref_pocs = col.ref_pocs0
-        elif col.use_l[mby, mbx, 1]:
-            mv_col = col.mv_l[mby, mbx, 1]
-            rc = max(int(col.ref_l[mby, mbx, 1]), 0)
-            ref_pocs = col.ref_pocs1
-        else:  # P-coded co-located MB (list-0 only)
-            mv_col = col.mv[mby, mbx]
-            rc = max(int(col.ref_l[mby, mbx, 0]), 0)
-            ref_pocs = col.ref_pocs0
+          colRef short-circuits to mvL0 = mvCol, mvL1 = 0."""
         if ref_pocs is None or rc >= len(ref_pocs) or ref_pocs[rc] is None:
             raise NotImplementedError(
                 "temporal direct: the co-located picture carries no "
@@ -2204,30 +2251,137 @@ class _FrameState:
         mv_col = np.asarray(mv_col, dtype=np.int64)
         td = min(max(int(col.poc) - poc_col_ref, -128), 127)
         if td == 0 or getattr(refs0[ridx0], "is_long_term", False):
-            return ridx0, 0, [mv_col.copy(), np.zeros(2, dtype=np.int64)]
+            return ridx0, mv_col.copy(), np.zeros(2, dtype=np.int64)
         tb = min(max(int(self.poc) - poc_col_ref, -128), 127)
         q = 16384 + (abs(td) >> 1)
         tx = q // td if td > 0 else -(q // -td)  # C truncating division
         dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
         mv0 = (dsf * mv_col + 128) >> 8  # arithmetic shift (floor)
-        return ridx0, 0, [mv0, mv0 - mv_col]
+        return ridx0, mv0, mv0 - mv_col
+
+    def temporal_direct(self, mbx: int, mby: int, refs0, refs1):
+        """§8.4.1.2.3 temporal direct motion derivation for
+        B_Direct_16x16 / B_Skip / B_Direct_8x8 under
+        ``direct_spatial_mv_pred_flag == 0``: returns the region list
+        [(sy, sx, h4, w4, refIdxL0, refIdxL1 == 0, mvL0, mvL1)] in
+        MB-local 4x4-block units — one whole-MB region when the
+        co-located motion is uniform (every 16x16-partition stream),
+        else one region per :meth:`_direct_cells` sample.  Temporal
+        direct always predicts from BOTH lists.
+
+        Per region: the co-located block's list-0 motion is used when
+        present, else list 1, else (intra) zero motion with refIdxCol =
+        0 — mapped through colPic's OWN reference-POC tags into the
+        current RefPicList0 (falling back to index 0 only when the
+        current list holds a single picture, where the mapping cannot
+        matter); scaling per :meth:`_temporal_scale`.
+
+        POC-untagged states (raw decode_picture calls without
+        cur_poc / un-walked references) refuse loudly rather than
+        guess."""
+        col = refs1[0] if refs1 else None
+        if col is None:
+            raise ValueError("temporal direct needs RefPicList1[0]")
+        by0, bx0 = mby * 4, mbx * 4
+        out = []
+        for sy, sx, h4, w4, cy, cx in self._direct_cells():
+            mv_col, rc, ref_pocs = _col_block_motion(
+                col, by0 + cy, bx0 + cx)
+            if mv_col is None:
+                # intra (or PCM) co-located block: mvCol = 0, refIdxCol
+                # = 0 (§8.4.1.2.1) — the scaled vectors are zero
+                # regardless of POC distances, but refIdxL0 must map
+                # colPic's RefPicList0[0] into the CURRENT list (ADVICE
+                # r13: with multi-ref L0 and per-ref explicit weights,
+                # silently assuming index 0 could weight from the wrong
+                # picture)
+                z = np.zeros(2, dtype=np.int64)
+                if len(refs0) == 1:
+                    ridx0 = 0  # the mapping cannot matter
+                elif col.ref_pocs0 and col.ref_pocs0[0] is not None:
+                    poc0 = col.ref_pocs0[0]
+                    ridx0 = next(
+                        (i for i, r in enumerate(refs0)
+                         if getattr(r, "poc", None) == poc0),
+                        None,
+                    )
+                    if ridx0 is None:
+                        raise NotImplementedError(
+                            "temporal direct: the intra co-located "
+                            f"block's refIdxCol = 0 picture (POC {poc0})"
+                            " is not in the current RefPicList0"
+                        )
+                else:
+                    raise NotImplementedError(
+                        "temporal direct: intra co-located block with a "
+                        "multi-picture RefPicList0 needs colPic "
+                        "reference-POC tags to map refIdxCol = 0"
+                    )
+                out.append((sy, sx, h4, w4, ridx0, 0, z, z.copy()))
+                continue
+            if self.poc is None or col.poc is None:
+                raise NotImplementedError(
+                    "temporal direct needs POC-tagged pictures (decode "
+                    "through the container walk, or pass "
+                    "decode_picture(cur_poc=...) with .poc/.ref_pocs0 "
+                    "set on every reference state)"
+                )
+            ridx0, mv0, mv1 = self._temporal_scale(
+                mv_col, rc, ref_pocs, refs0, col)
+            out.append((sy, sx, h4, w4, ridx0, 0, mv0, mv1))
+        first = out[0]
+        if all(
+            r[4] == first[4]
+            and np.array_equal(r[6], first[6])
+            and np.array_equal(r[7], first[7])
+            for r in out[1:]
+        ):
+            return [(0, 0, 4, 4) + first[4:]]
+        return out
 
     def skip_mv(self, mbx: int, mby: int) -> np.ndarray:
         """P_Skip motion vector (§8.4.1.1): zero when at the left/top
         edge or when either A or B is a zero-MV refIdx-0 inter block,
-        else the median predictor with refIdxL0 = 0."""
-        availA, mvA, refA = self._mv_neighbor(mbx - 1, mby)
-        availB, mvB, refB = self._mv_neighbor(mbx, mby - 1)
-        # A/B MB-unavailable (frame edge OR slice boundary) -> zero MV
-        edgeA = not self.mb_same_slice(mbx - 1, mby)
-        edgeB = not self.mb_same_slice(mbx, mby - 1)
-        if edgeA or edgeB:
+        else the median predictor with refIdxL0 = 0.  A/B are the 4x4
+        blocks adjacent to the MB's top-left corner, so a PARTITIONED
+        left neighbour contributes its right-column top partition."""
+        by0, bx0 = mby * 4, mbx * 4
+        # A/B block-unavailable (frame edge OR slice boundary) -> zero MV
+        if not self.blk_ok(by0, bx0 - 1, mbx, mby):
             return np.zeros(2, dtype=np.int64)
+        if not self.blk_ok(by0 - 1, bx0, mbx, mby):
+            return np.zeros(2, dtype=np.int64)
+        availA, mvA, refA = self._blk_motion(by0, bx0 - 1)
+        availB, mvB, refB = self._blk_motion(by0 - 1, bx0)
         if availA and refA == 0 and mvA[0] == 0 and mvA[1] == 0:
             return np.zeros(2, dtype=np.int64)
         if availB and refB == 0 and mvB[0] == 0 and mvB[1] == 0:
             return np.zeros(2, dtype=np.int64)
         return self.mv_pred(mbx, mby)
+
+    def direct_motion(self, mbx: int, mby: int, refs0, refs1,
+                      spatial: bool = True):
+        """Direct-mode motion for one MB as a region list
+        [(sy, sx, h4, w4, refIdxL0, refIdxL1, mvL0 | None, mvL1 | None)]
+        in MB-local 4x4-block units, merged to the coarsest uniform
+        granularity (whole MB / 8x8 quadrants / single blocks).  The
+        spatial path applies the per-block colZero collapse
+        (§8.4.1.2.2) to the MB-level prediction; the temporal path is
+        per-block by construction (§8.4.1.2.3)."""
+        if not spatial:
+            return self.temporal_direct(mbx, mby, refs0, refs1)
+        col = refs1[0] if refs1 else None
+        ridx0, ridx1, mvs, zmask = self.spatial_direct(mbx, mby, col)
+        zeroable = (ridx0 == 0 and mvs[0] is not None) or (
+            ridx1 == 0 and mvs[1] is not None)
+        if not zeroable or bool(zmask.all()) or not zmask.any():
+            m = _direct_block_mvs(ridx0, ridx1, mvs, bool(zmask[0, 0]))
+            return [(0, 0, 4, 4, ridx0, ridx1, m[0], m[1])]
+        out = []
+        for sy, sx, h4, w4, _, _ in self._direct_cells():
+            m = _direct_block_mvs(ridx0, ridx1, mvs, bool(zmask[sy, sx]))
+            out.append((sy, sx, h4, w4, ridx0, ridx1, m[0], m[1]))
+        return out
 
     def nC(self, grid: np.ndarray, by: int, bx: int, bsz: int = 4) -> int:
         """CAVLC nC context (§9.2.1).  ``bsz`` = 4x4 blocks per MB side in
@@ -2274,44 +2428,88 @@ def _tap6(p0, p1, p2, p3, p4, p5):
     return p0 - 5 * p1 + 20 * p2 + 20 * p3 - 5 * p4 + p5
 
 
-def mc_luma(ref_y: np.ndarray, oy: int, ox: int, mv) -> np.ndarray:
-    """16x16 luma motion compensation at full QUARTER-pel precision
-    (§8.4.2.2.1): integer fast path; half-pel via the 6-tap FIR with
-    (+16)>>5 rounding (center position j via the two-stage unrounded
-    filter and (+512)>>10); quarter positions as the spec's +1>>1
-    averages (Table 8-12).  Reference coords edge-clamped per spec."""
+def _col_block_motion(col, by: int, bx: int):
+    """One co-located 4x4 block's motion for the §8.4.1.2 direct
+    derivations: (mv, refIdx, ref_pocs) through the block's list 0 when
+    used, else list 1, else (None, -1, None) for intra/PCM.  States
+    never touched by record_motion fall back to the per-MB summaries
+    (hand-built test states)."""
+    mby, mbx = by >> 2, bx >> 2
+    if col.rec4[mby, mbx]:
+        if col.use4[by, bx, 0]:
+            return (col.mv4[by, bx, 0],
+                    max(int(col.ref4[by, bx, 0]), 0), col.ref_pocs0)
+        if col.use4[by, bx, 1]:
+            return (col.mv4[by, bx, 1],
+                    max(int(col.ref4[by, bx, 1]), 0), col.ref_pocs1)
+        return None, -1, None
+    if col.use_l[mby, mbx, 0]:
+        return (col.mv_l[mby, mbx, 0],
+                max(int(col.ref_l[mby, mbx, 0]), 0), col.ref_pocs0)
+    if col.use_l[mby, mbx, 1]:
+        return (col.mv_l[mby, mbx, 1],
+                max(int(col.ref_l[mby, mbx, 1]), 0), col.ref_pocs1)
+    if col.mb_inter[mby, mbx]:  # legacy P-coded state (list-0 only)
+        return (col.mv[mby, mbx],
+                max(int(col.ref_l[mby, mbx, 0]), 0), col.ref_pocs0)
+    return None, -1, None
+
+
+def _direct_block_mvs(ridx0: int, ridx1: int, mvs, z: bool):
+    """Effective spatial-direct MVs for one block: a used list's vector
+    collapses to zero when (colZeroFlag and refIdxLX == 0)
+    (§8.4.1.2.2)."""
+    out = [None, None]
+    for lst, ridx in ((0, ridx0), (1, ridx1)):
+        if mvs[lst] is None:
+            continue
+        out[lst] = (np.zeros(2, dtype=np.int64)
+                    if (z and ridx == 0) else mvs[lst])
+    return out
+
+
+def mc_luma(ref_y: np.ndarray, oy: int, ox: int, mv,
+            bh: int = 16, bw: int = 16) -> np.ndarray:
+    """``bh`` x ``bw`` luma motion compensation at full QUARTER-pel
+    precision (§8.4.2.2.1): integer fast path; half-pel via the 6-tap
+    FIR with (+16)>>5 rounding (center position j via the two-stage
+    unrounded filter and (+512)>>10); quarter positions as the spec's
+    +1>>1 averages (Table 8-12).  Reference coords edge-clamped per
+    spec.  Default 16x16; sub-MB partitions pass their own size (the
+    interpolation is position-invariant, so a partitioned MC equals the
+    matching window of a whole-MB MC)."""
     mvx, mvy = int(mv[0]), int(mv[1])
     xi, xf = mvx >> 2, mvx & 3
     yi, yf = mvy >> 2, mvy & 3
     H_, W_ = ref_y.shape
     if xf == 0 and yf == 0:
-        rows = np.clip(np.arange(oy + yi, oy + yi + 16), 0, H_ - 1)
-        cols = np.clip(np.arange(ox + xi, ox + xi + 16), 0, W_ - 1)
+        rows = np.clip(np.arange(oy + yi, oy + yi + bh), 0, H_ - 1)
+        cols = np.clip(np.arange(ox + xi, ox + xi + bw), 0, W_ - 1)
         return ref_y[np.ix_(rows, cols)]
-    # padded window: integer grid from -2 to +18 around the target block
-    rows = np.clip(np.arange(oy + yi - 2, oy + yi + 19), 0, H_ - 1)
-    cols = np.clip(np.arange(ox + xi - 2, ox + xi + 19), 0, W_ - 1)
-    P = ref_y[np.ix_(rows, cols)].astype(np.int64)  # 21 x 21; G(y,x)=P[y+2,x+2]
+    # padded window: integer grid from -2 to +bh+2 around the target
+    rows = np.clip(np.arange(oy + yi - 2, oy + yi + bh + 3), 0, H_ - 1)
+    cols = np.clip(np.arange(ox + xi - 2, ox + xi + bw + 3), 0, W_ - 1)
+    P = ref_y[np.ix_(rows, cols)].astype(np.int64)  # (bh+5, bw+5)
 
     def clip1(v):
         return np.clip(v, 0, 255)
 
-    G = P[2:18, 2:18]
-    Hn = P[2:18, 3:19]   # integer right neighbour
-    M = P[3:19, 2:18]    # integer below neighbour
-    # horizontal 6-tap, unrounded: b1[r, x] over all 21 window rows
-    b1 = _tap6(P[:, 0:16], P[:, 1:17], P[:, 2:18], P[:, 3:19],
-               P[:, 4:20], P[:, 5:21])  # b1[r, x], x in 0..15
-    b = clip1((b1[2:18, :] + 16) >> 5)          # half right of G
-    s = clip1((b1[3:19, :] + 16) >> 5)          # b shifted one row down
-    # vertical 6-tap, unrounded: h1[y, c] over all 21 window cols
-    h1 = _tap6(P[0:16, :], P[1:17, :], P[2:18, :], P[3:19, :],
-               P[4:20, :], P[5:21, :])  # h1[y, c], y in 0..15
-    h = clip1((h1[:, 2:18] + 16) >> 5)          # half below G
-    m = clip1((h1[:, 3:19] + 16) >> 5)          # h shifted one col right
+    G = P[2 : bh + 2, 2 : bw + 2]
+    Hn = P[2 : bh + 2, 3 : bw + 3]   # integer right neighbour
+    M = P[3 : bh + 3, 2 : bw + 2]    # integer below neighbour
+    # horizontal 6-tap, unrounded: b1[r, x] over all bh+5 window rows
+    b1 = _tap6(P[:, 0:bw], P[:, 1 : bw + 1], P[:, 2 : bw + 2],
+               P[:, 3 : bw + 3], P[:, 4 : bw + 4], P[:, 5 : bw + 5])
+    b = clip1((b1[2 : bh + 2, :] + 16) >> 5)    # half right of G
+    s = clip1((b1[3 : bh + 3, :] + 16) >> 5)    # b shifted one row down
+    # vertical 6-tap, unrounded: h1[y, c] over all bw+5 window cols
+    h1 = _tap6(P[0:bh, :], P[1 : bh + 1, :], P[2 : bh + 2, :],
+               P[3 : bh + 3, :], P[4 : bh + 4, :], P[5 : bh + 5, :])
+    h = clip1((h1[:, 2 : bw + 2] + 16) >> 5)    # half below G
+    m = clip1((h1[:, 3 : bw + 3] + 16) >> 5)    # h shifted one col right
     # center j: vertical 6-tap over unrounded horizontal values
-    j1 = _tap6(b1[0:16, :], b1[1:17, :], b1[2:18, :], b1[3:19, :],
-               b1[4:20, :], b1[5:21, :])
+    j1 = _tap6(b1[0:bh, :], b1[1 : bh + 1, :], b1[2 : bh + 2, :],
+               b1[3 : bh + 3, :], b1[4 : bh + 4, :], b1[5 : bh + 5, :])
     j = clip1((j1 + 512) >> 10)
     pos = (xf, yf)
     if pos == (2, 0):
@@ -2347,22 +2545,25 @@ def mc_luma(ref_y: np.ndarray, oy: int, ox: int, mv) -> np.ndarray:
     raise AssertionError(f"unreachable fraction {pos}")
 
 
-def mc_chroma(ref_c: np.ndarray, cy: int, cx: int, mv) -> np.ndarray:
-    """8x8 chroma motion compensation, full 1/8-pel bilinear
+def mc_chroma(ref_c: np.ndarray, cy: int, cx: int, mv,
+              bh: int = 8, bw: int = 8) -> np.ndarray:
+    """``bh`` x ``bw`` chroma motion compensation, full 1/8-pel bilinear
     (§8.4.2.2.2): the chroma vector IS the luma vector reinterpreted in
     eighth-pel chroma units (any luma fraction maps to a legal 1/8
-    chroma position).  Reference coords edge-clamped."""
+    chroma position).  Reference coords edge-clamped.  Default 8x8 (a
+    16x16 luma partition); sub-MB partitions pass half their luma
+    size."""
     mvx, mvy = int(mv[0]), int(mv[1])
     xi, xf = mvx >> 3, mvx & 7
     yi, yf = mvy >> 3, mvy & 7
     H_, W_ = ref_c.shape
-    rows = np.clip(np.arange(cy + yi, cy + yi + 9), 0, H_ - 1)
-    cols = np.clip(np.arange(cx + xi, cx + xi + 9), 0, W_ - 1)
+    rows = np.clip(np.arange(cy + yi, cy + yi + bh + 1), 0, H_ - 1)
+    cols = np.clip(np.arange(cx + xi, cx + xi + bw + 1), 0, W_ - 1)
     blk = ref_c[np.ix_(rows, cols)]
-    a = blk[:8, :8]
-    b = blk[:8, 1:9]
-    c = blk[1:9, :8]
-    d = blk[1:9, 1:9]
+    a = blk[:bh, :bw]
+    b = blk[:bh, 1 : bw + 1]
+    c = blk[1 : bh + 1, :bw]
+    d = blk[1 : bh + 1, 1 : bw + 1]
     return (
         (8 - xf) * (8 - yf) * a + xf * (8 - yf) * b
         + (8 - xf) * yf * c + xf * yf * d + 32
@@ -2944,8 +3145,85 @@ def _reconstruct_skip(st: _FrameState, ref: _FrameState, mbx: int, mby: int,
     st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
     st.mb_inter[mby, mbx] = True
-    st.mv[mby, mbx] = mv
-    st.ref_l[mby, mbx, 0] = 0  # P_Skip predicts from refIdxL0 = 0
+    st.record_motion(by0, bx0, 4, 4, 0, mv, 0)  # refIdxL0 = 0 (§8.4.1.1)
+
+
+def _record_direct_regions(st: _FrameState, regions, mbx: int, mby: int,
+                           done=None, qbox=None) -> None:
+    """Record direct-mode region motion without predicting (the encoder
+    defers recording until the direct candidate wins; the decoder
+    records inside :func:`_pred_direct_regions`)."""
+    for sy, sx, h4, w4, r0, r1, mv0, mv1 in regions:
+        if qbox is not None:
+            sy, sx, h4, w4 = _clip_region(sy, sx, h4, w4, qbox)
+            if h4 == 0:
+                continue
+        for lst, mv, ridx in ((0, mv0, r0), (1, mv1, r1)):
+            if mv is not None:
+                st.record_motion(mby * 4 + sy, mbx * 4 + sx, h4, w4,
+                                 lst, mv, ridx)
+        if done is not None:
+            done[sy : sy + h4, sx : sx + w4] = True
+    st.mb_inter[mby, mbx] = True
+
+
+def _clip_region(sy, sx, h4, w4, qbox):
+    """Intersect one MB-local region with a sub-MB box; h4 == 0 signals
+    an empty intersection."""
+    qy, qx, qh, qw = qbox
+    ny0, nx0 = max(sy, qy), max(sx, qx)
+    ny1, nx1 = min(sy + h4, qy + qh), min(sx + w4, qx + qw)
+    if ny0 >= ny1 or nx0 >= nx1:
+        return 0, 0, 0, 0
+    return ny0, nx0, ny1 - ny0, nx1 - nx0
+
+
+def _pred_direct_regions(st: _FrameState, refs0, refs1, regions,
+                         mbx: int, mby: int, wp: dict | None,
+                         p16: np.ndarray, pcb: np.ndarray,
+                         pcr: np.ndarray, done=None, qbox=None,
+                         record: bool = True) -> None:
+    """Predict + record the direct-mode ``regions`` of one MB (from
+    :meth:`_FrameState.direct_motion`) into caller-supplied prediction
+    planes (p16 16x16 luma, pcb/pcr 8x8 chroma, MB-local).  ``qbox`` =
+    (qy, qx, h4, w4) restricts to one sub-MB (B_Direct_8x8); ``done``
+    is the partition-derivation mask to mark (same-MB later partitions
+    may reference the direct blocks' motion)."""
+    for sy, sx, h4, w4, r0, r1, mv0, mv1 in regions:
+        if qbox is not None:
+            sy, sx, h4, w4 = _clip_region(sy, sx, h4, w4, qbox)
+            if h4 == 0:
+                continue
+        use0, use1 = mv0 is not None, mv1 is not None
+        if use0 and r0 >= len(refs0):
+            raise ValueError(f"derived refIdxL0 {r0} beyond RefPicList0")
+        if use1 and r1 >= len(refs1):
+            raise ValueError(f"derived refIdxL1 {r1} beyond RefPicList1")
+        rpair = (r0 if use0 else 0, r1 if use1 else 0)
+        ref0, ref1 = refs0[rpair[0]], refs1[rpair[1]]
+        mvs = [mv0, mv1]
+        gy, gx = mby * 16 + sy * 4, mbx * 16 + sx * 4
+        hh, ww = h4 * 4, w4 * 4
+        p16[sy * 4 : sy * 4 + hh, sx * 4 : sx * 4 + ww] = _bipred(
+            ref0.y, ref1.y, gy, gx, mvs, mc_luma, wp, "y", rpair,
+            bh=hh, bw=ww)
+        cyy, cxx = gy // 2, gx // 2
+        pcb[sy * 2 : sy * 2 + h4 * 2, sx * 2 : sx * 2 + w4 * 2] = _bipred(
+            ref0.cb, ref1.cb, cyy, cxx, mvs, mc_chroma, wp, "cb", rpair,
+            bh=h4 * 2, bw=w4 * 2)
+        pcr[sy * 2 : sy * 2 + h4 * 2, sx * 2 : sx * 2 + w4 * 2] = _bipred(
+            ref0.cr, ref1.cr, cyy, cxx, mvs, mc_chroma, wp, "cr", rpair,
+            bh=h4 * 2, bw=w4 * 2)
+        if record:
+            for lst, use, mv, ridx in ((0, use0, mv0, rpair[0]),
+                                       (1, use1, mv1, rpair[1])):
+                if use:
+                    st.record_motion(mby * 4 + sy, mbx * 4 + sx, h4, w4,
+                                     lst, mv, ridx)
+            if done is not None:
+                done[sy : sy + h4, sx : sx + w4] = True
+    if record:
+        st.mb_inter[mby, mbx] = True
 
 
 def _reconstruct_b_skip(st: _FrameState, refs0, refs1, mbx: int, mby: int,
@@ -2954,24 +3232,14 @@ def _reconstruct_b_skip(st: _FrameState, refs0, refs1, mbx: int, mby: int,
     """B_Skip: the §8.4.1.2.2 spatial (or §8.4.1.2.3 temporal) direct
     derivation with no residual (mb_type inferred, nothing else coded).
     Identical motion to a B_Direct_16x16 whose cbp is zero."""
-    if direct_spatial:
-        ridx0, ridx1, mvs = st.spatial_direct(
-            mbx, mby, refs1[0] if refs1 else None
-        )
-    else:
-        ridx0, ridx1, mvs = st.temporal_direct(mbx, mby, refs0, refs1)
-    use0, use1 = mvs[0] is not None, mvs[1] is not None
-    if use0 and ridx0 >= len(refs0):
-        raise ValueError(f"derived refIdxL0 {ridx0} beyond RefPicList0")
-    if use1 and ridx1 >= len(refs1):
-        raise ValueError(f"derived refIdxL1 {ridx1} beyond RefPicList1")
-    rpair = (ridx0 if use0 else 0, ridx1 if use1 else 0)
-    ref0, ref1 = refs0[rpair[0]], refs1[rpair[1]]
+    regions = st.direct_motion(mbx, mby, refs0, refs1, direct_spatial)
     ox, oy = mbx * 16, mby * 16
     cy, cx = oy // 2, ox // 2
-    p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y", rpair)
-    pcb = _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma, wp, "cb", rpair)
-    pcr = _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma, wp, "cr", rpair)
+    p16 = np.zeros((16, 16), dtype=np.int64)
+    pcb = np.zeros((8, 8), dtype=np.int64)
+    pcr = np.zeros((8, 8), dtype=np.int64)
+    _pred_direct_regions(st, refs0, refs1, regions, mbx, mby, wp,
+                         p16, pcb, pcr)
     st.y[oy : oy + 16, ox : ox + 16] = np.clip(p16, 0, 255)
     st.cb[cy : cy + 8, cx : cx + 8] = np.clip(pcb, 0, 255)
     st.cr[cy : cy + 8, cx : cx + 8] = np.clip(pcr, 0, 255)
@@ -2979,13 +3247,6 @@ def _reconstruct_b_skip(st: _FrameState, refs0, refs1, mbx: int, mby: int,
     st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
     st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-    st.mb_inter[mby, mbx] = True
-    for lst, ridx in ((0, rpair[0]), (1, rpair[1])):
-        if mvs[lst] is not None:
-            st.use_l[mby, mbx, lst] = True
-            st.mv_l[mby, mbx, lst] = mvs[lst]
-            st.ref_l[mby, mbx, lst] = ridx
-    st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
 
 
 def _read_luma8(er, st: _FrameState, gy: int, gx: int) -> list:
@@ -3128,8 +3389,7 @@ def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
                    pred_fn=lambda comp: preds[comp])
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
     st.mb_inter[mby, mbx] = True
-    st.mv[mby, mbx] = mv
-    st.ref_l[mby, mbx, 0] = ridx
+    st.record_motion(by0, bx0, 4, 4, 0, mv, ridx)
     return qp
 
 
@@ -3158,23 +3418,15 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
         )
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
+    cy, cx = oy // 2, ox // 2
     if mb_type == 0:
-        if direct_spatial:
-            ridx0, ridx1, mvs = st.spatial_direct(
-                mbx, mby, refs1[0] if refs1 else None
-            )
-        else:
-            # §8.4.1.2.3: temporal direct always yields both lists
-            ridx0, ridx1, mvs = st.temporal_direct(mbx, mby, refs0, refs1)
-        use0, use1 = mvs[0] is not None, mvs[1] is not None
-        if use0 and ridx0 >= len(refs0):
-            raise ValueError(f"derived refIdxL0 {ridx0} beyond RefPicList0")
-        if use1 and ridx1 >= len(refs1):
-            raise ValueError(f"derived refIdxL1 {ridx1} beyond RefPicList1")
-        ref0 = refs0[ridx0 if use0 else 0]
-        ref1 = refs1[ridx1 if use1 else 0]
-        rpair = (ridx0 if use0 else 0, ridx1 if use1 else 0)
-        ridx0, ridx1 = rpair
+        regions = st.direct_motion(mbx, mby, refs0, refs1,
+                                   direct_spatial)
+        p16 = np.zeros((16, 16), dtype=np.int64)
+        pcb = np.zeros((8, 8), dtype=np.int64)
+        pcr = np.zeros((8, 8), dtype=np.int64)
+        _pred_direct_regions(st, refs0, refs1, regions, mbx, mby, wp,
+                             p16, pcb, pcr)
     else:
         use0 = mb_type in (1, 3)
         use1 = mb_type in (2, 3)
@@ -3197,7 +3449,16 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
             mvd1 = np.array(er.mvd_pair(st, mbx, mby, 1), dtype=np.int64)
             mvs[1] = st.mv_pred(mbx, mby, 1, ref_idx=ridx1) + mvd1
         rpair = (ridx0, ridx1)
-    p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y", rpair)
+        p16 = _bipred(ref0.y, ref1.y, oy, ox, mvs, mc_luma, wp, "y",
+                      rpair)
+        pcb = _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma, wp,
+                      "cb", rpair)
+        pcr = _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma, wp,
+                      "cr", rpair)
+        for lst, ridx in ((0, ridx0), (1, ridx1)):
+            if mvs[lst] is not None:
+                st.record_motion(by0, bx0, 4, 4, lst, mvs[lst], ridx)
+        st.mb_inter[mby, mbx] = True
     cbp = er.cbp(st, mbx, mby, False)
     cbp_l, cbp_c = cbp & 15, cbp >> 4
     t8 = False
@@ -3224,23 +3485,9 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
                 st.nzy[by, bx] = 0
                 rec = p16[yb : yb + 4, x : x + 4]
             st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
-    cy, cx = oy // 2, ox // 2
-    preds = {
-        0: _bipred(ref0.cb, ref1.cb, cy, cx, mvs, mc_chroma, wp, "cb",
-                   rpair),
-        1: _bipred(ref0.cr, ref1.cr, cy, cx, mvs, mc_chroma, wp, "cr",
-                   rpair),
-    }
     _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
-                   pred_fn=lambda comp: preds[comp])
+                   pred_fn=lambda comp: (pcb, pcr)[comp])
     st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-    st.mb_inter[mby, mbx] = True
-    for lst, ridx in ((0, ridx0), (1, ridx1)):
-        if mvs[lst] is not None:
-            st.use_l[mby, mbx, lst] = True
-            st.mv_l[mby, mbx, lst] = mvs[lst]
-            st.ref_l[mby, mbx, lst] = ridx
-    st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
     return qp
 
 
@@ -3359,14 +3606,19 @@ def _write_one_weight_ref(w: BitWriter, wp: dict, t: tuple) -> None:
 
 def _bipred(plane0: np.ndarray, plane1: np.ndarray, oy: int, ox: int,
             mvs, mc_fn, wp: dict | None = None,
-            comp: str = "y", ridx: tuple = (0, 0)) -> np.ndarray:
+            comp: str = "y", ridx: tuple = (0, 0),
+            bh: int | None = None, bw: int | None = None) -> np.ndarray:
     """List prediction for one B partition: single-list MC or the B_Bi
     combine — default (p0+p1+1)>>1 (§8.4.2.3.1) when ``wp`` is None,
     else the explicit weighted forms (§8.4.2.3.2) using ``comp``'s
     column of the weight tuples for the partition's (refIdxL0,
-    refIdxL1) = ``ridx``."""
-    p0 = mc_fn(plane0, oy, ox, mvs[0]) if mvs[0] is not None else None
-    p1 = mc_fn(plane1, oy, ox, mvs[1]) if mvs[1] is not None else None
+    refIdxL1) = ``ridx``.  ``bh``/``bw`` select the partition size
+    (default: the mc function's own — 16x16 luma / 8x8 chroma)."""
+    kw = {} if bh is None else {"bh": bh, "bw": bw}
+    p0 = (mc_fn(plane0, oy, ox, mvs[0], **kw)
+          if mvs[0] is not None else None)
+    p1 = (mc_fn(plane1, oy, ox, mvs[1], **kw)
+          if mvs[1] is not None else None)
     if wp is None:
         if p0 is None:
             return p1
@@ -3722,12 +3974,19 @@ def _mb_snapshot(st: _FrameState, mbx: int, mby: int):
         st.mv[mby, mbx].copy(),
         st.ref_l[mby, mbx].copy(),
         bool(st.mb_t8[mby, mbx]),
+        st.use_l[mby, mbx].copy(),
+        st.mv_l[mby, mbx].copy(),
+        bool(st.rec4[mby, mbx]),
+        st.use4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4].copy(),
+        st.mv4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4].copy(),
+        st.ref4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4].copy(),
     )
 
 
 def _mb_restore(st: _FrameState, mbx: int, mby: int, snap) -> None:
     ox, oy = mbx * 16, mby * 16
-    y, cb, cr, nzy, nzc, modes4, inter, mv, ref_l, t8 = snap
+    (y, cb, cr, nzy, nzc, modes4, inter, mv, ref_l, t8,
+     use_l, mv_l, rec4, use4, mv4, ref4) = snap
     st.mb_t8[mby, mbx] = t8
     st.y[oy : oy + 16, ox : ox + 16] = y
     st.cb[oy // 2 : oy // 2 + 8, ox // 2 : ox // 2 + 8] = cb
@@ -3738,6 +3997,12 @@ def _mb_restore(st: _FrameState, mbx: int, mby: int, snap) -> None:
     st.mb_inter[mby, mbx] = inter
     st.mv[mby, mbx] = mv
     st.ref_l[mby, mbx] = ref_l
+    st.use_l[mby, mbx] = use_l
+    st.mv_l[mby, mbx] = mv_l
+    st.rec4[mby, mbx] = rec4
+    st.use4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4] = use4
+    st.mv4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4] = mv4
+    st.ref4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4] = ref4
 
 
 def _encode_mb_pcm(ew, st: _FrameState, mbx: int, mby: int,
@@ -4595,8 +4860,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
-                st.mv[mby, mbx] = mv_skip
-                st.ref_l[mby, mbx, 0] = 0
+                st.record_motion(by0, bx0, 4, 4, 0, mv_skip, 0)
                 skip_run += 1
                 if cw is not None:
                     cw.end_mb(st, mbx, mby)
@@ -4637,8 +4901,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
-                st.mv[mby, mbx] = mv
-                st.ref_l[mby, mbx, 0] = best
+                st.record_motion(by0, bx0, 4, 4, 0, mv, best)
                 cw.end_mb(st, mbx, mby)
                 cw.end_of_slice(mb == mb1 - 1)
                 continue
@@ -4653,8 +4916,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
-                st.mv[mby, mbx] = mv
-                st.ref_l[mby, mbx, 0] = best
+                st.record_motion(by0, bx0, 4, 4, 0, mv, best)
             except _NonVerbatimCode:
                 ew.rollback(wpos)
                 _mb_restore(st, mbx, mby, snap)
@@ -4864,33 +5126,36 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 (2, [None, mv1], p1c, (0, ridx1)),
                 (3, [mv0, mv1], pbi, (ridx0, ridx1)),
             ]
+            d_regions = d_pcb = d_pcr = None
             if b_direct:
                 # replay the decoder's derivation on the running state;
                 # FIRST in the list so equal-SAD ties pick the mode that
-                # codes no ref_idx/mvd bits
-                if direct_mode == "spatial":
-                    d_r0, d_r1, d_mvs = st.spatial_direct(
-                        mbx, mby, refs1[0])
-                else:
-                    d_r0, d_r1, d_mvs = st.temporal_direct(
-                        mbx, mby, refs0, refs1)
-                d_rpair = (d_r0 if d_mvs[0] is not None else 0,
-                           d_r1 if d_mvs[1] is not None else 0)
-                d_p16 = _bipred(refs0[d_rpair[0]].y, refs1[d_rpair[1]].y,
-                                oy, ox, d_mvs, mc_luma, wp, "y", d_rpair)
-                cands.insert(0, (0, d_mvs, d_p16, d_rpair))
+                # codes no ref_idx/mvd bits (recording deferred until
+                # the candidate wins)
+                d_regions = st.direct_motion(
+                    mbx, mby, refs0, refs1, direct_mode == "spatial")
+                d_p16 = np.zeros((16, 16), dtype=np.int64)
+                d_pcb = np.zeros((8, 8), dtype=np.int64)
+                d_pcr = np.zeros((8, 8), dtype=np.int64)
+                _pred_direct_regions(st, refs0, refs1, d_regions, mbx,
+                                     mby, wp, d_p16, d_pcb, d_pcr,
+                                     record=False)
+                cands.insert(0, (0, [None, None], d_p16, (0, 0)))
             mb_type, mvs, p16, rpair = min(
                 cands, key=lambda c: int(np.abs(src - c[2]).sum())
             )
-            rpair = (rpair[0] if mvs[0] is not None else 0,
-                     rpair[1] if mvs[1] is not None else 0)
             cy, cx = oy // 2, ox // 2
-            p8s = tuple(
-                _bipred(getattr(refs0[rpair[0]], pl),
-                        getattr(refs1[rpair[1]], pl), cy, cx, mvs,
-                        mc_chroma, wp, pl, rpair)
-                for pl in ("cb", "cr")
-            )
+            if mb_type == 0:
+                p8s = (d_pcb, d_pcr)
+            else:
+                rpair = (rpair[0] if mvs[0] is not None else 0,
+                         rpair[1] if mvs[1] is not None else 0)
+                p8s = tuple(
+                    _bipred(getattr(refs0[rpair[0]], pl),
+                            getattr(refs1[rpair[1]], pl), cy, cx, mvs,
+                            mc_chroma, wp, pl, rpair)
+                    for pl in ("cb", "cr")
+                )
             cbp, luma_z, comps, _ = _inter_residuals_from_pred(
                 src, cb, cr, oy, ox, p16, p8s, qp, t8=transform_8x8
             )
@@ -4904,13 +5169,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 st.nzy[by0 : by0 + 4, bx0 : bx0 + 4] = 0
                 st.nzc[:, oy // 8 : oy // 8 + 2, ox // 8 : ox // 8 + 2] = 0
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-                st.mb_inter[mby, mbx] = True
-                for lst in (0, 1):
-                    if mvs[lst] is not None:
-                        st.use_l[mby, mbx, lst] = True
-                        st.mv_l[mby, mbx, lst] = mvs[lst]
-                        st.ref_l[mby, mbx, lst] = rpair[lst]
-                st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
+                _record_direct_regions(st, d_regions, mbx, mby)
                 if cw is not None:
                     cw.begin_mb(st, mbx, mby)
                     cw.write_skip(st, mbx, mby, True, True)
@@ -4945,17 +5204,17 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
-                for lst in (0, 1):
-                    if mvs[lst] is not None:
-                        st.use_l[mby, mbx, lst] = True
-                        st.mv_l[mby, mbx, lst] = mvs[lst]
-                        st.ref_l[mby, mbx, lst] = rpair[lst]
-                st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
+                if mb_type == 0:
+                    _record_direct_regions(st, d_regions, mbx, mby)
+                else:
+                    for lst in (0, 1):
+                        if mvs[lst] is not None:
+                            st.record_motion(by0, bx0, 4, 4, lst,
+                                             mvs[lst], rpair[lst])
                 cw.end_mb(st, mbx, mby)
                 cw.end_of_slice(mb == mb1 - 1)
                 continue
             snap = _mb_snapshot(st, mbx, mby)
-            use_snap = (st.use_l[mby, mbx].copy(), st.mv_l[mby, mbx].copy())
             wpos = ew.checkpoint()
             w.ue(skip_run)  # mb_skip_run before this coded MB
             try:
@@ -4974,16 +5233,16 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 by0, bx0 = oy // 4, ox // 4
                 st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
                 st.mb_inter[mby, mbx] = True
-                for lst in (0, 1):
-                    if mvs[lst] is not None:
-                        st.use_l[mby, mbx, lst] = True
-                        st.mv_l[mby, mbx, lst] = mvs[lst]
-                        st.ref_l[mby, mbx, lst] = rpair[lst]
-                st.mv[mby, mbx] = mvs[0] if mvs[0] is not None else mvs[1]
+                if mb_type == 0:
+                    _record_direct_regions(st, d_regions, mbx, mby)
+                else:
+                    for lst in (0, 1):
+                        if mvs[lst] is not None:
+                            st.record_motion(by0, bx0, 4, 4, lst,
+                                             mvs[lst], rpair[lst])
             except _NonVerbatimCode:
                 ew.rollback(wpos)
                 _mb_restore(st, mbx, mby, snap)
-                st.use_l[mby, mbx], st.mv_l[mby, mbx] = use_snap
                 w.ue(skip_run)  # mb_skip_run before the replacement MB
                 _encode_mb_pcm(ew, st, mbx, mby, y, cb, cr, type_offset=23)
             skip_run = 0

@@ -112,11 +112,12 @@ def _clip3(lo, hi, v):
 
 def _mb_motion(st, mby: int, mbx: int):
     """(is_intra, uses_lists(2,), mvs(2,2), refs(2,)) for one decoded MB
-    at this codec's 16x16-partition scope.  P-coded MBs present as
-    list-0-only."""
+    from the legacy per-MB summaries (hand-built test states only;
+    recorded states go through :func:`_blk_motion`).  P-coded MBs
+    present as list-0-only."""
     u = st.use_l[mby, mbx]
     # unset ref_l on used lists reads as refIdx 0 (legacy-populated
-    # states; mirrors _FrameState._mv_neighbor)
+    # states; mirrors _FrameState._blk_motion)
     refs = np.maximum(st.ref_l[mby, mbx], 0)
     if u.any():
         return False, u.copy(), st.mv_l[mby, mbx].copy(), refs
@@ -126,6 +127,23 @@ def _mb_motion(st, mby: int, mbx: int):
         return False, np.array([True, False]), mvs, refs
     return (True, np.array([False, False]),
             np.zeros((2, 2), dtype=np.int64), refs.copy())
+
+
+def _blk_motion(st, by: int, bx: int):
+    """(is_intra, uses_lists(2,), mvs(2,2), refs(2,)) for one 4x4 block
+    — the §8.7.2.1 bS derivation's motion view at sub-MB-partition
+    granularity (round 14).  States never touched by record_motion fall
+    back to the per-MB summaries."""
+    mby, mbx = by >> 2, bx >> 2
+    rec4 = getattr(st, "rec4", None)
+    if rec4 is None or not rec4[mby, mbx]:
+        return _mb_motion(st, mby, mbx)
+    u = st.use4[by, bx]
+    if u.any():
+        return (False, u.copy(), st.mv4[by, bx].copy(),
+                np.maximum(st.ref4[by, bx], 0))
+    return (True, u.copy(), np.zeros((2, 2), dtype=np.int64),
+            np.zeros(2, dtype=np.int64))
 
 
 def _nz_any(st, by: int, bx: int) -> bool:
@@ -143,12 +161,13 @@ def _nz_any(st, by: int, bx: int) -> bool:
 
 def _bs_group(st, pmby, pmbx, qmby, qmbx, pby, pbx, qby, qbx,
               mb_edge: bool) -> int:
-    """Boundary strength for one 4-sample edge group (§8.7.2.1 at our
-    whole-MB-partition scope: within one picture a (list, ref_idx) pair
+    """Boundary strength for one 4-sample edge group (§8.7.2.1 at
+    4x4-block granularity — sub-MB partitions give internal edges real
+    motion differences; within one picture a (list, ref_idx) pair
     denotes the same reference picture for every slice, so list-usage +
     ref-index equality stands in for reference-picture equality)."""
-    p_intra, pu, pmv, pref = _mb_motion(st, pmby, pmbx)
-    q_intra, qu, qmv, qref = _mb_motion(st, qmby, qmbx)
+    p_intra, pu, pmv, pref = _blk_motion(st, pby, pbx)
+    q_intra, qu, qmv, qref = _blk_motion(st, qby, qbx)
     if p_intra or q_intra:
         return 4 if mb_edge else 3
     if _nz_any(st, pby, pbx) or _nz_any(st, qby, qbx):

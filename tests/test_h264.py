@@ -1864,10 +1864,10 @@ def test_b_direct_derivation_is_load_bearing(monkeypatch):
     orig = H._FrameState.spatial_direct
 
     def sabotaged(self, mbx, mby, col):
-        r0, r1, mvs = orig(self, mbx, mby, col)
+        r0, r1, mvs, zmask = orig(self, mbx, mby, col)
         z = [None if m is None else np.zeros(2, dtype=np.int64)
              for m in mvs]
-        return r0, r1, z
+        return r0, r1, z, zmask
 
     monkeypatch.setattr(H._FrameState, "spatial_direct", sabotaged)
     _, d_bad = H.decode_picture([(rb_b[0], False, 0)], sps, pps, ref=d_i,
@@ -2165,12 +2165,14 @@ def test_temporal_direct_round_trip_exact_and_load_bearing(entropy):
     assert np.array_equal(d_b.cr, st_b.cr)
     assert calls, "no temporal-direct MB decoded — fixture content broken"
     # the panning derivation must produce a nonzero scaled vector
-    assert any(int(np.abs(mvs[0]).sum()) > 0 for _, _, (r0, r1, mvs) in calls)
+    # (regions are (sy, sx, h4, w4, ridx0, ridx1, mv0, mv1) since r14)
+    assert any(int(np.abs(reg[6]).sum()) > 0
+               for _, _, regs in calls for reg in regs)
     # sabotage: halving the derived mvL0 changes the reconstruction
 
     def sabotaged(self, mbx, mby, refs0, refs1):
-        r0, r1, mvs = orig(self, mbx, mby, refs0, refs1)
-        return r0, r1, [mvs[0] // 2, mvs[1]]
+        regs = orig(self, mbx, mby, refs0, refs1)
+        return [reg[:6] + (reg[6] // 2, reg[7]) for reg in regs]
 
     H._FrameState.temporal_direct = sabotaged
     try:
