@@ -2608,6 +2608,10 @@ class CavlcReader:
     def mb_type(self, st, mbx, mby, sl: str) -> int:
         return self.r.ue()
 
+    def sub_mb_type(self, st, mbx, mby, sl: str) -> int:
+        # §7.3.5.2: plain ue(v) per 8x8 (Table 7-17 P / 7-18 B)
+        return self.r.ue()
+
     def mvd_pair(self, st, mbx, mby, lst: int):
         return self.r.se(), self.r.se()
 
@@ -2684,6 +2688,9 @@ class CavlcWriter:
         self.w.acc, self.w.nbits = cp[1], cp[2]
 
     def mb_type(self, st, mbx, mby, sl: str, t: int) -> None:
+        self.w.ue(t)
+
+    def sub_mb_type(self, st, mbx, mby, sl: str, t: int) -> None:
         self.w.ue(t)
 
     def mvd_pair(self, st, mbx, mby, lst: int, mvd) -> None:
@@ -3321,23 +3328,243 @@ def _blk8_avail(st: _FrameState, mbx: int, mby: int, i8: int,
     return False, True, True, True
 
 
+# --- sub-macroblock partition geometry (round 14) --------------------------
+# MB-local 4x4-block rectangles (sy, sx, h4, w4) in partition decode order.
+
+# Table 7-13/7-14 two-partition shapes
+_PART2_GEOM = {
+    "16x8": ((0, 0, 2, 4), (2, 0, 2, 4)),
+    "8x16": ((0, 0, 4, 2), (0, 2, 4, 2)),
+}
+
+# Table 7-14 B mb_types 4..21 -> (pred(part0), pred(part1)); even types
+# are 16x8, odd 8x16
+_B_PART_PRED = {
+    4: ("L0", "L0"), 5: ("L0", "L0"), 6: ("L1", "L1"), 7: ("L1", "L1"),
+    8: ("L0", "L1"), 9: ("L0", "L1"), 10: ("L1", "L0"), 11: ("L1", "L0"),
+    12: ("L0", "Bi"), 13: ("L0", "Bi"), 14: ("L1", "Bi"), 15: ("L1", "Bi"),
+    16: ("Bi", "L0"), 17: ("Bi", "L0"), 18: ("Bi", "L1"), 19: ("Bi", "L1"),
+    20: ("Bi", "Bi"), 21: ("Bi", "Bi"),
+}
+
+# sub-partition rectangles within one 8x8, by geometry class (8x8 /
+# 8x4 / 4x8 / 4x4), §7.3.5.2 decode order
+_SUB_GEOM = {
+    0: ((0, 0, 2, 2),),
+    1: ((0, 0, 1, 2), (1, 0, 1, 2)),
+    2: ((0, 0, 2, 1), (0, 1, 2, 1)),
+    3: ((0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)),
+}
+
+# Table 7-17: P sub_mb_type -> geometry class (pred is always L0)
+_P_SUB_GEOMCLASS = {0: 0, 1: 1, 2: 2, 3: 3}
+
+# Table 7-18: B sub_mb_type -> (pred, geometry class)
+_B_SUB = {
+    0: ("Direct", 0), 1: ("L0", 0), 2: ("L1", 0), 3: ("Bi", 0),
+    4: ("L0", 1), 5: ("L0", 2), 6: ("L1", 1), 7: ("L1", 2),
+    8: ("Bi", 1), 9: ("Bi", 2), 10: ("L0", 3), 11: ("L1", 3),
+    12: ("Bi", 3),
+}
+
+
+def _pred_part(refs0, refs1, rpair, mvs, gy, gx, hh, ww, wp):
+    """Luma + chroma prediction for one inter partition at pixel origin
+    (gy, gx), size hh x ww: single-list MC or bi-prediction with
+    weighting via :func:`_bipred`.  For P partitions pass refs1 = refs0
+    (list 1 unused).  Returns (py, pcb, pcr) blocks."""
+    r0 = refs0[rpair[0]]
+    r1 = refs1[rpair[1]]
+    py = _bipred(r0.y, r1.y, gy, gx, mvs, mc_luma, wp, "y", rpair,
+                 bh=hh, bw=ww)
+    pcb = _bipred(r0.cb, r1.cb, gy // 2, gx // 2, mvs, mc_chroma, wp,
+                  "cb", rpair, bh=hh // 2, bw=ww // 2)
+    pcr = _bipred(r0.cr, r1.cr, gy // 2, gx // 2, mvs, mc_chroma, wp,
+                  "cr", rpair, bh=hh // 2, bw=ww // 2)
+    return py, pcb, pcr
+
+
+def _decode_inter_tail(er, st: _FrameState, mbx: int, mby: int, qp: int,
+                       pps: dict, p16, pcb, pcr,
+                       allow_t8: bool = True) -> int:
+    """Shared inter-MB residual tail (§7.3.5 after the prediction
+    syntax): cbp, transform_size_8x8_flag (present only with luma
+    residual and NoSubMbPartSizeLessThan8x8, ``allow_t8``), mb_qp_delta,
+    luma 4x4/8x8 residuals against ``p16``, chroma against
+    ``pcb``/``pcr``."""
+    ox, oy = mbx * 16, mby * 16
+    cbp = er.cbp(st, mbx, mby, False)
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
+    t8 = False
+    if st.t8_mode and cbp_l and allow_t8:
+        t8 = er.t8_flag(st, mbx, mby)
+    st.mb_t8[mby, mbx] = t8
+    if cbp:
+        qp += er.qp_delta(st, mbx, mby)
+    if t8:
+        _decode_inter_luma8(er, st, mbx, mby, cbp_l, qp, p16)
+    else:
+        for blk in range(16):
+            x, yb = _BLK4_POS[blk]
+            gy, gx = oy + yb, ox + x
+            by, bx = gy // 4, gx // 4
+            if cbp_l & (1 << (blk // 4)):
+                coeffs = er.res_luma(st, by, bx, False)
+                st.nzy[by, bx] = sum(1 for c in coeffs if c)
+                d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
+                rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
+            else:
+                st.nzy[by, bx] = 0
+                rec = p16[yb : yb + 4, x : x + 4]
+            st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
+    _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
+                   pred_fn=lambda comp: (pcb, pcr)[comp])
+    st.modes4[oy // 4 : oy // 4 + 4, ox // 4 : ox // 4 + 4] = 2
+    return qp
+
+
+def _decode_mb_inter_part(er, st: _FrameState, refs0, refs1,
+                          mbx: int, mby: int, qp: int, pps: dict,
+                          wp: dict | None, n_l0: int, n_l1: int,
+                          mb_type: int, sl: str,
+                          direct_spatial: bool = True) -> int:
+    """One PARTITIONED inter macroblock: P mb_types 1-4 (Table 7-13:
+    P_L0_L0_16x8 / _8x16, P_8x8, P_8x8ref0) and B mb_types 4-22 (Table
+    7-14: the 16x8/8x16 list combinations and B_8x8).  Syntax per
+    §7.3.5.1 mb_pred / §7.3.5.2 sub_mb_pred (sub_mb_types, then every
+    ref_idx_l0, ref_idx_l1, then every mvd_l0, mvd_l1); MV derivation
+    per partition in decode order so later partitions' §8.4.1.3
+    predictors see earlier partitions' FINAL vectors (the ``done``
+    mask).  B_Direct_8x8 sub-MBs take their quadrant of the MB-level
+    §8.4.1.2 derivation.  Reference: the reference engine decodes these
+    streams via ffmpeg (scanner/video/decoder_automata.cpp,
+    software/software_video_decoder.cpp)."""
+    ox, oy = mbx * 16, mby * 16
+    by0, bx0 = oy // 4, ox // 4
+    if sl == "P":
+        refs1 = refs0  # list 1 never used; keeps _pred_part uniform
+    # ---- partition structure -------------------------------------------
+    # parts: [sy, sx, h4, w4, pred, shape, group] — ``group`` indexes the
+    # ref_idx unit (the partition itself for two-part types, the 8x8
+    # sub-MB for P_8x8/B_8x8)
+    parts = []
+    n_groups = 2
+    group_pred = []
+    allow_t8 = True
+    ref0_forced = sl == "P" and mb_type == 4  # P_8x8ref0
+    if sl == "P" and mb_type in (1, 2):
+        shape = "16x8" if mb_type == 1 else "8x16"
+        group_pred = ["L0", "L0"]
+        for i, (sy, sx, h4, w4) in enumerate(_PART2_GEOM[shape]):
+            parts.append((sy, sx, h4, w4, "L0", (shape, i), i))
+    elif sl == "B" and 4 <= mb_type <= 21:
+        shape = "16x8" if mb_type % 2 == 0 else "8x16"
+        group_pred = list(_B_PART_PRED[mb_type])
+        for i, (sy, sx, h4, w4) in enumerate(_PART2_GEOM[shape]):
+            parts.append((sy, sx, h4, w4, group_pred[i], (shape, i), i))
+    else:  # P_8x8 (3) / P_8x8ref0 (4) / B_8x8 (22)
+        n_groups = 4
+        for q in range(4):
+            t = er.sub_mb_type(st, mbx, mby, sl)
+            if sl == "P":
+                if not 0 <= t <= 3:
+                    raise ValueError(f"P sub_mb_type {t} invalid")
+                pred, g = "L0", _P_SUB_GEOMCLASS[t]
+                if t != 0:
+                    allow_t8 = False
+            else:
+                if not 0 <= t <= 12:
+                    raise ValueError(f"B sub_mb_type {t} invalid")
+                pred, g = _B_SUB[t]
+                if g != 0 or (pred == "Direct" and not st.direct8_inf):
+                    allow_t8 = False
+            group_pred.append(pred)
+            qy, qx = (q >> 1) * 2, (q & 1) * 2
+            for sy, sx, h4, w4 in _SUB_GEOM[g]:
+                parts.append((qy + sy, qx + sx, h4, w4, pred, None, q))
+    # ---- reference indices (§7.3.5.1/.2 order: all l0, then all l1) ----
+    ridx = [[0] * n_groups, [0] * n_groups]
+    for lst, n_act in ((0, n_l0), (1, n_l1)):
+        for g in range(n_groups):
+            pred = group_pred[g]
+            uses = (pred in ("L0", "Bi") if lst == 0
+                    else pred in ("L1", "Bi"))
+            if uses and n_act > 1 and not ref0_forced:
+                ridx[lst][g] = er.ref_idx(st, mbx, mby, n_act, lst=lst)
+    # ---- motion vector differences (all l0, then all l1) ---------------
+    mvds = [[None] * len(parts), [None] * len(parts)]
+    for lst in (0, 1):
+        for i, (_, _, _, _, pred, _, _) in enumerate(parts):
+            uses = (pred in ("L0", "Bi") if lst == 0
+                    else pred in ("L1", "Bi"))
+            if uses:
+                mvds[lst][i] = np.array(
+                    er.mvd_pair(st, mbx, mby, lst), dtype=np.int64)
+    # ---- derivation + prediction in partition decode order -------------
+    done = np.zeros((4, 4), dtype=bool)
+    p16 = np.zeros((16, 16), dtype=np.int64)
+    pcb = np.zeros((8, 8), dtype=np.int64)
+    pcr = np.zeros((8, 8), dtype=np.int64)
+    d_regions = None
+    for i, (sy, sx, h4, w4, pred, shape, g) in enumerate(parts):
+        if pred == "Direct":
+            if d_regions is None:
+                d_regions = st.direct_motion(mbx, mby, refs0, refs1,
+                                             direct_spatial)
+            _pred_direct_regions(st, refs0, refs1, d_regions, mbx, mby,
+                                 wp, p16, pcb, pcr, done=done,
+                                 qbox=(sy, sx, h4, w4))
+            continue
+        use0 = pred in ("L0", "Bi")
+        use1 = pred in ("L1", "Bi")
+        r0, r1 = ridx[0][g], ridx[1][g]
+        if use0 and r0 >= len(refs0):
+            raise ValueError(f"ref_idx_l0 {r0} beyond RefPicList0")
+        if use1 and r1 >= len(refs1):
+            raise ValueError(f"ref_idx_l1 {r1} beyond RefPicList1")
+        mvs = [None, None]
+        for lst, use, r in ((0, use0, r0), (1, use1, r1)):
+            if use:
+                mvp = st.mv_pred_blk(by0 + sy, bx0 + sx, h4, w4, lst,
+                                     r, done, shape)
+                mvs[lst] = mvp + mvds[lst][i]
+        rpair = (r0 if use0 else 0, r1 if use1 else 0)
+        gy, gx = oy + sy * 4, ox + sx * 4
+        hh, ww = h4 * 4, w4 * 4
+        py, pb, pr = _pred_part(refs0, refs1, rpair, mvs, gy, gx, hh, ww,
+                                wp)
+        p16[sy * 4 : sy * 4 + hh, sx * 4 : sx * 4 + ww] = py
+        pcb[sy * 2 : sy * 2 + h4 * 2, sx * 2 : sx * 2 + w4 * 2] = pb
+        pcr[sy * 2 : sy * 2 + h4 * 2, sx * 2 : sx * 2 + w4 * 2] = pr
+        for lst, use, r in ((0, use0, r0), (1, use1, r1)):
+            if use:
+                st.record_motion(by0 + sy, bx0 + sx, h4, w4, lst,
+                                 mvs[lst], r)
+        done[sy : sy + h4, sx : sx + w4] = True
+    st.mb_inter[mby, mbx] = True
+    return _decode_inter_tail(er, st, mbx, mby, qp, pps, p16, pcb, pcr,
+                              allow_t8)
+
+
 def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
                  mbx: int, mby: int, qp: int, pps: dict,
                  wp: dict | None = None, n_ref: int = 1) -> int:
-    """One coded P-slice macroblock: P_L0_16x16 (type 0) or an intra type
-    (offset 5, Table 7-13).  ``refs`` is the final ordered RefPicList0
-    (§8.2.4); with ``n_ref > 1`` each MB codes ref_idx_l0 as te(v) and
-    the §8.4.1.3.1 same-refIdx MV-predictor rule applies.  ``wp`` applies
-    explicit weighted prediction (§8.4.2.3.2) to the compensated
-    samples."""
+    """One coded P-slice macroblock: P_L0_16x16 (type 0), a partitioned
+    type (1-4, round 14 — see :func:`_decode_mb_inter_part`), or an
+    intra type (offset 5, Table 7-13).  ``refs`` is the final ordered
+    RefPicList0 (§8.2.4); with ``n_ref > 1`` each partition codes
+    ref_idx_l0 as te(v) and the §8.4.1.3.1 same-refIdx MV-predictor
+    rule applies.  ``wp`` applies explicit weighted prediction
+    (§8.4.2.3.2) to the compensated samples."""
     mb_type = er.mb_type(st, mbx, mby, "P")
     if mb_type >= 5:
         return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 5)
+    if mb_type in (1, 2, 3, 4):
+        # 16x8 / 8x16 / P_8x8 / P_8x8ref0 partitioning (Table 7-13)
+        return _decode_mb_inter_part(er, st, refs, None, mbx, mby, qp,
+                                     pps, wp, n_ref, 1, mb_type, "P")
     if mb_type != 0:
-        raise NotImplementedError(
-            f"P mb_type {mb_type}: only P_L0_16x16 partitions are "
-            "supported (8x16/16x8/8x8 sub-partitions out of scope)"
-        )
+        raise ValueError(f"P mb_type {mb_type} invalid (Table 7-13)")
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
     ridx = er.ref_idx(st, mbx, mby, n_ref) if n_ref > 1 else 0
@@ -3405,17 +3632,19 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
     set — or an intra type (offset 23).  ``refs0``/``refs1`` are the
     final ordered RefPicList0/1 (§8.2.4); with multiple active refs the
     MB codes te(v) ref_idx_lX per used list, and weighted prediction /
-    the §8.4.1.3.1 MV predictor follow the chosen index.  Temporal
-    direct (direct_spatial_mv_pred_flag == 0) and partitioned types
-    (4..22) are refused."""
+    the §8.4.1.3.1 MV predictor follow the chosen index.  Partitioned
+    types 4..22 (round 14) dispatch to
+    :func:`_decode_mb_inter_part`."""
     mb_type = er.mb_type(st, mbx, mby, "B")
     if mb_type >= 23:
         return _decode_mb_intra(er, st, mbx, mby, qp, pps, mb_type - 23)
+    if 4 <= mb_type <= 22:
+        # 16x8 / 8x16 list combinations and B_8x8 (Table 7-14)
+        return _decode_mb_inter_part(er, st, refs0, refs1, mbx, mby, qp,
+                                     pps, wp, n_l0, n_l1, mb_type, "B",
+                                     direct_spatial)
     if mb_type not in (0, 1, 2, 3):
-        raise NotImplementedError(
-            f"B mb_type {mb_type}: only B_Direct/B_L0/B_L1/B_Bi 16x16 "
-            "partitions are supported (sub-partitions out of scope)"
-        )
+        raise ValueError(f"B mb_type {mb_type} invalid (Table 7-14)")
     ox, oy = mbx * 16, mby * 16
     by0, bx0 = oy // 4, ox // 4
     cy, cx = oy // 2, ox // 2
@@ -4401,19 +4630,22 @@ def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
                    search: int, subpel: bool = True) -> np.ndarray:
     """Integer-pel full search +-search px, then half- and quarter-pel
     refinement through the normative interpolator; returns quarter-pel
-    mv.  Ties break toward (0,0)-closest then raster order."""
+    mv.  Ties break toward (0,0)-closest then raster order.  ``src``'s
+    shape selects the partition size (16x16 whole MB down to 4x4
+    sub-partitions)."""
     H_, W_ = ref_y.shape
+    bh, bw = src.shape
     best = (1 << 60, 0, np.zeros(2, dtype=np.int64))
     for dy in range(-search, search + 1):
         ry = oy + dy
-        if ry < -15 or ry + 16 > H_ + 15:
+        if ry < -(bh - 1) or ry + bh > H_ + bh - 1:
             continue
         for dx in range(-search, search + 1):
             rx = ox + dx
-            if rx < -15 or rx + 16 > W_ + 15:
+            if rx < -(bw - 1) or rx + bw > W_ + bw - 1:
                 continue
-            rows = np.clip(np.arange(ry, ry + 16), 0, H_ - 1)
-            cols = np.clip(np.arange(rx, rx + 16), 0, W_ - 1)
+            rows = np.clip(np.arange(ry, ry + bh), 0, H_ - 1)
+            cols = np.clip(np.arange(rx, rx + bw), 0, W_ - 1)
             sad = int(np.abs(src - ref_y[np.ix_(rows, cols)]).sum())
             bias = abs(dx) + abs(dy)
             if (sad, bias) < (best[0], best[1]):
@@ -4432,7 +4664,8 @@ def _motion_search(ref_y: np.ndarray, src: np.ndarray, oy: int, ox: int,
                     if dx == 0 and dy == 0:
                         continue
                     cand = mv + (dx, dy)
-                    sad = int(np.abs(src - mc_luma(ref_y, oy, ox, cand)).sum())
+                    sad = int(np.abs(src - mc_luma(
+                        ref_y, oy, ox, cand, bh, bw)).sum())
                     if sad < sad_best:
                         sad_best, mv, improved = sad, cand, True
     return mv
@@ -4585,17 +4818,25 @@ def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
         ew.mvd_pair(st, mbx, mby, 1 if mb_type == 2 else 0, mvd)
     if mvd2 is not None:
         ew.mvd_pair(st, mbx, mby, 1, mvd2)
+    _write_inter_tail(ew, st, mbx, mby, cbp, luma_z, comps, qp, t8,
+                      not direct or st.direct8_inf)
+
+
+def _write_inter_tail(ew, st: _FrameState, mbx: int, mby: int, cbp: int,
+                      luma_z, comps, qp: int, t8: bool,
+                      t8_allowed: bool) -> None:
+    """Writer twin of :func:`_decode_inter_tail`: cbp, the §7.3.5 inter
+    transform_size_8x8_flag (between cbp and mb_qp_delta, present only
+    with luma residual and ``t8_allowed`` — NoSubMbPartSizeLessThan8x8 /
+    B_Direct's direct_8x8_inference condition), mb_qp_delta, luma and
+    chroma residual emission + nzy/nzc bookkeeping."""
+    oy, ox = mby * 16, mbx * 16
+    cbp_l, cbp_c = cbp & 15, cbp >> 4
     ew.cbp(st, mbx, mby, False, cbp)
-    # §7.3.5: the inter transform_size_8x8_flag sits between cbp and
-    # mb_qp_delta, present only with luma residual (and, for B_Direct,
-    # only under direct_8x8_inference) — mirror of the decode walk
-    flag_present = st.t8_mode and cbp_l and (
-        not direct or st.direct8_inf
-    )
+    flag_present = st.t8_mode and cbp_l and t8_allowed
     eff_t8 = bool(t8 and flag_present)
     assert not (t8 and cbp_l and not flag_present), (
-        "8x8 residuals built for an MB whose flag cannot be coded "
-        "(B_Direct without direct_8x8_inference)"
+        "8x8 residuals built for an MB whose flag cannot be coded"
     )
     if flag_present:
         ew.t8_flag(st, mbx, mby, eff_t8)
@@ -4634,6 +4875,247 @@ def _write_inter_mb(ew, st: _FrameState, mbx: int, mby: int,
                 st.nzc[comp, cby, cbx] = 0
 
 
+# encoder-side inverse partition tables ------------------------------------
+_B_PART_TYPE = {
+    ("16x8" if _t % 2 == 0 else "8x16", _p0, _p1): _t
+    for _t, (_p0, _p1) in _B_PART_PRED.items()
+}
+_B_SUB_TYPE = {_v: _k for _k, _v in _B_SUB.items()}
+
+
+def _adaptive_p_layout(ysrc, search_refs, oy: int, ox: int,
+                       search: int) -> str:
+    """Per-MB P partition layout by integer-pel SAD (over the
+    best reference) plus a flat 24-per-extra-mvd penalty approximating
+    the syntax cost — an encoder CHOICE; every layout is conformant.
+    Returns "auto" (16x16) / "16x8" / "8x16" / "8x8"."""
+    def sad(gy, gx, hh, ww):
+        blk = ysrc[gy : gy + hh, gx : gx + ww]
+        best = None
+        for sp in search_refs:
+            mv = _motion_search(sp, blk, gy, gx, search, subpel=False)
+            s = int(np.abs(blk - mc_luma(sp, gy, gx, mv, hh, ww)).sum())
+            best = s if best is None else min(best, s)
+        return best
+
+    s16 = sad(oy, ox, 16, 16)
+    s168 = sad(oy, ox, 8, 16) + sad(oy + 8, ox, 8, 16) + 24
+    s816 = sad(oy, ox, 16, 8) + sad(oy, ox + 8, 16, 8) + 24
+    s88 = sum(sad(oy + dy, ox + dx, 8, 8)
+              for dy in (0, 8) for dx in (0, 8)) + 72
+    m = min(s16, s168, s816, s88)
+    if m == s16:
+        return "auto"
+    if m == s168:
+        return "16x8"
+    if m == s816:
+        return "8x16"
+    return "8x8"
+
+
+def _encode_inter_part(ew, st: _FrameState, mbx: int, mby: int,
+                       ysrc, cbsrc, crsrc, qp: int,
+                       refs0, refs1, search0, search1,
+                       wp: dict | None, n0: int, n1: int, sl: str,
+                       part_mode: str, search: int, transform_8x8: bool,
+                       direct_spatial: bool = True,
+                       b_direct: bool = False) -> None:
+    """Encoder twin of :func:`_decode_mb_inter_part`: one partitioned
+    inter MB.  ``part_mode`` selects the layout — "16x8"/"8x16" (two MB
+    partitions; B picks each partition's L0/L1/Bi by SAD, Table 7-14),
+    "8x8"/"8x8ref0"/"8x4"/"4x8"/"4x4" (P_8x8/B_8x8 with that
+    sub-partition geometry; B picks each 8x8's prediction by SAD,
+    including B_Direct_8x8 when ``b_direct``).  Per-partition motion
+    search runs per active reference on the (weighted-proxy) planes;
+    MV predictors replay the decoder's §8.4.1.3 derivation order.  May
+    raise :class:`_NonVerbatimCode` under CAVLC (caller unwinds to
+    I_PCM)."""
+    oy, ox = mby * 16, mbx * 16
+    by0, bx0 = oy // 4, ox // 4
+    src = ysrc[oy : oy + 16, ox : ox + 16]
+    if sl == "P":
+        refs1, search1, n1 = refs0, search0, 1
+    implicit = wp is not None and wp.get("implicit")
+
+    def search_blk(gy, gx, hh, ww, refs, searches, wkey, ref_cap=None):
+        """(sad, ref_idx, mv, raw_pred, weighted_pred) — cheapest
+        weighted compensated SAD over the active references."""
+        blk = ysrc[gy : gy + hh, gx : gx + ww]
+        cands = []
+        n_try = 1 if ref_cap else len(refs)
+        for ri in range(n_try):
+            mvi = _motion_search(searches[ri], blk, gy, gx, search)
+            pi = mc_luma(refs[ri].y, gy, gx, mvi, hh, ww)
+            if wp is not None and not implicit:
+                t = wp[wkey][ri]
+                pc = _wp_single(pi, t[0], t[1], wp["logwd_y"])
+            else:
+                pc = pi
+            cands.append((int(np.abs(blk - pc).sum()), ri, mvi, pi, pc))
+        return min(cands, key=lambda c: (c[0], c[1]))
+
+    # ---- layout + per-group prediction choice ---------------------------
+    ref0_forced = part_mode == "8x8ref0"
+    two_part = part_mode in ("16x8", "8x16")
+    d_regions = None
+    d_p16 = d_pcb = d_pcr = None
+    if b_direct and sl == "B" and not two_part:
+        d_regions = st.direct_motion(mbx, mby, refs0, refs1,
+                                     direct_spatial)
+        d_p16 = np.zeros((16, 16), dtype=np.int64)
+        d_pcb = np.zeros((8, 8), dtype=np.int64)
+        d_pcr = np.zeros((8, 8), dtype=np.int64)
+        _pred_direct_regions(st, refs0, refs1, d_regions, mbx, mby, wp,
+                             d_p16, d_pcb, d_pcr, record=False)
+
+    def choose_pred(gy, gx, hh, ww):
+        """For one B group: cheapest of L0 / L1 / Bi (and the direct
+        quadrant when available) -> (pred, r0, r1).  Per-sub-part MVs
+        are searched afterwards against the chosen references."""
+        s0, r0, _, p0raw, p0c = search_blk(gy, gx, hh, ww, refs0,
+                                           search0, "l0")
+        s1, r1, _, p1raw, p1c = search_blk(gy, gx, hh, ww, refs1,
+                                           search1, "l1")
+        blk = ysrc[gy : gy + hh, gx : gx + ww]
+        if wp is None:
+            pbi = (p0raw + p1raw + 1) >> 1
+        elif implicit:
+            l0w, l1w = wp["l0"][0], wp["l1"][0]
+            pbi = _wp_bi(p0raw, p1raw, l0w[0], l0w[1], l1w[0], l1w[1],
+                         wp["logwd_y"])
+        else:
+            t0, t1 = wp["l0"][r0], wp["l1"][r1]
+            pbi = _wp_bi(p0raw, p1raw, t0[0], t0[1], t1[0], t1[1],
+                         wp["logwd_y"])
+        sbi = int(np.abs(blk - pbi).sum())
+        cands = [(s0, "L0", r0, 0), (s1, "L1", 0, r1),
+                 (sbi, "Bi", r0, r1)]
+        if d_regions is not None and hh == 8:
+            dblk = d_p16[gy - oy : gy - oy + hh, gx - ox : gx - ox + ww]
+            sd = int(np.abs(blk - dblk).sum())
+            # direct codes no motion syntax: FIRST so ties pick it
+            cands.insert(0, (sd, "Direct", 0, 0))
+        best = min(cands, key=lambda c: c[0])
+        return best[1], best[2], best[3]
+
+    groups = []  # (qbox(sy,sx,h4,w4), pred, r0, r1, geom_class)
+    if two_part:
+        geo = _PART2_GEOM[part_mode]
+        for i, (sy, sx, h4, w4) in enumerate(geo):
+            gy, gx, hh, ww = oy + sy * 4, ox + sx * 4, h4 * 4, w4 * 4
+            if sl == "P":
+                _, r0, _, _, _ = search_blk(gy, gx, hh, ww, refs0,
+                                            search0, "l0")
+                groups.append(((sy, sx, h4, w4), "L0", r0, 0, None))
+            else:
+                pred, r0, r1 = choose_pred(gy, gx, hh, ww)
+                groups.append(((sy, sx, h4, w4), pred, r0, r1, None))
+        if sl == "P":
+            mb_type = 1 if part_mode == "16x8" else 2
+            sub_types = None
+        else:
+            mb_type = _B_PART_TYPE[(part_mode, groups[0][1],
+                                    groups[1][1])]
+            sub_types = None
+    else:
+        gclass = {"8x8": 0, "8x8ref0": 0, "8x4": 1, "4x8": 2,
+                  "4x4": 3}[part_mode]
+        sub_types = []
+        for q in range(4):
+            qy, qx = (q >> 1) * 2, (q & 1) * 2
+            gy, gx = oy + qy * 4, ox + qx * 4
+            if sl == "P":
+                _, r0, _, _, _ = search_blk(gy, gx, 8, 8, refs0,
+                                            search0, "l0",
+                                            ref_cap=ref0_forced)
+                groups.append(((qy, qx, 2, 2), "L0", r0, 0, gclass))
+                sub_types.append(gclass)  # Table 7-17: class == type
+            else:
+                pred, r0, r1 = choose_pred(gy, gx, 8, 8)
+                if pred == "Direct" and gclass != 0:
+                    pred, r0, r1 = "Bi", 0, 0  # direct only at 8x8 geom
+                groups.append(((qy, qx, 2, 2), pred, r0, r1, gclass))
+                sub_types.append(_B_SUB_TYPE[(pred, 0 if pred ==
+                                              "Direct" else gclass)])
+        mb_type = (4 if sl == "P" and ref0_forced
+                   else 3 if sl == "P" else 22)
+    # ---- per-sub-part search + derivation (decoder order) --------------
+    done = np.zeros((4, 4), dtype=bool)
+    p16 = np.zeros((16, 16), dtype=np.int64)
+    pcb = np.zeros((8, 8), dtype=np.int64)
+    pcr = np.zeros((8, 8), dtype=np.int64)
+    allow_t8 = True
+    part_mvds = [[], []]  # emission order per list
+    for gi, ((sy0, sx0, gh4, gw4), pred, r0, r1, gclass) in \
+            enumerate(groups):
+        if pred == "Direct":
+            _pred_direct_regions(st, refs0, refs1, d_regions, mbx, mby,
+                                 wp, p16, pcb, pcr, done=done,
+                                 qbox=(sy0, sx0, gh4, gw4))
+            if not st.direct8_inf:
+                allow_t8 = False
+            continue
+        if gclass is not None and gclass != 0:
+            allow_t8 = False
+        use0 = pred in ("L0", "Bi")
+        use1 = pred in ("L1", "Bi")
+        shape = (part_mode, gi) if two_part else None
+        subs = (((0, 0, gh4, gw4),) if gclass is None
+                else _SUB_GEOM[gclass])
+        for (dsy, dsx, h4, w4) in subs:
+            sy, sx = sy0 + dsy, sx0 + dsx
+            gy, gx = oy + sy * 4, ox + sx * 4
+            hh, ww = h4 * 4, w4 * 4
+            blk = ysrc[gy : gy + hh, gx : gx + ww]
+            mvs = [None, None]
+            for lst, use, r, refs, searches in (
+                (0, use0, r0, refs0, search0),
+                (1, use1, r1, refs1, search1),
+            ):
+                if not use:
+                    continue
+                mv = _motion_search(searches[r], blk, gy, gx, search)
+                mvp = st.mv_pred_blk(by0 + sy, bx0 + sx, h4, w4, lst,
+                                     r, done, shape)
+                mvs[lst] = mv
+                part_mvds[lst].append(mv - mvp)
+            rpair = (r0 if use0 else 0, r1 if use1 else 0)
+            py, pb, pr = _pred_part(refs0, refs1, rpair, mvs, gy, gx,
+                                    hh, ww, wp)
+            p16[sy * 4 : sy * 4 + hh, sx * 4 : sx * 4 + ww] = py
+            pcb[sy * 2 : sy * 2 + h4 * 2, sx * 2 : sx * 2 + w4 * 2] = pb
+            pcr[sy * 2 : sy * 2 + h4 * 2, sx * 2 : sx * 2 + w4 * 2] = pr
+            for lst, use, r in ((0, use0, r0), (1, use1, r1)):
+                if use:
+                    st.record_motion(by0 + sy, bx0 + sx, h4, w4, lst,
+                                     mvs[lst], r)
+            done[sy : sy + h4, sx : sx + w4] = True
+    st.mb_inter[mby, mbx] = True
+    # ---- residuals + emission + reconstruction --------------------------
+    t8 = bool(transform_8x8 and allow_t8)
+    cbp, luma_z, comps, _ = _inter_residuals_from_pred(
+        src, cbsrc, crsrc, oy, ox, p16, (pcb, pcr), qp, t8=t8)
+    ew.mb_type(st, mbx, mby, sl, mb_type)
+    if sub_types is not None:
+        for t in sub_types:
+            ew.sub_mb_type(st, mbx, mby, sl, t)
+    for lst, n_act in ((0, n0), (1, n1)):
+        for (_, pred, r0, r1, _g) in groups:
+            uses = (pred in ("L0", "Bi") if lst == 0
+                    else pred in ("L1", "Bi"))
+            if uses and n_act > 1 and not ref0_forced:
+                ew.ref_idx(st, mbx, mby, n_act, (r0, r1)[lst], lst=lst)
+    for lst in (0, 1):
+        for mvd in part_mvds[lst]:
+            ew.mvd_pair(st, mbx, mby, lst, mvd)
+    _write_inter_tail(ew, st, mbx, mby, cbp, luma_z, comps, qp, t8,
+                      allow_t8)
+    _reconstruct_inter(st, oy, ox, cbp, luma_z, comps, p16, qp, t8=t8)
+    st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+    # chroma reconstruction used _reconstruct_inter's comps path against
+    # the assembled predictions — nothing further to paste
+
+
 @_scaling_scope
 def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      ref: _FrameState, qp: int = 26, frame_num: int = 1,
@@ -4650,6 +5132,7 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      scaling4: "tuple | list | None" = None,
                      scaling8: "tuple | list | None" = None,
                      transform_8x8: bool = False,
+                     part_mode: str = "auto",
                      ) -> tuple[list[bytes], _FrameState]:
     """P picture: per-MB integer-pel motion search against the previous
     reconstruction, P_Skip where the compensated residual quantizes to
@@ -4677,7 +5160,14 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     pred_weight_table (§7.3.3.2) and predicts through the §8.4.2.3.2
     weighted forms — the x264 ``weightp`` fade tool.  Requires a PPS
     with ``weighted_pred=True`` (every P slice must then carry a
-    table)."""
+    table).
+
+    ``part_mode`` (round 14): "auto" = whole-MB P_L0_16x16 (the
+    historical encoder); "16x8" / "8x16" / "8x8" / "8x8ref0" / "8x4" /
+    "4x8" / "4x4" force that partitioning on every coded inter MB
+    (P_Skip still wins where the skip residual is zero); "adaptive"
+    picks per MB among 16x16 / 16x8 / 8x16 / 8x8 by SAD with a flat
+    per-extra-partition penalty."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
     mbw, mbh = W_ // 16, H_ // 16
@@ -4871,6 +5361,32 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             else:
                 w.ue(skip_run)
             skip_run = 0
+            eff_part = part_mode
+            if part_mode == "adaptive":
+                eff_part = _adaptive_p_layout(ysrc, search_refs, oy, ox,
+                                              search)
+            if eff_part != "auto":
+                if cw is not None:
+                    _encode_inter_part(
+                        ew, st, mbx, mby, ysrc, cb, cr, qp, refs, None,
+                        search_refs, None, wp, n0, 1, "P", eff_part,
+                        search, transform_8x8)
+                    cw.end_mb(st, mbx, mby)
+                    cw.end_of_slice(mb == mb1 - 1)
+                else:
+                    snap = _mb_snapshot(st, mbx, mby)
+                    wpos = ew.checkpoint()
+                    try:
+                        _encode_inter_part(
+                            ew, st, mbx, mby, ysrc, cb, cr, qp, refs,
+                            None, search_refs, None, wp, n0, 1, "P",
+                            eff_part, search, transform_8x8)
+                    except _NonVerbatimCode:
+                        ew.rollback(wpos)
+                        _mb_restore(st, mbx, mby, snap)
+                        _encode_mb_pcm(ew, st, mbx, mby, y, cb, cr,
+                                       type_offset=5)
+                continue
             if n0 > 1:
                 # per-reference search: cheapest (weighted) compensated
                 # SAD wins, ties to the lowest index (shorter te(v))
@@ -4958,6 +5474,7 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      scaling8: "tuple | list | None" = None,
                      transform_8x8: bool = False,
                      direct_mode: str = "spatial",
+                     part_mode: str = "auto",
                      ) -> tuple[list[bytes], _FrameState]:
     """B picture: per-MB motion search against BOTH the
     past (list 0) and future (list 1) reference reconstructions, choosing
@@ -5090,6 +5607,38 @@ def encode_picture_b(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
             st.mb_qp[mby, mbx] = qp
             oy, ox = mby * 16, mbx * 16
             src = ysrc[oy : oy + 16, ox : ox + 16]
+            if part_mode != "auto":
+                # forced B partitioning (round 14): each partition /
+                # 8x8 sub-MB picks L0/L1/Bi (and Direct under
+                # ``b_direct``) by SAD inside _encode_inter_part
+                if cw is not None:
+                    cw.begin_mb(st, mbx, mby)
+                    cw.write_skip(st, mbx, mby, True, False)
+                    _encode_inter_part(
+                        ew, st, mbx, mby, ysrc, cb, cr, qp, refs0,
+                        refs1, search0, search1, wp, n0, n1, "B",
+                        part_mode, search, transform_8x8,
+                        direct_mode == "spatial", b_direct)
+                    cw.end_mb(st, mbx, mby)
+                    cw.end_of_slice(mb == mb1 - 1)
+                else:
+                    snap = _mb_snapshot(st, mbx, mby)
+                    wpos = ew.checkpoint()
+                    w.ue(skip_run)
+                    try:
+                        _encode_inter_part(
+                            ew, st, mbx, mby, ysrc, cb, cr, qp, refs0,
+                            refs1, search0, search1, wp, n0, n1, "B",
+                            part_mode, search, transform_8x8,
+                            direct_mode == "spatial", b_direct)
+                    except _NonVerbatimCode:
+                        ew.rollback(wpos)
+                        _mb_restore(st, mbx, mby, snap)
+                        w.ue(skip_run)
+                        _encode_mb_pcm(ew, st, mbx, mby, y, cb, cr,
+                                       type_offset=23)
+                    skip_run = 0
+                continue
 
             def best_for(refs, searches, key):
                 # per-reference search: cheapest WEIGHTED compensated
@@ -5323,6 +5872,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                        scaling8: "tuple | list | None" = None,
                        transform_8x8: bool = False,
                        direct_mode: str = "spatial",
+                       part_mode: str = "auto",
                        ) -> list[tuple[list, bool, int]]:
     """[(y, cb, cr)] in DISPLAY order -> [(slice NAL, is_idr,
     display_index)] in DECODE order: every ``gop``-th display frame an
@@ -5505,6 +6055,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                 l0_ref_fn=prev_fn if prev_gap_bref else None,
                 mmco=mmco_ops, l0_mods=l0_mods, scaling4=scaling4,
                 scaling8=scaling8, transform_8x8=transform_8x8,
+                part_mode=part_mode,
             )
             if ref_mode == "lt_anchor" and p_idx == 0:
                 anchor_st = nxt_st  # the self-marked LT picture
@@ -5527,7 +6078,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                     if implicit_bipred else None,
                     scaling4=scaling4, b_direct=b_direct,
                     scaling8=scaling8, transform_8x8=transform_8x8,
-                    direct_mode=direct_mode,
+                    direct_mode=direct_mode, part_mode=part_mode,
                 )
                 out.append((pack(rbsps, 2, 1), False, g0 + m))
                 fnum = (fnum + 1) & 15
@@ -5545,7 +6096,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         if implicit_bipred else None,
                         scaling4=scaling4, b_direct=b_direct,
                         scaling8=scaling8, transform_8x8=transform_8x8,
-                        direct_mode=direct_mode,
+                        direct_mode=direct_mode, part_mode=part_mode,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = True
@@ -5566,7 +6117,7 @@ def encode_stream_nals(frames_yuv, gop: int = 8, qp: int = 26,
                         if implicit_bipred else None,
                         scaling4=scaling4, b_direct=b_direct,
                         scaling8=scaling8, transform_8x8=transform_8x8,
-                        direct_mode=direct_mode,
+                        direct_mode=direct_mode, part_mode=part_mode,
                     )
                     out.append((pack(rbsps, 0, 1), False, g0 + d))
                 prev_gap_bref = False

@@ -343,16 +343,20 @@ class CabacReader(_CtxSide):
                 t = self._i_mbtype(st, mbx, mby, suffix=True)
                 self._note_mb_type_i(st, mbx, mby, t)
                 return 5 + t
-            b1 = d.decision(("pmb", 1))
-            b2 = d.decision(("pmb", 2))
-            if b1 or b2:
-                raise NotImplementedError(
-                    "P mb_type prefix pattern 0%d%d: only P_L0_16x16 "
-                    "partitions are supported" % (b1, b2)
-                )
+            # Table 9-34 P prefix: '000' P_L0_16x16, '001' P_8x8,
+            # '011' P_L0_L0_16x8, '010' P_L0_L0_8x16.  Bin 2's context
+            # depends on bin 1 (§9.3.3.1.2); P_8x8ref0 (value 4) has no
+            # CABAC binarization — it is a CAVLC-only type.
+            if not d.decision(("pmb", 1)):
+                t = 3 * d.decision(("pmb", 2))
+            else:
+                t = 2 - d.decision(("pmb", 3))
             self._note_inter(st, mbx, mby)
-            return 0
-        # B slice (Table 9-37 subset)
+            return t
+        # B slice (Table 9-34): '0' direct; '10x' L0/L1 16x16; '11' +
+        # 4 bins v: v<8 -> 3+v (B_Bi_16x16 .. B_L1_L0_16x8), 13 intra
+        # escape, 14 B_L1_L0_8x16, 15 B_8x8, 8..12 take a 5th bin ->
+        # (v<<1|b)-4 (types 12..21)
         if not d.decision(("bmb", self._bmb_inc(st, mbx, mby))):
             # '0' = B_Direct_16x16 (spatial derivation, no motion syntax)
             self._note_direct(st, mbx, mby)
@@ -364,17 +368,45 @@ class CabacReader(_CtxSide):
         v = 0
         for _ in range(4):
             v = (v << 1) | d.decision(("bmb", 5))
-        if v == 0:  # '110000' B_Bi_16x16
-            self._note_inter(st, mbx, mby)
-            return 3
         if v == 13:  # '111101' intra escape
             t = self._i_mbtype(st, mbx, mby, suffix=True)
             self._note_mb_type_i(st, mbx, mby, t)
             return 23 + t
-        raise NotImplementedError(
-            f"B mb_type suffix pattern 11{v:04b}: only B_L0/B_L1/B_Bi "
-            "16x16 partitions are supported"
-        )
+        self._note_inter(st, mbx, mby)
+        if v < 8:
+            return v + 3
+        if v == 14:
+            return 11
+        if v == 15:
+            return 22
+        v = (v << 1) | d.decision(("bmb", 5))
+        return v - 4
+
+    def sub_mb_type(self, st, mbx, mby, sl: str) -> int:
+        """Table 9-38 sub_mb_type binarization.  P: '1' P_L0_8x8, '00'
+        8x4, '011' 4x8, '010' 4x4.  B: '0' Direct, '10x' L0/L1 8x8,
+        '110'+2 bins types 3..6, '1110'+2 bins types 7..10, '1111'+1
+        bin types 11..12.  Context keys are the repo's self-interop
+        dialect families ("smbp"/"smbb", positional)."""
+        d = self.d
+        if sl == "P":
+            if d.decision(("smbp", 0)):
+                return 0
+            if not d.decision(("smbp", 1)):
+                return 1
+            return 2 if d.decision(("smbp", 2)) else 3
+        if not d.decision(("smbb", 0)):
+            return 0
+        if not d.decision(("smbb", 1)):
+            return 1 + d.decision(("smbb", 3))
+        t = 3
+        if d.decision(("smbb", 2)):
+            if d.decision(("smbb", 3)):
+                return 11 + d.decision(("smbb", 3))
+            t += 4
+        t += 2 * d.decision(("smbb", 3))
+        t += d.decision(("smbb", 3))
+        return t
 
     def ref_idx(self, st, mbx, mby, n_active: int, lst: int = 0) -> int:
         # §9.3.2.4: unary binarization; bin0 ctx from the neighbour
@@ -581,10 +613,16 @@ class CabacWriter(_CtxSide):
                 self._i_mbtype(st, mbx, mby, True, t - 5)
                 self._note_mb_type_i(st, mbx, mby, t - 5)
                 return
-            assert t == 0, "encoder only emits P_L0_16x16"
+            # Table 9-34 P prefix (mirror of CabacReader.mb_type);
+            # P_8x8ref0 (4) has no CABAC binarization
+            assert 0 <= t <= 3, "P mb_type 4 (P_8x8ref0) is CAVLC-only"
             e.decision(("pmb", 0), 0)
-            e.decision(("pmb", 1), 0)
-            e.decision(("pmb", 2), 0)
+            if t in (0, 3):
+                e.decision(("pmb", 1), 0)
+                e.decision(("pmb", 2), 1 if t == 3 else 0)
+            else:
+                e.decision(("pmb", 1), 1)
+                e.decision(("pmb", 3), 1 if t == 1 else 0)
             self._note_inter(st, mbx, mby)
             return
         # B slice
@@ -606,12 +644,59 @@ class CabacWriter(_CtxSide):
             e.decision(("bmb", 3), 0)
             e.decision(("bmb", 5), t - 1)
         else:
-            assert t == 3, "encoder only emits B_L0/B_L1/B_Bi 16x16"
+            # '11' + 4 bins (+ a 5th for types 12..21) — mirror of the
+            # reader's Table 9-34 tree
             e.decision(("bmb", self._bmb_inc(st, mbx, mby)), 1)
             e.decision(("bmb", 3), 1)
-            for _ in range(4):
-                e.decision(("bmb", 5), 0)  # '110000'
+            if 3 <= t <= 10:
+                bits, n = t - 3, 4
+            elif t == 11:
+                bits, n = 14, 4
+            elif t == 22:
+                bits, n = 15, 4
+            else:  # 12..21
+                bits, n = t + 4, 5
+            for shift in range(n - 1, -1, -1):
+                e.decision(("bmb", 5), (bits >> shift) & 1)
         self._note_inter(st, mbx, mby)
+
+    def sub_mb_type(self, st, mbx, mby, sl: str, t: int) -> None:
+        """Mirror of CabacReader.sub_mb_type (Table 9-38)."""
+        e = self.e
+        if sl == "P":
+            if t == 0:
+                e.decision(("smbp", 0), 1)
+                return
+            e.decision(("smbp", 0), 0)
+            if t == 1:
+                e.decision(("smbp", 1), 0)
+                return
+            e.decision(("smbp", 1), 1)
+            e.decision(("smbp", 2), 1 if t == 2 else 0)
+            return
+        if t == 0:
+            e.decision(("smbb", 0), 0)
+            return
+        e.decision(("smbb", 0), 1)
+        if t in (1, 2):
+            e.decision(("smbb", 1), 0)
+            e.decision(("smbb", 3), t - 1)
+            return
+        e.decision(("smbb", 1), 1)
+        if 3 <= t <= 6:
+            e.decision(("smbb", 2), 0)
+            v = t - 3
+        elif 7 <= t <= 10:
+            e.decision(("smbb", 2), 1)
+            e.decision(("smbb", 3), 0)
+            v = t - 7
+        else:  # 11, 12
+            e.decision(("smbb", 2), 1)
+            e.decision(("smbb", 3), 1)
+            e.decision(("smbb", 3), t - 11)
+            return
+        e.decision(("smbb", 3), (v >> 1) & 1)
+        e.decision(("smbb", 3), v & 1)
 
     def ref_idx(self, st, mbx, mby, n_active: int, v: int,
                 lst: int = 0) -> None:

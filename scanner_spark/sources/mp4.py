@@ -408,7 +408,8 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
                     b_direct: bool = False,
                     scaling8=None,
                     transform_8x8: bool = False,
-                    direct_mode: str = "spatial") -> bytes:
+                    direct_mode: str = "spatial",
+                    part_mode: str = "auto") -> bytes:
     """Encode u8 (H, W, 3) RGB frames as a legal ISO-BMFF mp4 with a REAL
     compressed avc1 (H.264) track from the in-repo baseline encoder
     (kernels/h264.py), samples stored as 4-byte length-prefixed NALs,
@@ -482,6 +483,7 @@ def encode_mp4_avc1(frames, fps: int = 30, qp: int = 26, mb_mode: str = "auto",
             ref_mode=ref_mode, b_refs=b_refs, scaling4=scaling4,
             b_direct=b_direct, scaling8=scaling8,
             transform_8x8=transform_8x8, direct_mode=direct_mode,
+            part_mode=part_mode,
         )
     # CABAC samples each carry the origin-marker SEI: the decoder's
     # uniform-context-init CABAC accepts only marked (in-repo) streams

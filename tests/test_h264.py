@@ -2318,3 +2318,260 @@ def test_luma8_residual_fuzz_both_entropies():
             got = H._read_luma8(cr, st_r, y8, x8)
             assert got == blocks[i8], (trial, "cabac", i8)
         assert np.array_equal(st_r.nzy, st_w.nzy)
+
+
+# ---------------------------------------------------------------------------
+# sub-macroblock partitions (round 14): 16x8 / 8x16 / P_8x8 / P_8x8ref0 /
+# B_8x8 with every Table 7-17/7-18 sub-partition geometry
+# ---------------------------------------------------------------------------
+
+
+def _split_motion_frames(n=3, w=48, h=32):
+    """Frames whose top and bottom halves pan in OPPOSITE directions, so
+    partitioned MBs derive genuinely different per-partition vectors."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    base = np.zeros((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        base[..., c] = (ys * 5 + xs * 3 + c * 37) % 256
+    out = []
+    for i in range(n):
+        f = base.copy()
+        f[: h // 2] = np.roll(base[: h // 2], shift=3 * i, axis=1)
+        f[h // 2 :] = np.roll(base[h // 2 :], shift=-3 * i, axis=1)
+        out.append(H.yuv420_from_rgb(f))
+    return out
+
+
+_P_PART_MODES = ["16x8", "8x16", "8x8", "8x8ref0", "8x4", "4x8", "4x4",
+                 "adaptive"]
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+@pytest.mark.parametrize("pm", _P_PART_MODES)
+def test_p_partition_round_trip(entropy, pm):
+    """Every P partition mode round-trips pixel-exactly in both
+    entropies, and the opposing-halves content actually produces
+    DIFFERENT per-4x4 vectors inside at least one macroblock (the
+    partitioning is real, not degenerate)."""
+    if pm == "8x8ref0" and entropy == "cabac":
+        pytest.skip("P_8x8ref0 has no CABAC binarization (Table 9-34)")
+    fr = _split_motion_frames()
+    sps = H.parse_sps(H.write_sps(48, 32, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(26, cabac=entropy == "cabac"))
+    rb_i, st_i = H.encode_picture_i(*fr[0], qp=26, entropy=entropy,
+                                    poc_lsb=0)
+    rb_p, st_p = H.encode_picture_p(*fr[1], st_i, qp=26, entropy=entropy,
+                                    frame_num=1, poc_lsb=2, search=4,
+                                    part_mode=pm)
+    _, d_i = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                              return_state=True, cabac_marked=True)
+    _, d_p = H.decode_picture([(r, False, 2) for r in rb_p], sps, pps,
+                              ref=d_i, return_state=True,
+                              cabac_marked=True)
+    assert np.array_equal(d_p.y, st_p.y)
+    assert np.array_equal(d_p.cb, st_p.cb)
+    assert np.array_equal(d_p.cr, st_p.cr)
+    assert np.array_equal(d_p.mv4, st_p.mv4)
+    assert np.array_equal(d_p.ref4, st_p.ref4)
+    # the fixture content must exercise real partition motion: at least
+    # one MB holds two distinct list-0 vectors
+    split = False
+    for mby in range(d_p.mbh):
+        for mbx in range(d_p.mbw):
+            if not d_p.rec4[mby, mbx]:
+                continue
+            blk = d_p.mv4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4, 0]
+            if len({(int(v[0]), int(v[1]))
+                    for v in blk.reshape(-1, 2)}) > 1:
+                split = True
+    if pm not in ("adaptive",):  # adaptive may legally pick 16x16-only
+        assert split, "no MB carried two distinct partition vectors"
+
+
+_B_PART_MODES = ["16x8", "8x16", "8x8", "8x4", "4x8", "4x4"]
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+@pytest.mark.parametrize("pm", _B_PART_MODES)
+def test_b_partition_round_trip(entropy, pm):
+    """Every B partition mode (per-partition L0/L1/Bi choice, Table 7-14
+    / 7-18) round-trips pixel-exactly in both entropies."""
+    fr = _split_motion_frames()
+    sps = H.parse_sps(H.write_sps(48, 32, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(26, cabac=entropy == "cabac"))
+    rb_i, st_i = H.encode_picture_i(*fr[0], qp=26, entropy=entropy,
+                                    poc_lsb=0)
+    rb_p, st_p = H.encode_picture_p(*fr[2], st_i, qp=26, entropy=entropy,
+                                    frame_num=1, poc_lsb=4, search=4)
+    rb_b, st_b = H.encode_picture_b(*fr[1], st_i, st_p, qp=26,
+                                    entropy=entropy, frame_num=2,
+                                    poc_lsb=2, search=4, part_mode=pm)
+    _, d_i = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                              return_state=True, cabac_marked=True)
+    _, d_p = H.decode_picture([(r, False, 2) for r in rb_p], sps, pps,
+                              ref=d_i, return_state=True,
+                              cabac_marked=True)
+    _, d_b = H.decode_picture([(r, False, 0) for r in rb_b], sps, pps,
+                              ref=d_i, ref1=d_p, return_state=True,
+                              cabac_marked=True)
+    assert np.array_equal(d_b.y, st_b.y)
+    assert np.array_equal(d_b.cb, st_b.cb)
+    assert np.array_equal(d_b.cr, st_b.cr)
+    assert np.array_equal(d_b.mv4, st_b.mv4)
+    assert np.array_equal(d_b.use4, st_b.use4)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_b_direct_8x8_sub_mb_chosen_and_exact(entropy):
+    """B_8x8 with ``b_direct``: on near-static content the Direct_8x8
+    sub-mode wins quadrants (it codes no motion syntax and ties first),
+    the decoder's per-quadrant §8.4.1.2 derivation is INVOKED, and the
+    round trip is pixel-exact."""
+    fr = _split_motion_frames(n=3)
+    # near-static: frame 1 equals frame 0 except a small moving patch
+    y0, cb0, cr0 = fr[0]
+    y1 = y0.copy()
+    y1[8:16, 8:24] = np.roll(y0[8:16, 8:24], 2, axis=1)
+    fr1 = (y1, cb0.copy(), cr0.copy())
+    sps = H.parse_sps(H.write_sps(48, 32, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(26, cabac=entropy == "cabac"))
+    rb_i, st_i = H.encode_picture_i(*fr[0], qp=26, entropy=entropy,
+                                    poc_lsb=0)
+    rb_p, st_p = H.encode_picture_p(*fr[2], st_i, qp=26, entropy=entropy,
+                                    frame_num=1, poc_lsb=4, search=4)
+    rb_b, st_b = H.encode_picture_b(*fr1, st_i, st_p, qp=26,
+                                    entropy=entropy, frame_num=2,
+                                    poc_lsb=2, search=4, part_mode="8x8",
+                                    b_direct=True)
+    _, d_i = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                              return_state=True, cabac_marked=True)
+    _, d_p = H.decode_picture([(r, False, 2) for r in rb_p], sps, pps,
+                              ref=d_i, return_state=True,
+                              cabac_marked=True)
+    calls = []
+    orig = H._FrameState.direct_motion
+
+    def counting(self, mbx, mby, refs0, refs1, spatial=True):
+        calls.append((mbx, mby))
+        return orig(self, mbx, mby, refs0, refs1, spatial)
+
+    H._FrameState.direct_motion = counting
+    try:
+        _, d_b = H.decode_picture([(r, False, 0) for r in rb_b], sps,
+                                  pps, ref=d_i, ref1=d_p,
+                                  return_state=True, cabac_marked=True)
+    finally:
+        H._FrameState.direct_motion = orig
+    assert calls, "no B_Direct_8x8 sub-MB decoded - fixture broken"
+    assert np.array_equal(d_b.y, st_b.y)
+    assert np.array_equal(d_b.cb, st_b.cb)
+    assert np.array_equal(d_b.cr, st_b.cr)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_16x8_directional_mvp_is_load_bearing(entropy, monkeypatch):
+    """Sabotage: dropping the §8.4.1.3 directional shortcut for 16x8
+    partitions (decoding with the plain median rule instead) changes
+    pixels on opposing-halves content — the shortcut is load-bearing,
+    not decorative."""
+    fr = _split_motion_frames()
+    sps = H.parse_sps(H.write_sps(48, 32, num_ref_frames=2, poc_type=0))
+    pps = H.parse_pps(H.write_pps(26, cabac=entropy == "cabac"))
+    rb_i, st_i = H.encode_picture_i(*fr[0], qp=26, entropy=entropy,
+                                    poc_lsb=0)
+    rb_p, st_p = H.encode_picture_p(*fr[1], st_i, qp=26, entropy=entropy,
+                                    frame_num=1, poc_lsb=2, search=4,
+                                    part_mode="16x8")
+    _, d_i = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                              return_state=True, cabac_marked=True)
+    orig = H._FrameState.mv_pred_blk
+
+    def no_shortcut(self, by0, bx0, ph4, pw4, lst=None, ref_idx=0,
+                    done=None, shape=None):
+        return orig(self, by0, bx0, ph4, pw4, lst, ref_idx, done, None)
+
+    monkeypatch.setattr(H._FrameState, "mv_pred_blk", no_shortcut)
+    _, d_bad = H.decode_picture([(r, False, 2) for r in rb_p], sps, pps,
+                                ref=d_i, return_state=True,
+                                cabac_marked=True)
+    assert not np.array_equal(d_bad.y, st_p.y), (
+        "median == directional everywhere - fixture proves nothing"
+    )
+
+
+def test_cabac_mb_type_and_sub_mb_type_binarizations_round_trip():
+    """Writer -> reader loop over EVERY Table 9-34 P/B mb_type and
+    Table 9-38 sub_mb_type value (the full partition alphabet, not just
+    what a fixture happens to emit)."""
+    from scanner_spark.kernels.h264_cabac import CabacReader, CabacWriter
+
+    p_vals = [0, 1, 2, 3, 5, 6]          # inter + two intra escapes
+    b_vals = list(range(23)) + [23, 24]  # all inter + intra escapes
+    for sl, vals in (("P", p_vals), ("B", b_vals)):
+        st_w = H._FrameState(8, 4)
+        cw = CabacWriter()
+        for i, t in enumerate(vals):
+            cw.mb_type(st_w, i % 8, i // 8, sl, t)
+        cw.e.terminate(1)
+        st_r = H._FrameState(8, 4)
+        cr = CabacReader(H.BitReader(cw.bytes()))
+        got = [cr.mb_type(st_r, i % 8, i // 8, sl)
+               for i in range(len(vals))]
+        assert got == vals, (sl, got)
+        assert np.array_equal(st_r.mb_kind, st_w.mb_kind)
+    for sl, n in (("P", 4), ("B", 13)):
+        st_w = H._FrameState(4, 4)
+        cw = CabacWriter()
+        for t in range(n):
+            cw.sub_mb_type(st_w, 0, 0, sl, t)
+        cw.e.terminate(1)
+        st_r = H._FrameState(4, 4)
+        cr = CabacReader(H.BitReader(cw.bytes()))
+        got = [cr.sub_mb_type(st_r, 0, 0, sl) for _ in range(n)]
+        assert got == list(range(n)), (sl, got)
+
+
+def test_partition_tables_consistent():
+    """Geometry/type tables: two-partition rects tile the MB, sub-part
+    rects tile their 8x8, and the encoder inverse tables really invert
+    Table 7-14 / 7-18."""
+    for shape, rects in H._PART2_GEOM.items():
+        cover = np.zeros((4, 4), dtype=int)
+        for sy, sx, h4, w4 in rects:
+            cover[sy : sy + h4, sx : sx + w4] += 1
+        assert (cover == 1).all(), shape
+    for g, rects in H._SUB_GEOM.items():
+        cover = np.zeros((2, 2), dtype=int)
+        for sy, sx, h4, w4 in rects:
+            cover[sy : sy + h4, sx : sx + w4] += 1
+        assert (cover == 1).all(), g
+    for t, (p0, p1) in H._B_PART_PRED.items():
+        shape = "16x8" if t % 2 == 0 else "8x16"
+        assert H._B_PART_TYPE[(shape, p0, p1)] == t
+    for t, key in H._B_SUB.items():
+        assert H._B_SUB_TYPE[key] == t
+
+
+def test_partition_edge_deblock_bs():
+    """§8.7.2.1 at 4x4 granularity: an internal 8x8 edge between two
+    partitions whose vectors differ by >= one integer pel gets bS 1;
+    identical motion stays 0."""
+    from scanner_spark.kernels import h264_deblock as D
+
+    st = H._FrameState(2, 2)
+    st.mb_inter[0, 0] = True
+    st.nzy[:] = 0
+    st.mb_qp[:] = 26
+    # left 8x16 partition mv (0,0), right partition mv (8,0)
+    st.record_motion(0, 0, 4, 2, 0, np.array([0, 0]), 0)
+    st.record_motion(0, 2, 4, 2, 0, np.array([8, 0]), 0)
+    bs = D._edge_bs(st, 0, 0, 2, True)  # vertical edge at x = 8
+    assert (bs == 1).all()
+    # same motion on both sides -> 0
+    st2 = H._FrameState(2, 2)
+    st2.mb_inter[0, 0] = True
+    st2.nzy[:] = 0
+    st2.mb_qp[:] = 26
+    st2.record_motion(0, 0, 4, 2, 0, np.array([8, 0]), 0)
+    st2.record_motion(0, 2, 4, 2, 0, np.array([8, 0]), 0)
+    assert (D._edge_bs(st2, 0, 0, 2, True) == 0).all()
