@@ -427,6 +427,12 @@ def _video_decode_sql() -> str:
         # MMCO 5 avc1 (§8.2.5.4.5 DPB flush + frame_num/POC rebase,
         # rebased-PicNum list naming): lossy -> NULL
         ("vid18.mp4", 18, [2, 6], 32, 32, False),
+        # sub-macroblock partition avc1, CABAC (P_8x8 + B_8x8 with
+        # Direct/L0/L1/Bi quadrants, Table 9-38 sub_mb_type): lossy -> NULL
+        ("vid19.mp4", 19, [1, 6], 32, 32, False),
+        # 16x8 two-partition avc1, CAVLC (P_L0_L0_16x8 + Table 7-14 B
+        # combinations, directional MV predictors): lossy -> NULL
+        ("vid20.mp4", 20, [1, 6], 32, 32, False),
     ):
         for f in frames:
             rows.append(

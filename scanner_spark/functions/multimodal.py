@@ -358,6 +358,80 @@ def text_to_tiff(df: DataFrame, text_col: str = "text", h: int = 32, w: int = 32
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
+def text_to_media(df: DataFrame, text_col: str = "text", h: int = 32,
+                  w: int = 32, id_col: str = "doc_id",
+                  quality: int = 85) -> DataFrame:
+    """ONE-PASS six-format image encode: per row, ``id % 6`` selects
+    PNG (0) / baseline JPEG (1) / GIF (2) / lossless WebP-VP8L (3) /
+    LZW+predictor TIFF (4) / progressive JPEG (5) — byte-identical
+    payloads to the six per-format helpers above, but a SINGLE
+    documents scan and a single Arrow stage instead of six
+    filter+encode branches union'd over the same parquet (round 14,
+    VERDICT r13 finding #2: multimodal_decode was the #1 suite cost).
+    At 100 TB this is the difference between one pass over the corpus
+    and six."""
+    from scanner_spark.kernels.gif import encode_gif
+    from scanner_spark.kernels.image import encode_png
+    from scanner_spark.kernels.jpeg import encode_jpeg, encode_jpeg_progressive
+    from scanner_spark.kernels.tiff import encode_tiff
+    from scanner_spark.kernels.webp import encode_webp
+
+    out_schema = (
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+    )
+    need3, need1 = h * w * 3, h * w
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tile(raw: bytes, need: int) -> np.ndarray:
+            reps = -(-need // len(raw))  # ceil-div tile
+            return np.frombuffer((raw * reps)[:need], dtype=np.uint8)
+
+        for pdf in batches:
+            payloads, codecs = [], []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                raw = (s or " ").encode("utf-8")
+                k = int(did) % 6
+                if k == 2:  # GIF is palettized: byte-per-pixel grey
+                    grey = tile(raw, need1)
+                    img = np.repeat(grey.reshape(h, w, 1), 3, axis=2)
+                    payloads.append(encode_gif(img))
+                    codecs.append("gif")
+                    continue
+                arr = tile(raw, need3).reshape(h, w, 3)
+                if k == 0:
+                    payloads.append(encode_png(arr))
+                    codecs.append("png")
+                elif k == 1:
+                    payloads.append(encode_jpeg(arr, quality=quality))
+                    codecs.append("jpeg")
+                elif k == 3:
+                    payloads.append(encode_webp(arr))
+                    codecs.append("webp")
+                elif k == 4:
+                    payloads.append(encode_tiff(arr, compression="lzw",
+                                                predictor=2))
+                    codecs.append("tiff")
+                else:
+                    payloads.append(
+                        encode_jpeg_progressive(arr, quality=quality))
+                    codecs.append("jpeg")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [
+                        {"width": w, "height": h, "duration_ms": 0,
+                         "codec": c}
+                        for c in codecs
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 AUDIO_SAMPLE_RATE = 8000
 
 
@@ -374,8 +448,10 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id",
     from scanner_spark.kernels.audio import encode_wav
     from scanner_spark.kernels.flac import encode_flac
 
-    if codec not in ("pcm", "flac"):
+    if codec not in ("pcm", "flac", "auto"):
         raise ValueError(f"unknown audio codec {codec!r}")
+    # "auto" (round 14): per-row dispatch — even ids PCM, odd ids FLAC —
+    # one Arrow pass instead of two filter+union branches
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -386,7 +462,10 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id",
                 n = 1000 + (did % 7) * 100
                 i = np.arange(n, dtype=np.int64)
                 s = ((((i * p) % 256) - 128) * 64).astype(np.int16)
-                if codec == "flac":
+                use_flac = codec == "flac" or (
+                    codec == "auto" and did % 2 == 1
+                )
+                if use_flac:
                     payloads.append(encode_flac(s, sample_rate))
                 else:
                     payloads.append(encode_wav(s, sample_rate))
@@ -395,7 +474,7 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id",
                         "width": 0,
                         "height": 0,
                         "duration_ms": n * 1000 // sample_rate,
-                        "codec": "pcm_s16le" if codec == "pcm" else "flac",
+                        "codec": "flac" if use_flac else "pcm_s16le",
                     }
                 )
             yield pd.DataFrame(

@@ -52,12 +52,18 @@ What is implemented, per the spec's clause numbers:
   refused when they decode).  B_Skip decodes as the same derivation
   with no residual (round 13).  TEMPORAL direct
   (direct_spatial_mv_pred_flag == 0) decodes via the §8.4.1.2.3
-  POC-scaled co-located-motion derivation (round 13, whole-MB scope:
-  _FrameState.temporal_direct — needs POC-tagged reference states, the
-  container walk supplies them; untagged decodes refuse).
-  Sub-partitions are REFUSED with NotImplementedError — the in-repo
-  encoder never emits them, and misparsing a foreign stream is worse
-  than refusing it.
+  POC-scaled co-located-motion derivation (round 13; round 14 lifts
+  both direct modes to per-4x4/per-quadrant sampling of the co-located
+  grids — needs POC-tagged reference states for temporal, the container
+  walk supplies them; untagged decodes refuse).
+- Sub-macroblock partitions (round 14, §7.3.5.1/.2): P 16x8 / 8x16 /
+  P_8x8 / P_8x8ref0 and every Table 7-14 B 16x8/8x16 list combination
+  plus B_8x8 with all Table 7-18 sub_mb_types (Direct/L0/L1/Bi at
+  8x8/8x4/4x8/4x4) — per-4x4 motion grids, partition-granular
+  §8.4.1.3 prediction with the 16x8/8x16 directional shortcuts,
+  per-8x8 ref_idx, per-4x4 deblock bS; encode via
+  ``part_mode=`` on encode_picture_p/b (forced layouts or the
+  SAD-adaptive P chooser).
 - Multi-reference P prediction (round 11): num_ref_idx_l0_active > 1
   with te(v) ref_idx_l0 per MB, the §8.4.1.3.1 same-refIdx MV-predictor
   rule, and the full RefPicList0 ordering/modification resolved by the
@@ -1699,8 +1705,7 @@ def _scaling8_from_lists(lists: "list") -> tuple:
 
 
 def _parse_scaling_matrix(r: BitReader, n_lists: int,
-                          base: "tuple | None",
-                          base8: "tuple | None" = None) -> tuple:
+                          base: "tuple | None") -> tuple:
     """The seq/pic scaling-matrix list loop (§7.3.2.1/§7.3.2.2) ->
     (scaling4, scaling8).
 
@@ -1721,10 +1726,13 @@ def _parse_scaling_matrix(r: BitReader, n_lists: int,
         size = 16 if i < 6 else 64
         if not present:
             if i >= 6:
-                if base8 is not None:
-                    lists.append(base8[i - 6])  # rule B: seq fallback
-                else:
-                    lists.append("default")  # rule A (refused at use)
+                # absent 8x8 list: recorded as the "default" sentinel,
+                # refused at decode if a transform_8x8 PPS makes it
+                # reachable.  (Rule B's fall-back-to-seq-matrix cannot
+                # apply here: the standalone PPS parser never sees the
+                # SPS — ADVICE r13 removed the dead base8 plumbing that
+                # implied otherwise.)
+                lists.append("default")
                 continue
             if i in (0, 3):
                 if base is not None:
@@ -3574,50 +3582,18 @@ def _decode_mb_p(er, st: _FrameState, refs: "list[_FrameState]",
     mvd = np.array(er.mvd_pair(st, mbx, mby, 0), dtype=np.int64)
     mv = st.mv_pred(mbx, mby, ref_idx=ridx) + mvd
     p16 = mc_luma(ref.y, oy, ox, mv)
+    cy, cx = oy // 2, ox // 2
+    pcb = mc_chroma(ref.cb, cy, cx, mv)
+    pcr = mc_chroma(ref.cr, cy, cx, mv)
     if wp is not None:
         w0 = wp["l0"][ridx]  # per-ref_idx explicit weights (§8.4.2.3.2)
         p16 = _wp_single(p16, w0[0], w0[1], wp["logwd_y"])
-    cbp = er.cbp(st, mbx, mby, False)
-    cbp_l, cbp_c = cbp & 15, cbp >> 4
-    t8 = False
-    if st.t8_mode and cbp_l:
-        # §7.3.5: inter transform_size_8x8_flag, after cbp, only when
-        # luma residual exists (a 16x16 partition always qualifies)
-        t8 = er.t8_flag(st, mbx, mby)
-    st.mb_t8[mby, mbx] = t8
-    if cbp:
-        qp += er.qp_delta(st, mbx, mby)
-    if t8:
-        _decode_inter_luma8(er, st, mbx, mby, cbp_l, qp, p16)
-    else:
-        for blk in range(16):
-            x, yb = _BLK4_POS[blk]
-            gy, gx = oy + yb, ox + x
-            by, bx = gy // 4, gx // 4
-            if cbp_l & (1 << (blk // 4)):
-                coeffs = er.res_luma(st, by, bx, False)
-                st.nzy[by, bx] = sum(1 for c in coeffs if c)
-                d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
-                rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
-            else:
-                st.nzy[by, bx] = 0
-                rec = p16[yb : yb + 4, x : x + 4]
-            st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
-    cy, cx = oy // 2, ox // 2
-    preds = {
-        0: mc_chroma(ref.cb, cy, cx, mv),
-        1: mc_chroma(ref.cr, cy, cx, mv),
-    }
-    if wp is not None:
-        w0 = wp["l0"][ridx]
-        preds[0] = _wp_single(preds[0], w0[2], w0[3], wp["logwd_c"])
-        preds[1] = _wp_single(preds[1], w0[4], w0[5], wp["logwd_c"])
-    _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
-                   pred_fn=lambda comp: preds[comp])
-    st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        pcb = _wp_single(pcb, w0[2], w0[3], wp["logwd_c"])
+        pcr = _wp_single(pcr, w0[4], w0[5], wp["logwd_c"])
     st.mb_inter[mby, mbx] = True
     st.record_motion(by0, bx0, 4, 4, 0, mv, ridx)
-    return qp
+    # a 16x16 partition always qualifies for transform_size_8x8
+    return _decode_inter_tail(er, st, mbx, mby, qp, pps, p16, pcb, pcr)
 
 
 def _decode_mb_b(er, st: _FrameState, refs0, refs1,
@@ -3688,36 +3664,10 @@ def _decode_mb_b(er, st: _FrameState, refs0, refs1,
             if mvs[lst] is not None:
                 st.record_motion(by0, bx0, 4, 4, lst, mvs[lst], ridx)
         st.mb_inter[mby, mbx] = True
-    cbp = er.cbp(st, mbx, mby, False)
-    cbp_l, cbp_c = cbp & 15, cbp >> 4
-    t8 = False
-    if st.t8_mode and cbp_l and (mb_type != 0 or st.direct8_inf):
-        # §7.3.5: B_Direct_16x16 carries the flag only when the SPS set
-        # direct_8x8_inference_flag
-        t8 = er.t8_flag(st, mbx, mby)
-    st.mb_t8[mby, mbx] = t8
-    if cbp:
-        qp += er.qp_delta(st, mbx, mby)
-    if t8:
-        _decode_inter_luma8(er, st, mbx, mby, cbp_l, qp, p16)
-    else:
-        for blk in range(16):
-            x, yb = _BLK4_POS[blk]
-            gy, gx = oy + yb, ox + x
-            by, bx = gy // 4, gx // 4
-            if cbp_l & (1 << (blk // 4)):
-                coeffs = er.res_luma(st, by, bx, False)
-                st.nzy[by, bx] = sum(1 for c in coeffs if c)
-                d = dequant4(_zz_to_mat(coeffs), qp, sl=3)  # Inter Y
-                rec = p16[yb : yb + 4, x : x + 4] + idct4(d)
-            else:
-                st.nzy[by, bx] = 0
-                rec = p16[yb : yb + 4, x : x + 4]
-            st.y[gy : gy + 4, gx : gx + 4] = np.clip(rec, 0, 255)
-    _decode_chroma(er, st, ox, oy, 0, cbp_c, qp, pps,
-                   pred_fn=lambda comp: (pcb, pcr)[comp])
-    st.modes4[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-    return qp
+    # §7.3.5: B_Direct_16x16 carries the transform_size_8x8_flag only
+    # when the SPS set direct_8x8_inference_flag
+    return _decode_inter_tail(er, st, mbx, mby, qp, pps, p16, pcb, pcr,
+                              allow_t8=mb_type != 0 or st.direct8_inf)
 
 
 def _wp_single(p: np.ndarray, w: int, o: int, logwd: int) -> np.ndarray:
@@ -4560,6 +4510,10 @@ def encode_picture_i(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     bit-identical)."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
+    if mb_mode == "i8" and not transform_8x8:
+        # loud refusal (ADVICE r13): without the transform_8x8 PPS the
+        # coded stream would silently fall back to Intra_4x4
+        raise ValueError('mb_mode="i8" needs transform_8x8=True')
     _set_encoder_scaling(scaling4)
     _set_encoder_scaling8(scaling8 if transform_8x8 else None)
     mbw, mbh = W_ // 16, H_ // 16
@@ -5170,6 +5124,8 @@ def encode_picture_p(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     per-extra-partition penalty."""
     H_, W_ = y.shape
     assert H_ % 16 == 0 and W_ % 16 == 0, "pad planes first (pad_planes)"
+    if mb_mode == "i8" and not transform_8x8:
+        raise ValueError('mb_mode="i8" needs transform_8x8=True')
     mbw, mbh = W_ // 16, H_ // 16
     # multi-reference P: ``ref`` may be the full ordered RefPicList0
     # (most-recent-first); each MB then picks its reference by SAD and

@@ -409,3 +409,19 @@ def test_cabac_multi_ref_mmco_mp4_end_to_end():
     for f in range(7):
         err = int(np.abs(out[f].astype(int) - frames[f].astype(int)).max())
         assert err < 160, (f, err)
+
+
+def test_cat5_sig_last_context_class_cardinality():
+    """Structural pin (ADVICE r13): the ctxBlockCat-5 significance /
+    last maps use exactly 15 and 8 context classes over the 63 scan
+    positions — the spec's Table 9-43 cardinality — so a future
+    transcription of the normative position->class map is a drop-in
+    swap of the two key functions."""
+    from scanner_spark.kernels.h264_cabac import _last_key8, _sig_key8
+
+    sig = {_sig_key8(i) for i in range(63)}
+    last = {_last_key8(i) for i in range(63)}
+    assert len(sig) == 15, sorted(sig)
+    assert len(last) == 8, sorted(last)
+    # class index must be a pure function of position (determinism)
+    assert all(_sig_key8(i) == _sig_key8(i) for i in range(63))

@@ -2575,3 +2575,88 @@ def test_partition_edge_deblock_bs():
     st2.record_motion(0, 0, 4, 2, 0, np.array([8, 0]), 0)
     st2.record_motion(0, 2, 4, 2, 0, np.array([8, 0]), 0)
     assert (D._edge_bs(st2, 0, 0, 2, True) == 0).all()
+
+
+@pytest.mark.parametrize("entropy,pm,bd", [
+    ("cabac", "8x8", True),
+    ("cavlc", "16x8", False),
+    ("cavlc", "4x4", False),
+])
+def test_partitioned_mp4_gop_walk(entropy, pm, bd):
+    """Full container walk on partitioned GOPs (the vid19/vid20 fixture
+    shapes plus a 4x4 sub-partition variant): every frame lands inside
+    the lossy envelope, a pruned load matches the full decode, and the
+    stream really contains partitioned macroblocks."""
+    from scanner_spark.sources import mp4
+
+    base = _split_motion_frames(n=1, w=48, h=32)
+    y0, cb0, cr0 = base[0]
+    rgb0 = H.rgb_from_yuv420(y0, cb0, cr0)
+    frames = [np.roll(rgb0, shift=3 * i, axis=1) for i in range(8)]
+    buf = mp4.encode_mp4_avc1(frames, qp=24, gop=4, b_frames=1,
+                              part_mode=pm, b_direct=bd,
+                              entropy=entropy, deblock=True)
+    counts = {}
+    orig = H._decode_mb_inter_part
+
+    def counting(er, st, refs0, refs1, mbx, mby, qp, pps, wp,
+                 n_l0, n_l1, mb_type, sl, direct_spatial=True):
+        counts[(sl, mb_type)] = counts.get((sl, mb_type), 0) + 1
+        return orig(er, st, refs0, refs1, mbx, mby, qp, pps, wp,
+                    n_l0, n_l1, mb_type, sl, direct_spatial)
+
+    H._decode_mb_inter_part = counting
+    try:
+        m, e = mp4.parse_index(buf)
+        out = mp4.decode_range(buf, 0, m, set(range(8)), index=(m, e))
+        part = mp4.decode_range(buf, 0, m, {1, 5}, index=(m, e))
+    finally:
+        H._decode_mb_inter_part = orig
+    for i in range(8):
+        err = np.abs(out[i].astype(int) - frames[i].astype(int)).mean()
+        assert err < 12.0, (i, err)
+    assert np.array_equal(part[1], out[1])
+    assert np.array_equal(part[5], out[5])
+    assert any(sl == "P" for sl, _ in counts), counts
+    assert any(sl == "B" for sl, _ in counts), counts
+
+
+def test_i8_mode_without_transform_8x8_refuses():
+    """ADVICE r13: asking for Intra_8x8 without the transform_8x8 PPS
+    must refuse loudly, not silently encode Intra_4x4."""
+    fr = _split_motion_frames(n=2)
+    with pytest.raises(ValueError, match="transform_8x8"):
+        H.encode_picture_i(*fr[0], qp=26, mb_mode="i8")
+    _, st_i = H.encode_picture_i(*fr[0], qp=26, mb_mode="i8",
+                                 transform_8x8=True)
+    with pytest.raises(ValueError, match="transform_8x8"):
+        H.encode_picture_p(*fr[1], st_i, qp=26, frame_num=1,
+                           mb_mode="i8")
+
+
+def test_temporal_direct_intra_col_maps_refidx_by_poc():
+    """ADVICE r13: an INTRA co-located block under temporal direct maps
+    refIdxCol = 0 through colPic's OWN reference POCs into the current
+    RefPicList0 — with multi-ref L0 the derived index need not be 0."""
+    cur = H._FrameState(1, 1)
+    cur.poc = 2
+    col = H._FrameState(1, 1)       # untouched: intra co-located MB
+    col.poc = 4
+    col.ref_pocs0 = [6]             # colPic predicted from POC 6
+    ref_a = H._FrameState(1, 1)
+    ref_a.poc = 0
+    ref_b = H._FrameState(1, 1)
+    ref_b.poc = 6
+    regs = cur.temporal_direct(0, 0, [ref_a, ref_b], [col])
+    assert len(regs) == 1
+    sy, sx, h4, w4, r0, r1, mv0, mv1 = regs[0]
+    assert (r0, r1) == (1, 0)       # POC 6 sits at index 1, not 0
+    assert (mv0 == 0).all() and (mv1 == 0).all()
+    # unmappable: colPic untagged AND multiple current refs -> refuse
+    col2 = H._FrameState(1, 1)
+    col2.poc = 4
+    with pytest.raises(NotImplementedError, match="refIdxCol"):
+        cur.temporal_direct(0, 0, [ref_a, ref_b], [col2])
+    # single-ref list: index 0 is forced, mapping cannot matter
+    regs1 = cur.temporal_direct(0, 0, [ref_a], [col2])
+    assert regs1[0][4] == 0
