@@ -251,6 +251,7 @@ class Op:
             )
 
         fn, boundary, name = self.fn, self.boundary, self.name
+        batch = self.batch
         struct_out = isinstance(out_dt, StructType)
 
         def _norm(v):
@@ -261,6 +262,7 @@ class Op:
 
         def _run_stencil(idx_s, wins):
             res = []
+            batch_args, batch_slots = [], []  # batch kernels: deferred
             for i in range(len(idx_s)):
                 idx = int(idx_s.iloc[i])
                 padded = []
@@ -289,7 +291,22 @@ class Op:
                     # legitimately be None inside other rows' stencils)
                     if idx in m and m[idx] is None:
                         center_null = True
-                res.append(None if center_null else fn(*padded))
+                if center_null:
+                    res.append(None)
+                elif batch:
+                    # batch stencil kernel (round 14): ONE call per Arrow
+                    # batch with the aligned-tap argument tuples — the
+                    # kernel vectorizes across rows (per-row numpy
+                    # dispatch on small frames was the dominant cost)
+                    res.append(None)
+                    batch_slots.append(len(res) - 1)
+                    batch_args.append(padded)
+                else:
+                    res.append(fn(*padded))
+            if batch and batch_args:
+                outs = fn(batch_args)
+                for j, o in zip(batch_slots, outs):
+                    res[j] = o
             if struct_out:
                 return pd.DataFrame([o if o is not None else {} for o in res])
             return pd.Series(res)

@@ -1539,3 +1539,33 @@ def test_flac_truncation_raises_value_error_uniformly():
     for cut in range(50, len(enc) - 1, 7):
         with pytest.raises(ValueError):
             decode_flac(enc[:cut])
+
+
+def test_optical_flow_batch_equals_pair():
+    """The batched LK solve is value-identical to the per-pair form
+    (every operation is independent along the batch axis)."""
+    import numpy as np
+
+    from scanner_spark.frames import pack
+    from scanner_spark.kernels.image import lk_flow_batch, optical_flow_pair
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(5):
+        a = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        b = np.roll(a, shift=i % 3, axis=1)
+        rows.append((
+            {"frame": pack(a)["frame"], "height": 16, "width": 16,
+             "channels": 3, "dtype": "u8"},
+            {"frame": pack(b)["frame"], "height": 16, "width": 16,
+             "channels": 3, "dtype": "u8"},
+        ))
+    prev = np.stack([np.frombuffer(r[0]["frame"], np.uint8)
+                     .reshape(16, 16, 3) for r in rows]).astype(np.float64)
+    cur = np.stack([np.frombuffer(r[1]["frame"], np.uint8)
+                    .reshape(16, 16, 3) for r in rows]).astype(np.float64)
+    batch = lk_flow_batch(prev.mean(axis=3), cur.mean(axis=3))
+    for i, (p, c) in enumerate(rows):
+        single = optical_flow_pair([p, c])
+        got = np.frombuffer(single["frame"], np.float32)
+        assert np.array_equal(got, batch[i].reshape(-1)), i
