@@ -2660,3 +2660,75 @@ def test_temporal_direct_intra_col_maps_refidx_by_poc():
     # single-ref list: index 0 is forced, mapping cannot matter
     regs1 = cur.temporal_direct(0, 0, [ref_a], [col2])
     assert regs1[0][4] == 0
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_partition_interactions_round_trip(entropy):
+    """Partitioning composed with the rest of the envelope: multi-
+    reference P (per-8x8-group te(v)/unary ref_idx — a nonzero index
+    must actually be chosen), explicit weighted prediction, 3-slice
+    pictures (slice-boundary availability in the partition predictors),
+    and multi-reference B partitions.  All pixel- and motion-exact."""
+    fr = _split_motion_frames(n=4)
+    sps = H.parse_sps(H.write_sps(48, 32, num_ref_frames=3, poc_type=0))
+    pps = H.parse_pps(H.write_pps(26, cabac=entropy == "cabac"))
+    wpps = H.parse_pps(H.write_pps(26, cabac=entropy == "cabac",
+                                   weighted_pred=True))
+    rb_i, st_i = H.encode_picture_i(*fr[0], qp=26, entropy=entropy,
+                                    poc_lsb=0)
+    rb_p1, st_p1 = H.encode_picture_p(*fr[1], st_i, qp=26,
+                                      entropy=entropy, frame_num=1,
+                                      poc_lsb=2, search=4)
+    _, d_i = H.decode_picture([(r, True, 3) for r in rb_i], sps, pps,
+                              return_state=True, cabac_marked=True)
+    _, d_p1 = H.decode_picture([(r, False, 2) for r in rb_p1], sps, pps,
+                               ref=d_i, return_state=True,
+                               cabac_marked=True)
+    # multi-reference P with partitions
+    saw_ref1 = False
+    for pm in ("16x8", "8x8", "4x4"):
+        rb, st = H.encode_picture_p(*fr[2], [st_p1, st_i], qp=26,
+                                    entropy=entropy, frame_num=2,
+                                    poc_lsb=4, search=4, part_mode=pm)
+        _, d = H.decode_picture([(r, False, 2) for r in rb], sps, pps,
+                                ref=[d_p1, d_i], return_state=True,
+                                cabac_marked=True)
+        assert np.array_equal(d.y, st.y), pm
+        assert np.array_equal(d.ref4, st.ref4), pm
+        saw_ref1 |= bool((st.ref4[..., 0][st.use4[..., 0]] > 0).any())
+    assert saw_ref1, "no partition ever chose ref_idx > 0"
+    # explicit weighted prediction with partitions
+    for pm in ("16x8", "8x8"):
+        rb, st = H.encode_picture_p(*fr[2], st_p1, qp=26, entropy=entropy,
+                                    frame_num=2, poc_lsb=4, search=4,
+                                    part_mode=pm, weight=(5, 40, 2, 33, 1))
+        _, d = H.decode_picture([(r, False, 2) for r in rb], sps, wpps,
+                                ref=d_p1, return_state=True,
+                                cabac_marked=True)
+        assert np.array_equal(d.y, st.y), pm
+        assert np.array_equal(d.cb, st.cb), pm
+    # 3-slice partitioned pictures
+    for pm in ("16x8", "4x4"):
+        rb, st = H.encode_picture_p(*fr[1], st_i, qp=26, entropy=entropy,
+                                    frame_num=1, poc_lsb=2, search=4,
+                                    part_mode=pm, slices=3)
+        _, d = H.decode_picture([(r, False, 2) for r in rb], sps, pps,
+                                ref=d_i, return_state=True,
+                                cabac_marked=True)
+        assert np.array_equal(d.y, st.y), pm
+    # multi-reference B partitions (list 0 two deep)
+    rb_p3, st_p3 = H.encode_picture_p(*fr[3], st_p1, qp=26,
+                                      entropy=entropy, frame_num=2,
+                                      poc_lsb=6, search=4)
+    _, d_p3 = H.decode_picture([(r, False, 2) for r in rb_p3], sps, pps,
+                               ref=d_p1, return_state=True,
+                               cabac_marked=True)
+    for pm in ("16x8", "8x8"):
+        rb, st = H.encode_picture_b(*fr[2], [st_p1, st_i], [st_p3],
+                                    qp=26, entropy=entropy, frame_num=3,
+                                    poc_lsb=4, search=4, part_mode=pm)
+        _, d = H.decode_picture([(r, False, 0) for r in rb], sps, pps,
+                                ref=[d_p1, d_i], ref1=[d_p3],
+                                return_state=True, cabac_marked=True)
+        assert np.array_equal(d.y, st.y), pm
+        assert np.array_equal(d.ref4, st.ref4), pm
