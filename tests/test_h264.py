@@ -2732,3 +2732,45 @@ def test_partition_interactions_round_trip(entropy):
                                 return_state=True, cabac_marked=True)
         assert np.array_equal(d.y, st.y), pm
         assert np.array_equal(d.ref4, st.ref4), pm
+
+
+def test_partition_mode_fuzz_chain():
+    """Randomized P chains on noise content: per-frame random part_mode
+    (incl. "auto"/"adaptive") alternating entropies and QPs, every
+    reconstruction pixel-exact against its decode.  Seeded, bounded
+    trials — the seam net for partition-mode mixtures inside one
+    reference chain."""
+    rng = np.random.default_rng(1402)
+    modes = ["auto", "16x8", "8x16", "8x8", "8x4", "4x8", "4x4",
+             "adaptive"]
+    sps = H.parse_sps(H.write_sps(32, 32, num_ref_frames=2, poc_type=0))
+    for trial in range(6):
+        base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        frames = [
+            np.roll(base, shift=int(rng.integers(-4, 5)),
+                    axis=int(rng.integers(0, 2)))
+            for _ in range(4)
+        ]
+        yuv = [H.yuv420_from_rgb(f) for f in frames]
+        entropy = ("cavlc", "cabac")[trial % 2]
+        qp = int(rng.integers(22, 34))
+        pps = H.parse_pps(H.write_pps(qp, cabac=entropy == "cabac"))
+        rb_i, st_prev = H.encode_picture_i(*yuv[0], qp=qp,
+                                           entropy=entropy, poc_lsb=0)
+        _, d_prev = H.decode_picture([(r, True, 3) for r in rb_i], sps,
+                                     pps, return_state=True,
+                                     cabac_marked=True)
+        assert np.array_equal(d_prev.y, st_prev.y), ("IDR", trial)
+        for fi in (1, 2, 3):
+            pm = modes[int(rng.integers(0, len(modes)))]
+            rb, st = H.encode_picture_p(*yuv[fi], st_prev, qp=qp,
+                                        entropy=entropy, frame_num=fi,
+                                        poc_lsb=2 * fi, search=4,
+                                        part_mode=pm)
+            _, d = H.decode_picture([(r, False, 2) for r in rb], sps,
+                                    pps, ref=d_prev, return_state=True,
+                                    cabac_marked=True)
+            assert np.array_equal(d.y, st.y), (trial, fi, pm)
+            assert np.array_equal(d.cb, st.cb), (trial, fi, pm)
+            assert np.array_equal(d.cr, st.cr), (trial, fi, pm)
+            st_prev, d_prev = st, d
