@@ -23,27 +23,95 @@ import struct
 import zlib
 
 import numpy as np
+import pandas as pd
 
-from scanner_spark.frames import pack, unpack
+from scanner_spark.frames import DTYPES, pack, unpack
 from scanner_spark.ops import register_op
 
 HIST_BINS = 16
 
 
-@register_op(name="Histogram")
-def histogram_op(frame: bytes, height: int, width: int, channels: int, dtype: str):
-    """Per-channel 16-bin histogram (reference: tests/test_ops.cpp:13-56;
-    Histogram type = 3 x int32 array, python/scannerpy/types.py:132).
+# Frames per vectorized kernel call.  Full-Arrow-batch stacks (10k 16x16
+# frames ~ 60 MB of float64 temporaries) thrash the cache across 32
+# parallel Python workers and measured SLOWER than per-row numpy at sf10;
+# ~512 small frames keep the working set L2-resident while still
+# amortizing the numpy dispatch ~512x (standalone probe: chunked batch
+# 2x the full-batch throughput, 10-35x per-row).
+_STACK_CHUNK = 512
 
-    Output type: ``array<array<int>>`` (C x 16).
-    """
-    img = unpack(frame, height, width, channels, dtype)
+
+def _stack_groups(frames, heights, widths, channels, dtypes):
+    """Group an Arrow batch's frame rows by geometry and stack each group
+    into (N<=_STACK_CHUNK, H, W, C) ndarrays — the shared front half of
+    every batched elementwise frame kernel (round 15; same cost class the
+    round-14 batch stencil win proved out: per-row numpy dispatch on small
+    frames costs more than the arithmetic).  Yields (row_indices, stack)."""
+    groups: dict = {}
+    for i in range(len(frames)):
+        key = (
+            int(heights.iloc[i]),
+            int(widths.iloc[i]),
+            int(channels.iloc[i]),
+            dtypes.iloc[i],
+        )
+        groups.setdefault(key, []).append(i)
+    for (h, w, c, dt), idxs in groups.items():
+        for s in range(0, len(idxs), _STACK_CHUNK):
+            chunk = idxs[s : s + _STACK_CHUNK]
+            stack = np.stack(
+                [
+                    np.frombuffer(frames.iloc[i], dtype=DTYPES[dt]).reshape(h, w, c)
+                    for i in chunk
+                ]
+            )
+            yield chunk, stack
+
+
+def histogram_frame(img: np.ndarray) -> list:
+    """Single-frame reference form of the Histogram kernel (the batch op
+    is value-identical by test)."""
     return [
         np.histogram(img[:, :, c], bins=HIST_BINS, range=(0, 256))[0]
         .astype("int64")
         .tolist()
         for c in range(img.shape[2])
     ]
+
+
+@register_op(name="Histogram", batch=True)
+def histogram_op(frames, heights, widths, channels, dtypes) -> pd.Series:
+    """Per-channel 16-bin histogram (reference: tests/test_ops.cpp:13-56;
+    Histogram type = 3 x int32 array, python/scannerpy/types.py:132).
+
+    Output type: ``array<array<int>>`` (C x 16).  BATCH elementwise
+    kernel: frames are stacked per geometry group and every bin count in
+    the batch comes from ONE ``np.bincount`` over a combined
+    (frame, channel, bin) index — matching ``np.histogram``'s range
+    (0, 256) semantics exactly (out-of-range values dropped, right edge
+    of the last bin inclusive; bin edges are exact multiples of 16)."""
+    out: list = [None] * len(frames)
+    for idxs, stack in _stack_groups(frames, heights, widths, channels, dtypes):
+        n, h, w, c = stack.shape
+        if stack.dtype == np.uint8:
+            bins = stack >> 4
+            keep = None
+        else:
+            f = stack.astype(np.float64)
+            keep = (f >= 0.0) & (f <= 256.0)
+            bins = np.clip(np.floor(f / 16.0).astype(np.int32), 0, HIST_BINS - 1)
+        frame_ch = (
+            np.arange(n, dtype=np.int32)[:, None, None, None] * c
+            + np.arange(c, dtype=np.int32)[None, None, None, :]
+        )
+        comb = (frame_ch * HIST_BINS + bins).ravel()
+        if keep is not None:
+            comb = comb[keep.ravel()]
+        counts = np.bincount(comb, minlength=n * c * HIST_BINS).reshape(
+            n, c, HIST_BINS
+        )
+        for k, i in enumerate(idxs):
+            out[i] = counts[k].tolist()
+    return pd.Series(out)
 
 
 def _bilinear_axis(length_src: int, length_dst: int):
@@ -57,21 +125,29 @@ def _bilinear_axis(length_src: int, length_dst: int):
     return lo, hi, (src - lo)
 
 
+def resize_bilinear_batch(stack: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Bilinear resize of an (N, H, W, C) stack with cv2's half-pixel-center
+    source mapping — the batch axis threads straight through the separable
+    lerp, so values are bit-identical to the per-image form (same float64
+    operations in the same order)."""
+    ylo, yhi, wy = _bilinear_axis(stack.shape[1], new_h)
+    xlo, xhi, wx = _bilinear_axis(stack.shape[2], new_w)
+    f = stack.astype(np.float64)
+    wy = wy[None, :, None, None]
+    # rows first, then columns (separable lerp)
+    rows = f[:, ylo] * (1.0 - wy) + f[:, yhi] * wy
+    wx = wx[None, None, :, None]
+    out = rows[:, :, xlo] * (1.0 - wx) + rows[:, :, xhi] * wx
+    if stack.dtype == np.uint8:
+        return np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
+    return out.astype(stack.dtype)
+
+
 def resize_bilinear(img: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     """Bilinear resize of an (H, W, C) array with cv2's half-pixel-center
-    source mapping — exact on affine ramps.  Shared by the Resize kernel
-    and the multimodal decode path."""
-    ylo, yhi, wy = _bilinear_axis(img.shape[0], new_h)
-    xlo, xhi, wx = _bilinear_axis(img.shape[1], new_w)
-    f = img.astype(np.float64)
-    wy = wy[:, None, None]
-    # rows first, then columns (separable lerp)
-    rows = f[ylo] * (1.0 - wy) + f[yhi] * wy
-    wx = wx[None, :, None]
-    out = rows[:, xlo] * (1.0 - wx) + rows[:, xhi] * wx
-    if img.dtype == np.uint8:
-        return np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
-    return out.astype(img.dtype)
+    source mapping — exact on affine ramps.  Shared by the multimodal
+    decode path; the Resize kernel runs the batched form."""
+    return resize_bilinear_batch(img[None], new_h, new_w)[0]
 
 
 def make_resize_op(new_h: int, new_w: int, interp: str = "bilinear"):
@@ -82,19 +158,26 @@ def make_resize_op(new_h: int, new_w: int, interp: str = "bilinear"):
     ``interp='bilinear'`` (default) uses cv2's half-pixel-center source
     mapping with a separable lerp — exact on linear ramps;
     ``interp='nearest'`` keeps the round-down grid map.  Output type:
-    frame struct (``scanner_spark.frames.FRAME_SCHEMA``).
-    """
+    frame struct (``scanner_spark.frames.FRAME_SCHEMA``).  BATCH
+    elementwise kernel: one vectorized resize per geometry group."""
     if interp not in ("bilinear", "nearest"):
         raise ValueError(f"unknown interp {interp!r}")
 
-    @register_op(name="Resize")
-    def resize_op(frame: bytes, height: int, width: int, channels: int, dtype: str):
-        img = unpack(frame, height, width, channels, dtype)
-        if interp == "nearest":
-            ys = (np.arange(new_h) * height // new_h).clip(0, height - 1)
-            xs = (np.arange(new_w) * width // new_w).clip(0, width - 1)
-            return pack(np.ascontiguousarray(img[ys][:, xs]))
-        return pack(np.ascontiguousarray(resize_bilinear(img, new_h, new_w)))
+    @register_op(name="Resize", batch=True)
+    def resize_op(frames, heights, widths, channels, dtypes) -> pd.DataFrame:
+        out: list = [None] * len(frames)
+        for idxs, stack in _stack_groups(frames, heights, widths, channels, dtypes):
+            n, height, width, c = stack.shape
+            if interp == "nearest":
+                ys = (np.arange(new_h) * height // new_h).clip(0, height - 1)
+                xs = (np.arange(new_w) * width // new_w).clip(0, width - 1)
+                res = stack[:, ys][:, :, xs]
+            else:
+                res = resize_bilinear_batch(stack, new_h, new_w)
+            res = np.ascontiguousarray(res)
+            for k, i in enumerate(idxs):
+                out[i] = pack(res[k])
+        return pd.DataFrame(out)
 
     return resize_op
 
@@ -126,25 +209,33 @@ def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
     return k / k.sum()
 
 
-def _sep_filter(img: np.ndarray, taps: np.ndarray, border: str) -> np.ndarray:
-    """Separable 2-D filter over (H, W, C) float input: O(k) shifted-slice
-    accumulation per axis, fully vectorized."""
+def _sep_filter_batch(stack: np.ndarray, taps: np.ndarray, border: str) -> np.ndarray:
+    """Separable 2-D filter over (N, H, W, C) float input: O(k)
+    shifted-slice accumulation per spatial axis, fully vectorized across
+    the batch — bit-identical to the per-image form (the batch axis is
+    never padded or mixed)."""
     r = len(taps) // 2
     pad_mode = {"reflect101": "reflect", "edge": "edge"}[border]
-    out = img
-    for axis in (0, 1):
+    out = stack
+    for axis in (1, 2):
         if r == 0:
             continue
-        pw = [(0, 0)] * 3
+        pw = [(0, 0)] * 4
         pw[axis] = (r, r)
         padded = np.pad(out, pw, mode=pad_mode)
         acc = np.zeros_like(out)
         for i, t in enumerate(taps):
-            sl = [slice(None)] * 3
+            sl = [slice(None)] * 4
             sl[axis] = slice(i, i + out.shape[axis])
             acc += t * padded[tuple(sl)]
         out = acc
     return out
+
+
+def _sep_filter(img: np.ndarray, taps: np.ndarray, border: str) -> np.ndarray:
+    """Separable 2-D filter over one (H, W, C) float image (single-image
+    reference form of :func:`_sep_filter_batch`)."""
+    return _sep_filter_batch(img[None], taps, border)[0]
 
 
 def make_blur_op(ksize: int = 3, sigma: float = 0.0, border: str = "reflect101"):
@@ -153,21 +244,25 @@ def make_blur_op(ksize: int = 3, sigma: float = 0.0, border: str = "reflect101")
 
     True separable Gaussian: cv2-matching taps (fixed small-aperture
     tables / automatic sigma) and cv2's default BORDER_REFLECT_101.
-    Output frame struct.
-    """
+    Output frame struct.  BATCH elementwise kernel: one vectorized
+    separable convolution per geometry group."""
     taps = gaussian_kernel_1d(ksize, sigma)
     if border not in ("reflect101", "edge"):
         raise ValueError(f"unknown border {border!r}")
 
-    @register_op(name="Blur")
-    def blur_op(frame: bytes, height: int, width: int, channels: int, dtype: str):
-        img = unpack(frame, height, width, channels, dtype)
-        out = _sep_filter(img.astype(np.float64), taps, border)
-        if img.dtype == np.uint8:
-            out = np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
-        else:
-            out = out.astype(img.dtype)
-        return pack(out)
+    @register_op(name="Blur", batch=True)
+    def blur_op(frames, heights, widths, channels, dtypes) -> pd.DataFrame:
+        out: list = [None] * len(frames)
+        for idxs, stack in _stack_groups(frames, heights, widths, channels, dtypes):
+            res = _sep_filter_batch(stack.astype(np.float64), taps, border)
+            if stack.dtype == np.uint8:
+                res = np.floor(res + 0.5).clip(0, 255).astype(np.uint8)
+            else:
+                res = res.astype(stack.dtype)
+            res = np.ascontiguousarray(res)
+            for k, i in enumerate(idxs):
+                out[i] = pack(res[k])
+        return pd.DataFrame(out)
 
     return blur_op
 
@@ -475,7 +570,13 @@ def _unfilter_lines(raw: bytes, h: int, w: int, channels: int,
 @register_op(name="ImageEncoder")
 def image_encoder_op(frame: bytes, height: int, width: int, channels: int, dtype: str):
     """frame -> PNG bytes (reference: image_encoder.cpp:112-117, used by
-    Column.load() of video columns, python/scannerpy/column.py:231-245)."""
+    Column.load() of video columns, python/scannerpy/column.py:231-245).
+
+    Deliberately NOT a batched kernel: the round-15 interleaved sf10
+    probe (.bench_out/probe_r15_sf10b.out) measured the batched variant
+    0.91x — each PNG is its own deflate stream, so zlib (C code) runs
+    per row either way and the group stack only adds copies.  The other
+    three elementwise frame kernels batch (2.45x/1.25x/1.33x)."""
     img = unpack(frame, height, width, channels, dtype)
     if img.dtype != np.uint8:
         img = np.clip(img, 0, 255).astype(np.uint8)

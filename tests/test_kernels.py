@@ -1569,3 +1569,108 @@ def test_optical_flow_batch_equals_pair():
         single = optical_flow_pair([p, c])
         got = np.frombuffer(single["frame"], np.float32)
         assert np.array_equal(got, batch[i].reshape(-1)), i
+
+
+# ---- round 15: batched elementwise kernels == single-frame reference forms ----
+
+
+def _mixed_batch_series():
+    """A mixed-geometry, mixed-dtype batch as pandas Series — exactly what
+    the op compiler's batch elementwise path hands the kernels."""
+    import pandas as pd
+
+    imgs = [
+        synthetic_frame(0, 0, 16, 16, 3),
+        synthetic_frame(1, 2, 16, 16, 3),
+        synthetic_frame(0, 1, 8, 12, 1),
+        (synthetic_frame(0, 3, 8, 12, 1).astype(np.float32) * 1.5 - 20.0),
+        np.array([[[0, 15, 16], [255, 256, 300]]], dtype=np.float64) / 1.0,
+        synthetic_frame(2, 5, 16, 16, 3),
+    ]
+    rows = [pack(a) for a in imgs]
+    return imgs, (
+        pd.Series([r["frame"] for r in rows]),
+        pd.Series([r["height"] for r in rows]),
+        pd.Series([r["width"] for r in rows]),
+        pd.Series([r["channels"] for r in rows]),
+        pd.Series([r["dtype"] for r in rows]),
+    )
+
+
+def test_histogram_batch_equals_np_histogram():
+    from scanner_spark.kernels.image import histogram_frame, histogram_op
+
+    imgs, series = _mixed_batch_series()
+    got = histogram_op.fn(*series)
+    for i, img in enumerate(imgs):
+        assert got.iloc[i] == histogram_frame(img), i
+
+
+def test_resize_batch_equals_single():
+    from scanner_spark.kernels.image import make_resize_op, resize_bilinear
+
+    imgs, series = _mixed_batch_series()
+    op = make_resize_op(5, 7)
+    got = op.fn(*series)
+    for i, img in enumerate(imgs):
+        want = pack(np.ascontiguousarray(resize_bilinear(img, 5, 7)))
+        assert got.iloc[i]["frame"] == want["frame"], i
+        assert got.iloc[i]["dtype"] == want["dtype"], i
+    # nearest path too
+    opn = make_resize_op(3, 4, interp="nearest")
+    gotn = opn.fn(*series)
+    for i, img in enumerate(imgs):
+        h, w = img.shape[:2]
+        ys = (np.arange(3) * h // 3).clip(0, h - 1)
+        xs = (np.arange(4) * w // 4).clip(0, w - 1)
+        want = pack(np.ascontiguousarray(img[ys][:, xs]))
+        assert gotn.iloc[i]["frame"] == want["frame"], i
+
+
+def test_blur_batch_equals_single():
+    from scanner_spark.kernels.image import _sep_filter, make_blur_op
+
+    imgs, series = _mixed_batch_series()
+    op = make_blur_op(3)
+    got = op.fn(*series)
+    for i, img in enumerate(imgs):
+        ref = _sep_filter(img.astype(np.float64), np.array([0.25, 0.5, 0.25]), "reflect101")
+        if img.dtype == np.uint8:
+            ref = np.floor(ref + 0.5).clip(0, 255).astype(np.uint8)
+        else:
+            ref = ref.astype(img.dtype)
+        assert got.iloc[i]["frame"] == pack(np.ascontiguousarray(ref))["frame"], i
+
+
+def test_image_encoder_scalar_equals_encode_png():
+    # ImageEncoder stays a SCALAR kernel on purpose (probe: batching it
+    # measured 0.91x — zlib runs per row either way); pin the contract
+    from scanner_spark.kernels.image import image_encoder_op
+
+    imgs, series = _mixed_batch_series()
+    assert image_encoder_op.batch is False
+    for i, img in enumerate(imgs):
+        u8 = img if img.dtype == np.uint8 else np.clip(img, 0, 255).astype(np.uint8)
+        got = image_encoder_op.fn(*[series[j].iloc[i] for j in range(5)])
+        assert bytes(got) == encode_png(u8), i
+
+
+def test_batched_kernels_null_passthrough(spark):
+    # NullElement rows must yield NULL outputs and never reach the batch
+    # kernel (the op compiler masks them out)
+    from pyspark.sql import functions as F
+
+    from scanner_spark.kernels.image import histogram_op
+
+    rows = [
+        {"stream_id": "0", "idx": 0, **pack(synthetic_frame(0, 0, 4, 4, 1))},
+        {"stream_id": "0", "idx": 1, "frame": None, "height": None,
+         "width": None, "channels": None, "dtype": None},
+    ]
+    df = spark.createDataFrame(rows, f"stream_id string, idx long, {FRAME_SCHEMA}")
+    out = histogram_op(
+        df, ["frame", "height", "width", "channels", "dtype"], "hist",
+        "array<array<long>>",
+    ).orderBy("idx").collect()
+    assert out[0].hist is not None and sum(out[0].hist[0]) == 16
+    assert out[1].hist is None
