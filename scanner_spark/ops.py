@@ -39,6 +39,7 @@ import functools
 from collections.abc import Callable, Sequence
 from enum import Enum
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import DataType, StructField, StructType, _parse_datatype_string
@@ -249,51 +250,118 @@ class Op:
                     F.struct(F.col(IDX_COL).alias("i"), F.col(c).alias("v"))
                 ).over(w),
             )
+        # split each struct window into parallel (i, v) ARRAYS before the
+        # UDF (round 15): Arrow then delivers the idx lists as dense
+        # int64 ndarrays and the values as one ndarray per row — the UDF
+        # realigns taps with numpy index arithmetic instead of building a
+        # per-row Python dict per input (the last per-row cost in the
+        # round-14 batch stencil path)
+        split_cols: list = []
+        for wc in win_cols:
+            split_cols.append(F.col(wc)["i"].alias(f"{wc}_i"))
+            split_cols.append(F.col(wc)["v"].alias(f"{wc}_v"))
+        keep = [c for c in out.columns if c not in win_cols]
+        out = out.select(*keep, *split_cols)
+        flat_win_cols = [f"{wc}_{s}" for wc in win_cols for s in ("i", "v")]
 
         fn, boundary, name = self.fn, self.boundary, self.name
         batch = self.batch
         struct_out = isinstance(out_dt, StructType)
+        lo_b, hi_b = lo, hi
+        width = hi - lo + 1
+        has_center = lo <= 0 <= hi
 
-        def _norm(v):
-            # Arrow may surface a NULL float field as NaN
-            if v is None or (not hasattr(v, "__len__") and pd.isna(v)):
-                return None
-            return v
+        def _flat_null(flat_v):
+            if flat_v.dtype == object:
+                return pd.isnull(flat_v)
+            if flat_v.dtype.kind == "f":
+                return np.isnan(flat_v)
+            return np.zeros(flat_v.size, dtype=bool)
 
-        def _run_stencil(idx_s, wins):
-            res = []
+        def _run_stencil(idx_s, arrs):
+            n = len(idx_s)
+            if n == 0:
+                return pd.DataFrame() if struct_out else pd.Series([], dtype=object)
+            idx = idx_s.to_numpy(dtype=np.int64, copy=False)
+            center_null = np.zeros(n, dtype=bool)
+            per_input: list = []  # [input] -> [tap] -> object array (len n)
+            for k in range(0, len(arrs), 2):
+                iarrs = arrs[k].to_numpy()
+                varrs = arrs[k + 1].to_numpy()
+                lengths = np.fromiter((a.size for a in iarrs), np.int64, n)
+                total = int(lengths.sum())
+                offsets = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lengths, out=offsets[1:])
+                flat_i = (
+                    np.concatenate(iarrs).astype(np.int64, copy=False)
+                    if total
+                    else np.empty(0, np.int64)
+                )
+                flat_v = (
+                    np.concatenate(varrs) if total else np.empty(0, object)
+                )
+                flat_null = _flat_null(flat_v)
+                row_ids = np.repeat(np.arange(n), lengths)
+                rel = flat_i - idx[row_ids]
+                # rowsBetween is PHYSICAL rows: with idx gaps a window
+                # entry's rel offset can fall outside [lo, hi]; such
+                # entries are never exact tap matches (tap targets are
+                # idx+s, s in stencil ⊆ [lo, hi]) but still anchor the
+                # REPEAT_EDGE first/last fallback, exactly like the old
+                # dict's min/max keys
+                pos = np.full((n, width), -1, dtype=np.int64)
+                in_band = (rel >= lo_b) & (rel <= hi_b)
+                pos[row_ids[in_band], rel[in_band] - lo_b] = np.flatnonzero(
+                    in_band
+                )
+                nonempty = lengths > 0
+                first_j = offsets[:-1]
+                last_j = offsets[1:] - 1
+                first_rel = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                first_rel[nonempty] = rel[first_j[nonempty]]
+                if has_center:
+                    j0 = pos[:, -lo_b]
+                    center_null |= (j0 >= 0) & flat_null[np.maximum(j0, 0)]
+                taps: list = []
+                for s in stencil:
+                    j = pos[:, s - lo_b]
+                    missing = j < 0
+                    if boundary is BoundaryMode.ERROR and missing.any():
+                        raise ValueError(
+                            f"op {name}: stencil out of bounds at "
+                            f"idx={int(idx[int(missing.argmax())])}"
+                        )
+                    if boundary is BoundaryMode.REPEAT_EDGE:
+                        fallback = np.where(s < first_rel, first_j, last_j)
+                        j_eff = np.where(missing & nonempty, fallback, j)
+                        as_null = missing & ~nonempty
+                    else:  # NULL (ERROR raised above)
+                        j_eff = j
+                        as_null = missing
+                    safe_j = np.maximum(j_eff, 0)
+                    vals = np.empty(n, dtype=object)
+                    if total:
+                        vals[:] = flat_v[safe_j]
+                        vals[as_null | flat_null[safe_j]] = None
+                    else:
+                        vals[:] = None
+                    taps.append(vals)
+                per_input.append(taps)
+
+            res: list = []
             batch_args, batch_slots = [], []  # batch kernels: deferred
-            for i in range(len(idx_s)):
-                idx = int(idx_s.iloc[i])
-                padded = []
-                center_null = False
-                for winser in wins:
-                    m = {int(r["i"]): _norm(r["v"]) for r in winser.iloc[i]}
-                    lo_k = min(m) if m else None
-                    hi_k = max(m) if m else None
-                    vals = []
-                    for s in stencil:
-                        t = idx + s
-                        if t in m:
-                            v = m[t]
-                        elif boundary is BoundaryMode.ERROR:
-                            raise ValueError(
-                                f"op {name}: stencil out of bounds at idx={idx}"
-                            )
-                        elif boundary is BoundaryMode.REPEAT_EDGE and m:
-                            v = m[lo_k] if t < lo_k else m[hi_k]
-                        else:
-                            v = None
-                        vals.append(v)
-                    padded.append(vals)
+            n_taps = len(stencil)
+            for i in range(n):
+                if center_null[i]:
                     # NullElement passthrough: a null payload on the row
                     # itself skips the kernel (window neighbors may still
                     # legitimately be None inside other rows' stencils)
-                    if idx in m and m[idx] is None:
-                        center_null = True
-                if center_null:
                     res.append(None)
-                elif batch:
+                    continue
+                padded = [
+                    [taps[t][i] for t in range(n_taps)] for taps in per_input
+                ]
+                if batch:
                     # batch stencil kernel (round 14): ONE call per Arrow
                     # batch with the aligned-tap argument tuples — the
                     # kernel vectorizes across rows (per-row numpy
@@ -313,17 +381,19 @@ class Op:
 
         if struct_out:
 
-            def call(idx_s: pd.Series, *wins: pd.Series) -> pd.DataFrame:
-                return _run_stencil(idx_s, wins)
+            def call(idx_s: pd.Series, *arrs: pd.Series) -> pd.DataFrame:
+                return _run_stencil(idx_s, arrs)
 
         else:
 
-            def call(idx_s: pd.Series, *wins: pd.Series) -> pd.Series:
-                return _run_stencil(idx_s, wins)
+            def call(idx_s: pd.Series, *arrs: pd.Series) -> pd.Series:
+                return _run_stencil(idx_s, arrs)
 
         udf = F.pandas_udf(call, returnType=out_dt)
-        out = out.withColumn(output, udf(F.col(IDX_COL), *[F.col(c) for c in win_cols]))
-        return out.drop(*win_cols)
+        out = out.withColumn(
+            output, udf(F.col(IDX_COL), *[F.col(c) for c in flat_win_cols])
+        )
+        return out.drop(*flat_win_cols)
 
     def _apply_stencil_expr(self, df, inputs, output, out_dt) -> DataFrame:
         """JVM fast path for arithmetic stencils: each stencil tap compiles
