@@ -343,6 +343,90 @@ def winnowed_fingerprint_udf(k: int, w: int):
     return winnow
 
 
+def fingerprint_doc_counts(df: DataFrame, doc_col: str, text_col: str,
+                           k: int) -> DataFrame:
+    """Fused k-gram fingerprinting + per-document (fp, occ) pre-aggregate
+    (round 15): one ``mapInPandas`` stage emits each document's DISTINCT
+    fingerprints with their occurrence counts directly, replacing
+    explode + groupBy(fp, doc) — a full corpus-size shuffle.  Each
+    document appears in exactly one input row, so its per-fp counts are
+    complete locally (``np.unique``); callers aggregate with ONE shuffle,
+    on fp.  Returns (doc_col, fp, occ)."""
+    doc_t = df.schema[doc_col].dataType.simpleString()
+    schema = f"{doc_col} {doc_t}, fp long, occ long"
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            docs = pdf[doc_col].to_numpy()
+            lens = [len(t) if t else 0 for t in texts]
+            pows, ipows = _power_tables(max(lens, default=0))
+            doc_out, fp_out, occ_out = [], [], []
+            for d, t, n in zip(docs, texts, lens):
+                if n < k:
+                    continue
+                fps, cnt = np.unique(
+                    _kgram_hashes(t, n, k, pows, ipows), return_counts=True
+                )
+                doc_out.append(np.full(fps.size, d, dtype=np.int64))
+                fp_out.append(fps.astype(np.int64))
+                occ_out.append(cnt.astype(np.int64))
+            if doc_out:
+                yield pd.DataFrame(
+                    {
+                        doc_col: np.concatenate(doc_out),
+                        "fp": np.concatenate(fp_out),
+                        "occ": np.concatenate(occ_out),
+                    }
+                )
+
+    return df.select(doc_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def winnowed_fingerprint_doc_counts(df: DataFrame, doc_col: str,
+                                    text_col: str, k: int,
+                                    w: int) -> DataFrame:
+    """Winnowed sibling of :func:`fingerprint_doc_counts`: the same fused
+    per-document pre-aggregate over the WINNOWED selection (leftmost
+    window minima, :func:`winnowed_fingerprint_udf` semantics — occ
+    counts selected positions).  Returns (doc_col, fp, occ)."""
+    doc_t = df.schema[doc_col].dataType.simpleString()
+    schema = f"{doc_col} {doc_t}, fp long, occ long"
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            docs = pdf[doc_col].to_numpy()
+            lens = [len(t) if t else 0 for t in texts]
+            pows, ipows = _power_tables(max(lens, default=0))
+            doc_out, fp_out, occ_out = [], [], []
+            for d, t, n in zip(docs, texts, lens):
+                if n < k:
+                    continue
+                hashes = _kgram_hashes(t, n, k, pows, ipows)
+                n_h = len(hashes)
+                if n_h <= w:
+                    sel = np.array([np.argmin(hashes)])
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+                    am = sw.argmin(axis=1) + np.arange(n_h - w + 1)
+                    sel = np.unique(am)
+                fps, cnt = np.unique(hashes[sel], return_counts=True)
+                doc_out.append(np.full(fps.size, d, dtype=np.int64))
+                fp_out.append(fps.astype(np.int64))
+                occ_out.append(cnt.astype(np.int64))
+            if doc_out:
+                yield pd.DataFrame(
+                    {
+                        doc_col: np.concatenate(doc_out),
+                        "fp": np.concatenate(fp_out),
+                        "occ": np.concatenate(occ_out),
+                    }
+                )
+
+    return df.select(doc_col, text_col).mapInPandas(gen, schema=schema)
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass projection adding every text metric (single narrow stage).
 

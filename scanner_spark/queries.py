@@ -1331,11 +1331,13 @@ def q_doc_repeated_passages(spark, sf_dir):
     and fingerprints seen in >= 2 distinct documents are reported with
     their document and occurrence counts.
 
-    Scale shape: the windowed UDF is O(n) vectorized per document (no
-    per-character Python); the (fp, doc_id) pre-aggregate gets map-side
-    combine before the single corpus-wide shuffle on the 61-bit hash, so
-    hot boilerplate passages cost one combiner row per task, not one
-    shuffle row per occurrence.
+    Scale shape: the windowed hashing is O(n) vectorized per document
+    (no per-character Python), and the per-document (fp, occ)
+    pre-aggregate is FUSED into the fingerprinting stage (round 15,
+    ``text.fingerprint_doc_counts``) — each doc appears in exactly one
+    input row, so its counts are complete locally and the whole query
+    runs ONE shuffle, on the 61-bit hash (the old explode +
+    groupBy(fp, doc) spelling shuffled the corpus twice).
 
     POLICY — exact variant is ORACLE-ONLY: this emits every one of the
     ~n window fingerprints per document, which at 100 TB is a shuffle of
@@ -1345,12 +1347,7 @@ def q_doc_repeated_passages(spark, sf_dir):
     >= k+w-1 match-detection guarantee), never this."""
     ship(spark)
     d = read_table(spark, sf_dir, "documents")
-    wroll = text.windowed_fingerprint_udf(PASSAGE_K)
-    per_doc = (
-        d.select("doc_id", F.explode(wroll(F.col("text"))).alias("fp"))
-        .groupBy("fp", "doc_id")
-        .agg(F.count("*").alias("occ"))
-    )
+    per_doc = text.fingerprint_doc_counts(d, "doc_id", "text", PASSAGE_K)
     return (
         per_doc.groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.sum("occ").alias("n_occ"))
@@ -1364,20 +1361,17 @@ def q_doc_repeated_passages_winnowed(spark, sf_dir):
     variant explodes one fingerprint row per character position (O(corpus
     chars) pre-combine volume: the r7 plan audit's heaviest query, and
     ~1e14 generated rows at 100 TB); winnowing
-    (``text.winnowed_fingerprint_udf``) selects only per-window minimum
-    hashes at expected density 2/(W+1) while guaranteeing any shared
-    passage >= PASSAGE_K+PASSAGE_W-1 chars is still detected.  Downstream
-    shape is identical: map-side-combined (fp, doc) counts, one shuffle
-    on the 61-bit hash.  Occurrence counts are counts of SELECTED
-    positions (deterministic in both engines), not raw window counts."""
+    (``text.winnowed_fingerprint_doc_counts``) selects only per-window
+    minimum hashes at expected density 2/(W+1) while guaranteeing any
+    shared passage >= PASSAGE_K+PASSAGE_W-1 chars is still detected.
+    Downstream shape matches the exact variant: the per-doc (fp, occ)
+    pre-aggregate is fused into the fingerprinting stage, one shuffle on
+    the 61-bit hash.  Occurrence counts are counts of SELECTED positions
+    (deterministic in both engines), not raw window counts."""
     ship(spark)
     d = read_table(spark, sf_dir, "documents")
-    wf = text.winnowed_fingerprint_udf(PASSAGE_K, PASSAGE_W)
-    per_doc = (
-        d.select("doc_id", F.explode(wf(F.col("text"))).alias("s"))
-        .select(F.col("s.fp").alias("fp"), "doc_id")
-        .groupBy("fp", "doc_id")
-        .agg(F.count("*").alias("occ"))
+    per_doc = text.winnowed_fingerprint_doc_counts(
+        d, "doc_id", "text", PASSAGE_K, PASSAGE_W
     )
     return (
         per_doc.groupBy("fp")
@@ -2187,14 +2181,15 @@ def q_emb_kmeans(spark, sf_dir):
 # ------------------------------------------------------------------
 # Ordering = the driver's correctness window: it checks the first 50
 # entries per round.  Round-15 rotation (VERDICT r14 "do this" #3):
-# the 7 queries this round touches LEAD (the four batched elementwise
-# frame kernels, frame_optical_flow via the vectorized stencil
-# realignment, multimodal_decode via the shared resize_bilinear, and
-# video_decode_pruned via executor-side fixture encoding), then the 41
-# entries whose latest driver evidence is round 13 (samplers, tpch_*,
-# events_*, orders_*, doc text/curation singles), then 2 round-14
-# re-confirmations to fill the window.  The remaining 41 were verified
-# fresh in round 14 (max evidence age stays one round).  Every entry
+# the 9 queries this round touches are IN the window — the four batched
+# elementwise frame kernels lead, frame_optical_flow (vectorized stencil
+# realignment), multimodal_decode (shared resize_bilinear),
+# video_decode_pruned (executor-side fixture encoding), and
+# doc_repeated_passages(+_winnowed) (fused one-shuffle pre-aggregate) —
+# plus the 41 entries whose latest driver evidence is round 13
+# (samplers, tpch_*, events_*, orders_*, doc text/curation singles).
+# The remaining 41 were verified fresh in round 14 (max evidence age
+# stays one round).  Every entry
 # stays locally hash-checked against its DuckDB oracle by
 # tests/test_entry_parity.py regardless of window position.
 QUERIES = {
@@ -2246,8 +2241,8 @@ QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "doc_quality": q_doc_quality,
     "doc_lm_familiarity": q_doc_lm_familiarity,
-    "multimodal_audio": q_multimodal_audio,
-    "emb_knn_brute": q_emb_knn_brute,
+    "doc_repeated_passages": q_doc_repeated_passages,
+    "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
     "emb_knn_lsh": q_emb_knn_lsh,
     "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -2281,8 +2276,8 @@ QUERIES = {
     "stream_events_hourly": q_stream_events_hourly,
     "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
     "scanner_warmup_gather": q_scanner_warmup_gather,
-    "doc_repeated_passages": q_doc_repeated_passages,
-    "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
+    "multimodal_audio": q_multimodal_audio,
+    "emb_knn_brute": q_emb_knn_brute,
     "emb_kmeans": q_emb_kmeans,
     "emb_knn_ivf": q_emb_knn_ivf,
     "docs_tfidf_topk": q_docs_tfidf_topk,

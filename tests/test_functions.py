@@ -753,3 +753,57 @@ def test_winnowed_fingerprints_selection_and_guarantee(spark):
     fps0 = {fp for _, fp in got[0]}
     fps1 = {fp for _, fp in got[1]}
     assert fps0 & fps1
+
+
+def test_fingerprint_doc_counts_equals_explode_spelling(spark):
+    """Round 15: the fused per-doc (fp, occ) pre-aggregate must equal the
+    explode + groupBy(fp, doc) spelling exactly, for both the exact and
+    the winnowed variants (including short docs below k and ties)."""
+    from pyspark.sql import functions as F
+
+    from scanner_spark.functions.text import (
+        fingerprint_doc_counts,
+        windowed_fingerprint_udf,
+        winnowed_fingerprint_doc_counts,
+        winnowed_fingerprint_udf,
+    )
+
+    k, w = 5, 4
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog the quick brown"),
+        (1, "abcabcabcabcabc"),
+        (2, "xy"),                      # shorter than k: no fingerprints
+        (3, "the quick brown fox"),
+        (4, "zzzzzzzzzzzz"),            # all-equal hashes: tie-breaks
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fused = {
+        (r.doc_id, r.fp): r.occ
+        for r in fingerprint_doc_counts(d, "doc_id", "text", k).collect()
+    }
+    wroll = windowed_fingerprint_udf(k)
+    ref = {
+        (r.doc_id, r.fp): r.occ
+        for r in d.select("doc_id", F.explode(wroll("text")).alias("fp"))
+        .groupBy("doc_id", "fp")
+        .agg(F.count("*").alias("occ"))
+        .collect()
+    }
+    assert fused == ref and fused
+
+    fused_w = {
+        (r.doc_id, r.fp): r.occ
+        for r in winnowed_fingerprint_doc_counts(d, "doc_id", "text", k, w)
+        .collect()
+    }
+    wf = winnowed_fingerprint_udf(k, w)
+    ref_w = {
+        (r.doc_id, r.fp): r.occ
+        for r in d.select("doc_id", F.explode(wf("text")).alias("s"))
+        .select("doc_id", F.col("s.fp").alias("fp"))
+        .groupBy("doc_id", "fp")
+        .agg(F.count("*").alias("occ"))
+        .collect()
+    }
+    assert fused_w == ref_w and fused_w
