@@ -1674,3 +1674,28 @@ def test_batched_kernels_null_passthrough(spark):
     ).orderBy("idx").collect()
     assert out[0].hist is not None and sum(out[0].hist[0]) == 16
     assert out[1].hist is None
+
+
+def test_histogram_batch_chunk_boundary():
+    """Round 15: one geometry group larger than _STACK_CHUNK must split
+    into multiple stacks and still equal the per-frame reference at the
+    chunk seams."""
+    import pandas as pd
+
+    from scanner_spark.frames import pack
+    from scanner_spark.kernels.image import (_STACK_CHUNK, histogram_frame,
+                                             histogram_op)
+
+    n = _STACK_CHUNK + 8
+    imgs = [synthetic_frame(0, i, 4, 4, 3) for i in range(n)]
+    rows = [pack(a) for a in imgs]
+    series = (
+        pd.Series([r["frame"] for r in rows]),
+        pd.Series([r["height"] for r in rows]),
+        pd.Series([r["width"] for r in rows]),
+        pd.Series([r["channels"] for r in rows]),
+        pd.Series([r["dtype"] for r in rows]),
+    )
+    got = histogram_op.fn(*series)
+    for i in (0, 1, _STACK_CHUNK - 1, _STACK_CHUNK, _STACK_CHUNK + 7):
+        assert got.iloc[i] == histogram_frame(imgs[i]), i

@@ -227,3 +227,75 @@ def test_unbounded_state_expr_fast_path_matches_rows_path(spark):
     ).executedPlan().toString()
     assert "Window" in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_stencil_gapped_idx_repeat_edge(spark):
+    """Round 15: the vectorized realignment must reproduce the dict
+    realigner's REPEAT_EDGE min/max-key semantics when idx has GAPS
+    (rowsBetween is physical rows, so window entries' relative offsets
+    can fall outside [lo, hi] — they are never exact tap matches but
+    still anchor the edge fallback).  No in-repo sampler produces gapped
+    idx today; this pins the defensive contract directly."""
+    rows = [("0", 0, 10.0), ("0", 2, 20.0), ("0", 3, 30.0), ("0", 7, 70.0)]
+    df = spark.createDataFrame(rows, "stream_id string, idx long, value double")
+
+    @register_op(stencil=[-1, 0, 1], boundary=BoundaryMode.REPEAT_EDGE,
+                 name="GapSum")
+    def gap_sum(win):
+        return float(sum(win))
+
+    out = gap_sum(df, ["value"], "out", "double")
+    # per row: a missing tap t repeats the window's min key iff
+    # t < min(window idx), else its max key — e.g. idx=2's window is
+    # {0, 2, 3}, tap t=1 is missing and 1 >= 0, so it repeats idx 3's 30
+    assert vals(out, "out") == [40.0, 80.0, 120.0, 210.0]
+
+
+def test_stencil_gapped_idx_null_boundary(spark):
+    rows = [("0", 0, 10.0), ("0", 2, 20.0), ("0", 3, 30.0), ("0", 7, 70.0)]
+    df = spark.createDataFrame(rows, "stream_id string, idx long, value double")
+
+    @register_op(stencil=[-1, 0, 1], boundary=BoundaryMode.NULL,
+                 name="GapList")
+    def gap_list(win):
+        return [None if v is None else float(v) for v in win]
+
+    out = gap_list(df, ["value"], "out", "array<double>")
+    assert vals(out, "out") == [
+        [None, 10.0, None],
+        [None, 20.0, 30.0],
+        [20.0, 30.0, None],
+        [None, 70.0, None],
+    ]
+
+
+def test_stencil_integer_input_repeat_edge(spark):
+    """Round 15: pure-int64 window values take the realigner's
+    zeros-null-mask branch (no NaN representation to misread)."""
+    rows = [("0", i, 10 * i) for i in range(5)]
+    df = spark.createDataFrame(rows, "stream_id string, idx long, value long")
+
+    @register_op(stencil=[-1, 0, 1], boundary=BoundaryMode.REPEAT_EDGE,
+                 name="IntSum")
+    def int_sum(win):
+        return int(sum(win))
+
+    out = int_sum(df, ["value"], "out", "long")
+    assert vals(out, "out") == [10, 30, 60, 90, 110]
+
+
+def test_stencil_integer_null_center_passthrough(spark):
+    """A NULL element in an int64 input column arrives as an object
+    window array: the center row's kernel is skipped (NullElement
+    passthrough) and neighbours see None for that tap."""
+    rows = [("0", 0, 0), ("0", 1, 10), ("0", 2, None), ("0", 3, 30),
+            ("0", 4, 40)]
+    df = spark.createDataFrame(rows, "stream_id string, idx long, value long")
+
+    @register_op(stencil=[-1, 0, 1], boundary=BoundaryMode.NULL,
+                 name="IntNullSum")
+    def nn_sum(win):
+        return int(sum(v for v in win if v is not None))
+
+    out = nn_sum(df, ["value"], "out", "long")
+    assert vals(out, "out") == [10, 10, None, 70, 70]
