@@ -775,6 +775,8 @@ def test_fingerprint_doc_counts_equals_explode_spelling(spark):
         (2, "xy"),                      # shorter than k: no fingerprints
         (3, "the quick brown fox"),
         (4, "zzzzzzzzzzzz"),            # all-equal hashes: tie-breaks
+        (5, None),                      # NULL text: no fingerprints
+        (6, ""),                        # empty text: no fingerprints
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
 
