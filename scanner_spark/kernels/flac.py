@@ -64,10 +64,29 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
+def _crc16_byte(crc: int, b: int) -> int:
+    return _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+
+
+# lazy 16-bits-per-step table: for a width-16 CRC, absorbing one 16-bit
+# word is exactly crc' = TAB16[crc ^ word] (state width == chunk width),
+# halving the Python loop length over the per-byte table
+_CRC16_TAB16: list[int] | None = None
+
+
 def _crc16(data: bytes) -> int:
+    global _CRC16_TAB16
+    if _CRC16_TAB16 is None:
+        _CRC16_TAB16 = [
+            _crc16_byte(_crc16_byte(0, x >> 8), x & 0xFF) for x in range(65536)
+        ]
+    tab = _CRC16_TAB16
+    n = len(data)
     crc = 0
-    for b in data:
-        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
+    for w in struct.unpack(">%dH" % (n >> 1), data[: n & ~1]):
+        crc = tab[crc ^ w]
+    if n & 1:
+        crc = _crc16_byte(crc, data[-1])
     return crc
 
 
@@ -83,12 +102,13 @@ class _Bits:
     decoder uses to find unary terminators in O(1) per value instead of
     bit-at-a-time reads."""
 
-    __slots__ = ("data", "pos", "_bits", "_ones", "_csum")
+    __slots__ = ("data", "pos", "_bits", "_ones", "_csum", "_fjump")
 
     def __init__(self, data: bytes, bit_pos: int = 0) -> None:
         self.data = data
         self.pos = bit_pos
         self._bits = None
+        self._fjump: dict[int, list[int]] = {}
 
     def _expand(self) -> None:
         if self._bits is None:
@@ -97,6 +117,19 @@ class _Bits:
             csum = np.zeros(len(self._bits) + 1, dtype=np.int64)
             np.cumsum(self._bits, out=csum[1:])
             self._csum = csum  # csum[j] = ones in bits[:j]
+
+    def _jump_table(self, param: int) -> list[int]:
+        """F[i] = index (into the ones list) of the rice terminator that
+        follows terminator i when ``param`` remainder bits trail each
+        terminator — i.e. the first one-bit at/after ones[i]+1+param.
+        Built once per (stream, param) and walked with one list index
+        per rice code (the decode hot loop)."""
+        F = self._fjump.get(param)
+        if F is None:
+            nb = len(self._bits)
+            F = self._csum[np.minimum(self._ones + 1 + param, nb)].tolist()
+            self._fjump[param] = F
+        return F
 
     def read_vector(self, count: int, width: int, signed: bool) -> np.ndarray:
         """``count`` fixed-width fields as one vectorized gather."""
@@ -117,22 +150,37 @@ class _Bits:
 
     def read_rice_vector(self, count: int, param: int) -> np.ndarray:
         """``count`` rice codes (unary quotient + ``param`` remainder
-        bits), zigzag-decoded — the hot path of FLAC decode."""
+        bits), zigzag-decoded — the hot path of FLAC decode.
+
+        Terminator positions come from walking the per-param jump table
+        (one Python list index per code) instead of a numpy-scalar
+        cursor loop; quotients and remainders are then one vectorized
+        pass over the gathered positions."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
         self._expand()
-        bits, ones, csum = self._bits, self._ones, self._csum
-        t = np.empty(count, dtype=np.int64)
-        pos0 = pos = self.pos
+        bits, ones = self._bits, self._ones
+        pos0 = self.pos
+        nb = len(bits)
+        if pos0 > nb:
+            raise ValueError("FLAC: bitstream truncated in rice code")
         step = 1 + param
-        for k in range(count):
-            if pos > len(bits):
-                raise ValueError("FLAC: bitstream truncated in rice code")
-            i = csum[pos]  # ones before pos == index of next one at/after pos
-            if i >= len(ones):
-                raise ValueError("FLAC: bitstream truncated in rice code")
-            tk = int(ones[i])
-            t[k] = tk
-            pos = tk + step
-        if pos > len(bits):
+        F = self._jump_table(param)
+        non = len(ones)
+        i = int(self._csum[pos0])  # first one at/after pos0
+        idxs = []
+        ap = idxs.append
+        try:
+            for _ in range(count):
+                ap(i)
+                i = F[i]
+        except IndexError:
+            raise ValueError("FLAC: bitstream truncated in rice code") from None
+        if idxs[-1] >= non:
+            raise ValueError("FLAC: bitstream truncated in rice code")
+        t = ones[idxs]
+        pos = int(t[-1]) + step
+        if pos > nb:
             raise ValueError("FLAC: bitstream truncated in rice remainder")
         self.pos = pos
         s = np.empty(count, dtype=np.int64)
@@ -319,17 +367,30 @@ def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
             raise ValueError("FLAC: negative LPC shift")
         coefs = [br.read_signed(precision) for _ in range(order)]
         res = _decode_residual(br, blocksize, order)
-        # IIR recurrence — inherently sequential; tight local loop over
-        # reversed coefficients so the window reads in natural order
-        out = warm + [0] * len(res)
-        rco = coefs[::-1]
-        k = order
-        for r in res.tolist():
-            acc = 0
-            for c, v in zip(rco, out[k - order : k]):
-                acc += c * v
-            out[k] = r + (acc >> shift)
-            k += 1
+        # IIR recurrence — inherently sequential.  Order 8 (what the
+        # in-repo encoder emits) gets an unrolled register loop: all
+        # locals, no per-sample list slicing; other orders keep the
+        # generic windowed loop
+        rl = res.tolist()
+        out = list(warm)
+        ap = out.append
+        if order == 8:
+            c0, c1, c2, c3, c4, c5, c6, c7 = coefs  # c_j * x[k-1-j]
+            p8, p7, p6, p5, p4, p3, p2, p1 = warm
+            for r in rl:
+                v = r + ((c0 * p1 + c1 * p2 + c2 * p3 + c3 * p4 + c4 * p5
+                          + c5 * p6 + c6 * p7 + c7 * p8) >> shift)
+                ap(v)
+                p8, p7, p6, p5, p4, p3, p2, p1 = p7, p6, p5, p4, p3, p2, p1, v
+        else:
+            rco = coefs[::-1]
+            k = order
+            for r in rl:
+                acc = 0
+                for c, v in zip(rco, out[k - order : k]):
+                    acc += c * v
+                ap(r + (acc >> shift))
+                k += 1
         samples = np.asarray(out, dtype=np.int64)
     else:
         raise ValueError(f"FLAC: reserved subframe type {stype}")
@@ -373,9 +434,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     sr, n_ch, bps = streaminfo["sample_rate"], streaminfo["channels"], streaminfo["bps"]
     rate = sr
     chans: list[list[int]] = [[] for _ in range(n_ch)]
-    while pos < len(data):
-        frame_start = pos
-        br = _Bits(data, pos * 8)
+    # one reader for all frames: the bit expansion and rice jump tables
+    # are built once per payload, not once per frame
+    br = _Bits(data, pos * 8)
+    while br.pos // 8 < len(data):
+        frame_start = br.pos // 8
         sync = br.read(14)
         if sync != 0x3FFE:
             raise ValueError("FLAC: lost frame sync")
@@ -448,7 +511,6 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         crc16 = br.read(16)
         if crc16 != _crc16(data[frame_start : frame_start + body_len]):
             raise ValueError("FLAC: frame CRC-16 mismatch")
-        pos = br.pos // 8
         if mode == "indep":
             for c in range(n_ch):
                 chans[c].append(subs[c])
@@ -484,10 +546,9 @@ def _zigzag_arr(res) -> np.ndarray:
     return np.where(r >= 0, r << 1, ((-r) << 1) - 1)
 
 
-def _best_rice_param(res) -> tuple[int, int]:
-    """(param, total_bits) minimizing the rice cost (params 0..14) —
-    one vectorized shift/sum over all candidate params."""
-    zz = _zigzag_arr(res)
+def _best_rice_param_zz(zz: np.ndarray) -> tuple[int, int]:
+    """(param, total_bits) minimizing the rice cost (params 0..14) over
+    pre-zigzagged values — one vectorized shift/sum over all params."""
     n = len(zz)
     if n == 0:
         return 0, 0
@@ -497,19 +558,25 @@ def _best_rice_param(res) -> tuple[int, int]:
     return p, int(costs[p])
 
 
-def _write_residual(bw: _BitsW, res) -> None:
-    zz = _zigzag_arr(res)
-    param, _ = _best_rice_param(res)
+def _best_rice_param(res) -> tuple[int, int]:
+    return _best_rice_param_zz(_zigzag_arr(res))
+
+
+def _write_residual(bw, res, zz: np.ndarray | None = None,
+                    param: int | None = None) -> None:
+    if zz is None:
+        zz = _zigzag_arr(res)
+    if param is None:
+        param, _ = _best_rice_param_zz(zz)
     bw.write(0, 2)  # 4-bit rice method
     bw.write(0, 4)  # partition order 0
     bw.write(param, 4)
-    mask = (1 << param) - 1
-    lead = 1 << param  # the unary terminator bit followed by the remainder
-    for z in zz.tolist():
-        q = z >> param
-        # one write: q zero bits, the 1 terminator, then `param` remainder
-        # bits — (1<<param)|rem over q+1+param bits
-        bw.write(lead | (z & mask), q + 1 + param)
+    # one vectorized append for the whole partition: each rice code is
+    # q zero bits, the 1 terminator, then `param` remainder bits —
+    # value (1<<param)|rem in a field of q+1+param bits (the leading
+    # zeros cost nothing in the bit packer)
+    bw.write_vec((1 << param) | (zz & ((1 << param) - 1)),
+                 (zz >> param) + 1 + param)
 
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
@@ -550,7 +617,7 @@ def _lpc_coeffs(x: np.ndarray, order: int, precision: int = 12):
     return q, shift
 
 
-def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int, try_lpc: bool) -> None:
+def _encode_subframe(bw, x: np.ndarray, bps: int, try_lpc: bool) -> None:
     x64 = x.astype(np.int64)
     n = len(x64)
     if np.all(x64 == x64[0]):  # CONSTANT
@@ -559,14 +626,16 @@ def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int, try_lpc: bool) -> None
         bw.write(0, 1)
         bw.write(int(x64[0]), bps)
         return
-    # candidate: best fixed order by rice cost
-    best = None  # (cost, kind, order, extra)
+    # candidate: best fixed order by rice cost; the winner's zigzag and
+    # rice param ride along so _write_residual never recomputes them
+    best = None  # (cost, kind, order, extra, (zz, param))
     for order in range(min(5, n)):
         res = _fixed_residual(x64, order)
-        _, cost = _best_rice_param(res)
+        zz = _zigzag_arr(res)
+        param, cost = _best_rice_param_zz(zz)
         cost += order * bps
         if best is None or cost < best[0]:
-            best = (cost, "fixed", order, None)
+            best = (cost, "fixed", order, None, (zz, param))
     if try_lpc and n > 16:
         lo = 8
         got = _lpc_coeffs(x64, lo)
@@ -576,37 +645,34 @@ def _encode_subframe(bw: _BitsW, x: np.ndarray, bps: int, try_lpc: bool) -> None
             for j in range(lo):
                 pred += q[j] * x64[lo - 1 - j : n - 1 - j]
             res = x64[lo:] - (pred >> shift)
-            _, cost = _best_rice_param(res)
+            zz = _zigzag_arr(res)
+            param, cost = _best_rice_param_zz(zz)
             cost += lo * bps + lo * 12 + 9
             if cost < best[0]:
-                best = (cost, "lpc", lo, (q, shift, res))
+                best = (cost, "lpc", lo, (q, shift, res), (zz, param))
     verbatim_cost = n * bps
     if best[0] >= verbatim_cost:
         bw.write(0, 1)
         bw.write(1, 6)
         bw.write(0, 1)
-        for v in x64:
-            bw.write(int(v), bps)
+        bw.write_vec(x64, bps)
         return
-    _, kind, order, extra = best
+    _, kind, order, extra, (zz, param) = best
     bw.write(0, 1)
     if kind == "fixed":
         bw.write(8 + order, 6)
         bw.write(0, 1)  # no wasted bits
-        for v in x64[:order]:
-            bw.write(int(v), bps)
-        _write_residual(bw, _fixed_residual(x64, order))
+        bw.write_vec(x64[:order], bps)
+        _write_residual(bw, None, zz, param)
     else:
-        q, shift, res = extra
+        q, shift, _res = extra
         bw.write(32 + (order - 1), 6)
         bw.write(0, 1)
-        for v in x64[:order]:
-            bw.write(int(v), bps)
+        bw.write_vec(x64[:order], bps)
         bw.write(12 - 1, 4)  # precision 12
         bw.write(shift, 5)
-        for c in q:
-            bw.write(int(c), 12)
-        _write_residual(bw, res)
+        bw.write_vec(q, 12)
+        _write_residual(bw, None, zz, param)
 
 
 def encode_flac(
@@ -634,10 +700,12 @@ def encode_flac(
 
     frames = bytearray()
     frame_no = 0
+    from scanner_spark.kernels.bitpack import VecWriter
+
     for start in range(0, n, block_size):
         blk = s[start : start + block_size].astype(np.int64)
         bs = len(blk)
-        bw = _BitsW()
+        bw = VecWriter()
         # try mid-side for stereo
         mode_code = n_ch - 1  # independent
         chans = [blk[:, c] for c in range(n_ch)]
@@ -662,15 +730,17 @@ def encode_flac(
             bw.write(b, 8)
         bw.write(bs - 1, 16)
         bw.align()
-        header = bytes(bw.out)
-        bw.write(_crc8(header), 8)
+        # the header CRC-8 covers the packed header bytes; packing the
+        # (few) header entries here is a byte-aligned prefix of the
+        # final frame pack, so the bits agree
+        bw.write(_crc8(bw.getbytes()), 8)
         for ci, x in enumerate(chans):
             sub_bps = bps + (1 if mode_code == 10 and ci == 1 else 0)
             _encode_subframe(bw, x, sub_bps, use_lpc)
         bw.align()
-        body = bytes(bw.out)
-        bw.write(_crc16(body), 16)
-        frames.extend(bw.bytes())
+        body = bw.getbytes()  # one vectorized pack of the whole frame
+        frames.extend(body)
+        frames.extend(_crc16(body).to_bytes(2, "big"))
         frame_no += 1
 
     md5 = hashlib.md5(
