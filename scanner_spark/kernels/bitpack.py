@@ -71,6 +71,61 @@ def stuff_ff(arr: np.ndarray) -> bytes:
     return np.insert(arr, pos + 1, 0).tobytes()
 
 
+class BitAssembler:
+    """Byte stream assembled from literal byte pieces (marker segments,
+    RSTn) and byte-aligned packed-bit segments — with ONE
+    :func:`pack_bits` call for every segment in the stream.
+
+    numpy's fixed per-call cost makes per-scan packing the dominant
+    overhead for small images (a 32x32 progressive JPEG has 13 scans);
+    batching all segments into a single pack and slicing the result at
+    the recorded byte boundaries removes it.  Segments are 1-padded to a
+    byte boundary (the JPEG convention) and optionally 0xFF-stuffed."""
+
+    __slots__ = ("_pieces", "_vals", "_lens")
+
+    def __init__(self) -> None:
+        self._pieces: list[tuple] = []  # ("b", bytes) | ("e", nbytes, stuff)
+        self._vals: list[np.ndarray] = []
+        self._lens: list[np.ndarray] = []
+
+    def add_bytes(self, b: bytes) -> None:
+        self._pieces.append(("b", b))
+
+    def add_segment(self, vals, lens, stuff: bool = True) -> None:
+        vals = np.asarray(vals, dtype=np.int64)
+        if np.isscalar(lens):
+            lens = np.full(len(vals), lens, dtype=np.int64)
+        else:
+            lens = np.asarray(lens, dtype=np.int64)
+        total = int(lens.sum())
+        pad = (-total) % 8
+        self._vals.append(vals)
+        self._lens.append(lens)
+        if pad:
+            self._vals.append(np.array([(1 << pad) - 1], dtype=np.int64))
+            self._lens.append(np.array([pad], dtype=np.int64))
+        self._pieces.append(("e", (total + pad) >> 3, stuff))
+
+    def getvalue(self) -> bytes:
+        packed = (
+            pack_bits(np.concatenate(self._vals), np.concatenate(self._lens))[0]
+            if self._vals
+            else np.zeros(0, np.uint8)
+        )
+        out = bytearray()
+        off = 0
+        for piece in self._pieces:
+            if piece[0] == "b":
+                out.extend(piece[1])
+            else:
+                _tag, nbytes, stuff = piece
+                seg = packed[off : off + nbytes]
+                off += nbytes
+                out.extend(stuff_ff(seg) if stuff else seg.tobytes())
+        return bytes(out)
+
+
 class VecWriter:
     """Deferred MSB-first bit writer: ``write`` appends (value, nbits)
     entries; bits are packed vectorized at :meth:`getbytes`.
@@ -116,13 +171,21 @@ class VecWriter:
                                 np.array(self._sl, dtype=np.int64)))
             self._sv, self._sl = [], []
 
+    def entries(self) -> tuple[np.ndarray, np.ndarray]:
+        """All (values, lengths) written so far, for batched packing
+        (e.g. handing a scan to a :class:`BitAssembler`)."""
+        self._flush_scalars()
+        if not self._parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        return (np.concatenate([p[0] for p in self._parts]),
+                np.concatenate([p[1] for p in self._parts]))
+
     def getbytes(self) -> bytes:
         """Pack all entries (bit stream must be byte-aligned)."""
         assert self.nbits % 8 == 0, "VecWriter.getbytes on unaligned stream"
-        self._flush_scalars()
-        if not self._parts:
+        vals, lens = self.entries()
+        if not len(vals):
             return b""
-        vals = np.concatenate([p[0] for p in self._parts])
-        lens = np.concatenate([p[1] for p in self._parts])
         out, _ = pack_bits(vals, lens)
         return out.tobytes()
