@@ -49,9 +49,16 @@ def main() -> None:
     # two passes, min per query: pass 1 absorbs one-time Catalyst/codegen
     # compile of each plan shape; the min is the steady-state number a
     # long-running cluster job actually sees.  SAME second-pass policy as
-    # tools/duck_twin_bench.py (skip the re-run once a query exceeds the
-    # budget) so cross-engine ratios always compare like timings.
-    SECOND_PASS_BUDGET_S = 30.0
+    # tools/duck_twin_bench.py so cross-engine ratios always compare like
+    # timings.  Round 16: the budget default is now unbounded — single
+    # samples on the >=30 s tier swung 33-57 s across rounds on identical
+    # code and forced probe adjudication three rounds running; min-of-2
+    # everywhere costs the chain a few minutes and buys clean attribution.
+    # Override with SPARK_GRAFT_SECOND_PASS_BUDGET_S when a run must be
+    # cheap.
+    SECOND_PASS_BUDGET_S = float(
+        os.environ.get("SPARK_GRAFT_SECOND_PASS_BUDGET_S", "inf")
+    )
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for _pass in range(2):

@@ -1,4 +1,4 @@
-import sys, time, json
+import os, sys, time, json
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as e
@@ -28,11 +28,15 @@ con.execute(
     f"user_id, event_type, value, props FROM read_parquet('{SF}/events.parquet')"
 )
 times = {}
-# min-of-2 absorbs cold-cache noise on sub-second queries; a second pass
-# of a 30 s+ query costs more signal than it buys — run it once.  bench.py
-# applies the IDENTICAL policy to the Spark side, so per-query ratios always
-# compare min-of-2 with min-of-2 (or single-pass with single-pass).
-SECOND_PASS_BUDGET_S = 30.0
+# min-of-2 absorbs cold-cache noise; round 16 extends it to the >=30 s
+# tier as well (single samples there swung 33-57 s across rounds and kept
+# forcing probe adjudication).  bench.py applies the IDENTICAL policy to
+# the Spark side, so per-query ratios always compare min-of-2 with
+# min-of-2 (capped queries stay single-pass lower bounds).  Override with
+# SPARK_GRAFT_SECOND_PASS_BUDGET_S when a run must be cheap.
+SECOND_PASS_BUDGET_S = float(
+    os.environ.get("SPARK_GRAFT_SECOND_PASS_BUDGET_S", "inf")
+)
 # optional per-query wall cap (big-SF runs): interrupt from a timer thread
 # and record the query as capped instead of blocking the whole run.  With a
 # cap set, results are materialized into a dropped TEMP TABLE instead of
