@@ -235,7 +235,17 @@ def test_stencil_gapped_idx_repeat_edge(spark):
     (rowsBetween is physical rows, so window entries' relative offsets
     can fall outside [lo, hi] — they are never exact tap matches but
     still anchor the edge fallback).  No in-repo sampler produces gapped
-    idx today; this pins the defensive contract directly."""
+    idx today; this pins the defensive contract directly.
+
+    Deliberate-contract note (ADVICE r15): this freezes a counter-
+    intuitive extension — a missing tap t >= min(window idx) repeats the
+    window's MAX-key value even when t falls between existing keys
+    before the center (idx=2's tap 1 gets idx 3's value), diverging from
+    nearest-key clamping.  The reference defines REPEAT_EDGE only over
+    dense rows, so either choice is an in-repo extension; this test pins
+    the legacy-dict-realigner behavior.  If a gapped sampler ever
+    appears, nearest-key clamping is the alternative to consider — update
+    this pin deliberately rather than treating it as an oracle."""
     rows = [("0", 0, 10.0), ("0", 2, 20.0), ("0", 3, 30.0), ("0", 7, 70.0)]
     df = spark.createDataFrame(rows, "stream_id string, idx long, value double")
 
