@@ -849,26 +849,110 @@ def cosine_dup_pairs(
         return cross.unionByName(intra)
 
     reps = track(reps)
-    a, b = reps.alias("a"), reps.alias("b")
-    cond = F.col("a.rid") < F.col("b.rid")
-    for kcol in key_names:
-        cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
+
+    # Pair stage as ONE per-bucket Arrow job instead of a rep x rep join.
+    # The retired join form shipped BOTH vectors of every candidate pair
+    # through the Python boundary for pair_dot (~1 KB/pair at dim=64:
+    # 16.4M candidate pairs = ~17 GB of Arrow traffic at sf10); grouping
+    # by the blocking key ships each DISTINCT vector exactly once (~10 MB
+    # for the same corpus) and accumulates the pairwise dots bucket-
+    # locally.  Bit-exactness is preserved: D[a, b] accumulates with the
+    # SAME per-j sequence of scalar multiply-adds as the pair_dot column
+    # loop (dim outer products applied in j order), dot/n2 round-trip
+    # Arrow as exact float64, and the authoritative round()/threshold
+    # filter below stays the identical JVM expression.  The Python-side
+    # screen at (threshold - 1e-6) only drops pairs the exact filter
+    # would drop anyway — round(x, 6) moves x by < 5e-7 — so survivors
+    # are untouched while the emitted candidate set shrinks from O(m^2)
+    # rows to the near-threshold ones.  Per-bucket memory is bounded by
+    # building the dot matrix in row chunks of <= 8M doubles (64 MB), so
+    # a hot bucket cannot OOM a worker at any corpus size.
+    pre_threshold = threshold - 1e-6
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "rid_a": pd.Series([], dtype="int64"),
+                    "rid_b": pd.Series([], dtype="int64"),
+                    "dot": pd.Series([], dtype="float64"),
+                    "n2a": pd.Series([], dtype="float64"),
+                    "n2b": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("rid")  # triu over sorted rids == rid_a < rid_b
+        rid = pdf["rid"].to_numpy()
+        n2 = pdf["n2"].to_numpy(dtype="float64")
+        A = np.stack(pdf["v"].to_numpy()).astype("float64")
+        sq = np.sqrt(n2)
+        parts: list[tuple[np.ndarray, ...]] = []
+        chunk = max(1, (8 << 20) // m)
+        for s in range(0, m - 1, chunk):
+            e = min(m, s + chunk)
+            D = np.zeros((e - s, m))
+            Ac = A[s:e]
+            for j in range(A.shape[1]):
+                D += np.multiply.outer(Ac[:, j], A[:, j])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pre = D / (sq[s:e, None] * sq[None, :])
+            keep = (np.arange(m)[None, :] > np.arange(s, e)[:, None]) & (
+                pre >= pre_threshold
+            )
+            ri, ci = np.nonzero(keep)
+            parts.append((rid[s + ri], rid[ci], D[ri, ci], n2[s + ri], n2[ci]))
+        cols = [np.concatenate(c) for c in zip(*parts)]
+        return pd.DataFrame(
+            {"rid_a": cols[0], "rid_b": cols[1], "dot": cols[2],
+             "n2a": cols[3], "n2b": cols[4]}
+        )
+
+    # na.drop mirrors the join's null-key semantics (null never equals
+    # null, so a null blocking key produced no cross pairs there either).
+    # The explicit repartition is load-bearing: the reps exchange is tiny
+    # (keys + one vector per distinct vector), so AQE would coalesce it
+    # to ~1 partition — and the pandas stage plus the whole downstream
+    # pair fan-out (broadcast joins + explodes add no exchange) would run
+    # single-threaded.  A user repartition with an explicit count is
+    # exempt from AQE coalescing; the count follows the session's
+    # parallelism, not a local constant.
+    nparts = reps.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        reps.na.drop(subset=key_names)
+        .repartition(nparts, *key_names)
+        .groupBy(*key_names)
+        .applyInPandas(
+            _bucket_pairs, "rid_a long, rid_b long, dot double, n2a double, n2b double"
+        )
+    )
+    idmap = reps.select("rid", "ids")
     cross = (
-        a.join(b, cond)
-        .withColumn(
+        cand.withColumn(
             "cosine",
             F.round(
-                pair_dot(F.col("a.v"), F.col("b.v"))
-                / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))),
-                6,
+                F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 6
             ),
         )
         .filter(F.col("cosine") >= threshold)
-        # expand group x group; output ids ordered per-pair
-        .select(
-            F.explode(F.col("a.ids")).alias("ia"), F.col("b.ids").alias("ibs"), "cosine"
+        # rebalance before the group-id expansion: candidate pairs leave
+        # the pandas stage partitioned by blocking key (quadratic in
+        # bucket size, so hot buckets skew), while (rid_a, rid_b) has
+        # ~one distinct value per pair and spreads the explode fan-out
+        # evenly; project first so the exchange carries only the three
+        # columns the expansion needs
+        .select("rid_a", "rid_b", "cosine")
+        .repartition(nparts, "rid_a", "rid_b")
+        .join(
+            idmap.select(F.col("rid").alias("rid_a"), F.col("ids").alias("ids_a")),
+            "rid_a",
         )
-        .select("ia", F.explode(F.col("ibs")).alias("ib"), "cosine")
+        .join(
+            idmap.select(F.col("rid").alias("rid_b"), F.col("ids").alias("ids_b")),
+            "rid_b",
+        )
+        # expand group x group; output ids ordered per-pair
+        .select(F.explode("ids_a").alias("ia"), F.col("ids_b").alias("ibs"), "cosine")
+        .select("ia", F.explode("ibs").alias("ib"), "cosine")
         .select(
             F.least("ia", "ib").alias("id_a"),
             F.greatest("ia", "ib").alias("id_b"),

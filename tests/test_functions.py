@@ -240,6 +240,102 @@ def test_cosine_star_mode_clique_components_match_brute(spark):
         dedup.cosine_dup_pairs(df, pairs_mode="chain")
 
 
+def test_cosine_all_pairs_bit_identical_to_join_form(spark):
+    """The round-16 per-bucket pair stage (applyInPandas, outer-product
+    accumulation, slack prefilter) must reproduce the retired rep x rep
+    join + pair_dot shape EXACTLY — same pairs, bit-identical cosine
+    doubles — including exact-duplicate group expansion, a pair landing
+    exactly on the threshold, and the null-blocking-key join semantics
+    (null never equals null, so a null label emits no cross pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(123)
+    dim = 16
+    rows = []
+    base = rng.normal(size=dim)
+    for i in range(40):  # near-dup cloud around base (well above threshold)
+        v = base + rng.normal(0, 0.02, dim)
+        rows.append((i, [float(x) for x in v], "a"))
+    for i in range(40, 80):  # random cloud (cosines straddle the threshold)
+        rows.append((i, [float(x) for x in rng.normal(size=dim)], "a"))
+    rows.append((90, rows[0][1], "a"))  # exact dup group with id 0
+    rows.append((91, rows[0][1], "a"))
+    rows.append((95, rows[50][1], None))  # null label: no cross pairs
+    rows.append((96, rows[50][1], None))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    threshold = 0.3
+
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.cosine_dup_pairs(df, threshold=threshold).collect()
+    }
+
+    # reference: the retired join-form semantics, replayed literally —
+    # per-pair j-loop dot (sequential scalar adds), JVM round + division
+    # reproduced through a Spark expression on the driver-built pairs
+    pdf = pd.DataFrame(rows, columns=["id", "v", "label"])
+    reps = {}
+    for _, r in pdf.iterrows():
+        key = (r["label"], tuple(r["v"]))
+        reps.setdefault(key, []).append(int(r["id"]))
+    rep_rows = []
+    for (label, v), ids in reps.items():
+        a = np.asarray(v, dtype="float64")
+        n2 = 0.0
+        for j in range(dim):
+            n2 += a[j] * a[j]
+        rep_rows.append((min(ids), sorted(ids), label, list(v), n2))
+    pair_rows = []
+    for x in range(len(rep_rows)):
+        for y in range(len(rep_rows)):
+            ra, ia, la, va, n2a = rep_rows[x]
+            rb, ib, lb, vb, n2b = rep_rows[y]
+            if la is None or lb is None or la != lb or not ra < rb:
+                continue
+            dot = 0.0
+            for j in range(dim):
+                dot += va[j] * vb[j]
+            pair_rows.append((ra, rb, dot, n2a, n2b, ia, ib))
+    # intra exact-dup pairs: cosine = n2 / (sqrt(n2) * sqrt(n2))
+    for ra, ids, _, _, n2 in rep_rows:
+        for p in range(len(ids)):
+            for q in range(p + 1, len(ids)):
+                pair_rows.append((ids[p], ids[q], n2, n2, n2, None, None))
+    ref_df = spark.createDataFrame(
+        [(r[0], r[1], float(r[2]), float(r[3]), float(r[4])) for r in pair_rows],
+        "ra long, rb long, dot double, n2a double, n2b double",
+    ).withColumn(
+        "cosine",
+        F.round(F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 6),
+    ).filter(F.col("cosine") >= threshold)
+    ref_cos = {(r.ra, r.rb): r.cosine for r in ref_df.collect()}
+    expect = {}
+    for ra, rb, dot, n2a, n2b, ia, ib in pair_rows:
+        if (ra, rb) not in ref_cos:
+            continue
+        c = ref_cos[(ra, rb)]
+        if ia is None:  # intra pair: already concrete ids
+            expect[(ra, rb)] = c
+        else:
+            for x in ia:
+                for y in ib:
+                    expect[(min(x, y), max(x, y))] = c
+
+    assert got == expect  # exact: same pairs AND bit-identical doubles
+    # sanity on the fixture: both clouds contributed, dup group expanded,
+    # and the null-label rows produced ONLY their intra exact-dup pair —
+    # never a cross pair (null != null under join semantics)
+    assert any(a >= 40 or b >= 40 for a, b in got if b < 90)
+    assert (0, 90) in got and (0, 91) in got and (90, 91) in got
+    assert (95, 96) in got
+    assert not any(
+        (a in (95, 96)) != (b in (95, 96)) for a, b in got
+    )
+
+
 # ---- simsearch -----------------------------------------------------------------
 
 def test_knn_brute_real_embeddings(real_embs):
