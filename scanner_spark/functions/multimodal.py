@@ -372,7 +372,10 @@ def text_to_media(df: DataFrame, text_col: str = "text", h: int = 32,
     and six."""
     from scanner_spark.kernels.gif import encode_gif
     from scanner_spark.kernels.image import encode_png
-    from scanner_spark.kernels.jpeg import encode_jpeg, encode_jpeg_progressive
+    from scanner_spark.kernels.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive_batch,
+    )
     from scanner_spark.kernels.tiff import encode_tiff
     from scanner_spark.kernels.webp import encode_webp
 
@@ -389,6 +392,12 @@ def text_to_media(df: DataFrame, text_col: str = "text", h: int = 32,
 
         for pdf in batches:
             payloads, codecs = [], []
+            # progressive rows are encoded as ONE vectorized batch (the
+            # per-image scans of every row share one builder call per
+            # scan — round 16); payloads are byte-identical to per-row
+            # encode_jpeg_progressive, slotted back by position
+            prog_pos: list[int] = []
+            prog_arrs: list[np.ndarray] = []
             for did, s in zip(pdf[id_col], pdf[text_col]):
                 raw = (s or " ").encode("utf-8")
                 k = int(did) % 6
@@ -413,9 +422,16 @@ def text_to_media(df: DataFrame, text_col: str = "text", h: int = 32,
                                                 predictor=2))
                     codecs.append("tiff")
                 else:
-                    payloads.append(
-                        encode_jpeg_progressive(arr, quality=quality))
+                    prog_pos.append(len(payloads))
+                    prog_arrs.append(arr)
+                    payloads.append(b"")  # placeholder, filled below
                     codecs.append("jpeg")
+            if prog_arrs:
+                for pos, payload in zip(
+                    prog_pos,
+                    encode_jpeg_progressive_batch(prog_arrs, quality=quality),
+                ):
+                    payloads[pos] = payload
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col],

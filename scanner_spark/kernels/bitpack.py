@@ -108,14 +108,31 @@ class BitAssembler:
         self._pieces.append(("e", (total + pad) >> 3, stuff))
 
     def getvalue(self) -> bytes:
+        return self.getvalues([0])[0]
+
+    def mark(self) -> int:
+        """Piece boundary for :meth:`getvalues` (call before the first
+        piece of each output document)."""
+        return len(self._pieces)
+
+    def getvalues(self, marks: list[int]) -> list[bytes]:
+        """Assemble the stream into one bytes object per mark — many
+        documents' segments share a SINGLE :func:`pack_bits` call (the
+        round-16 batch-encode path: per-document packing was the fixed
+        numpy cost left after per-scan packing was batched)."""
         packed = (
             pack_bits(np.concatenate(self._vals), np.concatenate(self._lens))[0]
             if self._vals
             else np.zeros(0, np.uint8)
         )
+        bounds = set(marks[1:])
+        outs: list[bytes] = []
         out = bytearray()
         off = 0
-        for piece in self._pieces:
+        for pi, piece in enumerate(self._pieces):
+            if pi in bounds:
+                outs.append(bytes(out))
+                out = bytearray()
             if piece[0] == "b":
                 out.extend(piece[1])
             else:
@@ -123,7 +140,8 @@ class BitAssembler:
                 seg = packed[off : off + nbytes]
                 off += nbytes
                 out.extend(stuff_ff(seg) if stuff else seg.tobytes())
-        return bytes(out)
+        outs.append(bytes(out))
+        return outs
 
 
 class VecWriter:

@@ -522,6 +522,47 @@ def test_jpeg_progressive_matches_baseline_pixels():
     assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0 present
 
 
+def test_jpeg_progressive_batch_byte_identical():
+    """encode_jpeg_progressive_batch must produce payloads BYTE-identical
+    to per-image encode_jpeg_progressive — the whole-batch multi-segment
+    builders (round 16) may change only speed.  Covers: text-tiled
+    fixture content (the product path), all-zero (cross-block EOB runs
+    ending at image boundaries), constant, dense noise, spikes (ZRL
+    chains), grayscale, mixed shapes in one call (grouping), odd
+    non-multiple-of-16 dims, and both qualities."""
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import (
+        encode_jpeg_progressive, encode_jpeg_progressive_batch)
+
+    rng = np.random.default_rng(31)
+    imgs = []
+    for did in range(24):  # the text_to_media tiling shape
+        raw = (f"doc {did} " + "the quick brown fox " * 30).encode()
+        need = 32 * 32 * 3
+        arr = np.frombuffer((raw * (-(-need // len(raw))))[:need],
+                            np.uint8).reshape(32, 32, 3)
+        imgs.append(arr.copy())
+    spikes = np.zeros((48, 48, 3), np.uint8)
+    spikes[5, 7], spikes[20, 33], spikes[40, 1] = 255, 200, 180
+    imgs += [
+        np.zeros((32, 32, 3), np.uint8),
+        np.full((32, 32, 3), 77, np.uint8),
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+        spikes,
+        rng.integers(0, 256, (19, 23), dtype=np.uint8),   # grayscale
+        rng.integers(0, 256, (13, 21, 3), dtype=np.uint8),  # odd dims
+    ]
+    # enough same-shape grays/odd-dims that those groups batch too
+    imgs += [rng.integers(0, 256, (19, 23), dtype=np.uint8) for _ in range(5)]
+    imgs += [rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+             for _ in range(5)]
+    for q in (50, 95):
+        got = encode_jpeg_progressive_batch(imgs, q)
+        for i, img in enumerate(imgs):
+            assert got[i] == encode_jpeg_progressive(img, q), (i, img.shape, q)
+
+
 def test_decode_payload_jpeg_real_path_and_no_fake():
     """decode_payload routes JPEG magic through the REAL decoder; a
     payload with no recognized magic RAISES — there is no fake image
