@@ -373,7 +373,7 @@ def text_to_media(df: DataFrame, text_col: str = "text", h: int = 32,
     from scanner_spark.kernels.gif import encode_gif
     from scanner_spark.kernels.image import encode_png
     from scanner_spark.kernels.jpeg import (
-        encode_jpeg,
+        encode_jpeg_batch,
         encode_jpeg_progressive_batch,
     )
     from scanner_spark.kernels.tiff import encode_tiff
@@ -392,10 +392,13 @@ def text_to_media(df: DataFrame, text_col: str = "text", h: int = 32,
 
         for pdf in batches:
             payloads, codecs = [], []
-            # progressive rows are encoded as ONE vectorized batch (the
-            # per-image scans of every row share one builder call per
-            # scan — round 16); payloads are byte-identical to per-row
-            # encode_jpeg_progressive, slotted back by position
+            # JPEG rows (baseline AND progressive) are encoded as ONE
+            # vectorized batch each: every image's scans share one
+            # builder call per scan and one bit pack (round 16);
+            # payloads are byte-identical to the per-row encoders,
+            # slotted back by position
+            base_pos: list[int] = []
+            base_arrs: list[np.ndarray] = []
             prog_pos: list[int] = []
             prog_arrs: list[np.ndarray] = []
             for did, s in zip(pdf[id_col], pdf[text_col]):
@@ -412,7 +415,9 @@ def text_to_media(df: DataFrame, text_col: str = "text", h: int = 32,
                     payloads.append(encode_png(arr))
                     codecs.append("png")
                 elif k == 1:
-                    payloads.append(encode_jpeg(arr, quality=quality))
+                    base_pos.append(len(payloads))
+                    base_arrs.append(arr)
+                    payloads.append(b"")  # placeholder, filled below
                     codecs.append("jpeg")
                 elif k == 3:
                     payloads.append(encode_webp(arr))
@@ -424,8 +429,13 @@ def text_to_media(df: DataFrame, text_col: str = "text", h: int = 32,
                 else:
                     prog_pos.append(len(payloads))
                     prog_arrs.append(arr)
-                    payloads.append(b"")  # placeholder, filled below
+                    payloads.append(b"")
                     codecs.append("jpeg")
+            if base_arrs:
+                for pos, payload in zip(
+                    base_pos, encode_jpeg_batch(base_arrs, quality=quality)
+                ):
+                    payloads[pos] = payload
             if prog_arrs:
                 for pos, payload in zip(
                     prog_pos,

@@ -563,6 +563,36 @@ def test_jpeg_progressive_batch_byte_identical():
             assert got[i] == encode_jpeg_progressive(img, q), (i, img.shape, q)
 
 
+def test_jpeg_baseline_batch_byte_identical():
+    """encode_jpeg_batch must match per-image encode_jpeg byte-for-byte
+    over the same fixture spread as the progressive batch pin."""
+    import numpy as np
+
+    from scanner_spark.kernels.jpeg import encode_jpeg, encode_jpeg_batch
+
+    rng = np.random.default_rng(33)
+    imgs = []
+    for did in range(16):
+        raw = (f"doc {did} " + "the quick brown fox " * 30).encode()
+        need = 32 * 32 * 3
+        imgs.append(np.frombuffer((raw * (-(-need // len(raw))))[:need],
+                                  np.uint8).reshape(32, 32, 3).copy())
+    spikes = np.zeros((48, 48, 3), np.uint8)
+    spikes[5, 7], spikes[20, 33] = 255, 200
+    imgs += [
+        np.zeros((32, 32, 3), np.uint8),
+        np.full((32, 32, 3), 77, np.uint8),
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+        spikes,
+        rng.integers(0, 256, (19, 23), dtype=np.uint8),
+    ]
+    imgs += [rng.integers(0, 256, (19, 23), dtype=np.uint8) for _ in range(5)]
+    for q in (50, 95):
+        got = encode_jpeg_batch(imgs, q)
+        for i, img in enumerate(imgs):
+            assert got[i] == encode_jpeg(img, q), (i, img.shape, q)
+
+
 def test_decode_payload_jpeg_real_path_and_no_fake():
     """decode_payload routes JPEG magic through the REAL decoder; a
     payload with no recognized magic RAISES — there is no fake image
