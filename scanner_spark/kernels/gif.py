@@ -264,7 +264,20 @@ def encode_gif(img: np.ndarray) -> bytes:
     if c != 3:
         raise ValueError("encode_gif expects (H, W, 3)")
     flat = img.reshape(-1, 3)
-    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    # pack RGB into one int before unique: np.unique(axis=0) sorts rows
+    # through a void-dtype argsort (~0.4 ms for a 32x32 image — half the
+    # encode cost); the packed scalar path sorts natively and yields the
+    # SAME lexicographic (r, g, b) order, so palette bytes and index
+    # stream are unchanged
+    packed = (
+        (flat[:, 0].astype(np.int32) << 16)
+        | (flat[:, 1].astype(np.int32) << 8)
+        | flat[:, 2].astype(np.int32)
+    )
+    upacked, idx = np.unique(packed, return_inverse=True)
+    palette = np.stack(
+        [(upacked >> 16) & 255, (upacked >> 8) & 255, upacked & 255], axis=1
+    ).astype(np.uint8)
     n_colors = len(palette)
     if n_colors > 256:
         raise ValueError(
