@@ -119,7 +119,14 @@ class BitAssembler:
         """Assemble the stream into one bytes object per mark — many
         documents' segments share a SINGLE :func:`pack_bits` call (the
         round-16 batch-encode path: per-document packing was the fixed
-        numpy cost left after per-scan packing was batched)."""
+        numpy cost left after per-scan packing was batched).
+
+        ``marks`` must be non-decreasing and start at 0 (the whole
+        stream is covered; pieces before a later first mark would be
+        silently folded into the first output otherwise)."""
+        assert marks and marks[0] == 0 and all(
+            a <= b for a, b in zip(marks, marks[1:])
+        ), "getvalues: marks must start at 0 and be non-decreasing"
         packed = (
             pack_bits(np.concatenate(self._vals), np.concatenate(self._lens))[0]
             if self._vals

@@ -40,56 +40,102 @@ MAX_CODE = 4096  # 12-bit LZW ceiling, per spec
 # ---------------------------------------------------------------------------
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def _gif_width_sched(min_code_size: int) -> np.ndarray:
+    """Width of the t-th code after a clear, for t < the final-width
+    boundary.  Deterministic (round 17, same argument as the TIFF
+    decoder's schedule): the first post-clear code appends nothing, every
+    later code appends one entry, and width bumps after the append that
+    makes ``next_code == 1 << width`` — so boundaries sit at
+    ``t = 2^w - clear - 2`` independent of the data."""
+    clear = 1 << min_code_size
+    parts = [np.zeros(0, np.int64)]
+    lo = 0
+    for w in range(min_code_size + 1, 12):
+        hi = (1 << w) - clear - 2  # last code index read at width w
+        parts.append(np.full(hi - lo + 1, w, np.int64))
+        lo = hi + 1
+    return np.concatenate(parts)
+
+
+_GIF_SCHEDS: dict[int, np.ndarray] = {}
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """GIF LZW -> palette-index array (uint8).  Identical semantics to
+    the retired per-symbol bit loop (LSB-first codes, width grows after
+    the code that fills the table, truncation tolerated); the bit
+    extraction is one numpy gather over the deterministic post-clear
+    width schedule, control codes re-anchor it."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    # dictionary: code -> byte sequence; rebuilt on every clear
-    def fresh():
-        d = {i: (i,) for i in range(clear)}
-        return d
-
-    table = fresh()
-    next_code = eoi + 1
-    width = min_code_size + 1
-    out: list[int] = []
-    prev: tuple[int, ...] | None = None
-    acc = 0
-    nbits = 0
-    pos = 0
+    sched = _GIF_SCHEDS.get(min_code_size)
+    if sched is None:
+        sched = _GIF_SCHEDS[min_code_size] = _gif_width_sched(min_code_size)
+    t_final = len(sched)  # codes at index >= t_final read at width 12
+    min_w = min_code_size + 1
     n = len(data)
+    total_bits = n * 8
+    a = np.zeros(n + 2, dtype=np.uint32)
+    a[:n] = np.frombuffer(data, dtype=np.uint8)
+    # 24-bit LSB-first window starting at every byte (12 + 7 < 24)
+    W = a[:-2] | (a[1:-1] << 8) | (a[2:] << 16)
+    out_parts: list[bytes] = []
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    L = eoi + 1  # == next_code
+    prev: bytes | None = None
+    p = 0  # bit position
+    t = 0  # codes read since the last clear
     while True:
-        while nbits < width:
-            if pos >= n:
-                return out  # truncated stream: emit what we have
-            acc |= data[pos] << nbits
-            nbits += 8
-            pos += 1
-        code = acc & ((1 << width) - 1)
-        acc >>= width
-        nbits -= width
-        if code == clear:
-            table = fresh()
-            next_code = eoi + 1
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == eoi:
-            return out
-        if prev is None:
-            entry = table[code]
-        elif code in table:
-            entry = table[code]
-        elif code == next_code:
-            entry = prev + (prev[0],)  # the KwKwK case
-        else:
-            raise ValueError(f"corrupt LZW stream: code {code} > {next_code}")
-        out.extend(entry)
-        if prev is not None and next_code < MAX_CODE:
-            table[next_code] = prev + (entry[0],)
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
-        prev = entry
+        remaining = total_bits - p
+        if remaining < min_w:
+            break  # truncated stream: emit what we have
+        m = min(remaining // min_w + 1, 1 << 20)
+        idx = np.arange(t, t + m)
+        wds = np.where(idx < t_final, sched[np.minimum(idx, t_final - 1)], 12)
+        starts = np.empty(m, dtype=np.int64)
+        starts[0] = p
+        np.cumsum(wds[:-1], out=starts[1:])
+        starts[1:] += p
+        ends = starts + wds
+        nv = int(np.searchsorted(ends, total_bits, side="right"))
+        if nv == 0:
+            break
+        wds, ends = wds[:nv], ends[:nv]
+        starts = starts[:nv]
+        codes = (W[starts >> 3] >> (starts & 7).astype(np.uint32)) & (
+            (np.uint32(1) << wds.astype(np.uint32)) - 1
+        )
+        ctrl = np.nonzero((codes == clear) | (codes == eoi))[0]
+        stop = int(ctrl[0]) if len(ctrl) else nv
+        if stop:
+            for code in codes[:stop].tolist():
+                if prev is None:
+                    if code >= clear:
+                        raise KeyError(code)  # first code must be a literal
+                    entry = table[code]
+                elif code < L:
+                    entry = table[code]
+                elif code == L:
+                    entry = prev + prev[:1]  # the KwKwK case
+                else:
+                    raise ValueError(
+                        f"corrupt LZW stream: code {code} > {L}"
+                    )
+                out_parts.append(entry)
+                if prev is not None and L < MAX_CODE:
+                    table.append(prev + entry[:1])
+                    L += 1
+                prev = entry
+            t += stop
+            p = int(ends[stop - 1])
+        if stop < nv:
+            code = int(codes[stop])
+            p = int(ends[stop])
+            if code == eoi:
+                break
+            del table[eoi + 1 :]  # CLEAR
+            L, prev, t = eoi + 1, None, 0
+    return np.frombuffer(b"".join(out_parts), dtype=np.uint8)
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:

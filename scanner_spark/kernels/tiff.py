@@ -33,55 +33,100 @@ _PREDICTOR = 317
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
 
+# Deterministic post-clear width schedule for the vectorized decoder
+# (round 17).  After a CLEAR the decoder's state advances mechanically:
+# the first code appends nothing, every later code appends exactly one
+# table entry, and the early-change bump fires when the table reaches
+# 510/1022/2046 — so the width of the t-th code after a clear is a pure
+# function of t (9 for t<=252, 10 for t<=764, 11 for t<=1788, else 12),
+# independent of the data.  That makes all code BIT POSITIONS between
+# control codes computable up front, so the per-code bit-fiddling loop
+# collapses to one numpy gather; only the table/output bookkeeping stays
+# a (much tighter) Python loop.  The 4096-entry append cap never affects
+# widths: the last bump is at 2046 entries.
+_LZW_SCHED_W = np.concatenate(
+    [
+        np.full(253, 9, np.int64),
+        np.full(512, 10, np.int64),
+        np.full(1024, 11, np.int64),
+    ]
+)
+
+
 def _lzw_decode(data: bytes, max_out: int) -> bytes:
     """TIFF-flavoured LZW: MSB-first codes, ClearCode=256, EOI=257, and
     the "early change" convention — code width grows when the NEXT entry
     to be assigned is ``(1 << width) - 1`` (one code earlier than the
     width arithmetically requires; TIFF 6.0 §13 note + what libtiff-
     compatible writers emit).  ``max_out`` bounds output so a corrupt
-    stream can't balloon memory."""
-    out = bytearray()
+    stream can't balloon memory.  Byte-identical to the retired
+    per-symbol bit loop (fuzz-pinned in tests/test_lzw_differential.py)."""
+    n = len(data)
+    total_bits = n * 8
+    a = np.zeros(n + 2, dtype=np.uint32)
+    a[:n] = np.frombuffer(data, dtype=np.uint8)
+    # 24-bit MSB-first window starting at every byte: enough for any
+    # 12-bit code at any intra-byte offset (12 + 7 < 24)
+    W = (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
+    out_parts: list[bytes] = []
+    out_len = 0
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
-    width, bitbuf, bitcnt, pos, n = 9, 0, 0, 0, len(data)
+    L = 258
     prev: bytes | None = None
+    p = 0  # bit position
+    t = 0  # codes read since the last clear (schedule index)
     while True:
-        while bitcnt < width:
-            if pos >= n:
-                return bytes(out)  # stream ended without EOI: tolerate
-            bitbuf = (bitbuf << 8) | data[pos]
-            pos += 1
-            bitcnt += 8
-        bitcnt -= width
-        code = (bitbuf >> bitcnt) & ((1 << width) - 1)
-        if code == _LZW_EOI:
-            return bytes(out)
-        if code == _LZW_CLEAR:
-            del table[258:]
-            width, prev = 9, None
-            continue
-        if prev is None:
-            if code >= 256:
-                raise ValueError("LZW stream: first code after clear not a literal")
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-        elif code == len(table):
-            entry = prev + prev[:1]  # KwKwK case
-        else:
-            raise ValueError(f"LZW stream: code {code} beyond table")
-        out += entry
-        if len(out) > max_out:
-            raise ValueError("LZW stream: output exceeds strip size")
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
-        prev = entry
-        # Early change, adjusted for the decoder's one-entry lag: the
-        # decoder's table trails the encoder's by one at read time (the
-        # entry the encoder adds after emitting code m is only appended
-        # here while processing code m+1), so it widens at 510/1022/2046
-        # where the encoder widens at 511/1023/2047.
-        if len(table) == (1 << width) - 2 and width < 12:
-            width += 1
+        remaining = total_bits - p
+        if remaining < 9:
+            return b"".join(out_parts)  # truncated: tolerate, as before
+        m = min(remaining // 9 + 1, 1 << 20)
+        idx = np.arange(t, t + m)
+        wds = np.where(idx < 1789, _LZW_SCHED_W[np.minimum(idx, 1788)], 12)
+        starts = np.empty(m, dtype=np.int64)
+        starts[0] = p
+        np.cumsum(wds[:-1], out=starts[1:])
+        starts[1:] += p
+        ends = starts + wds
+        nv = int(np.searchsorted(ends, total_bits, side="right"))
+        if nv == 0:
+            return b"".join(out_parts)
+        wds, starts, ends = wds[:nv], starts[:nv], ends[:nv]
+        codes = (
+            W[starts >> 3] >> (24 - wds - (starts & 7)).astype(np.uint32)
+        ) & ((np.uint32(1) << wds.astype(np.uint32)) - 1)
+        ctrl = np.nonzero((codes == _LZW_CLEAR) | (codes == _LZW_EOI))[0]
+        stop = int(ctrl[0]) if len(ctrl) else nv
+        if stop:
+            for code in codes[:stop].tolist():
+                if prev is None:
+                    if code >= 256:
+                        raise ValueError(
+                            "LZW stream: first code after clear not a literal"
+                        )
+                    entry = table[code]
+                elif code < L:
+                    entry = table[code]
+                elif code == L:
+                    entry = prev + prev[:1]  # KwKwK case
+                else:
+                    raise ValueError(f"LZW stream: code {code} beyond table")
+                out_parts.append(entry)
+                out_len += len(entry)
+                if out_len > max_out:
+                    raise ValueError("LZW stream: output exceeds strip size")
+                if prev is not None and L < 4096:
+                    table.append(prev + entry[:1])
+                    L += 1
+                prev = entry
+            t += stop
+            p = int(ends[stop - 1])
+        if stop < nv:
+            code = int(codes[stop])
+            p = int(ends[stop])
+            if code == _LZW_EOI:
+                return b"".join(out_parts)
+            del table[258:]  # CLEAR
+            L, prev, t = 258, None, 0
 
 
 def _lzw_encode(data: bytes) -> bytes:

@@ -58,19 +58,38 @@ def is_webp(data: bytes) -> bool:
 
 
 class _LsbReader:
-    __slots__ = ("data", "pos")
+    """LSB-first bit reader over a 32-bit per-byte window (round 17):
+    ``u(n)`` is one gather + shift instead of an n-iteration bit loop.
+    The window is zero-padded past the stream, but reads past the end
+    raise IndexError exactly where the retired per-bit loop did (a read
+    whose last bit falls beyond the final byte)."""
+
+    __slots__ = ("data", "pos", "nbits", "W")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
+        n = len(data)
+        self.nbits = n * 8
+        a = np.zeros(n + 4, dtype=np.uint32)
+        a[:n] = np.frombuffer(data, dtype=np.uint8)
+        # 32 bits starting at every byte: >= 25 valid bits at any
+        # intra-byte offset, covering the widest field read (18-bit LZ77
+        # distance extra + 7-bit offset)
+        self.W = a[:-4] | (a[1:-3] << 8) | (a[2:-2] << 16) | (a[3:-1] << 24)
 
     def u(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.data[self.pos >> 3]
-            v |= ((byte >> (self.pos & 7)) & 1) << i
-            self.pos += 1
-        return v
+        p = self.pos
+        if p + n > self.nbits:
+            raise IndexError("bit read past end of VP8L stream")
+        self.pos = p + n
+        return int(self.W[p >> 3] >> (p & 7)) & ((1 << n) - 1)
+
+    def peek(self) -> int:
+        """Up to 25 low bits at the current position, zero-padded past
+        the stream end."""
+        p = self.pos
+        return int(self.W[p >> 3] >> (p & 7))
 
 
 class _LsbWriter:
@@ -140,27 +159,57 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _PrefixDecoder:
-    """Walks codes bit by bit (codes are at most 15 bits)."""
+    """Canonical prefix decoder.  Codes up to 11 bits get a flat LUT
+    (one peek + one index per symbol, round 17); longer codes fall back
+    to the bit-by-bit walk (codes are at most 15 bits)."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "lut", "maxlen")
 
     def __init__(self, lengths: list[int] | None = None, single: int | None = None):
         self.single = single
         self.table = None
+        self.lut = None
+        self.maxlen = 0
         if lengths is not None:
             used = [ln for ln in lengths if ln]
             if len(used) == 1:
                 # exactly one symbol: zero bits per read
                 self.single = next(s for s, ln in enumerate(lengths) if ln)
             else:
+                cc = _canonical_codes(lengths)
                 self.table = {
-                    (ln, code): sym
-                    for sym, (code, ln) in _canonical_codes(lengths).items()
+                    (ln, code): sym for sym, (code, ln) in cc.items()
                 }
+                maxlen = max(ln for _, ln in cc.values())
+                if maxlen <= 11:
+                    # LUT indexed by the next maxlen STREAM bits: the
+                    # first bit read is the code's MSB, and an LSB-first
+                    # peek puts the first stream bit at bit 0, so the
+                    # index prefix is the bit-reversed code; every index
+                    # sharing that low-bit prefix maps to the same entry
+                    lut = np.full(1 << maxlen, -1, dtype=np.int32)
+                    for sym, (code, ln) in cc.items():
+                        rev, c = 0, code
+                        for _ in range(ln):
+                            rev = (rev << 1) | (c & 1)
+                            c >>= 1
+                        lut[rev :: 1 << ln] = (sym << 4) | ln
+                    self.lut = lut
+                    self.maxlen = maxlen
 
     def read(self, br: _LsbReader) -> int:
         if self.table is None:
             return self.single
+        lut = self.lut
+        if lut is not None:
+            e = int(lut[br.peek() & ((1 << self.maxlen) - 1)])
+            if e < 0:
+                raise ValueError("corrupt VP8L prefix code")
+            ln = e & 15
+            if br.pos + ln > br.nbits:
+                raise IndexError("bit read past end of VP8L stream")
+            br.pos += ln
+            return e >> 4
         code = 0
         for ln in range(1, 16):
             code = (code << 1) | br.u(1)
