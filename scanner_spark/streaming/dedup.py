@@ -31,8 +31,11 @@ batch set.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+import hashlib
+import re
+from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -44,8 +47,203 @@ PAIR_SCHEMA = "doc_a long, doc_b long, est_jaccard double"
 # flattened (bucket-sig, doc, sig) parallel arrays for one state shard
 _STATE_SCHEMA = "bss array<string>, docs array<long>, sigs array<array<long>>"
 
+# Java regex \s (non-Unicode default) spelled out; re.split keeps the same
+# leading/trailing empty tokens as Spark's split(..., -1)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
 
 def banded_minhash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Per-ROW banded MinHash as ONE vectorized Arrow stage: (doc, sig:
+    array<long>, band, bs) rows, bit-identical to the JVM HOF chain
+    (``banded_minhash_rows_hof``, kept below as the reference) and to the
+    batch ``minhash_signatures`` aggregation.
+
+    mapInPandas is stateless, so the stage stays streaming-legal upstream
+    of ``applyInPandasWithState``; the r16 attribution probe
+    (``stream_lsh_probe_r16.json``) showed the per-row HOF chain — NOT the
+    state stage — was the sf10 row's 26-32 s floor: every shingle paid an
+    interpreted ``aggregate``/``zip_with`` lambda per permutation.  Here a
+    whole Arrow batch crosses into Python once and the k permutation
+    minima collapse to one modular affine transform + ``minimum.reduceat``
+    over the batch's flat shingle-hash array.
+
+    Bit-exactness ledger (each JVM step and its Python twin; pinned by
+    ``test_banded_rows_arrow_matches_hof`` on the real corpus):
+    - ``trim``       -> ``str.strip(" ")`` (Spark trim removes 0x20 only)
+    - ``lower``      -> ``str.lower()`` (ASCII-identical; corpus-pinned)
+    - ``split \\s+`` -> ``_JAVA_WS.split`` (Java \\s char class, and both
+      keep the leading/trailing empty tokens of limit=-1 semantics)
+    - ``h60``        -> ``int(md5(s).hexdigest()[:15], 16)``
+    - permutation    -> ``(a * (h % P) + b) % P`` in int64 (a < 2^30 and
+      h % P < 2^33, so products stay under 2^63 — same no-overflow
+      argument as the JVM expression)
+    - band sig       -> ``md5(",".join(str(v)))`` of the band's slice
+      (Python str(int) == JVM Long.toString for the nonnegative minima)
+    """
+    coeffs = minhash_coeffs(k)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    r = k // bands
+
+    def run(batches):
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        split = _JAVA_WS.split
+        # Two memo tiers, both per task (pure-function memoization, NOT
+        # cross-run caching): near-dup corpora repeat whole documents
+        # (the bench corpus is 10x-duplicated by construction), so a
+        # text -> (sig, band sigs) memo skips everything for a repeat;
+        # below it, a shingle -> h60 memo dedups md5 work across the
+        # distinct texts.  Both capped so a pathological partition cannot
+        # balloon worker memory.
+        h_memo: dict[str, int] = {}
+        t_memo: dict[str, tuple | None] = {}
+        T_CAP = 1 << 17
+        H_CAP = 1 << 21
+
+        def h_of(s: str) -> int:
+            v = h_memo.get(s)
+            if v is None:
+                v = int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+                if len(h_memo) < H_CAP:
+                    h_memo[s] = v
+            return v
+
+        empty = pa.RecordBatch.from_arrays(
+            [
+                pa.array([], type=pa.int64()),
+                pa.array([], type=pa.list_(pa.int64())),
+                *[pa.array([], type=pa.string()) for _ in range(bands)],
+            ],
+            names=["doc", "sig"] + [f"bs{b}" for b in range(bands)],
+        )
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            # pass 1: signatures for texts this task has not seen yet
+            new_texts: list[str] = []
+            counts: list[int] = []
+            flat: list[int] = []
+            cur: dict[str, tuple | None] = {}
+            for txt in texts:
+                if txt is None or txt in t_memo or txt in cur:
+                    continue
+                toks = split(txt.strip(" ").lower())
+                if len(toks) < n:
+                    cur[txt] = None
+                    continue
+                sh = {
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                }
+                cur[txt] = ()  # placeholder, filled below
+                new_texts.append(txt)
+                counts.append(len(sh))
+                flat.extend(h_of(s) for s in sh)
+            if new_texts:
+                hs = np.asarray(flat, dtype=np.int64)
+                offsets = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(
+                    np.asarray(counts[:-1], dtype=np.int64), out=offsets[1:]
+                )
+                # (S, k) affine permutations, then per-doc column minima,
+                # chunked by doc groups so the expansion stays bounded
+                # however large the batch's shingle set is
+                sig_rows = np.empty((len(counts), k), dtype=np.int64)
+                max_s = 1 << 21
+                d0 = 0
+                while d0 < len(counts):
+                    d1 = d0
+                    s0 = offsets[d0]
+                    s1 = s0
+                    while d1 < len(counts) and (s1 - s0) < max_s:
+                        s1 = (
+                            offsets[d1] + counts[d1]
+                            if d1 + 1 == len(counts)
+                            else offsets[d1 + 1]
+                        )
+                        d1 += 1
+                    Y = (hs[s0:s1, None] * A[None, :] + B[None, :]) % MINHASH_P
+                    sig_rows[d0:d1] = np.minimum.reduceat(
+                        Y, (offsets[d0:d1] - s0), axis=0
+                    )
+                    d0 = d1
+                for i, txt in enumerate(new_texts):
+                    vals = sig_rows[i].tolist()
+                    cur[txt] = (
+                        vals,
+                        tuple(
+                            md5(
+                                ",".join(
+                                    str(v) for v in vals[b * r : (b + 1) * r]
+                                ).encode("utf-8")
+                            ).hexdigest()
+                            for b in range(bands)
+                        ),
+                    )
+            # pass 2: assemble the batch output through the memos
+            docs_out: list[int] = []
+            sig_flat: list[int] = []
+            bs_cols: list[list[str]] = [[] for _ in range(bands)]
+            for did, txt in zip(ids, texts):
+                if txt is None:
+                    continue
+                got = cur.get(txt)
+                if got is None and txt not in cur:
+                    got = t_memo[txt]
+                if got is None:
+                    continue
+                docs_out.append(int(did))
+                sig_flat.extend(got[0])
+                for b in range(bands):
+                    bs_cols[b].append(got[1][b])
+            if len(t_memo) < T_CAP:
+                t_memo.update(cur)
+            if not docs_out:
+                yield empty
+                continue
+            nd = len(docs_out)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (nd + 1) * k, k, dtype=np.int32)
+                ),
+                pa.array(np.asarray(sig_flat, dtype=np.int64)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(docs_out, dtype=np.int64)),
+                    sig_arr,
+                    *[pa.array(c, type=pa.string()) for c in bs_cols],
+                ],
+                names=["doc", "sig"] + [f"bs{b}" for b in range(bands)],
+            )
+
+    # ONE Arrow row per doc, flat columns only (a list-of-strings column
+    # and per-band Python rows both measured materially slower to
+    # serialize); the band fan-out is a JVM posexplode downstream
+    out_schema = "doc long, sig array<long>, " + ", ".join(
+        f"bs{b} string" for b in range(bands)
+    )
+    per_doc = df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInArrow(run, schema=out_schema)
+    return per_doc.select(
+        "doc",
+        "sig",
+        F.posexplode(F.array(*[F.col(f"bs{b}") for b in range(bands)])).alias(
+            "band", "bs"
+        ),
+    )
+
+
+def banded_minhash_rows_hof(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
