@@ -36,6 +36,15 @@ from scanner_spark.functions.text import tokens
 DEFAULT_SHINGLE_N = 3
 DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4
+
+# cosine_dup_pairs mega-bucket guard: buckets above this many distinct
+# reps are triangle-split into (chunk_i, chunk_j) sub-tasks so one LSH
+# bucket can never stack an unbounded vector matrix in a single task.
+# Sized from a quiet-box measurement of the per-task block cost (see
+# OPTIMIZATION_r17.md): ~seconds per 8192-rep block at dim 64, i.e. a
+# bounded task, while every observed real bucket (sf10 max: 1973 reps)
+# stays on the exact single-group path.
+COSINE_SPLIT_CHUNK = 8192
 # df cap on candidate-generating shingles: a shingle shared by d docs emits
 # O(d^2) candidate pairs, so one stop-shingle ("of the and" ...) can go
 # quadratic on the corpus.  1000 keeps any single shingle's pair fan-out
@@ -699,6 +708,7 @@ def cosine_dup_pairs(
     threshold: float = 0.98,
     lsh_bits: int | None = None,
     pairs_mode: str = "all",
+    split_chunk: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold within a
     blocking key.  Output: (id_a, id_b, cosine).
@@ -864,43 +874,82 @@ def cosine_dup_pairs(
     # screen at (threshold - 1e-6) only drops pairs the exact filter
     # would drop anyway — round(x, 6) moves x by < 5e-7 — so survivors
     # are untouched while the emitted candidate set shrinks from O(m^2)
-    # rows to the near-threshold ones.  Per-bucket memory is bounded by
-    # building the dot matrix in row chunks of <= 8M doubles (64 MB), so
-    # a hot bucket cannot OOM a worker at any corpus size.
+    # rows to the near-threshold ones.  Two memory bounds apply per task:
+    # the dot matrix is built in row chunks of <= 8M doubles (64 MB), and
+    # the mega-bucket triangle split below caps the rows any one task
+    # stacks at ~2x COSINE_SPLIT_CHUNK, so both the O(m*dim) vector
+    # matrix and the near-threshold survivor arrays stay bounded however
+    # hot a blocking key gets.
     pre_threshold = threshold - 1e-6
+    _EMPTY_PAIRS = {
+        "rid_a": pd.Series([], dtype="int64"),
+        "rid_b": pd.Series([], dtype="int64"),
+        "dot": pd.Series([], dtype="float64"),
+        "n2a": pd.Series([], dtype="float64"),
+        "n2b": pd.Series([], dtype="float64"),
+    }
 
     def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {
-                    "rid_a": pd.Series([], dtype="int64"),
-                    "rid_b": pd.Series([], dtype="int64"),
-                    "dot": pd.Series([], dtype="float64"),
-                    "n2a": pd.Series([], dtype="float64"),
-                    "n2b": pd.Series([], dtype="float64"),
-                }
-            )
-        pdf = pdf.sort_values("rid")  # triu over sorted rids == rid_a < rid_b
-        rid = pdf["rid"].to_numpy()
-        n2 = pdf["n2"].to_numpy(dtype="float64")
-        A = np.stack(pdf["v"].to_numpy()).astype("float64")
-        sq = np.sqrt(n2)
+        ci, cj = int(pdf["__ci"].iat[0]), int(pdf["__cj"].iat[0])
         parts: list[tuple[np.ndarray, ...]] = []
-        chunk = max(1, (8 << 20) // m)
-        for s in range(0, m - 1, chunk):
-            e = min(m, s + chunk)
-            D = np.zeros((e - s, m))
-            Ac = A[s:e]
-            for j in range(A.shape[1]):
-                D += np.multiply.outer(Ac[:, j], A[:, j])
-            with np.errstate(divide="ignore", invalid="ignore"):
-                pre = D / (sq[s:e, None] * sq[None, :])
-            keep = (np.arange(m)[None, :] > np.arange(s, e)[:, None]) & (
-                pre >= pre_threshold
-            )
-            ri, ci = np.nonzero(keep)
-            parts.append((rid[s + ri], rid[ci], D[ri, ci], n2[s + ri], n2[ci]))
+        if ci == cj:
+            # triangle block: all rows are chunk ci of the bucket
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame(_EMPTY_PAIRS)
+            pdf = pdf.sort_values("rid")  # triu over sorted rids == rid_a < rid_b
+            rid = pdf["rid"].to_numpy()
+            n2 = pdf["n2"].to_numpy(dtype="float64")
+            A = np.stack(pdf["v"].to_numpy()).astype("float64")
+            sq = np.sqrt(n2)
+            chunk = max(1, (8 << 20) // m)
+            for s in range(0, m - 1, chunk):
+                e = min(m, s + chunk)
+                D = np.zeros((e - s, m))
+                Ac = A[s:e]
+                for j in range(A.shape[1]):
+                    D += np.multiply.outer(Ac[:, j], A[:, j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    pre = D / (sq[s:e, None] * sq[None, :])
+                keep = (np.arange(m)[None, :] > np.arange(s, e)[:, None]) & (
+                    pre >= pre_threshold
+                )
+                ri, cix = np.nonzero(keep)
+                parts.append(
+                    (rid[s + ri], rid[cix], D[ri, cix], n2[s + ri], n2[cix])
+                )
+        else:
+            # rectangle block of a split mega-bucket: chunk ci x chunk cj.
+            # Every rid in chunk ci < every rid in chunk cj (chunks are
+            # rid-ordered row_number ranges), so all cross pairs are
+            # already (rid_a < rid_b) ordered and the block union over
+            # (ci <= cj) is exactly the bucket's full pair triangle.  The
+            # dot still accumulates dim outer products in j order —
+            # per-pair bit-identical to the unsplit task.
+            pa = pdf[pdf["__c"] == ci].sort_values("rid")
+            pb = pdf[pdf["__c"] == cj].sort_values("rid")
+            if len(pa) == 0 or len(pb) == 0:
+                return pd.DataFrame(_EMPTY_PAIRS)
+            ra = pa["rid"].to_numpy()
+            rb = pb["rid"].to_numpy()
+            na2 = pa["n2"].to_numpy(dtype="float64")
+            nb2 = pb["n2"].to_numpy(dtype="float64")
+            A = np.stack(pa["v"].to_numpy()).astype("float64")
+            Bm = np.stack(pb["v"].to_numpy()).astype("float64")
+            sqa, sqb = np.sqrt(na2), np.sqrt(nb2)
+            chunk = max(1, (8 << 20) // len(pb))
+            for s in range(0, len(pa), chunk):
+                e = min(len(pa), s + chunk)
+                D = np.zeros((e - s, len(pb)))
+                Ac = A[s:e]
+                for j in range(A.shape[1]):
+                    D += np.multiply.outer(Ac[:, j], Bm[:, j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    pre = D / (sqa[s:e, None] * sqb[None, :])
+                ri, cix = np.nonzero(pre >= pre_threshold)
+                parts.append(
+                    (ra[s + ri], rb[cix], D[ri, cix], na2[s + ri], nb2[cix])
+                )
         cols = [np.concatenate(c) for c in zip(*parts)]
         return pd.DataFrame(
             {"rid_a": cols[0], "rid_b": cols[1], "dot": cols[2],
@@ -916,11 +965,63 @@ def cosine_dup_pairs(
     # single-threaded.  A user repartition with an explicit count is
     # exempt from AQE coalescing; the count follows the session's
     # parallelism, not a local constant.
+    #
+    # Mega-bucket triangle split (round 17, VERDICT r16 "what's wrong"
+    # #1): a pathological blocking key — one LSH bucket holding millions
+    # of reps — would otherwise stack the WHOLE bucket's vector matrix in
+    # one task (the §2.5 skew cliff: multi-GB pandas group, one
+    # straggler).  Buckets are chunked into rid-ordered ranges of
+    # COSINE_SPLIT_CHUNK reps; sub-group (i, j), i <= j, receives chunks
+    # i and j and computes the triangle (i == j) or rectangle (i < j)
+    # block, so the union over sub-groups is exactly the unsplit pair
+    # triangle with per-pair bit-identical dots, while any one task holds
+    # at most 2 chunks of rows.  Buckets at or under the chunk size (all
+    # real corpora so far: sf10's max block is 1973 reps) land in the
+    # single sub-group (0, 0) and behave exactly as before.
+    from pyspark.sql import Window
+
+    chunk_sz = int(split_chunk if split_chunk is not None else COSINE_SPLIT_CHUNK)
     nparts = reps.sparkSession.sparkContext.defaultParallelism
+    wk = Window.partitionBy(*key_names)
+    sub = (
+        F.when(
+            F.col("__c") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("__c") - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("i"), F.col("__c").alias("j")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<i:int,j:int>>"))
+    )
+    sub = F.concat(
+        sub,
+        F.transform(
+            F.sequence(F.col("__c"), F.col("__nch") - 1),
+            lambda j: F.struct(F.col("__c").alias("i"), j.cast("int").alias("j")),
+        ),
+    )
     cand = (
         reps.na.drop(subset=key_names)
-        .repartition(nparts, *key_names)
-        .groupBy(*key_names)
+        .withColumn("__rn", F.row_number().over(wk.orderBy("rid")) - 1)
+        .withColumn(
+            "__nch",
+            F.ceil(F.count(F.lit(1)).over(wk) / F.lit(chunk_sz)).cast("int"),
+        )
+        .withColumn("__c", (F.col("__rn") / F.lit(chunk_sz)).cast("int"))
+        .withColumn("__sub", F.explode(sub))
+        .select(
+            *key_names,
+            "rid",
+            "v",
+            "n2",
+            "__c",
+            F.col("__sub.i").alias("__ci"),
+            F.col("__sub.j").alias("__cj"),
+        )
+        .repartition(nparts, *key_names, "__ci", "__cj")
+        .groupBy(*key_names, "__ci", "__cj")
         .applyInPandas(
             _bucket_pairs, "rid_a long, rid_b long, dot double, n2a double, n2b double"
         )

@@ -240,13 +240,18 @@ def test_cosine_star_mode_clique_components_match_brute(spark):
         dedup.cosine_dup_pairs(df, pairs_mode="chain")
 
 
-def test_cosine_all_pairs_bit_identical_to_join_form(spark):
+@pytest.mark.parametrize("split_chunk", [None, 7])
+def test_cosine_all_pairs_bit_identical_to_join_form(spark, split_chunk):
     """The round-16 per-bucket pair stage (applyInPandas, outer-product
     accumulation, slack prefilter) must reproduce the retired rep x rep
     join + pair_dot shape EXACTLY — same pairs, bit-identical cosine
     doubles — including exact-duplicate group expansion, a pair landing
     exactly on the threshold, and the null-blocking-key join semantics
-    (null never equals null, so a null label emits no cross pairs)."""
+    (null never equals null, so a null label emits no cross pairs).
+
+    ``split_chunk=7`` forces the round-17 mega-bucket triangle split (the
+    81-rep bucket becomes 12 rid-ordered chunks -> 78 triangle/rectangle
+    sub-tasks) and must reproduce the identical pair set and bits."""
     import numpy as np
     import pandas as pd
 
@@ -270,7 +275,9 @@ def test_cosine_all_pairs_bit_identical_to_join_form(spark):
 
     got = {
         (r.id_a, r.id_b): r.cosine
-        for r in dedup.cosine_dup_pairs(df, threshold=threshold).collect()
+        for r in dedup.cosine_dup_pairs(
+            df, threshold=threshold, split_chunk=split_chunk
+        ).collect()
     }
 
     # reference: the retired join-form semantics, replayed literally —
