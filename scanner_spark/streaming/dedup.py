@@ -341,32 +341,72 @@ def _advance_shard(
     it, then FIFO-evict down to ``max_docs`` entries (arrival order is
     global per shard, so the evicted doc is the shard's OLDEST across all
     its buckets — the recall-for-boundedness trade of an unbounded stream).
-    Returns (new_entries, emitted_pairs)."""
-    buckets: dict[str, tuple[list[int], list[list[int]]]] = {}
-    for b, d, s in entries:
-        ent = buckets.get(b)
-        if ent is None:
-            ent = ([], [])
-            buckets[b] = ent
-        ent[0].append(d)
-        ent[1].append(s)
+    Returns (new_entries, emitted_pairs).
+
+    Round 17: the per-pair Python loop (a k-element zip-compare per
+    candidate pair, plus a per-row ``[int(x) for x in sig]``) is replaced
+    by one numpy equality-count per bucket; emitted pairs are re-sorted to
+    the retired loop's exact order ((arrival index, bucket position)) and
+    est comes from a table built with the same Python ``round``, so the
+    returned (entries, pairs) are identical element for element."""
     entries = list(entries)
+    rows = list(rows)
     pairs: list[tuple[int, int, float]] = []
-    for doc, sig, bs in rows:
-        doc = int(doc)
-        sig = [int(x) for x in sig]
-        ent = buckets.get(bs)
-        if ent is None:
-            ent = ([], [])
-            buckets[bs] = ent
-        for d2, s2 in zip(ent[0], ent[1]):
-            m = sum(1 for x, y in zip(sig, s2) if x == y)
-            est = round(m / k, 6)
-            if est >= threshold:
-                pairs.append((min(doc, d2), max(doc, d2), est))
-        ent[0].append(doc)
-        ent[1].append(sig)
-        entries.append((bs, doc, sig))
+    if rows:
+        est_table = [round(m / k, 6) for m in range(k + 1)]
+        ok = np.array([est_table[m] >= threshold for m in range(k + 1)])
+        old_docs: dict[str, list] = {}
+        old_sigs: dict[str, list] = {}
+        for b, d, s in entries:
+            old_docs.setdefault(b, []).append(d)
+            old_sigs.setdefault(b, []).append(s)
+        new_by_bucket: dict[str, list[int]] = {}
+        new_docs: list[int] = [0] * len(rows)
+        new_sigs: list = [None] * len(rows)
+        new_bs: list = [None] * len(rows)
+        for j, (doc, sig, bs) in enumerate(rows):
+            new_docs[j] = int(doc)
+            new_sigs[j] = np.asarray(sig, dtype=np.int64)
+            new_bs[j] = bs
+            new_by_bucket.setdefault(bs, []).append(j)
+        # (arrival idx, bucket position, doc_a, doc_b, est)
+        emitted: list[tuple[int, int, int, int, float]] = []
+        for bs, js in new_by_bucket.items():
+            od = old_docs.get(bs, ())
+            m0 = len(od)
+            m1 = len(js)
+            N = np.stack([new_sigs[j] for j in js])
+            if m0:
+                S = np.concatenate(
+                    [np.asarray(old_sigs[bs], dtype=np.int64).reshape(m0, k), N]
+                )
+            else:
+                S = N
+            if m0 + m1 < 2:
+                continue
+            docs_all = list(od) + [new_docs[j] for j in js]
+            pos = np.arange(S.shape[0])
+            # chunk over arrivals so the (m0+m1) x chunk x k bool block
+            # stays bounded however hot the bucket is
+            step = max(1, (4 << 20) // (S.shape[0] * k))
+            for c0 in range(0, m1, step):
+                c1 = min(m1, c0 + step)
+                M = (S[:, None, :] == N[None, c0:c1, :]).sum(axis=2)
+                valid = ok[M]
+                # candidate i must strictly precede arrival t in the
+                # bucket: old entries always do, new ones when their
+                # position m0 + t_local + c0 is below t's
+                valid &= pos[:, None] < (m0 + c0 + np.arange(c1 - c0))[None, :]
+                for i, t in zip(*(x.tolist() for x in np.nonzero(valid))):
+                    jg = js[c0 + t]
+                    a = docs_all[i]
+                    bdoc = new_docs[jg]
+                    lo, hi = (a, bdoc) if a < bdoc else (bdoc, a)
+                    emitted.append((jg, i, int(lo), int(hi), est_table[int(M[i, t])]))
+        emitted.sort(key=lambda e: (e[0], e[1]))
+        pairs = [(a, b, est) for _, _, a, b, est in emitted]
+        for j in range(len(rows)):
+            entries.append((new_bs[j], new_docs[j], new_sigs[j].tolist()))
     if max_docs is not None and len(entries) > max_docs:
         entries = entries[-max_docs:]
     return entries, pairs
@@ -432,10 +472,9 @@ def lsh_dedup_pairs(
         entries: list[tuple[str, int, list[int]]] = []
         if state.exists:
             st_bss, st_docs, st_sigs = state.get
-            entries = [
-                (b, int(d), [int(x) for x in s])
-                for b, d, s in zip(st_bss, st_docs, st_sigs)
-            ]
+            # no per-element int() here: _advance_shard stacks sigs with
+            # numpy and the update below normalizes once per entry
+            entries = list(zip(st_bss, st_docs, st_sigs))
 
         def rows():
             for pdf in pdfs:
@@ -447,8 +486,11 @@ def lsh_dedup_pairs(
         state.update(
             (
                 [b for b, _, _ in entries],
-                [d for _, d, _ in entries],
-                [s for _, _, s in entries],
+                [int(d) for _, d, _ in entries],
+                [
+                    s if type(s) is list else np.asarray(s).tolist()
+                    for _, _, s in entries
+                ],
             )
         )
         if use_timeout:

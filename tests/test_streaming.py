@@ -151,6 +151,62 @@ def test_lsh_shard_state_plateaus_under_cap():
     assert len(entries2) == 400
 
 
+def test_advance_shard_differential_vs_scalar_loop():
+    """The round-17 vectorized shard transition must reproduce the retired
+    per-pair Python loop EXACTLY — same entries list, same pairs in the
+    same order with the same est doubles — across multi-batch sequences
+    with shared buckets, duplicate sigs, threshold-straddling matches,
+    odd k (non-power-of-two round behavior), and the FIFO cap."""
+    import numpy as np
+
+    from scanner_spark.streaming.dedup import _advance_shard
+
+    def ref(entries, rows, k, threshold, max_docs):
+        buckets = {}
+        for b, d, s in entries:
+            ent = buckets.setdefault(b, ([], []))
+            ent[0].append(d)
+            ent[1].append(s)
+        entries = list(entries)
+        pairs = []
+        for doc, sig, bs in rows:
+            doc = int(doc)
+            sig = [int(x) for x in sig]
+            ent = buckets.setdefault(bs, ([], []))
+            for d2, s2 in zip(ent[0], ent[1]):
+                m = sum(1 for x, y in zip(sig, s2) if x == y)
+                est = round(m / k, 6)
+                if est >= threshold:
+                    pairs.append((min(doc, d2), max(doc, d2), est))
+            ent[0].append(doc)
+            ent[1].append(sig)
+            entries.append((bs, doc, sig))
+        if max_docs is not None and len(entries) > max_docs:
+            entries = entries[-max_docs:]
+        return entries, pairs
+
+    rng = np.random.default_rng(17)
+    for k, threshold, cap in [(16, 0.5, None), (16, 0.8125, 40), (7, 0.51, None)]:
+        ent_new: list = []
+        ent_ref: list = []
+        base = rng.integers(0, 50, (8, k))
+        for rnd in range(6):
+            rows = []
+            for i in range(30):
+                # sigs drawn near one of 8 prototypes so match counts
+                # straddle the threshold; ~4 buckets force collisions
+                proto = base[int(rng.integers(0, 8))].copy()
+                flips = rng.integers(0, k, int(rng.integers(0, k)))
+                proto[flips] += 1
+                rows.append(
+                    (rnd * 100 + i, proto.tolist(), f"b{int(rng.integers(0, 4))}")
+                )
+            ent_new, pairs_new = _advance_shard(ent_new, rows, k, threshold, cap)
+            ent_ref, pairs_ref = ref(ent_ref, rows, k, threshold, cap)
+            assert pairs_new == pairs_ref
+            assert [(b, int(d), list(s)) for b, d, s in ent_new] == ent_ref
+
+
 def test_lsh_dedup_bounded_state_on_unbounded_stream(spark, tmp_path):
     """Integration: lsh_dedup_pairs with ProcessingTimeTimeout + a FIFO
     doc cap keeps the state-store row count at the fixed group cardinality
