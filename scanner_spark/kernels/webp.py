@@ -75,21 +75,25 @@ class _LsbReader:
         a[:n] = np.frombuffer(data, dtype=np.uint8)
         # 32 bits starting at every byte: >= 25 valid bits at any
         # intra-byte offset, covering the widest field read (18-bit LZ77
-        # distance extra + 7-bit offset)
-        self.W = a[:-4] | (a[1:-3] << 8) | (a[2:-2] << 16) | (a[3:-1] << 24)
+        # distance extra + 7-bit offset).  Stored as a PYTHON list: the
+        # reads are scalar (one per field/symbol), and list indexing is
+        # several times cheaper than a numpy scalar access + int() — the
+        # ndarray-backed variant measured 2.4x SLOWER than the retired
+        # per-bit loop on the decode profile.
+        self.W = (a[:-4] | (a[1:-3] << 8) | (a[2:-2] << 16) | (a[3:-1] << 24)).tolist()
 
     def u(self, n: int) -> int:
         p = self.pos
         if p + n > self.nbits:
             raise IndexError("bit read past end of VP8L stream")
         self.pos = p + n
-        return int(self.W[p >> 3] >> (p & 7)) & ((1 << n) - 1)
+        return (self.W[p >> 3] >> (p & 7)) & ((1 << n) - 1)
 
     def peek(self) -> int:
         """Up to 25 low bits at the current position, zero-padded past
         the stream end."""
         p = self.pos
-        return int(self.W[p >> 3] >> (p & 7))
+        return self.W[p >> 3] >> (p & 7)
 
 
 class _LsbWriter:
@@ -161,15 +165,21 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 class _PrefixDecoder:
     """Canonical prefix decoder.  Codes up to 11 bits get a flat LUT
     (one peek + one index per symbol, round 17); longer codes fall back
-    to the bit-by-bit walk (codes are at most 15 bits)."""
+    to the bit-by-bit walk (codes are at most 15 bits).
 
-    __slots__ = ("table", "single", "lut", "maxlen")
+    The LUT is built LAZILY on the first ``read`` — profiling showed the
+    eager build was ~0.5 ms/img of pure waste: the flat-literal pixel
+    fast path never calls ``read`` on the five per-image channel
+    decoders, so their tables were constructed and thrown away."""
+
+    __slots__ = ("table", "single", "lut", "maxlen", "_cc")
 
     def __init__(self, lengths: list[int] | None = None, single: int | None = None):
         self.single = single
         self.table = None
         self.lut = None
         self.maxlen = 0
+        self._cc = None
         if lengths is not None:
             used = [ln for ln in lengths if ln]
             if len(used) == 1:
@@ -180,29 +190,42 @@ class _PrefixDecoder:
                 self.table = {
                     (ln, code): sym for sym, (code, ln) in cc.items()
                 }
-                maxlen = max(ln for _, ln in cc.values())
-                if maxlen <= 11:
-                    # LUT indexed by the next maxlen STREAM bits: the
-                    # first bit read is the code's MSB, and an LSB-first
-                    # peek puts the first stream bit at bit 0, so the
-                    # index prefix is the bit-reversed code; every index
-                    # sharing that low-bit prefix maps to the same entry
-                    lut = np.full(1 << maxlen, -1, dtype=np.int32)
-                    for sym, (code, ln) in cc.items():
-                        rev, c = 0, code
-                        for _ in range(ln):
-                            rev = (rev << 1) | (c & 1)
-                            c >>= 1
-                        lut[rev :: 1 << ln] = (sym << 4) | ln
-                    self.lut = lut
-                    self.maxlen = maxlen
+                self._cc = cc
+
+    def _ensure_lut(self):
+        """Build the flat LUT from the pending canonical codes (once).
+        LUT indexed by the next maxlen STREAM bits: the first bit read is
+        the code's MSB, and an LSB-first peek puts the first stream bit
+        at bit 0, so the index prefix is the bit-reversed code; every
+        index sharing that low-bit prefix maps to the same entry.  Kept
+        as a Python list — read() does one scalar lookup per symbol (see
+        _LsbReader.W)."""
+        cc = self._cc
+        self._cc = None
+        if cc is None:
+            return None
+        maxlen = max(ln for _, ln in cc.values())
+        if maxlen > 11:
+            return None
+        lut = np.full(1 << maxlen, -1, dtype=np.int32)
+        for sym, (code, ln) in cc.items():
+            rev, c = 0, code
+            for _ in range(ln):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            lut[rev :: 1 << ln] = (sym << 4) | ln
+        self.lut = lut.tolist()
+        self.maxlen = maxlen
+        return self.lut
 
     def read(self, br: _LsbReader) -> int:
         if self.table is None:
             return self.single
         lut = self.lut
+        if lut is None and self._cc is not None:
+            lut = self._ensure_lut()
         if lut is not None:
-            e = int(lut[br.peek() & ((1 << self.maxlen) - 1)])
+            e = lut[br.peek() & ((1 << self.maxlen) - 1)]
             if e < 0:
                 raise ValueError("corrupt VP8L prefix code")
             ln = e & 15
@@ -249,6 +272,58 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixDecoder:
     lengths = [0] * alphabet_size
     prev = 8
     sym = 0
+    lut = None
+    if cl.table is not None:
+        lut = cl.lut if cl.lut is not None else cl._ensure_lut()
+    if lut is not None:
+        # Inlined hot loop (round 17): the code-length walk is the
+        # dominant per-image webp decode cost (~0.8 ms/img of method-call
+        # overhead through cl.read/br.u) — one window peek per symbol and
+        # per extra-bits field, local variables only.  Semantics are
+        # read()'s exactly, including the IndexError on a read whose last
+        # bit falls beyond the stream.
+        W = br.W
+        pos = br.pos
+        nbits = br.nbits
+        mask = (1 << cl.maxlen) - 1
+        while sym < alphabet_size and max_symbol > 0:
+            max_symbol -= 1
+            e = lut[(W[pos >> 3] >> (pos & 7)) & mask]
+            if e < 0:
+                br.pos = pos
+                raise ValueError("corrupt VP8L prefix code")
+            ln = e & 15
+            if pos + ln > nbits:
+                br.pos = pos
+                raise IndexError("bit read past end of VP8L stream")
+            pos += ln
+            s = e >> 4
+            if s < 16:
+                lengths[sym] = s
+                sym += 1
+                if s:
+                    prev = s
+            else:
+                if s == 16:
+                    nb, base = 2, 3
+                elif s == 17:
+                    nb, base = 3, 3
+                else:  # 18
+                    nb, base = 7, 11
+                if pos + nb > nbits:
+                    br.pos = pos
+                    raise IndexError("bit read past end of VP8L stream")
+                v = base + ((W[pos >> 3] >> (pos & 7)) & ((1 << nb) - 1))
+                pos += nb
+                if s == 16:
+                    for _ in range(v):
+                        if sym < alphabet_size:
+                            lengths[sym] = prev
+                            sym += 1
+                else:
+                    sym += v
+        br.pos = pos
+        return _PrefixDecoder(lengths)
     while sym < alphabet_size and max_symbol > 0:
         max_symbol -= 1
         s = cl.read(br)

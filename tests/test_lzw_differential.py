@@ -302,6 +302,7 @@ def test_webp_prefix_differential(maxlen, seed):
     data = bytes(w.buf)
 
     dec = _PrefixDecoder(lengths)
+    dec._ensure_lut()  # lazy since round 17: built on first read
     real_max = max(ln for ln in lengths if ln)
     if real_max <= 11:
         assert dec.lut is not None  # fast path engaged
