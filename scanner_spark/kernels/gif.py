@@ -181,6 +181,14 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         prev = (v,)
     if prev:
         emit(table[prev], width)
+        # mirror the decoder's append-for-the-final-code: if that entry
+        # lands on the 2^width boundary the decoder reads EOI one bit
+        # wider (same latent flush off-by-one as the TIFF encoder, fixed
+        # round 17)
+        if next_code < MAX_CODE:
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

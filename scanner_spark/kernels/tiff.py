@@ -164,6 +164,16 @@ def _lzw_encode(data: bytes) -> bytes:
             table, next_code, width = fresh(), 258, 9
     if w:
         emit(table[w], width)
+        # The decoder appends a table entry for this final code too, and
+        # widens if that lands on the early-change boundary — EOI must be
+        # emitted at the width the decoder will read it with.  (Without
+        # this, a strip whose flush falls exactly at 510/1022/2046
+        # entries emitted a 9/10/11-bit EOI the decoder read as a wider
+        # garbage code — latent since the encoder was written, found by
+        # the round-17 property fuzz.)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_LZW_EOI, width)
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)

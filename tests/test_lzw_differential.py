@@ -317,3 +317,40 @@ def test_webp_prefix_differential(maxlen, seed):
         want, pos = _prefix_read_ref(table, data, pos)
         assert got == want == s
         assert br.pos == pos
+
+
+def test_tiff_lzw_eoi_at_early_change_boundary():
+    """Encoder flush off-by-one (fixed round 17): the decoder appends a
+    table entry for the FINAL data code too, so a strip whose flush lands
+    exactly at 510 entries must emit EOI at 10 bits.  253 distinct bytes
+    force 252 in-loop emissions + 1 flush — the exact boundary.  Before
+    the fix both decoders read a 10-bit garbage code (514) and raised."""
+    from scanner_spark.kernels.tiff import _lzw_decode, _lzw_encode
+
+    raw = bytes(range(253))
+    enc = _lzw_encode(raw)
+    assert _lzw_decode(enc, len(raw) + 16) == raw
+    assert _tiff_lzw_decode_ref(enc, len(raw) + 16) == raw
+
+
+def test_tiff_round_trip_lzw_boundary_image():
+    """The hypothesis falsifying example that exposed the flush bug
+    (h=11, w=23, c=1, seed=0, lzw, predictor=2), pinned deterministically."""
+    from scanner_spark.kernels.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (11, 23, 1), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(img, compression="lzw", predictor=2))
+    assert np.array_equal(out, img)
+
+
+def test_gif_lzw_eoi_at_width_boundary():
+    """Same flush off-by-one in the GIF encoder: 255 distinct indices at
+    min_code_size=8 put the decoder's post-flush next_code at 512, so EOI
+    must be emitted at 10 bits."""
+    from scanner_spark.kernels.gif import _lzw_decode, _lzw_encode
+
+    idx = np.arange(255, dtype=np.int64)
+    enc = _lzw_encode(idx, 8)
+    assert _gif_lzw_decode_ref(enc, 8) == idx.tolist()
+    assert _lzw_decode(enc, 8).tolist() == idx.tolist()
