@@ -877,7 +877,7 @@ def cosine_dup_pairs(
     # rows to the near-threshold ones.  Two memory bounds apply per task:
     # the dot matrix is built in row chunks of <= 8M doubles (64 MB), and
     # the mega-bucket triangle split below caps the rows any one task
-    # stacks at ~2x COSINE_SPLIT_CHUNK, so both the O(m*dim) vector
+    # stacks at ~2x COSINE_SPLIT_CHUNK (hash-balanced), so both the O(m*dim) vector
     # matrix and the near-threshold survivor arrays stay bounded however
     # hot a blocking key gets.
     pre_threshold = threshold - 1e-6
@@ -920,12 +920,14 @@ def cosine_dup_pairs(
                 )
         else:
             # rectangle block of a split mega-bucket: chunk ci x chunk cj.
-            # Every rid in chunk ci < every rid in chunk cj (chunks are
-            # rid-ordered row_number ranges), so all cross pairs are
-            # already (rid_a < rid_b) ordered and the block union over
-            # (ci <= cj) is exactly the bucket's full pair triangle.  The
-            # dot still accumulates dim outer products in j order —
-            # per-pair bit-identical to the unsplit task.
+            # Chunks are disjoint hash classes of rid, so each unordered
+            # cross pair appears in exactly this one (min, max) rectangle
+            # and the block union over (ci <= cj) is exactly the bucket's
+            # full pair triangle.  Emitted (rid_a, rid_b) need not be
+            # rid-ordered — the cosine is orientation-independent and the
+            # final output normalizes ids with least/greatest.  The dot
+            # still accumulates dim outer products in j order — per-pair
+            # bit-identical to the unsplit task.
             pa = pdf[pdf["__c"] == ci].sort_values("rid")
             pb = pdf[pdf["__c"] == cj].sort_values("rid")
             if len(pa) == 0 or len(pb) == 0:
@@ -970,19 +972,32 @@ def cosine_dup_pairs(
     # #1): a pathological blocking key — one LSH bucket holding millions
     # of reps — would otherwise stack the WHOLE bucket's vector matrix in
     # one task (the §2.5 skew cliff: multi-GB pandas group, one
-    # straggler).  Buckets are chunked into rid-ordered ranges of
-    # COSINE_SPLIT_CHUNK reps; sub-group (i, j), i <= j, receives chunks
-    # i and j and computes the triangle (i == j) or rectangle (i < j)
-    # block, so the union over sub-groups is exactly the unsplit pair
-    # triangle with per-pair bit-identical dots, while any one task holds
-    # at most 2 chunks of rows.  Buckets at or under the chunk size (all
-    # real corpora so far: sf10's max block is 1973 reps) land in the
-    # single sub-group (0, 0) and behave exactly as before.
-    from pyspark.sql import Window
-
+    # straggler).  Rows of an oversized bucket are hashed into
+    # nch = ceil(|bucket| / COSINE_SPLIT_CHUNK) chunks; sub-group (i, j),
+    # i <= j, receives chunks i and j and computes the triangle (i == j)
+    # or rectangle (i < j) block.  Every unordered rep pair lands in
+    # exactly one sub-group (same chunk -> that chunk's triangle,
+    # different chunks -> the one (min, max) rectangle), so the union
+    # over sub-groups is exactly the unsplit pair triangle with per-pair
+    # bit-identical dots, while any one task holds ~2 hash-balanced
+    # chunks of rows.  The oversized-bucket set itself is found with one
+    # count aggregate over the persisted reps and broadcast back — it is
+    # tiny by construction (each row represents > chunk_sz reps), so the
+    # common case (every real corpus so far: sf10's max block is 1973
+    # reps) pays no window, no sort and no extra exchange of the vector
+    # column: every row left-joins to null, lands in chunk 0 of 1 and
+    # flows through the identical round-16 plan shape.  (A first cut used
+    # row_number over the bucket instead: exact chunk bounds, but the
+    # window's exchange+sort of the full reps table measured +8-9 s on
+    # the sf10 row — the guard must be free when it does not trigger.)
     chunk_sz = int(split_chunk if split_chunk is not None else COSINE_SPLIT_CHUNK)
     nparts = reps.sparkSession.sparkContext.defaultParallelism
-    wk = Window.partitionBy(*key_names)
+    nn = reps.na.drop(subset=key_names)
+    big = (
+        nn.groupBy(*key_names)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > chunk_sz)
+    )
     sub = (
         F.when(
             F.col("__c") > 0,
@@ -1003,13 +1018,14 @@ def cosine_dup_pairs(
         ),
     )
     cand = (
-        reps.na.drop(subset=key_names)
-        .withColumn("__rn", F.row_number().over(wk.orderBy("rid")) - 1)
+        nn.join(F.broadcast(big), key_names, "left")
         .withColumn(
             "__nch",
-            F.ceil(F.count(F.lit(1)).over(wk) / F.lit(chunk_sz)).cast("int"),
+            F.coalesce(
+                F.ceil(F.col("__n") / F.lit(chunk_sz)).cast("int"), F.lit(1)
+            ),
         )
-        .withColumn("__c", (F.col("__rn") / F.lit(chunk_sz)).cast("int"))
+        .withColumn("__c", F.pmod(F.xxhash64("rid"), F.col("__nch")).cast("int"))
         .withColumn("__sub", F.explode(sub))
         .select(
             *key_names,

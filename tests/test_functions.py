@@ -250,7 +250,7 @@ def test_cosine_all_pairs_bit_identical_to_join_form(spark, split_chunk):
     (null never equals null, so a null label emits no cross pairs).
 
     ``split_chunk=7`` forces the round-17 mega-bucket triangle split (the
-    81-rep bucket becomes 12 rid-ordered chunks -> 78 triangle/rectangle
+    81-rep bucket becomes 12 hash chunks -> 78 triangle/rectangle
     sub-tasks) and must reproduce the identical pair set and bits."""
     import numpy as np
     import pandas as pd
