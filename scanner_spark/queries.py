@@ -2180,69 +2180,25 @@ def q_emb_kmeans(spark, sf_dir):
 
 # ------------------------------------------------------------------
 # Ordering = the driver's correctness window: it checks the first 50
-# entries per round.  Round-16 rotation (VERDICT r15 "do this" #3):
-# the two queries this round's codec work touches lead —
-# multimodal_decode (vectorized JPEG entropy coding, both transports)
-# and multimodal_audio (vectorized FLAC rice/residual + LPC decode) —
-# followed by the 40 other entries whose latest driver evidence is
-# round 14 (emb_*/dedup_*/stream_*/docs_* blocks, asof, samplers'
-# warmup/state pair), then 8 round-15-fresh codec-adjacent entries
-# (video/frame kernels, repeated-passages) to fill the window.  The
-# remaining 41 were verified fresh in round 15 (max evidence age stays
-# one round).  Every entry stays locally hash-checked against its
-# DuckDB oracle by tests/test_entry_parity.py regardless of window
-# position.
+# entries per round.  Round-17 rotation (VERDICT r16 "do this" #7): the
+# five queries this round's code touches lead — stream_dedup_minhash_lsh
+# (Arrow signature stage + vectorized shard scoring), multimodal_decode
+# (TIFF/GIF LZW + WebP entropy-tier vectorization), multimodal_audio
+# (bitpack precondition assert in its encode path), emb_cosine_pairs and
+# emb_dup_clusters (mega-bucket triangle split in cosine_dup_pairs) —
+# followed by the 41 entries whose latest driver evidence is round 15
+# (samplers, tpch/relational, events batch, orders, doc filters), then 4
+# dedup entries sharing functions/dedup.py with the cosine change to
+# fill the window.  The remaining 41 were verified fresh in round 16
+# (max evidence age stays one round).  Every entry stays locally
+# hash-checked against its DuckDB oracle by tests/test_entry_parity.py
+# regardless of window position.
 QUERIES = {
+    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
-    "emb_knn_lsh": q_emb_knn_lsh,
-    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-    "dedup_exact_groups": q_dedup_exact_groups,
-    "dedup_materialize": q_dedup_materialize,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash_sigs": q_dedup_simhash_sigs,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_clusters": q_dedup_minhash_clusters,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "emb_dup_clusters": q_emb_dup_clusters,
-    "emb_label_centroids": q_emb_label_centroids,
-    "emb_quantize": q_emb_quantize,
-    "emb_kmeans_assign": q_emb_kmeans_assign,
-    "emb_knn_pq": q_emb_knn_pq,
-    "doc_decontaminate": q_doc_decontaminate,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "docs_domain_resample": q_docs_domain_resample,
-    "docs_pack_sequences": q_docs_pack_sequences,
-    "doc_pii_scrub": q_doc_pii_scrub,
-    "docs_search_topk": q_docs_search_topk,
-    "vocab_topk": q_vocab_topk,
-    "events_approx_distinct": q_events_approx_distinct,
-    "events_value_histogram": q_events_value_histogram,
-    "events_asof_join_op": q_events_asof_join_op,
-    "events_asof_signup": q_events_asof_signup,
-    "stream_events_dedup": q_stream_events_dedup,
-    "stream_events_sessions": q_stream_events_sessions,
-    "stream_events_sessions_append": q_stream_events_sessions_append,
-    "stream_events_hourly": q_stream_events_hourly,
-    "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
-    "scanner_warmup_gather": q_scanner_warmup_gather,
-    "emb_knn_brute": q_emb_knn_brute,
-    "emb_kmeans": q_emb_kmeans,
-    "emb_knn_ivf": q_emb_knn_ivf,
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "text_analyze": q_text_analyze,
-    "stream_dedup_minhash_lsh": q_stream_dedup_minhash_lsh,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "video_decode_pruned": q_video_decode_pruned,
-    "frame_encode_png": q_frame_encode_png,
-    "frame_histogram": q_frame_histogram,
-    "frame_resize": q_frame_resize,
-    "frame_blur": q_frame_blur,
-    "frame_optical_flow": q_frame_optical_flow,
-    "doc_repeated_passages": q_doc_repeated_passages,
-    "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
     "scanner_all": q_scanner_all,
     "scanner_all_distributed": q_scanner_all_distributed,
     "scanner_stride": q_scanner_stride,
@@ -2284,5 +2240,50 @@ QUERIES = {
     "doc_chunk_windows": q_doc_chunk_windows,
     "doc_quality": q_doc_quality,
     "doc_lm_familiarity": q_doc_lm_familiarity,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "emb_knn_lsh": q_emb_knn_lsh,
+    "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_materialize": q_dedup_materialize,
+    "dedup_simhash_sigs": q_dedup_simhash_sigs,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "emb_label_centroids": q_emb_label_centroids,
+    "emb_quantize": q_emb_quantize,
+    "emb_kmeans_assign": q_emb_kmeans_assign,
+    "emb_knn_pq": q_emb_knn_pq,
+    "doc_decontaminate": q_doc_decontaminate,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_domain_resample": q_docs_domain_resample,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "docs_search_topk": q_docs_search_topk,
+    "vocab_topk": q_vocab_topk,
+    "events_approx_distinct": q_events_approx_distinct,
+    "events_value_histogram": q_events_value_histogram,
+    "events_asof_join_op": q_events_asof_join_op,
+    "events_asof_signup": q_events_asof_signup,
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_sessions": q_stream_events_sessions,
+    "stream_events_sessions_append": q_stream_events_sessions_append,
+    "stream_events_hourly": q_stream_events_hourly,
+    "scanner_slice_state_unslice": q_scanner_slice_state_unslice,
+    "scanner_warmup_gather": q_scanner_warmup_gather,
+    "emb_knn_brute": q_emb_knn_brute,
+    "emb_kmeans": q_emb_kmeans,
+    "emb_knn_ivf": q_emb_knn_ivf,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "text_analyze": q_text_analyze,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "video_decode_pruned": q_video_decode_pruned,
+    "frame_encode_png": q_frame_encode_png,
+    "frame_histogram": q_frame_histogram,
+    "frame_resize": q_frame_resize,
+    "frame_blur": q_frame_blur,
+    "frame_optical_flow": q_frame_optical_flow,
+    "doc_repeated_passages": q_doc_repeated_passages,
+    "doc_repeated_passages_winnowed": q_doc_repeated_passages_winnowed,
 }
 
